@@ -1,0 +1,15 @@
+"""Test harness config: force CPU backend with 8 virtual devices so the
+multi-chip sharding paths compile and run without TPU hardware."""
+import os
+import sys
+
+# Force CPU even when the session env points JAX at a TPU plugin
+# (JAX_PLATFORMS=axon): unit tests must be hermetic and host-runnable.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Make the repo importable when pytest is run from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
