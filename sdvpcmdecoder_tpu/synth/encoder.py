@@ -1,0 +1,110 @@
+"""Synthetic STC-007 encoder: samples -> interleaved lines -> pixel frames.
+
+The reference has no encoder; this is the inverse of its decode chain,
+used as the conformance fixture (SURVEY.md section 7 step 2):
+  samples -> data blocks (P/Q codes per stc007deinterleaver.cpp:1296-1317)
+          -> diagonal interleave (word w of the block at line b lands in
+             line b + 16*w, stc007datablock.h:38-59)
+          -> per-line CRC (stc007line.cpp:245-257)
+          -> 137-bit line (START 1010 + 128 data + STOP 01111)
+          -> grayscale pixels at a chosen pixels-per-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats import stc007, gf2
+
+
+def pq_codes(audio_words: np.ndarray):
+    """P and Q words for blocks [..., 6] of 14-bit audio words."""
+    p = np.bitwise_xor.reduce(audio_words, axis=-1)
+    q = np.zeros(audio_words.shape[:-1], dtype=audio_words.dtype)
+    for k in range(6):
+        q ^= gf2.apply_gf2(gf2.tpow(6 - k), audio_words[..., k], xp=np)
+    return p, q
+
+
+def samples_to_blocks(left: np.ndarray, right: np.ndarray):
+    """14-bit sample words -> block word matrix [Nb, 8] (pads with silence).
+
+    Block b carries stereo pairs 3b..3b+2 (L0,R0,L1,R1,L2,R2 word order,
+    stc007datablock.h:61-73).
+    """
+    n = len(left)
+    nb = (n + 2) // 3
+    pad = nb * 3 - n
+    l = np.concatenate([left, np.zeros(pad, dtype=left.dtype)])
+    r = np.concatenate([right, np.zeros(pad, dtype=right.dtype)])
+    blocks = np.zeros((nb, 8), dtype=np.int64)
+    blocks[:, 0] = l[0::3]
+    blocks[:, 1] = r[0::3]
+    blocks[:, 2] = l[1::3]
+    blocks[:, 3] = r[1::3]
+    blocks[:, 4] = l[2::3]
+    blocks[:, 5] = r[2::3]
+    blocks[:, 6], blocks[:, 7] = pq_codes(blocks[:, :6])
+    return blocks
+
+
+def blocks_to_lines(blocks: np.ndarray, n_lines: int | None = None):
+    """Interleave blocks into per-line word arrays [L, 8] + CRCs [L].
+
+    Line s, tap w carries word w of block (s - 16*w); out-of-range blocks
+    are silent. Default L = Nb + 112 so every block is fully covered.
+    """
+    nb = blocks.shape[0]
+    if n_lines is None:
+        n_lines = nb + stc007.MIN_DEINT_DATA
+    # Extend block table with silent blocks on both sides.
+    silent = np.zeros((1, 8), dtype=blocks.dtype)
+    ext = np.concatenate(
+        [np.repeat(silent, stc007.MIN_DEINT_DATA, axis=0), blocks,
+         np.repeat(silent, max(0, n_lines - nb), axis=0)], axis=0)
+    s = np.arange(n_lines)
+    taps = np.arange(8) * stc007.INTERLEAVE_OFS
+    # line s tap w -> block index s - 16w, shifted by the 112 silent pad.
+    bidx = s[:, None] - taps[None, :] + stc007.MIN_DEINT_DATA
+    line_words = ext[bidx, np.arange(8)[None, :]]
+    crcs = stc007.calc_crc(line_words, xp=np)
+    return line_words, crcs
+
+
+def render_lines(line_words: np.ndarray, crcs: np.ndarray, width: int = 1280,
+                 ppb: float = 8.0, start_px: int = 32, black: int = 20,
+                 white: int = 200, noise_sigma: float = 0.0,
+                 rng: np.random.Generator | None = None):
+    """Render lines to grayscale pixels [L, W] uint8 + analytic coords.
+
+    Bit cell i spans pixels [start_px + i*ppb, start_px + (i+1)*ppb).
+    Returns (pixels, data_start, data_stop) where the coords follow the
+    reference convention (stc007line.cpp:219-223): they span START marker
+    bit 1 through one empty bit cell past the data (132 bit cells).
+    """
+    bits = stc007.line_bits(line_words, crcs, xp=np)  # [L, 137]
+    L = bits.shape[0]
+    px = np.arange(width)
+    cell = np.floor((px - start_px) / ppb).astype(np.int64)
+    in_data = (cell >= 0) & (cell < stc007.BITS_IN_LINE)
+    cell_c = np.clip(cell, 0, stc007.BITS_IN_LINE - 1)
+    vals = np.where(bits[:, cell_c] != 0, white, black).astype(np.float64)
+    vals = np.where(in_data[None, :], vals, float(black))
+    if noise_sigma > 0:
+        rng = rng or np.random.default_rng(0)
+        vals = vals + rng.normal(0.0, noise_sigma, size=vals.shape)
+    pixels = np.clip(np.round(vals), 0, 255).astype(np.uint8)
+    data_start = int(round(start_px + 1 * ppb))
+    data_stop = int(round(start_px + 133 * ppb))
+    coords = np.tile(np.array([[data_start, data_stop]], dtype=np.int32),
+                     (L, 1))
+    return pixels, coords
+
+
+def encode_stream(left, right, width=1280, ppb=8.0, n_lines=None, **render_kw):
+    """samples -> (pixels [L,W], coords [L,2], line_words [L,8], crcs [L])."""
+    blocks = samples_to_blocks(np.asarray(left, np.int64),
+                               np.asarray(right, np.int64))
+    line_words, crcs = blocks_to_lines(blocks, n_lines)
+    pixels, coords = render_lines(line_words, crcs, width=width, ppb=ppb,
+                                  **render_kw)
+    return pixels, coords, line_words, crcs

@@ -13,3 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Make the repo importable when pytest is run from anywhere.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the trial-grid kernels are expensive to
+# compile on CPU; cache across test runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
