@@ -1,0 +1,199 @@
+"""Audio finishing chain: dropout classification + masking + WAV routing.
+
+Port of the reference AudioProcessor (audioprocessor.{h,cpp}): per-channel
+invalid-region detection, stray-valid-island invalidation
+(fixStraySamples :268-495), region splitting into ramp-down / mute /
+ramp-up for long dropouts (fixBadSamples :740-1200), and the three masking
+families mute / level-hold / linear-interpolation in x16 fixed point
+(rangeMute :511, rangeLevelHold :571, rangeLinearInterpolation :635).
+
+Re-architected for batch decoding: instead of a 512-pair sliding window
+(BUF_SIZE audioprocessor.h:69) the masking operates on whole capture
+chunks at once with numpy run-length analysis — the reference's windowing
+exists only to bound memory on a live stream.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Masking modes (audioprocessor.h:86-95).
+(DROP_IGNORE, DROP_MUTE_BLOCK, DROP_MUTE_WORD, DROP_HOLD_BLOCK,
+ DROP_HOLD_WORD, DROP_INTER_LIN_BLOCK, DROP_INTER_LIN_WORD) = range(7)
+
+MIN_LONG_INVALID = 16     # audioprocessor.h:70
+MAX_STRAY_LEN = 24        # :71 (island window check uses 0 < delta < 28)
+MIN_VALID_BEFORE = 3
+MAX_RAMP_DOWN = 192       # :73
+MAX_RAMP_UP = 32          # :74
+CALC_MULT = 16            # :79-83
+
+
+def _runs(mask: np.ndarray):
+    """Maximal True runs as (start, stop_inclusive) pairs."""
+    if len(mask) == 0:
+        return []
+    d = np.diff(mask.astype(np.int8))
+    starts = list(np.nonzero(d == 1)[0] + 1)
+    stops = list(np.nonzero(d == -1)[0])
+    if mask[0]:
+        starts = [0] + starts
+    if mask[-1]:
+        stops = stops + [len(mask) - 1]
+    return list(zip(starts, stops))
+
+
+def invalidate_stray_samples(valid: np.ndarray):
+    """fixStraySamples: valid islands (<28 long) between long invalid
+    regions become invalid too. Mutates and returns `valid`."""
+    n = len(valid)
+    if n == 0:
+        return valid
+    # Long invalid regions; scan starts at index 1 (first sample is kept).
+    inv = ~valid.copy()
+    inv[0] = False
+    longs = []
+    for s, e in _runs(inv):
+        length = e - s + 1
+        tail = e == n - 1
+        # Reference counts `(queue_idx-start_idx) > 16` with queue_idx the
+        # first valid AFTER the run; tail regions use size-start-1.
+        if (length if not tail else length - 1) > MIN_LONG_INVALID:
+            longs.append((s, e, tail))
+    # Valid islands between consecutive long regions.
+    for (s1, e1, t1), (s2, e2, t2) in zip(longs, longs[1:]):
+        gap_start = 1 if t1 else e1  # not_sure: start from index 1
+        delta = s2 - gap_start
+        if 0 < delta < (MAX_STRAY_LEN + 4):
+            valid[gap_start:s2 + 1] = False
+    return valid
+
+
+@dataclass
+class MaskStats:
+    masked_samples: int = 0
+    regions: int = 0
+
+
+def mask_channel(values: np.ndarray, valid: np.ndarray, mask_mode: int,
+                 max_ramp_down=MAX_RAMP_DOWN, max_ramp_up=MAX_RAMP_UP,
+                 file_end=True):
+    """fixBadSamples + range maskers for one channel (batch form).
+
+    values int array (mutated), valid bool array (mutated: everything
+    becomes valid after masking). Returns MaskStats.
+    """
+    stats = MaskStats()
+    n = len(values)
+    if n == 0 or mask_mode == DROP_IGNORE:
+        valid[:] = True
+        return stats
+
+    regions = []  # (start_good_idx, stop_good_idx) enclosing invalid run
+
+    def sample_mute(idx):
+        values[idx] = 0
+        valid[idx] = True
+
+    inv_runs = _runs(~valid)
+    for s, e in inv_runs:
+        if s == 0:
+            # Leading invalid run: no valid anchor before; mute it
+            # (the reference keeps MIN_VALID_BEFORE valid points at the
+            # head of any buffer, so a file can't open on a dropout).
+            values[s:e + 1] = 0
+            valid[s:e + 1] = True
+            stats.masked_samples += e - s + 1
+            continue
+        good_end = s - 1
+        if e == n - 1:
+            # Trailing run at EOF: ramp down to zero (:1115-1160).
+            if file_end:
+                sample_mute(n - 1)
+                regions.append((good_end, n - 1))
+            continue
+        good_after = e + 1
+        leftover = good_after - good_end - 1
+        start_masked = (values[good_end] == 0) and not valid[good_end]
+        if leftover > (max_ramp_down + max_ramp_up):
+            # Long dropout: ramp-down + mute + ramp-up (:920-1050).
+            rd_stop = good_end + max_ramp_down + 1
+            ru_start = good_after - max_ramp_up - 1
+            sample_mute(rd_stop)
+            sample_mute(ru_start)
+            regions.append((good_end, rd_stop))
+            if ru_start > rd_stop:
+                regions.append((rd_stop, ru_start))
+            regions.append((ru_start, good_after))
+        else:
+            regions.append((good_end, good_after))
+
+    for a, b in regions:
+        if b - a < 2:
+            valid[a:b + 1] = True
+            continue
+        interior = slice(a + 1, b)
+        if mask_mode in (DROP_MUTE_BLOCK, DROP_MUTE_WORD):
+            stats.masked_samples += int(np.sum(values[interior] != 0))
+            values[interior] = 0
+        elif mask_mode in (DROP_HOLD_BLOCK, DROP_HOLD_WORD):
+            hold = values[a]
+            stats.masked_samples += int(np.sum(values[interior] != hold))
+            values[interior] = hold
+        else:  # linear interpolation in x16 fixed point (:635-737)
+            lvl_begin = int(values[a])
+            lvl_end = int(values[b])
+            cnt = b - a - 1 + 1
+            if lvl_begin == lvl_end:
+                interp = np.full(b - a - 1, lvl_begin, dtype=np.int64)
+            else:
+                mult_begin = lvl_begin * CALC_MULT
+                delta = lvl_end * CALC_MULT - mult_begin
+                step = (delta + (cnt // 2 if delta >= 0 else -(cnt // 2))) \
+                    // cnt if delta >= 0 else -((-delta + cnt // 2) // cnt)
+                k = np.arange(1, b - a, dtype=np.int64)
+                lv = step * k + mult_begin
+                interp = np.where(
+                    lv >= 0, (lv + CALC_MULT // 2) // CALC_MULT,
+                    -((-lv + CALC_MULT // 2) // CALC_MULT))
+            stats.masked_samples += int(np.sum(values[interior] != interp))
+            values[interior] = interp
+        valid[a:b + 1] = True
+        stats.regions += 1
+    return stats
+
+
+class AudioProcessor:
+    """Batch audio finishing: flags -> masking -> interleaved int16."""
+
+    def __init__(self, mask_mode=DROP_INTER_LIN_WORD, remove_stray=True,
+                 max_ramp_down=MAX_RAMP_DOWN, max_ramp_up=MAX_RAMP_UP):
+        self.mask_mode = mask_mode
+        self.remove_stray = remove_stray
+        self.max_ramp_down = max_ramp_down
+        self.max_ramp_up = max_ramp_up
+        self.total_masked = 0
+
+    def process(self, samples: np.ndarray, word_valid: np.ndarray,
+                block_ok: np.ndarray | None = None, file_end=True):
+        """samples [N,2] int16, word_valid [N,2] bool, block_ok [N,2] bool.
+
+        Returns masked stereo int16 [N,2]. *_BLOCK modes force sample
+        validity from the block flag (fillUntilBufferFull
+        audioprocessor.cpp:166, PCMSamplePair::setValidityByBlock).
+        """
+        out = samples.astype(np.int64).copy()
+        valid = word_valid.copy()
+        if self.mask_mode in (DROP_MUTE_BLOCK, DROP_HOLD_BLOCK,
+                              DROP_INTER_LIN_BLOCK) and block_ok is not None:
+            valid = valid & block_ok
+        for ch in range(out.shape[1]):
+            v = valid[:, ch]
+            if self.mask_mode != DROP_IGNORE and self.remove_stray:
+                v = invalidate_stray_samples(v)
+            st = mask_channel(out[:, ch], v, self.mask_mode,
+                              self.max_ramp_down, self.max_ramp_up,
+                              file_end=file_end)
+            self.total_masked += st.masked_samples
+        return np.clip(out, -32768, 32767).astype(np.int16)

@@ -1,0 +1,1649 @@
+"""STC-007 data stitcher: frame reassembly, padding/field-order/resolution
+auto-detection, CWD pre-scan, final deinterleave with masking.
+
+Host-side port of the reference's STC007DataStitcher (stc007datastitcher.
+{h,cpp}) re-architected around the vectorized deinterleaver: every place the
+reference serially runs `processBlock` over a window (tryPadding
+:1417-1743, getFieldResolution :996-1214, performCWD :5905-6401,
+performDeinterleave :6675-6888) becomes ONE batched evaluation over all
+block shifts; the tiny stage machines / burst counters / majority stats
+stay as plain Python over per-block flag arrays.
+
+Line data is a struct-of-arrays (`LineStore`), not per-line objects.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from ..formats import stc007
+from ..ops import deinterleave as di
+
+# Video standards / field orders (frametrimset.h:117-137).
+VID_UNKNOWN, VID_PAL, VID_NTSC = 0, 1, 2
+ORDER_UNK, ORDER_TFF, ORDER_BFF = 0, 1, 2
+
+# Frame geometry (config.h:80-81 via stc007datastitcher.h:166-177).
+LINES_PF_NTSC = 245
+LINES_PF_PAL = 294
+LINES_PF_DEFAULT = LINES_PF_NTSC
+LINES_PF_MAX_PAL = LINES_PF_PAL + stc007.INTERLEAVE_OFS
+LINES_PF_MAX_NTSC = LINES_PF_PAL - 2 * stc007.INTERLEAVE_OFS
+FLD_ORDER_DEFAULT = ORDER_TFF
+
+MIN_GOOD_LINES_PF = LINES_PF_DEFAULT - stc007.INTERLEAVE_OFS // 2
+MIN_FILL_LINES_PF = stc007.MIN_DEINT_DATA // 2
+
+# Padding limits (stc007datastitcher.h:186-197).
+MAX_PADDING_14BIT = stc007.INTERLEAVE_OFS * 2   # 32
+MAX_PADDING_16BIT = stc007.INTERLEAVE_OFS       # 16
+MAX_BURST_SILENCE = stc007.INTERLEAVE_OFS // 2  # 8
+MAX_BURST_BROKEN = 1
+MAX_BURST_UNCH_DELTA = 8
+MAX_BURST_UNCH_14BIT = 0x40
+MAX_BURST_UNCH_16BIT = 0x20
+UNCH_MASK_DURATION = stc007.INTERLEAVE_OFS * 8  # 128 lines
+STATS_DEPTH = 65
+
+# Resolution results (stc007datastitcher.h:199-206) and deinterleaver modes.
+SAMPLE_RES_UNKNOWN, SAMPLE_RES_14BIT, SAMPLE_RES_16BIT = 0, 1, 2
+
+# tryPadding / findPadding results (stc007datastitcher.h:208-216).
+DS_RET_NO_DATA, DS_RET_SILENCE, DS_RET_BROKE, DS_RET_NO_PAD, DS_RET_OK = \
+    range(5)
+
+SAMPLE_RATE_44100 = 44100
+SAMPLE_RATE_44056 = 44056
+
+# Service tags (mirror PCMLine SRVLINE_*).
+SRV_NO, SRV_NEW_FILE, SRV_END_FILE, SRV_FILLER, SRV_END_FIELD, \
+    SRV_END_FRAME, SRV_CTRL_BLOCK = 0, 1, 2, 3, 4, 5, 7
+
+
+# ---------------------------------------------------------------------------
+# Line storage
+# ---------------------------------------------------------------------------
+class LineStore:
+    """Struct-of-arrays container of binarized STC-007 lines."""
+
+    FIELDS = ("words", "source_crc", "word_crc", "word_valid",
+              "frame_number", "line_number", "ref_level", "forced_bad",
+              "coords_valid", "bw_set", "service", "has_markers")
+
+    def __init__(self, n: int):
+        self.words = np.zeros((n, 8), dtype=np.int64)
+        self.source_crc = np.zeros(n, dtype=np.int64)
+        self.word_crc = np.zeros((n, 9), dtype=bool)
+        self.word_valid = np.zeros((n, 9), dtype=bool)
+        self.frame_number = np.zeros(n, dtype=np.int64)
+        self.line_number = np.zeros(n, dtype=np.int64)
+        self.ref_level = np.zeros(n, dtype=np.int64)
+        self.forced_bad = np.zeros(n, dtype=bool)
+        self.coords_valid = np.zeros(n, dtype=bool)
+        self.bw_set = np.zeros(n, dtype=bool)
+        self.service = np.zeros(n, dtype=np.int8)
+        self.has_markers = np.zeros(n, dtype=bool)
+        # Silent-line defaults: invalid CRC (clear() stc007line.cpp:69-98).
+        self.source_crc[:] = (~stc007.CRC_SILENT) & 0xFFFF
+
+    def __len__(self):
+        return len(self.source_crc)
+
+    def copy(self):
+        out = LineStore(0)
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f).copy())
+        return out
+
+    def take(self, idx) -> "LineStore":
+        out = LineStore(0)
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f)[idx].copy())
+        return out
+
+    @staticmethod
+    def concat(stores) -> "LineStore":
+        out = LineStore(0)
+        for f in LineStore.FIELDS:
+            setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        return out
+
+    @staticmethod
+    def empty_lines(n, frame_number=0, line_numbers=None, m2=False):
+        """Filler/padding lines: silent words, invalid CRC, no coords."""
+        out = LineStore(n)
+        out.words[:] = stc007.silent_words(m2=m2, xp=np)[None, :]
+        calc = stc007.calc_crc(out.words, xp=np)
+        out.source_crc = (~calc) & 0xFFFF
+        out.frame_number[:] = frame_number
+        if line_numbers is not None:
+            out.line_number[:] = line_numbers
+        return out
+
+    # -- derived per-line quantities --------------------------------------
+    def calc_crc(self):
+        return stc007.calc_crc(self.words, xp=np)
+
+    def crc_valid_ignore_forced(self):
+        return self.calc_crc() == self.source_crc
+
+    def crc_valid(self):
+        return (~self.forced_bad) & self.crc_valid_ignore_forced()
+
+    def is_fixed_by_cwd(self):
+        """isFixedByCWD (stc007line.cpp:629-642): CRC valid and some word
+        has bad source CRC flag but is valid now."""
+        return self.crc_valid() & np.any(~self.word_crc & self.word_valid,
+                                         axis=-1)
+
+    def samples_silent(self, m2=False):
+        s = stc007.expand_sample(self.words[:, :6], m2=m2, xp=np)
+        return np.all(s == 0, axis=-1)
+
+    def apply_crc_state_per_word(self):
+        v = self.crc_valid()
+        self.word_crc[:] = v[:, None]
+        self.word_valid[:] = v[:, None]
+
+    @staticmethod
+    def from_decoded(words, crc_read, valid, frame_number, line_number,
+                     ref_level=None, has_markers=None):
+        """Build a store from binarizer output arrays (device -> host)."""
+        n = len(crc_read)
+        out = LineStore(n)
+        out.words = np.asarray(words, np.int64).copy()
+        out.source_crc = np.asarray(crc_read, np.int64).copy()
+        v = np.asarray(valid, bool)
+        out.word_crc[:] = v[:, None]
+        out.word_valid[:] = v[:, None]
+        out.frame_number = np.asarray(frame_number, np.int64).copy()
+        out.line_number = np.asarray(line_number, np.int64).copy()
+        if ref_level is not None:
+            out.ref_level = np.asarray(ref_level, np.int64).copy()
+        out.coords_valid[:] = True
+        out.bw_set[:] = True
+        out.has_markers[:] = v if has_markers is None \
+            else np.asarray(has_markers, bool)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Frame assembly descriptor
+# ---------------------------------------------------------------------------
+@dataclass
+class FrameAsm:
+    """Port of FrameAsmSTC007 (frametrimset.h:117-291)."""
+    frame_number: int = 0
+    video_standard: int = VID_UNKNOWN
+    vid_std_preset: bool = False
+    odd_std_lines: int = 0
+    even_std_lines: int = 0
+    odd_data_lines: int = 0
+    even_data_lines: int = 0
+    odd_valid_lines: int = 0
+    even_valid_lines: int = 0
+    odd_top_data: int = 0
+    odd_bottom_data: int = 0
+    even_top_data: int = 0
+    even_bottom_data: int = 0
+    odd_sample_rate: int = 0
+    even_sample_rate: int = 0
+    odd_ref: int = 0
+    even_ref: int = 0
+    odd_resolution: int = di.RES_MODE_14BIT_AUTO
+    even_resolution: int = di.RES_MODE_14BIT_AUTO
+    field_order: int = ORDER_UNK
+    order_preset: bool = False
+    order_guessed: bool = False
+    tff_cnt: int = 0
+    bff_cnt: int = 0
+    inner_padding: int = 0
+    outer_padding: int = 0
+    trim_ok: bool = False
+    inner_padding_ok: bool = False
+    outer_padding_ok: bool = False
+    inner_silence: bool = False
+    outer_silence: bool = False
+    blocks_total: int = 0
+    blocks_drop: int = 0
+    samples_drop: int = 0
+    blocks_broken_field: int = 0
+    blocks_fix_p: int = 0
+    blocks_fix_q: int = 0
+    blocks_fix_cwd: int = 0
+    ctrl_index: int = -1
+    ctrl_hour: int = -1
+    ctrl_minute: int = -1
+    ctrl_second: int = -1
+    ctrl_field: int = -1
+
+    # -- order helpers (frametrimset.cpp:505-640) -------------------------
+    def is_order_set(self):
+        return self.field_order in (ORDER_TFF, ORDER_BFF)
+
+    def is_order_tff(self):
+        return self.field_order == ORDER_TFF
+
+    def is_order_bff(self):
+        return self.field_order == ORDER_BFF
+
+    def preset_tff(self):
+        self.order_preset, self.order_guessed = True, False
+        self.field_order = ORDER_TFF
+
+    def preset_bff(self):
+        self.order_preset, self.order_guessed = True, False
+        self.field_order = ORDER_BFF
+
+    def set_order_unknown(self):
+        if not self.order_preset:
+            self.field_order = ORDER_UNK
+            self.order_guessed = False
+
+    def set_order_tff(self):
+        if not self.order_preset:
+            self.field_order = ORDER_TFF
+
+    def set_order_bff(self):
+        if not self.order_preset:
+            self.field_order = ORDER_BFF
+
+    def set_order_guessed(self, flag):
+        if not self.order_preset:
+            self.order_guessed = flag
+
+    def update_vid_std_soft(self, std):
+        if not self.vid_std_preset and std < 3:
+            self.video_standard = std
+
+    def clear_asm_stats(self):
+        self.blocks_total = self.blocks_drop = self.samples_drop = 0
+        self.blocks_broken_field = 0
+        self.blocks_fix_p = self.blocks_fix_q = self.blocks_fix_cwd = 0
+
+
+@dataclass
+class StitchStats:
+    """FieldStitchStats (frametrimset.h:97-114)."""
+    index: int = 0
+    valid: int = 0
+    silent: int = 0
+    unchecked: int = 0
+    broken: int = 0
+
+    def sort_key(self):
+        # operator< (frametrimset.cpp): broken asc, valid desc,
+        # unchecked asc, silent asc, index asc.
+        return (self.broken, -self.valid, self.unchecked, self.silent,
+                self.index)
+
+
+@dataclass
+class SamplePair:
+    """PCMSamplePair payload (pcmsamplepair.h:46-112)."""
+    left: int = 0
+    right: int = 0
+    block_ok: bool = False
+    left_valid: bool = False
+    right_valid: bool = False
+    left_fixed: bool = False
+    right_fixed: bool = False
+    sample_rate: int = SAMPLE_RATE_44100
+    emphasis: bool = False
+    service: int = SRV_NO
+    file_path: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Deinterleave evaluation helpers (vectorized over block shifts)
+# ---------------------------------------------------------------------------
+def _res_mode_is16(res_mode):
+    return res_mode in (di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO)
+
+
+def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
+                force_ecc=True, en_p=True, en_q=True, en_cwd=False,
+                start=0, stop=None, m2=False):
+    """Run the vectorized deinterleaver over shifts [start, stop).
+
+    Equivalent of the reference's serial processBlock sweep. Returns
+    (BlockBatch, cwd_applied, aux dict with per-block derived flags).
+    """
+    n = len(store)
+    if stop is None:
+        stop = n - stc007.MIN_DEINT_DATA
+    if stop <= start:
+        return None, None, None
+    shifts = np.arange(start, stop, dtype=np.int64)
+    if ignore_crc:
+        crc_ok = (store.coords_valid & store.bw_set)[:, None] \
+            & np.ones((1, 8), bool)
+    else:
+        crc_ok = store.word_crc[:, :8] & ~store.forced_bad[:, None]
+    cwd_line = store.is_fixed_by_cwd() if en_cwd else np.zeros(n, bool)
+
+    taps = np.arange(8) * stc007.INTERLEAVE_OFS
+    rows = shifts[:, None] + taps[None, :]
+
+    def run(resolution):
+        w, c = di.assemble_blocks(store.words, crc_ok, shifts, resolution,
+                                  xp=np)
+        cwd = cwd_line[rows]
+        if en_cwd:
+            batch, cwd_app = di.correct_blocks_cwd(
+                w, c, cwd, resolution, en_p=en_p, en_q=en_q,
+                force_ecc=force_ecc, xp=np)
+        else:
+            batch = di.correct_blocks(w, c, resolution, en_p=en_p,
+                                      en_q=en_q, force_ecc=force_ecc, xp=np)
+            cwd_app = np.zeros(len(shifts), bool)
+        return batch, cwd, cwd_app
+
+    if res_mode == di.RES_MODE_14BIT:
+        batch, cwd_in, cwd_app = run(di.RES_14BIT)
+    elif res_mode == di.RES_MODE_16BIT:
+        batch, cwd_in, cwd_app = run(di.RES_16BIT)
+    else:
+        first = di.RES_14BIT if res_mode == di.RES_MODE_14BIT_AUTO \
+            else di.RES_16BIT
+        other = di.RES_16BIT if first == di.RES_14BIT else di.RES_14BIT
+        r1, cwd_in, ca1 = run(first)
+        r2, _, ca2 = run(other)
+        use2 = (r1.stage == di.STG_BAD_BLOCK) & (r2.stage != di.STG_BAD_BLOCK)
+        sel = lambda a, b: np.where(
+            use2.reshape(use2.shape + (1,) * (a.ndim - 1)), b, a)
+        batch = di.BlockBatch(*(sel(a, b) for a, b in zip(r1, r2)))
+        cwd_app = np.where(use2, ca2, ca1)
+
+    # Derived per-block quantities used by the stitcher heuristics.
+    is16 = batch.resolution == di.RES_16BIT
+    lim = np.where(is16, 7, 8)
+    widx = np.arange(8)[None, :]
+    in_lim = widx < lim[:, None]
+    broken = batch.audio_state == di.AUD_BROKEN
+    block_valid = batch.valid[:, :6].all(axis=-1)
+    # canForceCheck (stc007datablock.cpp): <=1 raw error in 14-bit
+    # (<=0 in 16-bit), not broken; CWD-fixed words don't count.
+    raw_errs = np.sum((~batch.line_crc & in_lim) & ~(cwd_in & in_lim),
+                      axis=-1)
+    can_force = ~broken & np.where(is16, raw_errs == 0, raw_errs <= 1)
+    # Silence test on output samples (block.isSilent()).
+    samples = di.block_samples(batch, m2=m2, xp=np)
+    silent = np.all(samples == 0, axis=-1)
+    fixed_p = batch.audio_state == di.AUD_FIX_P
+    fixed_q = batch.audio_state == di.AUD_FIX_Q
+    # Source frame/line of first (L0) and last (Q0/P0) word.
+    start_frame = store.frame_number[rows[:, 0]]
+    start_line = store.line_number[rows[:, 0]]
+    last_tap = np.where(is16, 6, 7)
+    stop_rows = shifts + last_tap * stc007.INTERLEAVE_OFS
+    stop_frame = store.frame_number[stop_rows]
+    stop_line = store.line_number[stop_rows]
+    aux = dict(shifts=shifts, broken=broken, block_valid=block_valid,
+               can_force=can_force, silent=silent, fixed_p=fixed_p,
+               fixed_q=fixed_q, samples=samples,
+               start_frame=start_frame, start_line=start_line,
+               stop_frame=stop_frame, stop_line=stop_line,
+               errors_audio_fixed=np.sum(~batch.valid[:, :6], axis=-1),
+               cwd_in=cwd_in)
+    return batch, cwd_app, aux
+
+
+# ---------------------------------------------------------------------------
+# The stitcher
+# ---------------------------------------------------------------------------
+class STC007Stitcher:
+    """Two-frame sliding-window reassembler (doFrameReassemble equivalent).
+
+    Feed whole frames of decoded lines via push_frame(); collect SamplePair
+    output from pop_samples().
+    """
+
+    def __init__(self, en_p=True, en_q=True, en_cwd=False, ignore_crc=False,
+                 mode_m2=False, preset_video=VID_UNKNOWN,
+                 preset_order=ORDER_UNK, preset_resolution=None,
+                 preset_sample_rate=0, mask_seams=True,
+                 broken_mask_dur=UNCH_MASK_DURATION // 2,
+                 max_unch_14=MAX_BURST_UNCH_14BIT,
+                 max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False):
+        self.en_p, self.en_q, self.en_cwd = en_p, en_q, en_cwd
+        self.ignore_crc = ignore_crc
+        self.mode_m2 = mode_m2
+        self.preset_video = preset_video
+        self.preset_order = preset_order
+        self.preset_resolution = preset_resolution
+        self.preset_sample_rate = preset_sample_rate
+        self.mask_seams = mask_seams
+        self.broken_mask_dur = broken_mask_dur
+        self.max_unch_14 = max_unch_14
+        self.max_unch_16 = max_unch_16
+        self.fix_cut_above = fix_cut_above
+        self.reset_state()
+
+    def reset_state(self):
+        self.frasm_f0 = FrameAsm()
+        self.frasm_f1 = FrameAsm()
+        self.frasm_f2 = FrameAsm()
+        self.stats_field_order = []
+        self.stats_resolution = []
+        self.broken_countdown = 0
+        self.last_pad_counter = 0xFF
+        self.pending_frames = []          # queue of (frame_no, LineStore)
+        self.conv_queue = LineStore(0)    # persists across frames: the
+        # interleave chains fields of adjacent frames together
+        # (stc007datastitcher.h:22-25); performDeinterleave leaves the last
+        # MIN_DEINT_DATA lines for the next frame's fill to extend.
+        self.out_samples: list[SamplePair] = []
+        self.file_start = False
+        self.file_end = False
+        self.file_name = ""
+        self.frame_log: list[FrameAsm] = []
+
+    # -- input ------------------------------------------------------------
+    def push_frame(self, store: LineStore):
+        """Queue one frame's worth of lines (may include service lines)."""
+        data = store.service == SRV_NO
+        frames = store.frame_number[data]
+        fno = int(frames[0]) if len(frames) else (
+            int(store.frame_number[0]) if len(store) else 0)
+        self.pending_frames.append((fno, store))
+        self._pump()
+
+    def finish(self):
+        """Flush: append a dummy silent frame and process the tail."""
+        if not self.pending_frames:
+            return
+        last_no = self.pending_frames[-1][0]
+        dummy = LineStore.empty_lines(0)
+        tail = LineStore(1)
+        tail.service[0] = SRV_END_FILE
+        tail.frame_number[0] = last_no + 1
+        dummy = LineStore.concat([dummy, tail])
+        self.pending_frames.append((last_no + 1, dummy))
+        self._pump(final=True)
+
+    def pop_samples(self):
+        out = self.out_samples
+        self.out_samples = []
+        return out
+
+    # -- main loop --------------------------------------------------------
+    def _pump(self, final=False):
+        while len(self.pending_frames) >= 2:
+            (f1_no, f1), (f2_no, f2) = self.pending_frames[0], \
+                self.pending_frames[1]
+            self.frasm_f1.frame_number = f1_no
+            self.frasm_f2.frame_number = f2_no
+            self._process_pair(f1, f2)
+            self.pending_frames.pop(0)
+            # Roll descriptors (doFrameReassemble :7399-7407).
+            self.frasm_f0 = self.frasm_f1
+            self.frasm_f1 = self.frasm_f2
+            self.frasm_f2 = FrameAsm()
+            if self.file_end:
+                self.out_samples.append(SamplePair(service=SRV_END_FILE))
+                self.reset_file_state()
+            self.file_start = self.file_end = False
+
+    def reset_file_state(self):
+        f0 = FrameAsm()
+        self.frasm_f0 = f0
+        self.frasm_f1 = FrameAsm(frame_number=self.frasm_f1.frame_number)
+        self.broken_countdown = 0
+
+    def _process_pair(self, f1: LineStore, f2: LineStore):
+        trim = LineStore.concat([f1, f2])
+        self.find_frames_trim(trim)
+        if self.file_start:
+            # resetState on new file (doFrameReassemble :7345-7349) but
+            # keep current trim results.
+            self.stats_field_order = []
+            self.stats_resolution = []
+            self.broken_countdown = 0
+            self.frasm_f0 = FrameAsm()
+        self.split_frames_to_fields(trim)
+        self.find_field_stitching()
+        if self.file_start:
+            self.conv_queue = LineStore(0)
+            self.out_samples.append(
+                SamplePair(service=SRV_NEW_FILE, file_path=self.file_name))
+        frame_lines = self.fill_frame_for_output()
+        self.conv_queue = LineStore.concat([self.conv_queue, frame_lines])
+        self.conv_queue = self.prescan_frame(self.conv_queue)
+        consumed = self.perform_deinterleave(self.conv_queue)
+        if consumed > 0:
+            self.conv_queue = self.conv_queue.take(
+                np.arange(consumed, len(self.conv_queue)))
+        self.frame_log.append(dataclasses.replace(self.frasm_f1))
+
+    # -- trimming (findFramesTrim :259-737) -------------------------------
+    def find_frames_trim(self, buf: LineStore):
+        fa, fb = self.frasm_f1, self.frasm_f2
+        for fr in (fa, fb):
+            if not fr.trim_ok:
+                fr.even_top_data = fr.even_bottom_data = 0
+                fr.odd_top_data = fr.odd_bottom_data = 0
+
+        svc = buf.service
+        is_data = svc == SRV_NO
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+
+        # Service tags.
+        for fr in (fa, fb):
+            mask = buf.frame_number == fr.frame_number
+            if np.any((svc == SRV_NEW_FILE) & mask):
+                self.file_start = True
+            if np.any((svc == SRV_END_FILE) & mask):
+                self.file_end = True
+            # Control Block at top of field (before any good data line).
+            cb = np.nonzero((svc == SRV_CTRL_BLOCK) & mask)[0]
+            good = np.nonzero(mask & is_data & crc_ok)[0]
+            if len(cb) and (len(good) == 0 or cb[0] < good[0]):
+                fields = stc007.control_block_fields(buf.words[cb[0]])
+                fr.ctrl_index = fields["index"]
+                fr.ctrl_hour = fields["hour"]
+                fr.ctrl_minute = fields["minute"]
+                fr.ctrl_second = fields["second"]
+                fr.ctrl_field = fields["field"]
+
+        for fr in (fa, fb):
+            if fr.trim_ok:
+                continue
+            mask = (buf.frame_number == fr.frame_number) & is_data
+            found = {}
+            for parity, is_odd in (("even", False), ("odd", True)):
+                pm = mask & (odd == is_odd)
+                good_cnt = int(np.sum(pm & crc_ok))
+                skip_bad = good_cnt > MIN_GOOD_LINES_PF
+                if skip_bad:
+                    pcm = pm & buf.crc_valid_ignore_forced()
+                else:
+                    pcm = pm & (buf.has_markers
+                                | buf.crc_valid_ignore_forced())
+                hits = np.nonzero(pcm)[0]
+                found[parity] = len(hits) > 0
+                if len(hits):
+                    top = int(buf.line_number[hits[0]])
+                    bottom = int(buf.line_number[hits[-1]])
+                    setattr(fr, f"{parity}_top_data", top)
+                    setattr(fr, f"{parity}_bottom_data", bottom)
+            if found["odd"] and found["even"]:
+                fr.trim_ok = True
+
+    # -- field split (splitFramesToFields :737-996) -----------------------
+    def split_frames_to_fields(self, buf: LineStore):
+        fa, fb = self.frasm_f1, self.frasm_f2
+        svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        self.fields = {}
+        self.f1_max_line = 0
+        self.f2_max_line = 0
+        for fr, tag in ((fa, "f1"), (fb, "f2")):
+            mask = (buf.frame_number == fr.frame_number) & svc_keep
+            if np.any(mask):
+                setattr(self, f"{tag}_max_line",
+                        int(buf.line_number[mask].max()))
+            for parity, is_odd in (("even", False), ("odd", True)):
+                top = getattr(fr, f"{parity}_top_data")
+                bottom = getattr(fr, f"{parity}_bottom_data")
+                pm = mask & (odd == is_odd)
+                if not is_odd and top == bottom and top == 0:
+                    pm = pm & False
+                else:
+                    pm = pm & (buf.line_number >= top) \
+                        & (buf.line_number <= bottom)
+                idx = np.nonzero(pm)[0][:LINES_PF_PAL]
+                fld = buf.take(idx)
+                self.fields[(tag, parity)] = fld
+                setattr(fr, f"{parity}_data_lines", len(idx))
+                setattr(fr, f"{parity}_valid_lines",
+                        int(np.sum(crc_ok[idx])))
+        # Average reference level for Frame A (splitFramesToFields tail).
+        for parity in ("odd", "even"):
+            fld = self.fields[("f1", parity)]
+            v = fld.crc_valid()
+            if v.any():
+                ref = int(fld.ref_level[v].sum() // v.sum())
+            elif len(fld):
+                ref = int(fld.ref_level.sum() // len(fld))
+            else:
+                ref = 0
+            setattr(fa, f"{parity}_ref", ref)
+
+    # -- resolution (getFieldResolution :996-1214) ------------------------
+    def get_field_resolution(self, fld: LineStore):
+        if self.preset_resolution == SAMPLE_RES_14BIT:
+            return SAMPLE_RES_14BIT
+        if self.preset_resolution == SAMPLE_RES_16BIT:
+            return SAMPLE_RES_16BIT
+        f_size = len(fld)
+        if f_size <= stc007.MIN_DEINT_DATA:
+            return SAMPLE_RES_UNKNOWN
+        test_size = f_size - stc007.MIN_DEINT_DATA
+        counts = {}
+        for mode, key in ((di.RES_MODE_14BIT, 14), (di.RES_MODE_16BIT, 16)):
+            batch, _, aux = eval_blocks(
+                fld, mode, ignore_crc=False, force_ecc=True, en_p=True,
+                en_q=False, stop=test_size, m2=self.mode_m2)
+            good = aux["block_valid"] & aux["can_force"] & ~aux["silent"]
+            broken = aux["broken"]
+            # Serial count with BROKEN decrement floor at 0 (:1090-1140).
+            c = 0
+            for g, b in zip(good, broken):
+                if g:
+                    c += 1
+                elif b and c > 0:
+                    c -= 1
+            counts[key] = c
+        if counts[14] > stc007.INTERLEAVE_OFS * 2:
+            ratio = counts[16] * 128 // counts[14]
+            return SAMPLE_RES_16BIT if ratio > 32 else SAMPLE_RES_14BIT
+        return SAMPLE_RES_UNKNOWN
+
+    @staticmethod
+    def resolution_mode_for_seam(r1, r2):
+        """getResolutionModeForSeam (:1214-1256)."""
+        M14, M14A, M16A, M16 = (di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO,
+                                di.RES_MODE_16BIT_AUTO, di.RES_MODE_16BIT)
+        if r1 == r2:
+            if r1 == M14A:
+                return M14
+            if r1 == M16A:
+                return M16
+            return r1
+        if r1 == M14 and r2 == M14A:
+            return M14A
+        if r1 == M14A and r2 == M14:
+            return M14A
+        if r1 == M16 and r2 == M14:
+            return M14A
+        return M16A
+
+    @classmethod
+    def resolution_for_seam(cls, r1, r2):
+        mode = cls.resolution_mode_for_seam(r1, r2)
+        if mode in (di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO):
+            return di.RES_16BIT
+        return di.RES_14BIT
+
+    def get_data_block_resolution(self, store: LineStore, line_sh=0):
+        """getDataBlockResolution (:1272-1417): resolution mode from the
+        field membership of the first and last line of the block."""
+        if self.mode_m2:
+            return di.RES_MODE_14BIT
+        if len(store) <= line_sh + stc007.MIN_DEINT_DATA:
+            return di.RES_MODE_14BIT_AUTO
+
+        def res_of(row):
+            fno = store.frame_number[row]
+            is_even = (store.line_number[row] % 2) == 0
+            for fr in (self.frasm_f2, self.frasm_f1, self.frasm_f0):
+                if fno == fr.frame_number:
+                    return fr.even_resolution if is_even \
+                        else fr.odd_resolution
+            return di.RES_MODE_14BIT
+
+        first = res_of(line_sh)
+        last = res_of(line_sh + stc007.LINE_OFFSETS[-1])
+        return self.resolution_mode_for_seam(first, last)
+
+    # -- padding (tryPadding :1417-1743) ----------------------------------
+    def build_padding_queue(self, field1: LineStore, field2: LineStore,
+                            padding: int) -> LineStore:
+        f1_size, f2_size = len(field1), len(field2)
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        start1 = max(0, f1_size - (keep - padding))
+        part1 = field1.take(np.arange(start1, f1_size))
+        if f1_size:
+            line_num = int(field1.line_number[f1_size - 1])
+            frame_num = int(field1.frame_number[f1_size - 1])
+        else:
+            line_num, frame_num = 0, 0
+        pad_nums = line_num + 2 * (np.arange(padding) + 1)
+        pad = LineStore.empty_lines(padding, frame_num, pad_nums,
+                                    m2=self.mode_m2)
+        count2 = min(f2_size, keep)
+        part2 = field2.take(np.arange(count2))
+        return LineStore.concat([part1, pad, part2])
+
+    def try_padding(self, field1, field2, padding, want_stats=False):
+        """tryPadding: deinterleave the seam buffer, collect burst stats."""
+        queue = self.build_padding_queue(field1, field2, padding)
+        if len(queue) < stc007.MIN_DEINT_DATA:
+            return DS_RET_NO_DATA, None
+        res_mode = self.get_data_block_resolution(queue, 0)
+        batch, _, aux = eval_blocks(
+            queue, res_mode, ignore_crc=self.ignore_crc, force_ecc=True,
+            en_p=self.en_p, en_q=self.en_q, en_cwd=False, m2=self.mode_m2)
+        if batch is None:
+            return DS_RET_NO_DATA, None
+        unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+
+        valid_b = aux["block_valid"] & ~aux["silent"] & aux["can_force"]
+        silent = aux["silent"]
+        # "Unchecked" blocks (:1623-1656).
+        if self.en_q:
+            unch = ~aux["can_force"] | aux["fixed_q"]
+        else:
+            unch = aux["fixed_p"]
+        broken = aux["broken"]
+
+        valid_run = sil_run = unch_run = 0
+        valid_max = sil_max = unch_max = 0
+        broken_count = 0
+        for i in range(len(valid_b)):
+            if valid_b[i]:
+                valid_run += 1
+            else:
+                valid_max = max(valid_max, valid_run)
+            if silent[i]:
+                sil_run += 1
+                if sil_run >= MAX_BURST_SILENCE:
+                    valid_run = 0
+            else:
+                sil_max = max(sil_max, sil_run)
+                sil_run = 0
+            if unch[i]:
+                unch_run += 1
+                if unch_run >= unchecked_lim:
+                    valid_run = 0
+            else:
+                unch_max = max(unch_max, unch_run)
+                unch_run = 0
+            if broken[i]:
+                broken_count += 1
+                if broken_count >= MAX_BURST_BROKEN:
+                    valid_run = 0
+        valid_max = max(valid_max, valid_run)
+        sil_max = max(sil_max, sil_run)
+        unch_max = max(unch_max, unch_run)
+
+        stats = StitchStats(index=padding, valid=valid_max, silent=sil_max,
+                            unchecked=unch_max, broken=broken_count)
+        if broken_count >= MAX_BURST_BROKEN:
+            return DS_RET_BROKE, stats
+        if sil_max > MAX_BURST_SILENCE:
+            return DS_RET_SILENCE, stats
+        if unch_max > unchecked_lim:
+            return DS_RET_NO_PAD, stats
+        if valid_max == 0:
+            return DS_RET_NO_PAD, stats
+        return DS_RET_OK, stats
+
+    def find_padding(self, field1, field2, in_std, in_resolution):
+        """findPadding (:1743-2057). Returns (result, padding)."""
+        f1_size = len(field1)
+        if in_std == VID_PAL:
+            fallback = 0 if f1_size > LINES_PF_PAL else LINES_PF_PAL - f1_size
+        elif in_std == VID_NTSC:
+            fallback = 0 if f1_size > LINES_PF_NTSC \
+                else LINES_PF_NTSC - f1_size
+        else:
+            fallback = 0
+        max_padding = MAX_PADDING_14BIT
+        unchecked_lim = self.max_unch_14
+        if in_resolution == di.RES_16BIT or not self.en_q:
+            max_padding = MAX_PADDING_16BIT
+            unchecked_lim = self.max_unch_16
+        self.last_pad_counter = 0xFF
+        if not (self.en_p or self.en_q):
+            return DS_RET_NO_PAD, fallback
+
+        stitch_data = [StitchStats(index=p) for p in range(max_padding)]
+        min_broken = 0xFFFF
+        no_brk_idx = 0
+        for pad in range(max_padding):
+            _, st = self.try_padding(field1, field2, pad)
+            if st is not None:
+                stitch_data[pad] = st
+            if min_broken > stitch_data[pad].broken:
+                min_broken = stitch_data[pad].broken
+                if min_broken == 0:
+                    no_brk_idx = pad
+            elif min_broken == 0:
+                sd = stitch_data[no_brk_idx]
+                if (sd.valid > 0 and sd.unchecked < unchecked_lim
+                        and stitch_data[pad].broken > 0):
+                    break
+        order = sorted(stitch_data, key=StitchStats.sort_key)
+        self.last_pad_counter = order[0].broken
+        if order[0].silent < MAX_BURST_SILENCE:
+            if order[0].unchecked < unchecked_lim:
+                if order[0].broken < 2 and order[0].broken < order[1].broken:
+                    return DS_RET_OK, order[0].index
+                if (order[0].valid - order[1].valid) > MAX_BURST_UNCH_DELTA \
+                        and order[0].broken == 0:
+                    return DS_RET_OK, order[0].index
+                return DS_RET_NO_PAD, fallback
+            return DS_RET_NO_PAD, fallback
+        return DS_RET_SILENCE, fallback
+
+    # -- stats helpers (:2057-2207) ---------------------------------------
+    def update_field_order_stats(self, order):
+        self.stats_field_order.append(order)
+        self.stats_field_order = self.stats_field_order[-STATS_DEPTH:]
+
+    def get_probable_field_order(self):
+        tff = self.stats_field_order.count(ORDER_TFF)
+        bff = self.stats_field_order.count(ORDER_BFF)
+        if tff or bff:
+            return ORDER_BFF if tff < bff else ORDER_TFF
+        return ORDER_UNK
+
+    def update_resolution_stats(self, res):
+        self.stats_resolution.append(res)
+        self.stats_resolution = self.stats_resolution[-STATS_DEPTH:]
+
+    def get_probable_resolution(self):
+        c14 = self.stats_resolution.count(SAMPLE_RES_14BIT)
+        c16 = self.stats_resolution.count(SAMPLE_RES_16BIT)
+        if c14 or c16:
+            return SAMPLE_RES_16BIT if c14 < c16 else SAMPLE_RES_14BIT
+        return SAMPLE_RES_UNKNOWN
+
+    # -- detection (detectAudioResolution :2207-2773) ---------------------
+    def detect_audio_resolution(self):
+        fa, fb = self.frasm_f1, self.frasm_f2
+        M14, M14A = di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO
+        M16, M16A = di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO
+        if self.mode_m2:
+            fa.odd_resolution = fa.even_resolution = M14
+            fb.odd_resolution = fb.even_resolution = M14
+            return
+        res = {k: self.get_field_resolution(self.fields[k])
+               for k in (("f1", "odd"), ("f1", "even"),
+                         ("f2", "odd"), ("f2", "even"))}
+        f1o, f1e = res[("f1", "odd")], res[("f1", "even")]
+        f2o, f2e = res[("f2", "odd")], res[("f2", "even")]
+        for r in (f1o, f1e):
+            if r in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT):
+                self.update_resolution_stats(r)
+
+        def strict(r):
+            return M16 if r == SAMPLE_RES_16BIT else M14
+
+        def auto(r):
+            return M16A if r == SAMPLE_RES_16BIT else M14A
+
+        if f1o == SAMPLE_RES_UNKNOWN and f1e == SAMPLE_RES_UNKNOWN:
+            if f2o == SAMPLE_RES_UNKNOWN and f2e == SAMPLE_RES_UNKNOWN:
+                by_stats = self.get_probable_resolution()
+                mode = M16A if by_stats == SAMPLE_RES_16BIT else M14A
+                fa.odd_resolution = fa.even_resolution = mode
+                fb.odd_resolution = fb.even_resolution = mode
+            elif f2o == SAMPLE_RES_UNKNOWN:
+                fb.even_resolution = strict(f2e)
+                rest = auto(f2e)
+                fa.odd_resolution = fa.even_resolution = rest
+                fb.odd_resolution = rest
+            elif f2e == SAMPLE_RES_UNKNOWN:
+                fb.odd_resolution = strict(f2o)
+                rest = auto(f2o)
+                fa.odd_resolution = fa.even_resolution = rest
+                fb.even_resolution = rest
+            else:
+                if f2o == f2e and f2o == SAMPLE_RES_16BIT:
+                    fb.odd_resolution = fb.even_resolution = M16
+                    fa.odd_resolution = fa.even_resolution = M16A
+                else:
+                    fb.odd_resolution = strict(f2o)
+                    fb.even_resolution = strict(f2e)
+                    fa.odd_resolution = fa.even_resolution = M14A
+        else:
+            if f1o == SAMPLE_RES_UNKNOWN:
+                fa.even_resolution = strict(f1e)
+                fa.odd_resolution = auto(f1e)
+            elif f1e == SAMPLE_RES_UNKNOWN:
+                fa.odd_resolution = strict(f1o)
+                fa.even_resolution = auto(f1o)
+            else:
+                fa.odd_resolution = strict(f1o)
+                fa.even_resolution = strict(f1e)
+            if f2o == SAMPLE_RES_UNKNOWN and f2e == SAMPLE_RES_UNKNOWN:
+                by_stats = self.get_probable_resolution()
+                mode = M16A if by_stats == SAMPLE_RES_16BIT else M14A
+                fb.odd_resolution = fb.even_resolution = mode
+            elif f2o == SAMPLE_RES_UNKNOWN:
+                fb.even_resolution = strict(f2e)
+                fb.odd_resolution = auto(f2e)
+            elif f2e == SAMPLE_RES_UNKNOWN:
+                fb.odd_resolution = strict(f2o)
+                fb.even_resolution = auto(f2o)
+            else:
+                fb.odd_resolution = strict(f2o)
+                fb.even_resolution = strict(f2e)
+
+    # -- video standard (detectVideoStandard :2773-2929) ------------------
+    def detect_video_standard(self):
+        fa, fb = self.frasm_f1, self.frasm_f2
+        fa.video_standard = VID_UNKNOWN
+        fa.odd_std_lines = fa.even_std_lines = 0
+        if self.preset_video == VID_UNKNOWN:
+            fa.vid_std_preset = False
+            counts = (fa.odd_data_lines, fa.even_data_lines,
+                      fb.odd_data_lines, fb.even_data_lines)
+            if max(counts) > LINES_PF_MAX_PAL:
+                fa.video_standard = VID_UNKNOWN
+            elif max(counts) > LINES_PF_MAX_NTSC:
+                fa.video_standard = VID_PAL
+            else:
+                if self.f1_max_line <= (LINES_PF_PAL
+                                        - stc007.INTERLEAVE_OFS) * 2:
+                    fa.video_standard = VID_NTSC
+                else:
+                    fa.video_standard = VID_PAL
+        else:
+            fa.vid_std_preset = True
+            fa.video_standard = self.preset_video
+        if fa.video_standard == VID_UNKNOWN:
+            fa.video_standard = self.frasm_f0.video_standard
+        if fa.video_standard == VID_NTSC:
+            fa.odd_std_lines = fa.even_std_lines = LINES_PF_NTSC
+        elif fa.video_standard == VID_PAL:
+            fa.odd_std_lines = fa.even_std_lines = LINES_PF_PAL
+        if self.preset_order == ORDER_TFF:
+            fa.preset_tff()
+            fb.preset_tff()
+        elif self.preset_order == ORDER_BFF:
+            fa.preset_bff()
+            fb.preset_bff()
+        else:
+            fb.order_preset = False
+            fb.set_order_unknown()
+
+    # -- stitch stage machine (findFieldStitching :2929-4278) -------------
+    def find_field_stitching(self):
+        fa, fb = self.frasm_f1, self.frasm_f2
+        f0 = self.frasm_f0
+        self.detect_audio_resolution()
+        self.detect_video_standard()
+        f1o = self.fields[("f1", "odd")]
+        f1e = self.fields[("f1", "even")]
+        f2o = self.fields[("f2", "odd")]
+        f2e = self.fields[("f2", "even")]
+
+        STG = ("TRY_PREVIOUS TRY_TFF_TO_TFF TRY_BFF_TO_BFF A_PREPARE "
+               "A_PAD_TFF A_PAD_BFF AB_UNK_PREPARE AB_TFF_TO_TFF "
+               "AB_TFF_TO_BFF AB_BFF_TO_BFF AB_BFF_TO_TFF "
+               "PAD_NO_GOOD PAD_SILENCE PAD_OK").split()
+        state = "TRY_PREVIOUS"
+        en_sw_order = True
+        guard = 0
+
+        while True:
+            guard += 1
+            if guard > 16:
+                return DS_RET_NO_PAD
+            if state == "TRY_PREVIOUS":
+                state = "A_PREPARE"
+                if (f0.odd_data_lines == fa.odd_data_lines
+                        and f0.even_data_lines == fa.even_data_lines
+                        and f0.inner_padding_ok and f0.outer_padding_ok):
+                    if (not fa.order_preset
+                            or f0.field_order == fa.field_order):
+                        fa.inner_silence = fa.outer_silence = True
+                        fb.inner_silence = fb.outer_silence = True
+                        fb.inner_padding_ok = fb.outer_padding_ok = False
+                        fb.inner_padding = fb.outer_padding = 0
+                        if (fa.odd_data_lines < MIN_FILL_LINES_PF
+                                and fa.even_data_lines < MIN_FILL_LINES_PF):
+                            fa.set_order_unknown()
+                            fa.inner_padding_ok = False
+                            fa.outer_padding_ok = False
+                            fa.inner_padding = fa.outer_padding = 0
+                            state = "PAD_NO_GOOD"
+                        else:
+                            if f0.is_order_tff():
+                                r, _ = self.try_padding(
+                                    f1o, f1e, f0.inner_padding)
+                            elif f0.is_order_bff():
+                                r, _ = self.try_padding(
+                                    f1e, f1o, f0.inner_padding)
+                            else:
+                                r = DS_RET_NO_PAD
+                            if r == DS_RET_OK:
+                                fa.update_vid_std_soft(f0.video_standard)
+                                fa.field_order = f0.field_order
+                                fa.inner_padding = f0.inner_padding
+                                fa.inner_padding_ok = True
+                                fa.inner_silence = False
+                                if fa.is_order_tff():
+                                    fa.tff_cnt = self.last_pad_counter
+                                    state = "TRY_TFF_TO_TFF"
+                                else:
+                                    fa.bff_cnt = self.last_pad_counter
+                                    state = "TRY_BFF_TO_BFF"
+            elif state == "TRY_TFF_TO_TFF":
+                r = DS_RET_NO_PAD
+                if fb.odd_data_lines >= MIN_FILL_LINES_PF:
+                    r, _ = self.try_padding(f1e, f2o, f0.outer_padding)
+                if r == DS_RET_OK:
+                    fa.outer_padding = f0.outer_padding
+                    fa.outer_padding_ok = True
+                    fb.set_order_tff()
+                    fa.outer_silence = False
+                    state = "PAD_OK"
+                else:
+                    state = "AB_TFF_TO_TFF"
+                    en_sw_order = False
+            elif state == "TRY_BFF_TO_BFF":
+                r = DS_RET_NO_PAD
+                if fb.even_data_lines >= MIN_FILL_LINES_PF:
+                    r, _ = self.try_padding(f1o, f2e, f0.outer_padding)
+                if r == DS_RET_OK:
+                    fa.outer_padding = f0.outer_padding
+                    fa.outer_padding_ok = True
+                    fb.set_order_bff()
+                    fa.outer_silence = False
+                    state = "PAD_OK"
+                else:
+                    state = "AB_BFF_TO_BFF"
+                    en_sw_order = False
+            elif state == "A_PREPARE":
+                fa.inner_padding_ok = fa.outer_padding_ok = False
+                fa.inner_padding = fa.outer_padding = 0
+                fa.tff_cnt = fa.bff_cnt = 0
+                if (fa.odd_data_lines < MIN_FILL_LINES_PF
+                        and fa.even_data_lines < MIN_FILL_LINES_PF):
+                    if not fa.order_preset:
+                        fa.set_order_unknown()
+                    state = "PAD_NO_GOOD"
+                elif fa.even_data_lines < MIN_FILL_LINES_PF:
+                    if fa.is_order_tff():
+                        fa.outer_padding_ok = False
+                        fa.outer_padding = 0
+                        state = "PAD_NO_GOOD"
+                    else:
+                        state = "AB_BFF_TO_BFF"
+                        en_sw_order = False
+                elif fa.odd_data_lines < MIN_FILL_LINES_PF:
+                    if fa.is_order_bff():
+                        fa.outer_padding_ok = False
+                        fa.outer_padding = 0
+                        state = "PAD_NO_GOOD"
+                    else:
+                        state = "AB_TFF_TO_TFF"
+                        en_sw_order = False
+                else:
+                    if fa.is_order_bff():
+                        state = "A_PAD_BFF"
+                        en_sw_order = False
+                    elif fa.is_order_tff():
+                        state = "A_PAD_TFF"
+                        en_sw_order = False
+                    else:
+                        probable = self.get_probable_field_order()
+                        state = "A_PAD_BFF" if probable == ORDER_BFF \
+                            else "A_PAD_TFF"
+                        en_sw_order = True
+            elif state in ("A_PAD_TFF", "A_PAD_BFF"):
+                tff = state == "A_PAD_TFF"
+                fa.inner_padding = 0
+                if tff:
+                    res = self.resolution_for_seam(fa.odd_resolution,
+                                                   fa.even_resolution)
+                    r, pad = self.find_padding(f1o, f1e, fa.video_standard,
+                                               res)
+                    fa.tff_cnt = self.last_pad_counter
+                else:
+                    res = self.resolution_for_seam(fa.even_resolution,
+                                                   fa.odd_resolution)
+                    r, pad = self.find_padding(f1e, f1o, fa.video_standard,
+                                               res)
+                    fa.bff_cnt = self.last_pad_counter
+                fa.inner_padding = pad
+                fa.inner_silence = False
+                if r == DS_RET_OK:
+                    (fa.set_order_tff if tff else fa.set_order_bff)()
+                    fa.inner_padding_ok = True
+                    state = "AB_TFF_TO_TFF" if tff else "AB_BFF_TO_BFF"
+                    en_sw_order = False
+                elif r == DS_RET_SILENCE:
+                    fa.inner_silence = fa.outer_silence = True
+                    fa.inner_padding_ok = False
+                    fa.inner_padding = 0
+                    state = "PAD_SILENCE"
+                else:
+                    fa.inner_padding = 0
+                    if (tff and fa.is_order_tff()) or \
+                            (not tff and fa.is_order_bff()):
+                        fa.inner_padding_ok = False
+                        state = "AB_TFF_TO_TFF" if tff else "AB_BFF_TO_BFF"
+                        en_sw_order = False
+                    elif en_sw_order:
+                        state = "A_PAD_BFF" if tff else "A_PAD_TFF"
+                        en_sw_order = False
+                    else:
+                        state = "AB_UNK_PREPARE"
+            elif state == "AB_UNK_PREPARE":
+                fa.inner_padding = 0
+                fa.inner_padding_ok = False
+                fa.set_order_unknown()
+                probable = self.get_probable_field_order()
+                state = "AB_BFF_TO_BFF" if probable == ORDER_BFF \
+                    else "AB_TFF_TO_TFF"
+                en_sw_order = True
+            elif state in ("AB_TFF_TO_TFF", "AB_BFF_TO_BFF"):
+                tff = state == "AB_TFF_TO_TFF"
+                first = f1e if tff else f1o
+                second = f2o if tff else f2e
+                second_lines = fb.odd_data_lines if tff \
+                    else fb.even_data_lines
+                other_lines = fb.even_data_lines if tff \
+                    else fb.odd_data_lines
+                if (fb.odd_data_lines < MIN_FILL_LINES_PF
+                        and fb.even_data_lines < MIN_FILL_LINES_PF):
+                    fa.outer_padding = 0
+                    fa.outer_padding_ok = False
+                    fb.inner_padding_ok = False
+                    state = "PAD_NO_GOOD"
+                elif second_lines < MIN_FILL_LINES_PF:
+                    if not fa.order_preset:
+                        state = "AB_TFF_TO_BFF" if tff else "AB_BFF_TO_TFF"
+                    else:
+                        fa.outer_padding = 0
+                        fa.outer_padding_ok = False
+                        fb.inner_padding_ok = False
+                        state = "PAD_NO_GOOD"
+                else:
+                    if tff:
+                        res = self.resolution_for_seam(fa.even_resolution,
+                                                       fb.odd_resolution)
+                    else:
+                        res = self.resolution_for_seam(fa.odd_resolution,
+                                                       fb.even_resolution)
+                    r, pad = self.find_padding(first, second,
+                                               fa.video_standard, res)
+                    fa.outer_padding = pad
+                    fa.outer_silence = False
+                    if r == DS_RET_OK:
+                        fa.outer_padding_ok = True
+                        (fb.set_order_tff if tff else fb.set_order_bff)()
+                        state = "PAD_OK"
+                        if not fa.is_order_set():
+                            (fa.set_order_tff if tff else fa.set_order_bff)()
+                        elif (tff and fa.is_order_bff()) or \
+                                (not tff and fa.is_order_tff()):
+                            fa.outer_padding_ok = False
+                            state = "PAD_NO_GOOD"
+                    elif r == DS_RET_SILENCE:
+                        fa.outer_silence = True
+                        fa.outer_padding = 0
+                        fa.outer_padding_ok = False
+                        state = "PAD_SILENCE"
+                    else:
+                        if other_lines < MIN_FILL_LINES_PF:
+                            fa.outer_padding = 0
+                            fa.outer_padding_ok = False
+                            fb.inner_padding_ok = False
+                            state = "PAD_NO_GOOD"
+                        elif not fa.order_preset:
+                            state = "AB_TFF_TO_BFF" if tff \
+                                else "AB_BFF_TO_TFF"
+                        else:
+                            fa.outer_padding = 0
+                            fa.outer_padding_ok = False
+                            state = "PAD_NO_GOOD"
+            elif state in ("AB_TFF_TO_BFF", "AB_BFF_TO_TFF"):
+                tff = state == "AB_TFF_TO_BFF"
+                first = f1e if tff else f1o
+                second = f2e if tff else f2o
+                if tff:
+                    res = self.resolution_for_seam(fa.even_resolution,
+                                                   fb.even_resolution)
+                else:
+                    res = self.resolution_for_seam(fa.odd_resolution,
+                                                   fb.odd_resolution)
+                r, pad = self.find_padding(first, second, fa.video_standard,
+                                           res)
+                fa.outer_padding = pad
+                fa.outer_silence = False
+                if r == DS_RET_OK:
+                    fa.outer_padding_ok = True
+                    (fb.set_order_bff if tff else fb.set_order_tff)()
+                    state = "PAD_OK"
+                    if not fa.is_order_set():
+                        (fa.set_order_tff if tff else fa.set_order_bff)()
+                    elif (tff and fa.is_order_bff()) or \
+                            (not tff and fa.is_order_tff()):
+                        fa.outer_padding_ok = False
+                        state = "PAD_NO_GOOD"
+                elif r == DS_RET_SILENCE:
+                    fa.outer_silence = True
+                    fa.outer_padding = 0
+                    fa.outer_padding_ok = False
+                    fb.inner_padding_ok = False
+                    state = "PAD_SILENCE"
+                else:
+                    fa.outer_padding = 0
+                    fa.outer_padding_ok = False
+                    fb.inner_padding_ok = False
+                    if en_sw_order \
+                            and fa.even_data_lines >= MIN_FILL_LINES_PF:
+                        state = "AB_BFF_TO_BFF" if tff else "AB_TFF_TO_TFF"
+                        en_sw_order = False
+                    else:
+                        state = "PAD_NO_GOOD"
+            elif state == "PAD_OK":
+                return DS_RET_OK
+            elif state == "PAD_SILENCE":
+                return DS_RET_SILENCE
+            else:  # PAD_NO_GOOD
+                return DS_RET_NO_PAD
+
+    # -- frame assembly (fillFrameForOutput :4588-5390) -------------------
+    def get_assembly_field_order(self):
+        fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+        cur = ORDER_UNK
+        if fa.is_order_set():
+            cur = fa.field_order
+            if not fa.order_preset:
+                self.update_field_order_stats(cur)
+        else:
+            if fb.order_preset and fb.is_order_set():
+                cur = fb.field_order
+            elif f0.is_order_set() and f0.outer_padding_ok:
+                cur = f0.field_order
+        if cur not in (ORDER_TFF, ORDER_BFF):
+            last_good = self.get_probable_field_order()
+            if last_good in (ORDER_TFF, ORDER_BFF):
+                cur = last_good
+            elif fa.tff_cnt < fa.bff_cnt:
+                cur = ORDER_TFF
+            elif fa.tff_cnt > fa.bff_cnt:
+                cur = ORDER_BFF
+            else:
+                cur = FLD_ORDER_DEFAULT
+        if not fa.is_order_set():
+            fa.field_order = cur
+            fa.set_order_guessed(True)
+        return cur
+
+    def _first_line(self, order):
+        return 1 if order == ORDER_TFF else 2
+
+    def _second_line(self, order):
+        return 2 if order == ORDER_TFF else 1
+
+    def fill_frame_for_output(self) -> LineStore:
+        fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+        order = self.get_assembly_field_order()
+        if order == ORDER_TFF:
+            field1 = self.fields[("f1", "odd")]
+            field2 = self.fields[("f1", "even")]
+            if f0.is_order_set() and not f0.is_order_tff():
+                f0.outer_padding_ok = False
+        else:
+            field1 = self.fields[("f1", "even")]
+            field2 = self.fields[("f1", "odd")]
+            if f0.is_order_set() and not f0.is_order_bff():
+                f0.outer_padding_ok = False
+        f1_cnt, f2_cnt = len(field1), len(field2)
+        if fa.video_standard == VID_PAL:
+            target = LINES_PF_PAL
+        elif fa.video_standard == VID_NTSC:
+            target = LINES_PF_NTSC
+        else:
+            target = LINES_PF_DEFAULT
+        f1_cnt = min(f1_cnt, target)
+        f2_cnt = min(f2_cnt, target)
+
+        parts = []
+        added_inner = added_outer = 0
+        last_line = [0]
+
+        def add_field(fld, start, count):
+            count = max(0, count)
+            idx = np.arange(start, start + count)
+            sub = fld.take(idx)
+            parts.append(sub)
+            if count:
+                last_line[0] = int(sub.line_number[-1]) + 2
+            return count
+
+        def add_pad(count, frame=None):
+            count = max(0, count)
+            nums = last_line[0] + 2 * np.arange(count)
+            last_line[0] += 2 * count
+            parts.append(LineStore.empty_lines(
+                count, fa.frame_number if frame is None else frame, nums,
+                m2=self.mode_m2))
+            return count
+
+        if self.file_start:
+            # Leading padding at new file (:4680-4714).
+            f0.frame_number = 0
+            add_count = 5  # LINE_R2
+            lead = (target * 2) - (add_count * 2)
+            last_line[0] = lead
+            add_pad(add_count, frame=0)
+            last_line[0] = 0
+
+        A = f0.outer_padding_ok
+        B = fa.inner_padding_ok
+        C = fa.outer_padding_ok
+
+        def fill_first(cut_start=0, cnt=None):
+            last_line[0] = self._first_line(order)
+            return add_field(field1, cut_start,
+                             (f1_cnt if cnt is None else cnt) - cut_start)
+
+        def fill_second(cut_start=0, cnt=None):
+            last_line[0] = self._second_line(order)
+            return add_field(field2, cut_start,
+                             (f2_cnt if cnt is None else cnt) - cut_start)
+
+        if A and B and C:
+            total = f1_cnt + f2_cnt + fa.inner_padding + fa.outer_padding
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(fa.inner_padding)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+                if target * 2 > total:
+                    added_outer += add_pad(target * 2 - total)
+                    fa.outer_padding_ok = False
+                    fb.set_order_unknown()
+            else:
+                total = f1_cnt + f2_cnt + fa.inner_padding
+                if target * 2 >= total:
+                    fill_first()
+                    added_inner = add_pad(fa.inner_padding)
+                    fill_second()
+                    added_outer = add_pad(target * 2 - total)
+                else:
+                    cut = total - target * 2
+                    fill_first()
+                    added_inner = add_pad(fa.inner_padding)
+                    fill_second(cnt=f2_cnt - cut)
+                fa.outer_padding_ok = False
+                fb.set_order_unknown()
+        elif A and B:
+            total = f1_cnt + f2_cnt + fa.inner_padding
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(fa.inner_padding)
+                fill_second()
+                added_outer = add_pad(target * 2 - total)
+            else:
+                cut = total - target * 2
+                fill_first()
+                added_inner = add_pad(fa.inner_padding)
+                fill_second(cnt=f2_cnt - cut)
+        elif A and C:
+            total = f1_cnt + f2_cnt + fa.outer_padding
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(target * 2 - total)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+            else:
+                cut = total - target * 2
+                fill_first()
+                fill_second(cut_start=cut)
+                added_outer = add_pad(fa.outer_padding)
+        elif A:
+            total = f1_cnt + f2_cnt
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(target - f1_cnt)
+                fill_second()
+                added_outer = add_pad(target - f2_cnt)
+            else:
+                cut = total - target * 2
+                fill_first()
+                fill_second(cnt=f2_cnt - cut)
+        elif B and C:
+            total = f1_cnt + f2_cnt + fa.inner_padding + fa.outer_padding
+            if target * 2 >= total:
+                last_line[0] = self._first_line(order)
+                added_inner = add_pad(target * 2 - total)
+                add_field(field1, 0, f1_cnt)
+                added_inner += add_pad(fa.inner_padding)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+            else:
+                cut = total - target * 2
+                fill_first(cut_start=cut)
+                added_inner = add_pad(fa.inner_padding)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+        elif B:
+            total = f1_cnt + f2_cnt + fa.inner_padding
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(fa.inner_padding)
+                fill_second()
+                added_outer = add_pad(target * 2 - total)
+            else:
+                cut = total - target * 2
+                fill_first()
+                added_inner = add_pad(fa.inner_padding)
+                fill_second(cnt=f2_cnt - cut)
+        elif C:
+            total = f1_cnt + f2_cnt + fa.outer_padding
+            if target * 2 >= total:
+                fill_first()
+                added_inner = add_pad(target * 2 - total)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+            else:
+                cut = total - target * 2
+                fill_first(cnt=f1_cnt - cut)
+                fill_second()
+                added_outer = add_pad(fa.outer_padding)
+        else:
+            total = f1_cnt + f2_cnt
+            if target * 2 >= total:
+                insert_top = self.fix_cut_above and f1_cnt > 0 and f2_cnt > 0
+                last_line[0] = self._first_line(order)
+                if insert_top and order == ORDER_BFF:
+                    added_outer = add_pad(1)
+                    add_field(field1, 0, f1_cnt)
+                    added_inner = add_pad(target - f1_cnt - 1)
+                    fill_second()
+                    added_outer += add_pad(target - f2_cnt)
+                elif insert_top:
+                    add_field(field1, 0, f1_cnt)
+                    added_inner = add_pad(target - f1_cnt + 1)
+                    fill_second()
+                    added_outer = add_pad(target - f2_cnt - 1)
+                else:
+                    add_field(field1, 0, min(f1_cnt, target))
+                    if f1_cnt < target:
+                        added_inner = add_pad(target - f1_cnt)
+                    fill_second(cnt=min(f2_cnt, target))
+                    if f2_cnt < target:
+                        added_outer = add_pad(target - f2_cnt)
+            else:
+                fill_first(cnt=min(f1_cnt, target))
+                fill_second(cnt=min(f2_cnt, target))
+
+        if self.file_end:
+            last_line[0] = 1
+            add_pad(stc007.MIN_DEINT_DATA, frame=fb.frame_number)
+
+        fa.inner_padding = added_inner
+        fa.outer_padding = added_outer
+        return LineStore.concat(parts) if parts else LineStore(0)
+
+    # -- CWD pre-scan (prescanFrame :6401-6455, performCWD :5905-6401) ----
+    def prescan_frame(self, conv: LineStore) -> LineStore:
+        if not self.en_cwd:
+            return conv
+        added = 0
+        fa, fb = self.frasm_f1, self.frasm_f2
+        if fa.outer_padding_ok and fa.is_order_set():
+            fld = self.fields[("f2", "odd")] if fa.is_order_tff() \
+                else self.fields[("f2", "even")]
+            cnt = min(len(fld), stc007.MIN_DEINT_DATA)
+            conv = LineStore.concat([conv, fld.take(np.arange(cnt))])
+            added = cnt
+        for _ in range(16):  # fixpoint loop (prescanFrame do/while)
+            fixes = self.perform_cwd(conv)
+            if fixes == 0:
+                break
+        if added:
+            conv = conv.take(np.arange(len(conv) - added))
+        return conv
+
+    def perform_cwd(self, conv: LineStore) -> int:
+        """One performCWD pass: deinterleave with CWD, write fixed words
+        back into source lines, re-CRC, free falsely-bad words."""
+        res_mode = self.get_data_block_resolution(conv, 0)
+        batch, cwd_app, aux = eval_blocks(
+            conv, res_mode, ignore_crc=self.ignore_crc,
+            force_ecc=not self.ignore_crc, en_p=self.en_p, en_q=self.en_q,
+            en_cwd=True, m2=self.mode_m2)
+        if batch is None:
+            return 0
+        is16 = batch.resolution == di.RES_16BIT
+        fixed = (batch.audio_state == di.AUD_FIX_P) \
+            | (batch.audio_state == di.AUD_FIX_Q)
+        block_valid = batch.valid[:, :6].all(axis=-1)
+        candidates = np.nonzero(block_valid & fixed)[0]
+        line_fix_cnt = 0
+        crc_valid_if = conv.crc_valid_ignore_forced()
+        for b in candidates:
+            max_fix = 6 if (not self.en_q or is16[b]) else 7
+            for w in range(max_fix + 1):
+                if batch.line_crc[b, w]:
+                    continue
+                row = int(aux["shifts"][b]) + w * stc007.INTERLEAVE_OFS
+                if (not crc_valid_if[row] and conv.coords_valid[row]
+                        and not conv.forced_bad[row]
+                        and conv.frame_number[row]
+                        != self.frasm_f2.frame_number):
+                    if not is16[b]:
+                        new_word = int(batch.words[b, w])
+                        if conv.words[row, w] != new_word:
+                            conv.words[row, w] = new_word
+                        conv.word_valid[row, w] = True
+                        if conv.calc_crc()[row] == conv.source_crc[row]:
+                            conv.word_valid[row, :] = True
+                            line_fix_cnt += 1
+                        elif conv.word_valid[row, :8].all():
+                            # dropout on the CRC word itself
+                            conv.source_crc[row] = int(conv.calc_crc()[row])
+                            conv.word_valid[row, 8] = True
+                            line_fix_cnt += 1
+                        crc_valid_if = conv.crc_valid_ignore_forced()
+                    else:
+                        full = int(batch.words[b, w])
+                        new_word = full >> stc007.F1_WORD_OFS
+                        s_bits = full & stc007.F1_S_MASK
+                        ofs = stc007.F1_S_OFFSETS[w]
+                        if conv.words[row, w] != new_word:
+                            conv.words[row, w] = new_word
+                            conv.word_valid[row, w] = True
+                        if conv.calc_crc()[row] != conv.source_crc[row]:
+                            old_s = int(conv.words[row, 7])
+                            new_s = (old_s & ~(stc007.F1_S_MASK << ofs)) \
+                                | (s_bits << ofs)
+                            conv.words[row, 7] = new_s
+                        if conv.calc_crc()[row] == conv.source_crc[row]:
+                            conv.word_valid[row, :] = True
+                            line_fix_cnt += 1
+                        crc_valid_if = conv.crc_valid_ignore_forced()
+                else:
+                    # False-positive valid line feeding a fixed block:
+                    # its word disagrees with the corrected one (:6313-6334).
+                    if crc_valid_if[row] and not conv.forced_bad[row] \
+                            and not is16[b]:
+                        if conv.words[row, w] != int(batch.words[b, w]):
+                            conv.forced_bad[row] = True
+        return line_fix_cnt
+
+    # -- final deinterleave (performDeinterleave :6675-6888) --------------
+    def perform_deinterleave(self, conv: LineStore) -> int:
+        """Deinterleave all ready blocks; returns lines consumed."""
+        fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+        n_blocks = len(conv) - stc007.MIN_DEINT_DATA
+        if n_blocks <= 0:
+            return 0
+        res_mode = self.get_data_block_resolution(conv, 0)
+        batch, cwd_app, aux = eval_blocks(
+            conv, res_mode, ignore_crc=self.ignore_crc,
+            force_ecc=not self.ignore_crc, en_p=self.en_p, en_q=self.en_q,
+            en_cwd=self.en_cwd, m2=self.mode_m2)
+        # Sample rate (setBlockSampleRate :6455-6483).
+        if self.preset_sample_rate in (SAMPLE_RATE_44100, SAMPLE_RATE_44056):
+            rate = self.preset_sample_rate
+        elif fa.video_standard == VID_PAL:
+            rate = SAMPLE_RATE_44100
+        elif fa.video_standard == VID_NTSC:
+            rate = SAMPLE_RATE_44056
+        else:
+            rate = SAMPLE_RATE_44100
+        fa.odd_sample_rate = fa.even_sample_rate = rate
+
+        silent = aux["silent"]
+        on_seam = aux["start_line"] > aux["stop_line"]
+        sf, spf = aux["start_frame"], aux["stop_frame"]
+        unsafe = np.zeros(n_blocks, bool)
+        if self.mask_seams:
+            if not fa.inner_padding_ok and not fa.inner_silence:
+                unsafe |= (~silent & on_seam & (sf == fa.frame_number)
+                           & (sf == spf))
+            if not f0.outer_padding_ok and not f0.outer_silence:
+                unsafe |= (~silent & (sf != spf) & (sf == f0.frame_number)
+                           & (spf == fa.frame_number))
+        # BROKEN masking countdown (serial, :6798-6830).
+        broken = aux["broken"]
+        countdown = self.broken_countdown
+        post_broken = np.zeros(n_blocks, bool)
+        for b in range(n_blocks):
+            if not silent[b] and not unsafe[b]:
+                if self.broken_mask_dur > 0 and countdown == 0 and broken[b]:
+                    countdown = self.broken_mask_dur
+                if countdown != 0:
+                    post_broken[b] = True
+            if countdown > 0:
+                countdown -= 1
+        self.broken_countdown = countdown
+        mask_blocks = unsafe | post_broken
+
+        # markAsUnsafe (stc007datablock.cpp): valid reverts to line CRC.
+        out_valid = np.where(mask_blocks[:, None] & ~broken[:, None],
+                             batch.line_crc, batch.valid)
+        block_valid = out_valid[:, :6].all(axis=-1)
+        # Frame stats.
+        no_report = ((self.file_start & (sf == f0.frame_number))
+                     | (self.file_end & (spf == fb.frame_number)))
+        rep = ~no_report
+        eff_broken = broken
+        fa.blocks_total += n_blocks
+        fa.blocks_fix_p += int(np.sum(rep & block_valid & aux["fixed_p"]
+                                      & ~mask_blocks))
+        fa.blocks_fix_q += int(np.sum(rep & block_valid & aux["fixed_q"]
+                                      & ~mask_blocks))
+        fa.blocks_fix_cwd += int(np.sum(rep & block_valid & cwd_app))
+        fa.blocks_drop += int(np.sum(rep & ~block_valid))
+        fa.samples_drop += int(np.sum(
+            np.sum(~out_valid[:, :6], axis=-1)[rep & ~block_valid]))
+        fa.blocks_broken_field += int(np.sum(rep & ~block_valid & eff_broken))
+
+        samples = aux["samples"]
+        # word "fixed" flag for output: line CRC ok on valid blocks.
+        line_crc_out = batch.line_crc[:, :6]
+        for b in range(n_blocks):
+            bvalid = bool(block_valid[b]) and not bool(broken[b])
+            for k in range(3):
+                li, ri = 2 * k, 2 * k + 1
+                if broken[b]:
+                    lv = rv = lf = rf = False
+                else:
+                    lv = bool(out_valid[b, li])
+                    rv = bool(out_valid[b, ri])
+                    lf = bool(line_crc_out[b, li]) if bvalid else False
+                    rf = bool(line_crc_out[b, ri]) if bvalid else False
+                self.out_samples.append(SamplePair(
+                    left=int(samples[b, li]), right=int(samples[b, ri]),
+                    block_ok=bvalid, left_valid=lv, right_valid=rv,
+                    left_fixed=lf, right_fixed=rf, sample_rate=rate,
+                    emphasis=False))
+        return n_blocks

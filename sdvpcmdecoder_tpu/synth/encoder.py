@@ -100,6 +100,46 @@ def render_lines(line_words: np.ndarray, crcs: np.ndarray, width: int = 1280,
     return pixels, coords
 
 
+def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
+                  first_frame=1, bottom_crop=0, top_crop=0):
+    """Field-structured synthetic capture for the stitcher.
+
+    The tape's PCM line sequence is field-sequential: frame f carries
+    stream positions [f*2*lpf, (f+1)*2*lpf) as field1 then field2. With
+    TFF, field1 is the odd field (line numbers 1,3,5..), field2 even.
+    `bottom_crop` removes that many trailing lines from every field and
+    `top_crop` leading lines — the capture-cut the stitcher's padding
+    search has to detect.
+
+    Returns list of per-frame dicts: frame_number, line_words [N,8],
+    crcs [N], line_numbers [N] — lines ordered field1-then-field2 as the
+    reference's VIP emits them (vin_ffmpeg.cpp:213 spliceFrame).
+    """
+    from ..formats import stc007 as _stc
+    need = n_frames * 2 * lines_pf
+    blocks = samples_to_blocks(np.asarray(left, np.int64),
+                               np.asarray(right, np.int64))
+    line_words, crcs = blocks_to_lines(blocks, need)
+    frames = []
+    for f in range(n_frames):
+        fields = []
+        for half in range(2):
+            base = f * 2 * lines_pf + half * lines_pf
+            idx = np.arange(base + top_crop, base + lines_pf - bottom_crop)
+            if order == "tff":
+                nums = (1 if half == 0 else 2) + 2 * (idx - base)
+            else:
+                nums = (2 if half == 0 else 1) + 2 * (idx - base)
+            fields.append((line_words[idx], crcs[idx], nums))
+        frames.append(dict(
+            frame_number=first_frame + f,
+            line_words=np.concatenate([fl[0] for fl in fields]),
+            crcs=np.concatenate([fl[1] for fl in fields]),
+            line_numbers=np.concatenate([fl[2] for fl in fields]),
+        ))
+    return frames
+
+
 def encode_stream(left, right, width=1280, ppb=8.0, n_lines=None, **render_kw):
     """samples -> (pixels [L,W], coords [L,2], line_words [L,8], crcs [L])."""
     blocks = samples_to_blocks(np.asarray(left, np.int64),

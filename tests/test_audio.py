@@ -1,0 +1,96 @@
+"""Audio masking chain tests (modes, ramps, stray invalidation)."""
+import numpy as np
+
+from sdvpcmdecoder_tpu.pipeline import audio as ap
+
+
+def _mk(n=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-20000, 20000, size=(n, 2)).astype(np.int16)
+    v = np.ones((n, 2), bool)
+    return s, v
+
+
+def test_ignore_passthrough():
+    s, v = _mk()
+    v[100:120, 0] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_IGNORE)
+    out = proc.process(s, v)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_mute_word():
+    s, v = _mk()
+    v[100:110, 0] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_MUTE_WORD)
+    out = proc.process(s, v)
+    assert (out[101:109, 0] == 0).all()  # interior muted
+    np.testing.assert_array_equal(out[:, 1], s[:, 1])  # right untouched
+    np.testing.assert_array_equal(out[:99, 0], s[:99, 0])
+
+
+def test_hold_word():
+    s, v = _mk()
+    v[200:206, 1] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_HOLD_WORD)
+    out = proc.process(s, v)
+    assert (out[200:205, 1] == s[199, 1]).all()
+
+
+def test_linear_interpolation_exact():
+    s, v = _mk(seed=1)
+    s[299, 0] = 1000
+    s[310, 0] = 2100
+    v[300:310, 0] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_INTER_LIN_WORD)
+    out = proc.process(s, v)
+    # x16 fixed point linear ramp (audioprocessor.cpp:635-737):
+    # step = round(1100*16/11)=1600; value_k = round((1000*16+1600k)/16).
+    expect = [(1000 * 16 + 1600 * k + 8) // 16 for k in range(1, 11)]
+    np.testing.assert_array_equal(out[300:310, 0], expect)
+
+
+def test_long_dropout_ramps_to_silence():
+    n = 2000
+    s, v = _mk(n, seed=2)
+    v[500:1000, 0] = False  # 500 > ramp_down+ramp_up
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_INTER_LIN_WORD)
+    out = proc.process(s, v)
+    # Ramp anchors at good_end+193 and good_after-33 forced to zero.
+    assert out[499 + ap.MAX_RAMP_DOWN + 1, 0] == 0
+    assert out[1000 - ap.MAX_RAMP_UP - 1, 0] == 0
+    # Middle region fully silent.
+    mid = out[499 + ap.MAX_RAMP_DOWN + 2:1000 - ap.MAX_RAMP_UP - 1, 0]
+    assert (mid == 0).all()
+    # Ramp-down is monotone toward zero.
+    ramp = out[499:499 + ap.MAX_RAMP_DOWN + 2, 0].astype(int)
+    assert abs(ramp[-1]) <= abs(ramp[0])
+
+
+def test_stray_islands_invalidated():
+    v = np.ones(200, bool)
+    v[10:40] = False     # long invalid
+    v[50:90] = False     # long invalid; island 40..49 (len 10 < 28)
+    out = ap.invalidate_stray_samples(v.copy())
+    assert not out[40:50].any()
+
+
+def test_block_mode_uses_block_flags():
+    s, v = _mk()
+    blk = np.ones_like(v)
+    blk[400:420, :] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_MUTE_BLOCK)
+    out = proc.process(s, v, block_ok=blk)
+    assert (out[401:419, 0] == 0).all()
+    assert (out[401:419, 1] == 0).all()
+
+
+def test_eof_ramp_down():
+    s, v = _mk(600, seed=3)
+    v[550:, 0] = False
+    proc = ap.AudioProcessor(mask_mode=ap.DROP_INTER_LIN_WORD)
+    out = proc.process(s, v, file_end=True)
+    assert out[-1, 0] == 0
+    # Monotone-ish ramp from last valid to zero.
+    seg = out[549:, 0].astype(int)
+    assert abs(seg[-1]) <= abs(seg[0]) or seg[0] == 0
