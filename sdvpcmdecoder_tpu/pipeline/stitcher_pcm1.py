@@ -1,0 +1,294 @@
+"""PCM-1 data stitcher: single-frame NTSC reassembly.
+
+Port of PCM1DataStitcher (pcm1datastitcher.{h,cpp}): rudimentary vertical
+alignment via header service lines or manual per-field offsets, frame
+trimming, line -> 3 sublines split, per-field deinterleave with the
+zig-zag word-pair interleave, emphasis from header lines.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..formats import pcm1
+from ..ops import pcm1_deint as di1
+from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
+                              SRV_FILLER, ORDER_TFF, ORDER_BFF,
+                              SAMPLE_RATE_44100, SamplePair)
+
+SRV_HEADER = 6  # PCMLine SRVLINE_HEADER_LINE
+LINES_PF = di1.LINES_PF_NTSC
+SUBLINES_PF = LINES_PF * 3
+MIN_GOOD_LINES_PF = LINES_PF * 4 // 5
+
+
+class PCM1LineStore:
+    """Struct-of-arrays for binarized PCM-1 lines (6 words + CRC)."""
+
+    FIELDS = ("words", "source_crc", "frame_number", "line_number",
+              "ref_level", "service", "bw_set", "forced_bad",
+              "picked_left", "picked_right")
+
+    def __init__(self, n):
+        self.words = np.zeros((n, 6), dtype=np.int64)
+        self.source_crc = np.zeros(n, dtype=np.int64)
+        self.frame_number = np.zeros(n, dtype=np.int64)
+        self.line_number = np.zeros(n, dtype=np.int64)
+        self.ref_level = np.zeros(n, dtype=np.int64)
+        self.service = np.zeros(n, dtype=np.int8)
+        self.bw_set = np.zeros(n, dtype=bool)
+        self.forced_bad = np.zeros(n, dtype=bool)
+        self.picked_left = np.zeros(n, dtype=np.int64)
+        self.picked_right = np.zeros(n, dtype=np.int64)
+        self.words[:] = pcm1.BIT_RANGE_POS  # silent default
+        self.source_crc[:] = (~pcm1.CRC_SILENT) & 0xFFFF
+
+    def __len__(self):
+        return len(self.source_crc)
+
+    def take(self, idx):
+        out = PCM1LineStore(0)
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f)[idx].copy())
+        return out
+
+    @staticmethod
+    def concat(stores):
+        out = PCM1LineStore(0)
+        for f in PCM1LineStore.FIELDS:
+            setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        return out
+
+    def crc_valid_ignore_forced(self):
+        return pcm1.calc_crc(self.words, xp=np) == self.source_crc
+
+    def crc_valid(self):
+        return ~self.forced_bad & self.crc_valid_ignore_forced()
+
+    @staticmethod
+    def from_decoded(words, crc_read, frame_number, line_number,
+                     ref_level=None):
+        n = len(crc_read)
+        out = PCM1LineStore(n)
+        out.words = np.asarray(words, np.int64).copy()
+        out.source_crc = np.asarray(crc_read, np.int64).copy()
+        out.frame_number = np.asarray(frame_number, np.int64).copy()
+        out.line_number = np.asarray(line_number, np.int64).copy()
+        out.bw_set[:] = True
+        if ref_level is not None:
+            out.ref_level = np.asarray(ref_level, np.int64).copy()
+        return out
+
+
+@dataclass
+class FrameAsmPCM1:
+    frame_number: int = 0
+    field_order: int = ORDER_TFF
+    odd_top_data: int = 0
+    odd_bottom_data: int = 0
+    even_top_data: int = 0
+    even_bottom_data: int = 0
+    odd_data_lines: int = 0       # sublines
+    even_data_lines: int = 0
+    odd_valid_lines: int = 0
+    even_valid_lines: int = 0
+    odd_top_padding: int = 0
+    odd_bottom_padding: int = 0
+    even_top_padding: int = 0
+    even_bottom_padding: int = 0
+    odd_ref: int = 0
+    even_ref: int = 0
+    blocks_total: int = 0
+    blocks_drop: int = 0
+    samples_drop: int = 0
+    blocks_fix_bp: int = 0
+    emphasis: bool = False
+
+
+class PCM1Stitcher:
+    """Single-frame PCM-1 reassembler (doFrameReassemble equivalent)."""
+
+    def __init__(self, field_order=ORDER_TFF, auto_offset=True,
+                 odd_offset=0, even_offset=0):
+        self.preset_field_order = field_order
+        self.auto_offset = auto_offset
+        self.preset_odd_offset = odd_offset
+        self.preset_even_offset = even_offset
+        self.out_samples: list[SamplePair] = []
+        self.frame_log: list[FrameAsmPCM1] = []
+        self.file_started = False
+
+    def pop_samples(self):
+        out = self.out_samples
+        self.out_samples = []
+        return out
+
+    # -- trimming (findFrameTrim :202-571) --------------------------------
+    def _find_trim(self, buf: PCM1LineStore, fr: FrameAsmPCM1):
+        svc = buf.service
+        is_data = svc == SRV_NO
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        mask = buf.frame_number == fr.frame_number
+        self.file_start = bool(np.any((svc == SRV_NEW_FILE) & mask))
+        self.file_end = bool(np.any((svc == SRV_END_FILE) & mask))
+        # Header before first good data line in either field.
+        self.header_present = False
+        self.emphasis_set = False
+        hdr = np.nonzero((svc == SRV_HEADER) & mask)[0]
+        for parity in (False, True):
+            good = np.nonzero(mask & is_data & crc_ok & (odd == parity))[0]
+            h = hdr[(buf.line_number[hdr] % 2 != 0) == parity] \
+                if len(hdr) else hdr
+            if len(h) and (len(good) == 0 or h[0] < good[0]):
+                self.header_present = True
+            # Emphasis: header AFTER the last good data line (backwards
+            # search :300-370 finds trailing header = emphasis marker).
+            if len(h) and (len(good) == 0 or h[-1] > good[-1]):
+                self.emphasis_set = True
+
+        fr.even_top_data = fr.even_bottom_data = 0
+        fr.odd_top_data = fr.odd_bottom_data = 0
+        manual = not self.auto_offset
+        if manual:
+            fr.odd_top_data = 2 * self.preset_odd_offset + 1 \
+                if self.preset_odd_offset > 0 else 1
+            fr.even_top_data = 2 * self.preset_even_offset + 2 \
+                if self.preset_even_offset > 0 else 2
+        for parity, name in ((True, "odd"), (False, "even")):
+            pm = mask & is_data & (odd == parity)
+            good_cnt = int(np.sum(pm & crc_ok))
+            skip_bad = good_cnt > MIN_GOOD_LINES_PF
+            if skip_bad:
+                pcm = pm & buf.crc_valid_ignore_forced()
+            else:
+                pcm = pm & buf.bw_set
+            hits = np.nonzero(pcm)[0]
+            if len(hits):
+                if not manual:
+                    setattr(fr, f"{name}_top_data",
+                            int(buf.line_number[hits[0]]))
+                setattr(fr, f"{name}_bottom_data",
+                        int(buf.line_number[hits[-1]]))
+
+    # -- field split (splitFrameToFields :609-809) ------------------------
+    def _split_fields(self, buf: PCM1LineStore, fr: FrameAsmPCM1):
+        svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        mask = (buf.frame_number == fr.frame_number) & svc_keep
+        fields = {}
+        for parity, name in ((True, "odd"), (False, "even")):
+            top = getattr(fr, f"{name}_top_data")
+            bottom = getattr(fr, f"{name}_bottom_data")
+            pm = mask & (odd == parity)
+            if not parity and top == bottom and top == 0:
+                pm = pm & False
+            else:
+                pm = pm & (buf.line_number >= top) \
+                    & (buf.line_number <= bottom)
+            idx = np.nonzero(pm)[0][:LINES_PF]
+            lines = buf.take(idx)
+            # line -> 3 sublines (splitLineToSubline :571-607):
+            # L,R pairs (L2,R2),(L4,R4),(L6,R6) share the line's CRC flag.
+            n = len(idx)
+            sub_left = lines.words[:, 0::2].reshape(-1)   # L2,L4,L6 per line
+            sub_right = lines.words[:, 1::2].reshape(-1)
+            sub_ok = np.repeat(crc_ok[idx], 3)
+            sub_lines = np.repeat(lines.line_number, 3)
+            fields[name] = dict(left=sub_left, right=sub_right,
+                                valid=sub_ok, line_number=sub_lines)
+            setattr(fr, f"{name}_data_lines", 3 * n)
+            setattr(fr, f"{name}_valid_lines", int(np.sum(sub_ok)))
+            ref = lines.ref_level
+            v = crc_ok[idx]
+            if v.any():
+                setattr(fr, f"{name}_ref", int(ref[v].sum() // v.sum()))
+            elif n:
+                setattr(fr, f"{name}_ref", int(ref.sum() // n))
+        return fields
+
+    # -- padding (findFramePadding :809-926) ------------------------------
+    def _find_padding(self, fr: FrameAsmPCM1):
+        if self.auto_offset:
+            if not self.header_present:
+                fr.odd_bottom_padding = fr.even_bottom_padding = 0
+                fr.odd_top_padding = (SUBLINES_PF - fr.odd_data_lines) // 3
+                fr.even_top_padding = (SUBLINES_PF - fr.even_data_lines) // 3
+            else:
+                fr.odd_top_padding = fr.even_top_padding = 0
+                fr.odd_bottom_padding = \
+                    (SUBLINES_PF - fr.odd_data_lines) // 3
+                fr.even_bottom_padding = \
+                    (SUBLINES_PF - fr.even_data_lines) // 3
+        else:
+            fr.odd_top_padding = max(0, -self.preset_odd_offset)
+            fr.even_top_padding = max(0, -self.preset_even_offset)
+            fr.odd_bottom_padding = (SUBLINES_PF - fr.odd_data_lines) // 3 \
+                - fr.odd_top_padding
+            fr.even_bottom_padding = (SUBLINES_PF - fr.even_data_lines) \
+                // 3 - fr.even_top_padding
+        fr.field_order = self.preset_field_order
+
+    # -- one frame --------------------------------------------------------
+    def push_frame(self, buf: PCM1LineStore):
+        data = buf.service == SRV_NO
+        frames = buf.frame_number[data]
+        fr = FrameAsmPCM1()
+        fr.frame_number = int(frames[0]) if len(frames) else 0
+        self._find_trim(buf, fr)
+        fields = self._split_fields(buf, fr)
+        self._find_padding(fr)
+        fr.emphasis = self.emphasis_set
+        if self.file_start and not self.file_started:
+            self.out_samples.append(SamplePair(service=SRV_NEW_FILE))
+            self.file_started = True
+        order = ("odd", "even") if fr.field_order == ORDER_TFF \
+            else ("even", "odd")
+        for name in order:
+            self._deinterleave_field(fields[name], fr,
+                                     getattr(fr, f"{name}_top_padding"),
+                                     getattr(fr, f"{name}_bottom_padding"))
+        self.frame_log.append(dataclasses.replace(fr))
+        if self.file_end:
+            self.out_samples.append(SamplePair(service=SRV_END_FILE))
+            self.file_started = False
+
+    def _deinterleave_field(self, field, fr: FrameAsmPCM1, top_pad,
+                            bottom_pad):
+        n_data = len(field["left"])
+        top = 3 * max(0, top_pad)
+        # Assemble exactly SUBLINES_PF sublines: pad + data + pad.
+        sl = np.zeros(SUBLINES_PF, dtype=np.int64)
+        sr = np.zeros(SUBLINES_PF, dtype=np.int64)
+        sv = np.zeros(SUBLINES_PF, dtype=bool)
+        sl[:] = pcm1.BIT_RANGE_POS
+        sr[:] = pcm1.BIT_RANGE_POS
+        n_copy = min(n_data, SUBLINES_PF - top)
+        sl[top:top + n_copy] = field["left"][:n_copy]
+        sr[top:top + n_copy] = field["right"][:n_copy]
+        sv[top:top + n_copy] = field["valid"][:n_copy]
+        out = di1.deinterleave_field(sl, sr, sv)
+        left = np.asarray(pcm1.expand_sample(out["left"], xp=np))
+        right = np.asarray(pcm1.expand_sample(out["right"], xp=np))
+        fr.blocks_total += di1.INT_BLK_PER_FIELD
+        bv = out["block_valid"].reshape(di1.INT_BLK_PER_FIELD, -1)[:, 0] \
+            if False else None
+        blocks_bad = 0
+        vb = out["valid"].reshape(-1)
+        for p in range(len(left)):
+            self.out_samples.append(SamplePair(
+                left=int(left[p]), right=int(right[p]),
+                block_ok=bool(out["block_valid"][p]),
+                left_valid=bool(out["valid"][p]),
+                right_valid=bool(out["valid"][p]),
+                sample_rate=SAMPLE_RATE_44100, emphasis=fr.emphasis))
+        bad_blocks = np.unique(
+            np.nonzero(~out["block_valid"])[0] // di1.BLOCK_PAIRS)
+        fr.blocks_drop += len(bad_blocks)
+        fr.samples_drop += int(np.sum(~out["valid"]))
+
+    def finish(self):
+        pass

@@ -1,0 +1,414 @@
+"""PCM-16x0 data stitcher: SI/EI reassembly with padding auto-detection.
+
+Port of PCM16X0DataStitcher (pcm16x0datastitcher.{h,cpp}), re-architected
+around the vectorized deinterleaver: the SI padding sweep (trySIPadding
+:1129-1557 / findSIPadding :1557-2246) scores all interleave blocks of a
+padded field in one batched call; burst counters, the stats sort and the
+control-bit stream decode (BIT_*_OFS :159-167, collectCtrlBitStats
+:4745-4915) stay as host logic.
+
+Scope notes vs the reference: EI (PCM-1630) decode is supported through
+the same block op with the 490-subline offset and whole-frame interleave;
+the reference's EI frame-border alignment search (findEIFrameStitching
+:3588-4118) is approximated by the same padding-sweep scoring applied to
+the EI geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..formats import pcm16x0
+from ..ops import pcm16x0_deint as di16
+from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
+                              SRV_FILLER, ORDER_TFF, ORDER_BFF,
+                              SAMPLE_RATE_44100, SAMPLE_RATE_44056,
+                              SamplePair, StitchStats)
+
+LINES_PF = 245                      # NTSC field (SI and EI use NTSC gear)
+SUBLINES_PF = LINES_PF * 3
+SI_TRUE_INTERLEAVE = di16.SI_OFS * 3        # 105 sublines per super-block
+EI_TRUE_INTERLEAVE = (SUBLINES_PF * 2) // 3  # 490
+MAX_PADDING_SI = di16.SI_OFS        # line padding sweep limit
+MAX_BURST_SILENCE_SI = di16.SI_OFS - 1
+MAX_BURST_UNCH_SI = di16.SI_OFS - 1
+MAX_BURST_BROKEN = 1
+MIN_GOOD_LINES_PF = LINES_PF * 4 // 5
+STATS_DEPTH = 65
+# Control-bit offsets within an interleave block (:159-167).
+BIT_EMPHASIS_OFS, BIT_SAMPLERATE_OFS, BIT_MODE_OFS, BIT_CODE_OFS = 0, 3, 6, 9
+
+FORMAT_SI, FORMAT_EI = 0, 1
+
+
+class PCM16X0LineStore:
+    """Struct-of-arrays of binarized PCM-16x0 SUBLINES."""
+
+    FIELDS = ("words", "source_crc", "frame_number", "line_number",
+              "line_part", "control_bit", "ref_level", "service", "bw_set",
+              "forced_bad")
+
+    def __init__(self, n):
+        self.words = np.zeros((n, 3), dtype=np.int64)
+        self.source_crc = np.zeros(n, dtype=np.int64)
+        self.frame_number = np.zeros(n, dtype=np.int64)
+        self.line_number = np.zeros(n, dtype=np.int64)
+        self.line_part = np.zeros(n, dtype=np.int8)
+        self.control_bit = np.zeros(n, dtype=bool)
+        self.ref_level = np.zeros(n, dtype=np.int64)
+        self.service = np.zeros(n, dtype=np.int8)
+        self.bw_set = np.zeros(n, dtype=bool)
+        self.forced_bad = np.zeros(n, dtype=bool)
+        self.source_crc[:] = (~pcm16x0.CRC_SILENT) & 0xFFFF
+
+    def __len__(self):
+        return len(self.source_crc)
+
+    def take(self, idx):
+        out = PCM16X0LineStore(0)
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f)[idx].copy())
+        return out
+
+    @staticmethod
+    def concat(stores):
+        out = PCM16X0LineStore(0)
+        for f in PCM16X0LineStore.FIELDS:
+            setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        return out
+
+    def crc_valid_ignore_forced(self):
+        return pcm16x0.calc_crc(self.words, xp=np) == self.source_crc
+
+    def crc_valid(self):
+        return ~self.forced_bad & self.crc_valid_ignore_forced()
+
+    @staticmethod
+    def from_decoded(words, crc_read, frame_number, line_number, line_part,
+                     control_bit=None):
+        n = len(crc_read)
+        out = PCM16X0LineStore(n)
+        out.words = np.asarray(words, np.int64).copy()
+        out.source_crc = np.asarray(crc_read, np.int64).copy()
+        out.frame_number = np.asarray(frame_number, np.int64).copy()
+        out.line_number = np.asarray(line_number, np.int64).copy()
+        out.line_part = np.asarray(line_part, np.int8).copy()
+        if control_bit is not None:
+            out.control_bit = np.asarray(control_bit, bool).copy()
+        out.bw_set[:] = True
+        return out
+
+
+@dataclass
+class FrameAsmPCM16X0:
+    frame_number: int = 0
+    field_order: int = ORDER_TFF
+    ei_format: bool = False
+    odd_top_data: int = 0
+    odd_bottom_data: int = 0
+    even_top_data: int = 0
+    even_bottom_data: int = 0
+    odd_data_lines: int = 0
+    even_data_lines: int = 0
+    odd_valid_lines: int = 0
+    even_valid_lines: int = 0
+    odd_padding: int = 0
+    even_padding: int = 0
+    padding_ok: bool = False
+    silence: bool = False
+    emphasis: bool = False
+    code: bool = False
+    sample_rate: int = SAMPLE_RATE_44100
+    blocks_total: int = 0
+    blocks_drop: int = 0
+    blocks_broken: int = 0
+    blocks_fix_p: int = 0
+    samples_drop: int = 0
+
+
+class PCM16X0Stitcher:
+    """Single-frame PCM-16x0 reassembler with SI padding auto-detection."""
+
+    def __init__(self, field_order=ORDER_TFF, fmt=FORMAT_SI, en_p=True,
+                 mask_seams=True, preset_sample_rate=0):
+        self.preset_field_order = field_order
+        self.fmt = fmt
+        self.en_p = en_p
+        self.mask_seams = mask_seams
+        self.preset_sample_rate = preset_sample_rate
+        self.out_samples: list[SamplePair] = []
+        self.frame_log: list[FrameAsmPCM16X0] = []
+        self.stats_padding: list[int] = []
+        self.file_started = False
+
+    def pop_samples(self):
+        out = self.out_samples
+        self.out_samples = []
+        return out
+
+    # -- trim / split (mirrors PCM-1 flow with 16x0 specifics) ------------
+    def _find_trim(self, buf, fr):
+        svc = buf.service
+        mask = buf.frame_number == fr.frame_number
+        self.file_start = bool(np.any((svc == SRV_NEW_FILE) & mask))
+        self.file_end = bool(np.any((svc == SRV_END_FILE) & mask))
+        is_data = svc == SRV_NO
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        for parity, name in ((True, "odd"), (False, "even")):
+            pm = mask & is_data & (odd == parity)
+            good_cnt = int(np.sum(pm & crc_ok))
+            skip_bad = good_cnt > MIN_GOOD_LINES_PF * 3
+            pcm = pm & (buf.crc_valid_ignore_forced() if skip_bad
+                        else buf.bw_set)
+            hits = np.nonzero(pcm)[0]
+            if len(hits):
+                setattr(fr, f"{name}_top_data",
+                        int(buf.line_number[hits[0]]))
+                setattr(fr, f"{name}_bottom_data",
+                        int(buf.line_number[hits[-1]]))
+
+    def _split_fields(self, buf, fr):
+        svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        mask = (buf.frame_number == fr.frame_number) & svc_keep
+        fields = {}
+        for parity, name in ((True, "odd"), (False, "even")):
+            top = getattr(fr, f"{name}_top_data")
+            bottom = getattr(fr, f"{name}_bottom_data")
+            pm = mask & (odd == parity)
+            if top == bottom and top == 0:
+                pm = pm & False
+            else:
+                pm = pm & (buf.line_number >= top) \
+                    & (buf.line_number <= bottom)
+            idx = np.nonzero(pm)[0][:SUBLINES_PF]
+            fields[name] = buf.take(idx)
+            setattr(fr, f"{name}_data_lines", len(idx))
+            setattr(fr, f"{name}_valid_lines", int(np.sum(crc_ok[idx])))
+        return fields
+
+    # -- false-positive CRC prescan (:753-836) ----------------------------
+    def prescan_false_pos(self, field: PCM16X0LineStore):
+        """Sublines whose CRC validates but equal the silent pattern with
+        zero control bit in noise regions are false positives; the
+        reference statistically invalidates those. Here: a valid subline
+        with all-zero words amid majority-invalid neighbors is forced bad.
+        """
+        if len(field) < 9:
+            return field
+        valid = field.crc_valid()
+        zero = (field.words == 0).all(axis=-1)
+        n = len(field)
+        bad_near = np.zeros(n, dtype=np.int32)
+        w = 6
+        inv = (~valid).astype(np.int32)
+        c = np.convolve(inv, np.ones(2 * w + 1, dtype=np.int32), "same")
+        suspects = valid & zero & (c > w)
+        field.forced_bad |= suspects
+        return field
+
+    # -- SI padding sweep (trySIPadding / findSIPadding) ------------------
+    def _padded_field(self, field: PCM16X0LineStore, padding: int):
+        pad = PCM16X0LineStore(3 * padding)
+        pad.frame_number[:] = field.frame_number[0] if len(field) else 0
+        return PCM16X0LineStore.concat([pad, field])
+
+    def try_si_padding(self, field: PCM16X0LineStore, padding: int):
+        """Score one padding: returns (ok, StitchStats, ctrl dict)."""
+        q = self._padded_field(field, padding)
+        S = len(q)
+        n_groups = S // SI_TRUE_INTERLEAVE
+        if n_groups == 0:
+            return False, StitchStats(index=padding), {}
+        shifts = []
+        orders = []
+        for g in range(n_groups):
+            for i in range(di16.SI_OFS):
+                shifts.append(g * SI_TRUE_INTERLEAVE + i)
+                orders.append(i % 2 == 1)
+        shifts = np.asarray(shifts)
+        orders = np.asarray(orders)
+        res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
+                                 ei=False, en_p=self.en_p, force_ecc=True)
+        silent = (res["samples"] == 0).all(axis=(-1, -2))
+        can_force = res["stage"] != 1  # not NO_CHECK anywhere
+        bv = res["block_valid"]
+        fixed_p = (res["state"] == di16.AUD_FIX_P).any(axis=-1)
+        broken = (res["state"] == di16.AUD_BROKEN).any(axis=-1)
+        no_check = (res["stage"] == di16.STG_NO_CHECK).any(axis=-1)
+        valid_b = bv & ~silent & ~no_check
+        # Burst counters per interleave block (trySIPadding :1150-1420).
+        vmax = smax = umax = 0
+        vrun = srun = urun = 0
+        brk_total = 0
+        unch = no_check | fixed_p
+        for k in range(len(shifts)):
+            if valid_b[k]:
+                vrun += 1
+            else:
+                vmax = max(vmax, vrun)
+            if silent[k]:
+                srun += 1
+                if srun >= MAX_BURST_SILENCE_SI:
+                    vrun = 0
+            else:
+                smax = max(smax, srun)
+                srun = 0
+            if unch[k]:
+                urun += 1
+                if urun > MAX_BURST_UNCH_SI:
+                    vrun = 0
+            else:
+                umax = max(umax, urun)
+                urun = 0
+            if broken[k]:
+                brk_total += 1
+                vrun = 0
+        vmax, smax, umax = max(vmax, vrun), max(smax, srun), max(umax, urun)
+        st = StitchStats(index=padding, valid=vmax, silent=smax,
+                         unchecked=umax, broken=brk_total)
+        ok = (brk_total < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
+              and umax <= MAX_BURST_UNCH_SI and vmax > 0)
+        # Control bits from the first interleave block (BIT_*_OFS).
+        ctrl = {}
+        if S > BIT_CODE_OFS:
+            cb = q.control_bit
+            ctrl = dict(
+                emphasis=not bool(cb[BIT_EMPHASIS_OFS]),
+                sample_rate=SAMPLE_RATE_44100
+                if not cb[BIT_SAMPLERATE_OFS] else SAMPLE_RATE_44056,
+                ei_format=not bool(cb[BIT_MODE_OFS]),
+                code=not bool(cb[BIT_CODE_OFS]))
+        return ok, st, ctrl
+
+    def find_si_padding(self, field: PCM16X0LineStore):
+        """Sweep paddings, reference-style stats sort + accept rules."""
+        stats = []
+        ctrls = {}
+        for pad in range(MAX_PADDING_SI):
+            ok, st, ctrl = self.try_si_padding(field, pad)
+            stats.append(st)
+            ctrls[pad] = ctrl
+            if ok and st.broken == 0 and pad == 0:
+                break  # clean zero-padding: fast path
+        order = sorted(stats, key=StitchStats.sort_key)
+        best = order[0]
+        if best.silent >= MAX_BURST_SILENCE_SI:
+            return None, 0, ctrls.get(0, {})
+        if best.unchecked > MAX_BURST_UNCH_SI:
+            return False, 0, ctrls.get(0, {})
+        if len(order) > 1 and not (
+                best.broken < order[1].broken or best.valid > order[1].valid):
+            if best.broken > 0:
+                return False, 0, ctrls.get(0, {})
+        if best.valid == 0:
+            return False, 0, ctrls.get(0, {})
+        return True, best.index, ctrls.get(best.index, {})
+
+    # -- frame processing -------------------------------------------------
+    def push_frame(self, buf: PCM16X0LineStore):
+        fr = FrameAsmPCM16X0()
+        data = buf.service == SRV_NO
+        frames = buf.frame_number[data]
+        fr.frame_number = int(frames[0]) if len(frames) else 0
+        fr.field_order = self.preset_field_order
+        fr.ei_format = self.fmt == FORMAT_EI
+        self._find_trim(buf, fr)
+        fields = self._split_fields(buf, fr)
+        for name in ("odd", "even"):
+            fields[name] = self.prescan_false_pos(fields[name])
+        if self.file_start and not self.file_started:
+            self.out_samples.append(SamplePair(service=SRV_NEW_FILE))
+            self.file_started = True
+        order = ("odd", "even") if fr.field_order == ORDER_TFF \
+            else ("even", "odd")
+        if self.fmt == FORMAT_SI:
+            for name in order:
+                self._process_field_si(fields[name], fr)
+        else:
+            self._process_frame_ei(fields, order, fr)
+        self.frame_log.append(dataclasses.replace(fr))
+        if self.file_end:
+            self.out_samples.append(SamplePair(service=SRV_END_FILE))
+            self.file_started = False
+
+    def _process_field_si(self, field: PCM16X0LineStore,
+                          fr: FrameAsmPCM16X0):
+        ok, padding, ctrl = self.find_si_padding(field)
+        if ok is None:
+            fr.silence = True
+            padding = 0
+        else:
+            fr.padding_ok = fr.padding_ok or bool(ok)
+        if ok:
+            self.stats_padding.append(padding)
+            self.stats_padding = self.stats_padding[-STATS_DEPTH:]
+        elif self.stats_padding:
+            padding = max(set(self.stats_padding),
+                          key=self.stats_padding.count)
+        if ctrl:
+            fr.emphasis = ctrl.get("emphasis", fr.emphasis)
+            fr.code = ctrl.get("code", fr.code)
+            if self.preset_sample_rate:
+                fr.sample_rate = self.preset_sample_rate
+            else:
+                fr.sample_rate = ctrl.get("sample_rate", fr.sample_rate)
+        q = self._padded_field(field, padding)
+        # Pad the tail to a whole number of super-blocks.
+        S = len(q)
+        rem = (-S) % SI_TRUE_INTERLEAVE
+        if rem:
+            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(rem)])
+        self._stream_blocks(q, fr, ei=False)
+
+    def _process_frame_ei(self, fields, order, fr):
+        q = PCM16X0LineStore.concat([fields[order[0]], fields[order[1]]])
+        S = len(q)
+        need = EI_TRUE_INTERLEAVE * 3
+        if S < need:
+            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(need - S)])
+        self._stream_blocks(q, fr, ei=True)
+
+    def _stream_blocks(self, q, fr, ei):
+        ofs = di16.EI_OFS if ei else di16.SI_OFS
+        group = 3 * ofs
+        n_groups = max(1, len(q) // group) if not ei else 1
+        shifts, orders = [], []
+        for g in range(n_groups):
+            for i in range(ofs):
+                shifts.append(g * group + i)
+                orders.append(i % 2 == 1)
+        shifts = np.asarray(shifts)
+        orders = np.asarray(orders)
+        res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
+                                 ei=ei, en_p=self.en_p, force_ecc=True)
+        B = len(shifts)
+        fr.blocks_total += B * 3
+        bv = res["block_valid"]
+        broken = res["state"] == di16.AUD_BROKEN
+        fr.blocks_drop += int(np.sum(~res["word_valid"][..., :2]
+                                     .all(axis=-1)))
+        fr.blocks_broken += int(np.sum(broken))
+        fr.blocks_fix_p += int(np.sum(res["state"] == di16.AUD_FIX_P))
+        fr.samples_drop += int(np.sum(~res["word_valid"][..., :2]))
+        for b in range(B):
+            for blk in range(3):
+                brk = bool(broken[b, blk])
+                lv = bool(res["word_valid"][b, blk, 0]) and not brk
+                rv = bool(res["word_valid"][b, blk, 1]) and not brk
+                bok = bool(bv[b]) and not brk
+                lf = bool(res["word_crc"][b, blk, 0]) if bok else False
+                rf = bool(res["word_crc"][b, blk, 1]) if bok else False
+                self.out_samples.append(SamplePair(
+                    left=int(res["samples"][b, blk, 0]),
+                    right=int(res["samples"][b, blk, 1]),
+                    block_ok=bok, left_valid=lv, right_valid=rv,
+                    left_fixed=lf, right_fixed=rf,
+                    sample_rate=fr.sample_rate, emphasis=fr.emphasis))
+
+    def finish(self):
+        pass

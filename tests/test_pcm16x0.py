@@ -1,0 +1,120 @@
+"""PCM-16x0 path tests: block decode, P correction, SI stitcher."""
+import numpy as np
+
+from sdvpcmdecoder_tpu.formats import pcm16x0
+from sdvpcmdecoder_tpu.ops import pcm16x0_deint as di16
+from sdvpcmdecoder_tpu.pipeline import stitcher_pcm16x0 as sp16
+
+
+def _field_samples(n_pairs, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(1, 1 << 16, size=n_pairs),
+            rng.integers(1, 1 << 16, size=n_pairs))
+
+
+def test_si_roundtrip_clean():
+    n_lines = sp16.LINES_PF  # 245 lines -> 735 sublines -> 7 super-blocks
+    usable = (n_lines * 3 // sp16.SI_TRUE_INTERLEAVE) \
+        * sp16.SI_TRUE_INTERLEAVE
+    left, right = _field_samples(usable, seed=1)
+    sub, n_pairs = di16.interleave_field(left, right, n_lines)
+    assert n_pairs == usable
+    shifts, orders = [], []
+    for g in range(usable // sp16.SI_TRUE_INTERLEAVE):
+        for i in range(di16.SI_OFS):
+            shifts.append(g * sp16.SI_TRUE_INTERLEAVE + i)
+            orders.append(i % 2 == 1)
+    res = di16.decode_blocks(sub, np.ones(len(sub), bool),
+                             np.asarray(shifts), np.asarray(orders))
+    el = np.asarray(pcm16x0.expand_sample(left, xp=np))
+    er = np.asarray(pcm16x0.expand_sample(right, xp=np))
+    got_l = res["samples"][..., 0].reshape(-1)
+    got_r = res["samples"][..., 1].reshape(-1)
+    np.testing.assert_array_equal(got_l, el)
+    np.testing.assert_array_equal(got_r, er)
+    assert res["block_valid"].all()
+    assert (res["state"] == di16.AUD_ORIG).all()
+
+
+def test_si_p_correction():
+    n_lines = 35  # one super-block (105 sublines)
+    left, right = _field_samples(105, seed=2)
+    sub, _ = di16.interleave_field(left, right, n_lines)
+    sub = sub.copy()
+    sub[10, :] ^= [0x1111, 0x2222, 0x3333]  # corrupt the subline's words
+    ok = np.ones(len(sub), bool)
+    ok[10] = False  # one bad subline -> 1 erasure per sub-block of block 10
+    shifts = np.arange(di16.SI_OFS)
+    orders = (shifts % 2) == 1
+    res = di16.decode_blocks(sub, ok, shifts, orders)
+    el = np.asarray(pcm16x0.expand_sample(left, xp=np))
+    got_l = res["samples"][..., 0].reshape(-1)
+    np.testing.assert_array_equal(got_l, el)
+    assert res["block_valid"].all()
+    assert (res["state"][10] != di16.AUD_ORIG).any()  # P-fixed
+
+
+def test_si_broken_detection():
+    n_lines = 35
+    left, right = _field_samples(105, seed=3)
+    sub, _ = di16.interleave_field(left, right, n_lines)
+    sub = sub.copy()
+    sub[10, 1] ^= 0x55  # corrupt a word but leave CRC flag valid
+    res = di16.decode_blocks(sub, np.ones(len(sub), bool),
+                             np.arange(di16.SI_OFS),
+                             (np.arange(di16.SI_OFS) % 2) == 1)
+    assert (res["state"][10] == di16.AUD_BROKEN).any()
+
+
+def _mk_store(sub, n_lines, frame_number=1, parity_base=1, crc_ok=None):
+    S = len(sub)
+    crcs = pcm16x0.calc_crc(sub, xp=np)
+    if crc_ok is not None:
+        crcs = np.where(crc_ok, crcs, crcs ^ 0xFFFF)
+    lines = parity_base + 2 * (np.arange(S) // 3)
+    parts = np.arange(S) % 3
+    return sp16.PCM16X0LineStore.from_decoded(
+        sub, crcs, np.full(S, frame_number), lines, parts)
+
+
+def test_si_stitcher_roundtrip():
+    lpf = sp16.LINES_PF
+    usable = (lpf * 3 // sp16.SI_TRUE_INTERLEAVE) * sp16.SI_TRUE_INTERLEAVE
+    lo, ro = _field_samples(usable, seed=4)
+    le, re_ = _field_samples(usable, seed=5)
+    sub_o, _ = di16.interleave_field(lo, ro, lpf)
+    sub_e, _ = di16.interleave_field(le, re_, lpf)
+    store = sp16.PCM16X0LineStore.concat([
+        _mk_store(sub_o, lpf, parity_base=1),
+        _mk_store(sub_e, lpf, parity_base=2)])
+    tag = sp16.PCM16X0LineStore(1)
+    tag.service[0] = sp16.SRV_NEW_FILE
+    tag.frame_number[0] = 1
+    store = sp16.PCM16X0LineStore.concat([tag, store])
+    s = sp16.PCM16X0Stitcher()
+    s.push_frame(store)
+    pairs = [p for p in s.pop_samples() if p.service == sp16.SRV_NO]
+    el = np.asarray(pcm16x0.expand_sample(lo, xp=np))
+    out_l = np.array([p.left for p in pairs])
+    # First field output (odd, TFF) must match ground truth.
+    np.testing.assert_array_equal(out_l[:usable], el)
+    assert all(p.left_valid for p in pairs[:usable])
+    fr = s.frame_log[0]
+    assert fr.padding_ok
+
+
+def test_si_stitcher_detects_padding():
+    lpf = sp16.LINES_PF
+    usable = (lpf * 3 // sp16.SI_TRUE_INTERLEAVE) * sp16.SI_TRUE_INTERLEAVE
+    lo, ro = _field_samples(usable, seed=6)
+    sub_o, _ = di16.interleave_field(lo, ro, lpf)
+    # Crop 4 LINES (12 sublines) from the top of the field: the sweep must
+    # find padding 4 to realign the interleave grid.
+    crop = 4
+    sub_cropped = sub_o[3 * crop:]
+    store = _mk_store(sub_cropped, lpf - crop, parity_base=1 + 2 * crop)
+    even = sp16.PCM16X0LineStore(0)
+    s = sp16.PCM16X0Stitcher()
+    ok, padding, _ = s.find_si_padding(store)
+    assert ok
+    assert padding == crop, padding
