@@ -358,11 +358,13 @@ class PCM16X0Stitcher:
             else:
                 fr.sample_rate = ctrl.get("sample_rate", fr.sample_rate)
         q = self._padded_field(field, padding)
-        # Pad the tail to a whole number of super-blocks.
+        # Assemble a full field (fillFrameForOutput pads every field to
+        # SUBLINES_PF; performDeinterleave consumes whole super-blocks).
         S = len(q)
-        rem = (-S) % SI_TRUE_INTERLEAVE
-        if rem:
-            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(rem)])
+        target = max(SUBLINES_PF, S + ((-S) % SI_TRUE_INTERLEAVE))
+        target += (-target) % SI_TRUE_INTERLEAVE
+        if target > S:
+            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(target - S)])
         self._stream_blocks(q, fr, ei=False)
 
     def _process_frame_ei(self, fields, order, fr):
