@@ -1,0 +1,181 @@
+"""CLI: decode PCM-adapter captures to WAV.
+
+    python -m sdvpcmdecoder_tpu input.y4m -o out.wav [--format stc007]
+
+The batch-decoder equivalent of the reference desktop app's decode flow
+(open video -> binarize -> reassemble -> mask -> WAV) with the work-log
+style per-frame stats print (mainwindow.h:108-194 analog).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="sdvpcmdecoder_tpu",
+        description="TPU-native decoder for PCM adapter audio on video "
+                    "captures (STC-007/PCM-F1/M2, PCM-1, PCM-16x0)")
+    p.add_argument("input", help="input capture (.y4m or raw gray8)")
+    p.add_argument("-o", "--output", default=None, help="output WAV path")
+    p.add_argument("--format", default="stc007",
+                   choices=["stc007", "m2", "pcm1", "pcm16x0"],
+                   help="PCM format (default stc007)")
+    p.add_argument("--raw-size", default=None,
+                   help="WxH for raw input, e.g. 1152x588")
+    p.add_argument("--standard", default="auto",
+                   choices=["auto", "pal", "ntsc"])
+    p.add_argument("--field-order", default="auto",
+                   choices=["auto", "tff", "bff"])
+    p.add_argument("--resolution", default="auto",
+                   choices=["auto", "14bit", "16bit"])
+    p.add_argument("--mask", default="interpolate",
+                   choices=["ignore", "mute", "hold", "interpolate"])
+    p.add_argument("--mask-scope", default="word", choices=["word", "block"])
+    p.add_argument("--quality", default="normal",
+                   choices=["draft", "fast", "normal", "insane"],
+                   help="binarization effort (hysteresis/shift limits)")
+    p.add_argument("--no-ecc", action="store_true",
+                   help="disable P/Q error correction")
+    p.add_argument("--cwd", action="store_true",
+                   help="enable Cross-Word-Decoding assist")
+    p.add_argument("--frames", type=int, default=None,
+                   help="limit number of frames")
+    p.add_argument("--batch", type=int, default=16,
+                   help="frames per device batch")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame work log")
+    return p
+
+
+QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
+    "draft": (0, 0), "fast": (2, 1), "normal": (4, 2), "insane": (10, 4),
+}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .pipeline import ingest, v2d, audio as ap, wav
+    from .pipeline import stitcher_stc007 as st
+
+    raw_size = None
+    if args.raw_size:
+        w, h = args.raw_size.lower().split("x")
+        raw_size = (int(w), int(h))
+
+    mask_map = {
+        ("ignore", "word"): ap.DROP_IGNORE,
+        ("ignore", "block"): ap.DROP_IGNORE,
+        ("mute", "word"): ap.DROP_MUTE_WORD,
+        ("mute", "block"): ap.DROP_MUTE_BLOCK,
+        ("hold", "word"): ap.DROP_HOLD_WORD,
+        ("hold", "block"): ap.DROP_HOLD_BLOCK,
+        ("interpolate", "word"): ap.DROP_INTER_LIN_WORD,
+        ("interpolate", "block"): ap.DROP_INTER_LIN_BLOCK,
+    }
+    hyst, shift = QUALITY_LIMITS[args.quality]
+
+    if args.format not in ("stc007", "m2"):
+        print(f"note: {args.format} decode runs through the line-store "
+              "API; CLI ingest currently binarizes STC-007 geometry only",
+              file=sys.stderr)
+
+    out_path = args.output or (args.input.rsplit(".", 1)[0] + ".wav")
+
+    t0 = time.perf_counter()
+    with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
+        print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
+        n_frames = rd.n_frames if args.frames is None \
+            else min(args.frames, rd.n_frames)
+        preset_video = {"auto": st.VID_UNKNOWN, "pal": st.VID_PAL,
+                        "ntsc": st.VID_NTSC}[args.standard]
+        if preset_video == st.VID_UNKNOWN:
+            # Guess by field height like detectVideoStandard.
+            preset_video = st.VID_PAL if rd.height // 2 > 260 else \
+                st.VID_NTSC
+        stitcher = st.STC007Stitcher(
+            en_p=not args.no_ecc, en_q=not args.no_ecc, en_cwd=args.cwd,
+            mode_m2=args.format == "m2", preset_video=preset_video,
+            preset_order={"auto": st.ORDER_UNK, "tff": st.ORDER_TFF,
+                          "bff": st.ORDER_BFF}[args.field_order],
+            preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[
+                args.resolution])
+        driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift)
+        proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
+                                                     args.mask_scope)])
+        writer = None
+        frame_no = 0
+        first = True
+        for base in range(0, n_frames, args.batch):
+            batch = rd.read_frames(base, min(args.batch, n_frames - base))
+            for f in range(batch.shape[0]):
+                lines, nums = ingest.split_fields(batch[f])
+                res = driver.decode_frame(lines)
+                frame_no += 1
+                if res is None:
+                    continue
+                store = st.LineStore.from_decoded(
+                    res.words, res.crc_read, res.valid,
+                    np.full(len(nums), frame_no), nums,
+                    ref_level=np.full(len(nums), res.ref_level))
+                if first:
+                    tag = st.LineStore(1)
+                    tag.service[0] = st.SRV_NEW_FILE
+                    tag.frame_number[0] = frame_no
+                    store = st.LineStore.concat([tag, store])
+                    first = False
+                stitcher.push_frame(store)
+                if args.stats and stitcher.frame_log:
+                    fr = stitcher.frame_log[-1]
+                    print(f"F[{fr.frame_number:04d}] "
+                          f"ord={'-TB'[fr.field_order]} "
+                          f"pad[{fr.inner_padding:02d}/"
+                          f"{fr.outer_padding:02d}] "
+                          f"blk[{fr.blocks_total:4d}] "
+                          f"P[{fr.blocks_fix_p:3d}] "
+                          f"Q[{fr.blocks_fix_q:3d}] "
+                          f"brk[{fr.blocks_broken_field:3d}] "
+                          f"drop[{fr.blocks_drop:3d}]")
+            # Drain periodically to bound memory.
+            pairs = [p for p in stitcher.pop_samples()
+                     if p.service == st.SRV_NO]
+            if pairs:
+                samples = np.array([[p.left, p.right] for p in pairs],
+                                   dtype=np.int16)
+                valid = np.array([[p.left_valid, p.right_valid]
+                                  for p in pairs], dtype=bool)
+                blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
+                               dtype=bool)
+                out = proc.process(samples, valid, blk, file_end=False)
+                if writer is None:
+                    writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+                writer.write(out)
+                writer.flush()
+        stitcher.finish()
+        pairs = [p for p in stitcher.pop_samples() if p.service == st.SRV_NO]
+        if pairs:
+            samples = np.array([[p.left, p.right] for p in pairs],
+                               dtype=np.int16)
+            valid = np.array([[p.left_valid, p.right_valid]
+                              for p in pairs], dtype=bool)
+            blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
+                           dtype=bool)
+            out = proc.process(samples, valid, blk, file_end=True)
+            if writer is None:
+                writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+            writer.write(out)
+        if writer is not None:
+            writer.close()
+    dt = time.perf_counter() - t0
+    print(f"decoded {frame_no} frames in {dt:.2f}s "
+          f"({frame_no / dt:.1f} fps) -> {out_path} "
+          f"(masked {proc.total_masked} samples)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

