@@ -57,8 +57,17 @@ QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
 }
 
 
+def _enable_compile_cache():
+    import os
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/sdvpcm_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     from .pipeline import ingest, v2d, audio as ap, wav
     from .pipeline import stitcher_stc007 as st
 
@@ -112,9 +121,23 @@ def main(argv=None):
         first = True
         for base in range(0, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
-            for f in range(batch.shape[0]):
-                lines, nums = ingest.split_fields(batch[f])
-                res = driver.decode_frame(lines)
+            split = [ingest.split_fields(batch[f])
+                     for f in range(batch.shape[0])]
+            if not split:
+                continue
+            lines_b = np.stack([s[0] for s in split])
+            # Pad the tail batch to the full batch size so the device
+            # sees one compiled shape.
+            pad_frames = 0
+            if lines_b.shape[0] < args.batch:
+                pad_frames = args.batch - lines_b.shape[0]
+                lines_b = np.concatenate(
+                    [lines_b, np.zeros((pad_frames,) + lines_b.shape[1:],
+                                       np.uint8)])
+            results = driver.decode_frames(lines_b)
+            if pad_frames:
+                results = results[:-pad_frames]
+            for (lines, nums), res in zip(split, results):
                 frame_no += 1
                 if res is None:
                     continue

@@ -101,6 +101,61 @@ class V2DDriver:
         ref = int(np.median(self.state.ref_history))
         return (start, stop), ref
 
+    # -- batched frame decode (production path) ---------------------------
+    def decode_frames(self, pixels: np.ndarray):
+        """Decode a BATCH of frames [F, L, W] in one device dispatch.
+
+        Per-frame prescan + damping run on host; the trial-grid decode for
+        all frames is a single stc007_frame_decode call (one compile for a
+        fixed batch shape). Returns list of FrameDecodeResult (None for
+        frames with no PCM detected and no history).
+        """
+        F, L, W = pixels.shape
+        coords = np.zeros((F, 2), np.int64)
+        refs = np.zeros(F, np.int64)
+        blacks = np.zeros(F, np.int64)
+        whites = np.full(F, 255, np.int64)
+        usable = np.zeros(F, bool)
+        for f in range(F):
+            pre = self.prescan(pixels[f])
+            if pre is None:
+                if self.state.coord_history:
+                    coords[f] = np.median(
+                        np.array(self.state.coord_history), axis=0)
+                    refs[f] = int(np.median(self.state.ref_history))
+                    blacks[f], whites[f] = 0, 255
+                    usable[f] = True
+                continue
+            (c, r, b, w) = pre
+            c, r = self._damped_coords((c, r))
+            coords[f] = c
+            refs[f], blacks[f], whites[f] = r, b, w
+            usable[f] = True
+        if not usable.any():
+            return [None] * F
+        # Single batched dispatch; unusable frames decode with defaults
+        # and are dropped afterwards.
+        batch = bz.stc007_frame_decode(
+            jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
+            jnp.asarray(np.maximum(refs, 1), jnp.int32),
+            jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
+            jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
+            hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+        words = np.asarray(batch.words)
+        crc_read = np.asarray(batch.crc_read)
+        valid = np.asarray(batch.valid)
+        out = []
+        for f in range(F):
+            if not usable[f]:
+                out.append(None)
+                continue
+            out.append(FrameDecodeResult(
+                words[f], crc_read[f], valid[f], int(refs[f]),
+                int(blacks[f]), int(whites[f]),
+                (int(coords[f, 0]), int(coords[f, 1])),
+                np.zeros(L, bool)))
+        return out
+
     # -- frame decode -----------------------------------------------------
     def decode_frame(self, pixels: np.ndarray) -> FrameDecodeResult | None:
         """pixels [L, W] uint8 (one frame, field-sequential order)."""

@@ -1,0 +1,76 @@
+"""Aux subsystems: renderer, ArVid model, mesh chunking, resume."""
+import numpy as np
+
+from sdvpcmdecoder_tpu.formats import arvid, stc007
+from sdvpcmdecoder_tpu.pipeline import render, stitcher_stc007 as st
+from sdvpcmdecoder_tpu.parallel import mesh
+from sdvpcmdecoder_tpu.utils import resume
+from sdvpcmdecoder_tpu.synth import encoder as enc
+
+
+def test_render_lines_and_ppm(tmp_path):
+    rng = np.random.default_rng(0)
+    words = rng.integers(0, 1 << 14, size=(12, 8))
+    crcs = stc007.calc_crc(words, xp=np)
+    valid = np.ones(12, bool)
+    valid[3] = False
+    img = render.render_stc007_lines(words, crcs, valid,
+                                     fixed_p=np.arange(12) == 5)
+    assert img.shape == (12, 137 * render.PPB_STC007LINE, 3)
+    # Invalid line has red bit-1 cells, valid gray, P-fixed green.
+    assert (img[3] == render.PAL_RED[1]).all(axis=-1).any()
+    assert (img[0] == render.PAL_GRAY[1]).all(axis=-1).any()
+    assert (img[5] == render.PAL_GREEN[1]).all(axis=-1).any()
+    p = tmp_path / "x.ppm"
+    render.write_ppm(p, img)
+    back = render.read_ppm(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_arvid_bits_roundtrip():
+    rng = np.random.default_rng(1)
+    words = rng.integers(0, 256, size=(5, arvid.WORD_CNT))
+    bits = arvid.words_to_data_bits(words)
+    assert bits.shape == (5, arvid.BITS_PCM_DATA)
+    np.testing.assert_array_equal(arvid.data_bits_to_words(bits), words)
+
+
+def test_chunk_halo():
+    lines = np.arange(1000)[:, None] * np.ones((1, 4))
+    chunks, chunk = mesh.chunk_lines_with_halo(lines, 4)
+    assert chunks.shape[0] == 4
+    assert chunks.shape[1] == chunk + mesh.HALO
+    # Halo overlap: chunk k's tail == chunk k+1's head.
+    np.testing.assert_array_equal(chunks[0][chunk:], chunks[1][:mesh.HALO])
+
+
+def test_resume_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    lpf = 294
+    n = 3 * 3 * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, size=n),
+                               rng.integers(1, 1 << 14, size=n), 3,
+                               lines_pf=lpf)
+    s = st.STC007Stitcher(preset_video=st.VID_PAL)
+    for fr in frames[:2]:
+        nl = len(fr["crcs"])
+        s.push_frame(st.LineStore.from_decoded(
+            fr["line_words"], fr["crcs"], np.ones(nl, bool),
+            np.full(nl, fr["frame_number"]), fr["line_numbers"]))
+    n_out = len(s.pop_samples())
+    ck = tmp_path / "ck"
+    resume.save_checkpoint(ck, 2, s, n_out)
+    s2 = st.STC007Stitcher(preset_video=st.VID_PAL)
+    fidx, written = resume.load_checkpoint(ck, s2)
+    assert (fidx, written) == (2, n_out)
+    assert s2.frasm_f1.frame_number == s.frasm_f1.frame_number
+    assert len(s2.conv_queue) == len(s.conv_queue)
+    np.testing.assert_array_equal(s2.conv_queue.words, s.conv_queue.words)
+    # Resumed stitcher keeps decoding the remaining frames.
+    fr = frames[2]
+    nl = len(fr["crcs"])
+    s2.push_frame(st.LineStore.from_decoded(
+        fr["line_words"], fr["crcs"], np.ones(nl, bool),
+        np.full(nl, fr["frame_number"]), fr["line_numbers"]))
+    s2.finish()
+    assert len(s2.pop_samples()) > 0
