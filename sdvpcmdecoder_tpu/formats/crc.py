@@ -128,10 +128,18 @@ def crc16_batch(bits: jnp.ndarray, n_bits: int, init: int = CRC_INIT,
     return pack_bits_to_u16(crc_bits) ^ const
 
 
+@functools.lru_cache(maxsize=None)
+def _table_f32(n_bits: int, init: int):
+    table, const = crc16_linear_table(n_bits, init)
+    return np.ascontiguousarray(table, dtype=np.float32), const
+
+
 def crc16_batch_np(bits: np.ndarray, n_bits: int, init: int = CRC_INIT,
                    ) -> np.ndarray:
-    """NumPy twin of crc16_batch for host-side checks."""
-    table, const = crc16_linear_table(n_bits, init)
-    crc_bits = (bits.astype(np.int64) @ table.astype(np.int64)) & 1
+    """NumPy twin of crc16_batch for host-side checks.
+
+    float32 BLAS matmul: 0/1 inputs, sums <= n_bits < 2^24 so exact."""
+    table, const = _table_f32(n_bits, init)
+    crc_bits = (bits.astype(np.float32) @ table).astype(np.int64) & 1
     weights = (1 << np.arange(16)).astype(np.int64)
     return ((crc_bits * weights).sum(axis=-1) ^ const).astype(np.int64)

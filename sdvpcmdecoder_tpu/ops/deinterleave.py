@@ -93,12 +93,31 @@ def _gf2_apply_const(matrix: np.ndarray, words, xp=jnp):
     return gf2.apply_gf2(matrix, words, xp=xp)
 
 
+@functools.lru_cache(maxsize=None)
+def _q_matrix_stacked():
+    """[84, 14] stacked GF(2) matrix: concat of T^(6-k).T for k=0..5, so
+    the whole Q code is ONE matmul over the 6 words' 84 bits."""
+    return np.concatenate([gf2.tpow(6 - k).T for k in range(6)],
+                          axis=0).astype(np.int64)
+
+
 def _calc_q(words, xp=jnp):
-    """Q code (stc007deinterleaver.cpp:1306-1317): sum T^(6-k) w_k."""
-    q = _gf2_apply_const(gf2.tpow(6), words[..., 0], xp=xp)
-    for k, p in ((1, 5), (2, 4), (3, 3), (4, 2), (5, 1)):
-        q = q ^ _gf2_apply_const(gf2.tpow(p), words[..., k], xp=xp)
-    return q
+    """Q code (stc007deinterleaver.cpp:1306-1317): sum T^(6-k) w_k.
+
+    Evaluated as a single [..., 84] @ [84, 14] parity matmul.
+    """
+    shifts = np.arange(gf2.BITS)
+    bits = (words[..., :6, None].astype(xp.int32) >> shifts) & 1
+    flat = bits.reshape(bits.shape[:-2] + (6 * gf2.BITS,))
+    m = _q_matrix_stacked()
+    if xp is jnp:
+        out = jnp.matmul(flat.astype(jnp.int32),
+                         jnp.asarray(m, jnp.int32),
+                         preferred_element_type=jnp.int32) & 1
+    else:
+        out = (flat.astype(np.float32) @ m.astype(np.float32)) \
+            .astype(np.int64) & 1
+    return gf2.bits_to_word(out, xp=xp)
 
 
 def assemble_blocks(line_words, line_crc_ok, line_shifts, resolution,

@@ -1629,21 +1629,20 @@ class STC007Stitcher:
 
         samples = aux["samples"]
         # word "fixed" flag for output: line CRC ok on valid blocks.
-        line_crc_out = batch.line_crc[:, :6]
-        for b in range(n_blocks):
-            bvalid = bool(block_valid[b]) and not bool(broken[b])
-            for k in range(3):
-                li, ri = 2 * k, 2 * k + 1
-                if broken[b]:
-                    lv = rv = lf = rf = False
-                else:
-                    lv = bool(out_valid[b, li])
-                    rv = bool(out_valid[b, ri])
-                    lf = bool(line_crc_out[b, li]) if bvalid else False
-                    rf = bool(line_crc_out[b, ri]) if bvalid else False
-                self.out_samples.append(SamplePair(
-                    left=int(samples[b, li]), right=int(samples[b, ri]),
-                    block_ok=bvalid, left_valid=lv, right_valid=rv,
-                    left_fixed=lf, right_fixed=rf, sample_rate=rate,
-                    emphasis=False))
+        bvalid = block_valid & ~broken
+        wvalid = out_valid[:, :6] & ~broken[:, None]
+        wfixed = batch.line_crc[:, :6] & bvalid[:, None]
+        s6 = samples.reshape(n_blocks * 3, 2)
+        v6 = wvalid.reshape(n_blocks * 3, 2)
+        f6 = wfixed.reshape(n_blocks * 3, 2)
+        b3 = np.repeat(bvalid, 3)
+        self.out_samples.extend(
+            SamplePair(left=int(s6[i, 0]), right=int(s6[i, 1]),
+                       block_ok=bool(b3[i]),
+                       left_valid=bool(v6[i, 0]),
+                       right_valid=bool(v6[i, 1]),
+                       left_fixed=bool(f6[i, 0]),
+                       right_fixed=bool(f6[i, 1]),
+                       sample_rate=rate, emphasis=False)
+            for i in range(n_blocks * 3))
         return n_blocks

@@ -149,12 +149,55 @@ class V2DDriver:
             if not usable[f]:
                 out.append(None)
                 continue
+            wf, cf, vf = self._marker_fallback(
+                pixels[f], words[f], crc_read[f], valid[f], int(refs[f]),
+                int(blacks[f]), int(whites[f]))
             out.append(FrameDecodeResult(
-                words[f], crc_read[f], valid[f], int(refs[f]),
+                wf, cf, vf, int(refs[f]),
                 int(blacks[f]), int(whites[f]),
                 (int(coords[f, 0]), int(coords[f, 1])),
                 np.zeros(L, bool)))
         return out
+
+    FALLBACK_BUCKET = 64  # fixed shape so the retry path compiles once
+
+    def _marker_fallback(self, pixels, words, crc_read, valid, ref, black,
+                         white):
+        """Per-line marker coordinates for failed lines (the reference's
+        STG_INPUT_LEVEL re-find). Lines are re-decoded through the same
+        frame-grouped matmul path as batches of single-line frames,
+        padded to a fixed bucket so only one shape ever compiles."""
+        L = pixels.shape[0]
+        bad = np.nonzero(~valid)[0]
+        if len(bad) == 0 or len(bad) == L:
+            return words, crc_read, valid
+        sub = pixels[bad]
+        res = markers.search_markers(sub, np.full(len(bad), ref),
+                                     preset=self.preset)
+        ds, de, mok = markers.coords_from_markers(res)
+        retry = np.nonzero(mok)[0]
+        B = self.FALLBACK_BUCKET
+        for base in range(0, len(retry), B):
+            grp = retry[base:base + B]
+            n = len(grp)
+            px = np.zeros((B, 1, pixels.shape[1]), np.uint8)
+            px[:n, 0] = sub[grp]
+            cds = np.zeros((B, 2), np.int64)
+            cds[:, 1] = pixels.shape[1] - 1
+            cds[:n, 0] = ds[grp]
+            cds[:n, 1] = de[grp]
+            w2 = bz.stc007_frame_decode(
+                jnp.asarray(px), jnp.asarray(cds, jnp.int32),
+                jnp.full((B,), ref, jnp.int32),
+                jnp.full((B,), max(black, 0), jnp.int32),
+                jnp.full((B,), min(white, 255), jnp.int32),
+                hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+            ok2 = np.asarray(w2.valid)[:n, 0]
+            rows = bad[grp[ok2]]
+            words[rows] = np.asarray(w2.words)[:n, 0][ok2]
+            crc_read[rows] = np.asarray(w2.crc_read)[:n, 0][ok2]
+            valid[rows] = True
+        return words, crc_read, valid
 
     # -- frame decode -----------------------------------------------------
     def decode_frame(self, pixels: np.ndarray) -> FrameDecodeResult | None:
@@ -182,31 +225,8 @@ class V2DDriver:
         crc_read = np.asarray(batch.crc_read[0])
         valid = np.asarray(batch.valid[0])
 
-        # Fallback: per-line marker coords for failed lines
-        # (the reference's STG_INPUT_LEVEL marker re-find path).
-        bad = np.nonzero(~valid)[0]
-        if len(bad) and len(bad) < L:
-            sub = pixels[bad]
-            res = markers.search_markers(sub, np.full(len(bad), ref),
-                                         preset=self.preset)
-            ds, de, mok = markers.coords_from_markers(res)
-            retry = np.nonzero(mok)[0]
-            if len(retry):
-                mcoords = np.stack([ds[retry], de[retry]], axis=-1)
-                n = len(retry)
-                w2 = bz.stc007_read_pcm_grid(
-                    jnp.asarray(sub[retry]),
-                    jnp.asarray(mcoords, jnp.int32),
-                    jnp.full((n,), ref, jnp.int32),
-                    jnp.full((n,), max(black, 0), jnp.int32),
-                    jnp.full((n,), min(white, 255), jnp.int32),
-                    hyst_limit=self.hyst_limit,
-                    shift_limit=self.shift_limit)
-                fixed = np.asarray(w2.valid)
-                rows = bad[retry[fixed]]
-                words[rows] = np.asarray(w2.words)[fixed]
-                crc_read[rows] = np.asarray(w2.crc_read)[fixed]
-                valid[rows] = True
+        words, crc_read, valid = self._marker_fallback(
+            pixels, words, crc_read, valid, ref, black, white)
 
         # Duplicate-line detection (doBinarize :825-860): a line whose
         # words differ from the previous by fewer bits than
