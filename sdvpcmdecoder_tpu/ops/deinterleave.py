@@ -153,6 +153,40 @@ def assemble_blocks(line_words, line_crc_ok, line_shifts, resolution,
     return w_out, c_out
 
 
+def assemble_blocks_contiguous(line_words, line_crc_ok, n_blocks,
+                               resolution, xp=jnp):
+    """assemble_blocks for consecutive shifts 0..n_blocks-1.
+
+    Tap w of block b reads line b + 16w, so each tap column is ONE
+    contiguous slice — no gather (TPU gathers are ~10x slower than
+    slices)."""
+    w_cols = [line_words[w * stc007.INTERLEAVE_OFS:
+                         w * stc007.INTERLEAVE_OFS + n_blocks, w]
+              for w in range(N_WORDS)]
+    c_cols = [line_crc_ok[w * stc007.INTERLEAVE_OFS:
+                          w * stc007.INTERLEAVE_OFS + n_blocks, w]
+              for w in range(N_WORDS)]
+    w = xp.stack(w_cols, axis=-1)
+    c = xp.stack(c_cols, axis=-1)
+    if resolution == RES_14BIT:
+        return w, c
+    s_cols = [line_words[k * stc007.INTERLEAVE_OFS:
+                         k * stc007.INTERLEAVE_OFS + n_blocks, WORD_Q0]
+              for k in range(7)]
+    sc_cols = [line_crc_ok[k * stc007.INTERLEAVE_OFS:
+                           k * stc007.INTERLEAVE_OFS + n_blocks, WORD_Q0]
+               for k in range(7)]
+    s_words = xp.stack(s_cols, axis=-1)
+    s_crc = xp.stack(sc_cols, axis=-1)
+    shifts = np.array(stc007.F1_S_OFFSETS, dtype=np.int32)[None, :]
+    w16 = ((w[:, :7] << stc007.F1_WORD_OFS)
+           + ((s_words >> shifts) & stc007.F1_S_MASK))
+    c16 = c[:, :7] & s_crc
+    zeros = xp.zeros_like(w[:, :1])
+    return (xp.concatenate([w16, zeros], axis=-1),
+            xp.concatenate([c16, xp.ones_like(c[:, :1])], axis=-1))
+
+
 def _first_two_bad(crc_ok, xp=jnp):
     """Indices of first/second invalid audio word (or NO_ERR_INDEX)."""
     bad = ~crc_ok[..., :N_AUDIO]
@@ -458,9 +492,19 @@ def deinterleave(line_words, line_crc_ok, line_shifts,
     auto mode == "use first resolution unless it fails and the other
     succeeds".
     """
+    contiguous = (isinstance(line_shifts, np.ndarray)
+                  and len(line_shifts) > 0
+                  and line_shifts[0] == 0
+                  and np.array_equal(line_shifts,
+                                     np.arange(len(line_shifts))))
+
     def run(res):
-        w, c = assemble_blocks(line_words, line_crc_ok, line_shifts, res,
-                               xp=xp)
+        if contiguous:
+            w, c = assemble_blocks_contiguous(
+                line_words, line_crc_ok, len(line_shifts), res, xp=xp)
+        else:
+            w, c = assemble_blocks(line_words, line_crc_ok, line_shifts,
+                                   res, xp=xp)
         return correct_blocks(w, c, res, en_p=en_p, en_q=en_q,
                               force_ecc=force_ecc, xp=xp)
 

@@ -56,28 +56,57 @@ def decode_stream(pixels, coords, ref_level, black, white,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hyst_limit", "shift_limit", "res_mode", "m2"))
+    static_argnames=("hyst_limit", "shift_limit", "res_mode", "m2",
+                     "use_pallas"))
 def decode_frames(pixels, coords, ref_level, black, white,
                   hyst_limit=4, shift_limit=2,
-                  res_mode=di.RES_MODE_14BIT, m2=False):
+                  res_mode=di.RES_MODE_14BIT, m2=False, use_pallas=True):
     """Frame-grouped production path: pixels [F, Lf, W], coords [F, 2],
     ref/black/white [F]. Lines are temporally contiguous across frames;
     the deinterleaver runs over the flattened stream.
 
-    Uses the MXU bit-sampling matmul (ops.binarize.stc007_frame_decode)
-    instead of per-line gathers — the TPU-native fast path.
+    use_pallas=True routes the binarize through the fused VMEM kernel
+    (ops.pallas_binarize, ~2.5x the XLA trial-grid path, bit-identical);
+    both avoid per-line gathers via the MXU bit-sampling matmul.
     """
+    from ..ops import pallas_binarize as pb
     F, Lf, W = pixels.shape
-    batch = bz.stc007_frame_decode(pixels, coords, ref_level, black, white,
-                                   hyst_limit=hyst_limit,
-                                   shift_limit=shift_limit)
+    if use_pallas:
+        batch = pb.stc007_fused_decode_frames(
+            pixels, coords, ref_level, black, white,
+            hyst_limit=hyst_limit, shift_limit=shift_limit)
+    else:
+        batch = bz.stc007_frame_decode(pixels, coords, ref_level, black,
+                                       white, hyst_limit=hyst_limit,
+                                       shift_limit=shift_limit)
     L = F * Lf
     words = batch.words.reshape(L, 8)
     valid = batch.valid.reshape(L)
     crc_ok = jnp.tile(valid[:, None], (1, 8))
     n_blocks = L - stc007.MIN_DEINT_DATA
-    shifts = jnp.arange(n_blocks, dtype=jnp.int32)
-    blocks = di.deinterleave(words, crc_ok, shifts, res_mode=res_mode)
+    # Consecutive shifts -> contiguous-slice assembly (no TPU gathers).
+    w14, c14 = di.assemble_blocks_contiguous(words, crc_ok, n_blocks,
+                                             di.RES_14BIT)
+    if res_mode == di.RES_MODE_14BIT:
+        blocks = di.correct_blocks(w14, c14, di.RES_14BIT)
+    elif res_mode == di.RES_MODE_16BIT:
+        w16, c16 = di.assemble_blocks_contiguous(words, crc_ok, n_blocks,
+                                                 di.RES_16BIT)
+        blocks = di.correct_blocks(w16, c16, di.RES_16BIT)
+    else:
+        first = di.RES_14BIT if res_mode == di.RES_MODE_14BIT_AUTO \
+            else di.RES_16BIT
+        other = di.RES_16BIT if first == di.RES_14BIT else di.RES_14BIT
+        w16, c16 = di.assemble_blocks_contiguous(words, crc_ok, n_blocks,
+                                                 di.RES_16BIT)
+        pick = {di.RES_14BIT: (w14, c14), di.RES_16BIT: (w16, c16)}
+        r1 = di.correct_blocks(*pick[first], first)
+        r2 = di.correct_blocks(*pick[other], other)
+        use2 = (r1.stage == di.STG_BAD_BLOCK) \
+            & (r2.stage != di.STG_BAD_BLOCK)
+        sel = lambda a, b: jnp.where(
+            use2.reshape(use2.shape + (1,) * (a.ndim - 1)), b, a)
+        blocks = di.BlockBatch(*(sel(a, b) for a, b in zip(r1, r2)))
     samples6 = di.block_samples(blocks, m2=m2)
     valid6 = blocks.valid[:, :6]
     stereo = samples6.reshape(n_blocks * 3, 2)
