@@ -100,6 +100,30 @@ def render_lines(line_words: np.ndarray, crcs: np.ndarray, width: int = 1280,
     return pixels, coords
 
 
+def render_bits(bits: np.ndarray, width=1280, ppb=8.0, start_px=32,
+                black=20, white=200, noise_sigma=0.0, rng=None):
+    """Generic bit-array renderer: bits [L, nb] -> pixels [L, width].
+
+    Bit cell i spans [start_px + i*ppb, start_px + (i+1)*ppb). Used for
+    PCM-1 (94 bits, coords = cell 0 start .. cell 94 start) and PCM-16x0
+    (193 bits) synthetic lines.
+    """
+    L, nb = bits.shape
+    px = np.arange(width)
+    cell = np.floor((px - start_px) / ppb).astype(np.int64)
+    inside = (cell >= 0) & (cell < nb)
+    cc = np.clip(cell, 0, nb - 1)
+    vals = np.where(bits[:, cc] != 0, white, black).astype(np.float64)
+    vals = np.where(inside[None, :], vals, float(black))
+    if noise_sigma > 0:
+        rng = rng or np.random.default_rng(0)
+        vals += rng.normal(0.0, noise_sigma, size=vals.shape)
+    pixels = np.clip(np.round(vals), 0, 255).astype(np.uint8)
+    data_start = int(round(start_px))
+    data_stop = int(round(start_px + nb * ppb))
+    return pixels, (data_start, data_stop)
+
+
 def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
                   first_frame=1, bottom_crop=0, top_crop=0):
     """Field-structured synthetic capture for the stitcher.

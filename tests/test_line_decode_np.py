@@ -1,0 +1,106 @@
+"""Host slow-path decoder: PCM-1/16x0 pixel decode, coordinate sweep,
+bit picker, control bit."""
+import numpy as np
+import pytest
+
+from sdvpcmdecoder_tpu.formats import pcm1, pcm16x0
+from sdvpcmdecoder_tpu.ops import line_decode_np as ld
+from sdvpcmdecoder_tpu.synth import encoder as enc
+
+
+def _pcm1_line(seed=0):
+    rng = np.random.default_rng(seed)
+    words = rng.integers(0, 1 << 13, size=(1, 6))
+    crc = int(pcm1.calc_crc(words, xp=np)[0])
+    bits = pcm1.words_to_data_bits(words, np.asarray([crc]), xp=np)
+    return words[0], crc, bits
+
+
+def test_pcm1_pixel_decode_known_coords():
+    words, crc, bits = _pcm1_line(1)
+    pixels, (ds, de) = enc.render_bits(bits, width=1024, ppb=10.0)
+    got_w, got_crc, calc, valid, d, s = ld.read_pcm_grid(
+        ld.decode_trial_pcm1, pixels[0], ds, de, 110, 20, 200, 1024, 0, 2)
+    assert valid
+    assert got_w == list(words)
+    assert got_crc == crc
+
+
+def test_pcm1_coordinate_sweep_finds_data():
+    words, crc, bits = _pcm1_line(2)
+    pixels, (ds, de) = enc.render_bits(bits, width=1024, ppb=10.0,
+                                       start_px=40)
+    # The sweep is seeded by history/prescan coordinates in the real flow
+    # (findPCM1Coordinates takes coord_history); give it an offset seed
+    # within the sweep span.
+    res = ld.search_coordinates(pixels[0], 110, 20, 200, 1024, fmt="pcm1",
+                                history=(ds + 9, de - 11))
+    assert res is not None, "sweep failed"
+    assert res["words"] == list(words)
+    assert res["crc"] == crc
+
+
+def test_pcm1_bit_picker_recovers_cut_bits():
+    words, crc, bits = _pcm1_line(3)
+    # Render with the line's left edge cut: first 3 bit cells off-frame.
+    pixels, (ds, de) = enc.render_bits(bits[:, 3:], width=1024, ppb=10.0,
+                                       start_px=0)
+    # Decoder believes data starts 3 cells left of the frame.
+    ds_virtual = -30
+    got_w, got_crc, calc, valid, d, s = ld.read_pcm_grid(
+        ld.decode_trial_pcm1, pixels[0], ds_virtual, de, 110, 20, 200,
+        1024, 0, 0)
+    assert not valid  # leading bits unreadable
+    fixed_w, fixed_crc, ok, pl, pr, forced = ld.pick_cut_bits_pcm1(
+        got_w, got_crc, ds_virtual, de, 1024)
+    assert ok and not forced
+    assert pl >= 3
+    assert fixed_w == list(words)
+
+
+def test_pcm16x0_three_parts_decode():
+    rng = np.random.default_rng(4)
+    sub_words = rng.integers(0, 1 << 16, size=(3, 3))
+    crcs = pcm16x0.calc_crc(sub_words, xp=np)
+    line_bits = pcm16x0.line_bits(sub_words[None], crcs[None], ctrl_bit=1,
+                                  xp=np)
+    pixels, (ds, de) = enc.render_bits(line_bits, width=1600, ppb=7.0)
+    for part in range(3):
+        w, crc_read, calc, valid, d, s = ld.read_pcm_grid(
+            ld.decode_trial_pcm16x0, pixels[0], ds, de, 110, 20, 200,
+            1600, 0, 1, part=part)
+        assert valid, f"part {part}"
+        assert w == list(sub_words[part])
+    assert ld.read_control_bit(pixels[0], ds, de, 110, 1600) is True
+
+
+def test_pcm16x0_coordinate_sweep():
+    rng = np.random.default_rng(5)
+    sub_words = rng.integers(0, 1 << 16, size=(3, 3))
+    crcs = pcm16x0.calc_crc(sub_words, xp=np)
+    line_bits = pcm16x0.line_bits(sub_words[None], crcs[None], 0, xp=np)
+    pixels, (ds, de) = enc.render_bits(line_bits, width=1600, ppb=7.0,
+                                       start_px=37)
+    res = ld.search_coordinates(pixels[0], 110, 20, 200, 1600,
+                                fmt="pcm16x0", part=0,
+                                history=(ds + 5, de - 4))
+    assert res is not None
+    assert res["words"] == list(sub_words[0])
+
+
+def test_stc007_trial_matches_device_path():
+    import jax.numpy as jnp
+    from sdvpcmdecoder_tpu.ops import binarize as bz
+    rng = np.random.default_rng(6)
+    n = 3 * 130
+    left = rng.integers(1, 1 << 14, size=n)
+    right = rng.integers(1, 1 << 14, size=n)
+    pixels, coords, lw, crcs = enc.encode_stream(left, right, width=1152,
+                                                 ppb=8.0)
+    for i in (0, 10, 50):
+        w, cr, calc, valid, d, s = ld.read_pcm_grid(
+            ld.decode_trial_stc007, pixels[i], coords[i, 0], coords[i, 1],
+            110, 20, 200, 1152, 2, 1)
+        assert valid
+        assert w == list(lw[i])
+        assert cr == crcs[i]
