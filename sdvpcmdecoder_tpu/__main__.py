@@ -88,12 +88,11 @@ def main(argv=None):
     }
     hyst, shift = QUALITY_LIMITS[args.quality]
 
-    if args.format not in ("stc007", "m2"):
-        print(f"note: {args.format} decode runs through the line-store "
-              "API; CLI ingest currently binarizes STC-007 geometry only",
-              file=sys.stderr)
-
     out_path = args.output or (args.input.rsplit(".", 1)[0] + ".wav")
+
+    if args.format in ("pcm1", "pcm16x0"):
+        return _decode_other_format(args, raw_size, mask_map, hyst, shift,
+                                    out_path)
 
     t0 = time.perf_counter()
     with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
@@ -197,6 +196,128 @@ def main(argv=None):
     print(f"decoded {frame_no} frames in {dt:.2f}s "
           f"({frame_no / dt:.1f} fps) -> {out_path} "
           f"(masked {proc.total_masked} samples)")
+    return 0
+
+
+def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
+    """PCM-1 / PCM-16x0 CLI decode path (pixels -> format stitcher)."""
+    import jax.numpy as jnp
+    from .pipeline import ingest, audio as ap, wav
+    from .ops import binarize as bz, agc, markers  # noqa: F401
+    from .pipeline import stitcher_pcm1 as sp1
+    from .pipeline import stitcher_pcm16x0 as sp16
+    from .pipeline.stitcher_stc007 import ORDER_TFF, ORDER_BFF, ORDER_UNK
+
+    proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
+                                                 args.mask_scope)])
+    order = {"auto": ORDER_TFF, "tff": ORDER_TFF, "bff": ORDER_BFF}[
+        args.field_order]
+    if args.format == "pcm1":
+        stitcher = sp1.PCM1Stitcher(field_order=order)
+    else:
+        stitcher = sp16.PCM16X0Stitcher(field_order=order,
+                                        en_p=not args.no_ecc)
+    writer = None
+    frame_no = 0
+    coord_hist = None  # frame-level coordinate damping (V2D analog)
+    with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
+        print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
+        n_frames = rd.n_frames if args.frames is None \
+            else min(args.frames, rd.n_frames)
+        for base in range(0, n_frames, args.batch):
+            batch = rd.read_frames(base, min(args.batch, n_frames - base))
+            for f in range(batch.shape[0]):
+                lines, nums = ingest.split_fields(batch[f])
+                frame_no += 1
+                L, W = lines.shape
+                blk, wht, okbw = agc.find_black_white(lines[:4])
+                black = int(np.median(blk))
+                white = int(np.median(wht))
+                ref = (black + white) // 2
+                # Frame coordinates: sweep on spread sample lines
+                # (prescanCoordinates analog), seeded by prior frames.
+                from .ops import line_decode_np as ld
+                sw = None
+                gap = L // 5
+                for k in range(1, 5):
+                    sw = ld.search_coordinates(
+                        lines[k * gap], ref, black, white, W,
+                        fmt=args.format, history=coord_hist)
+                    if sw is not None:
+                        break
+                if sw is not None:
+                    coord_hist = (sw["start"], sw["stop"])
+                if coord_hist is None:
+                    continue
+                coords = jnp.asarray([list(coord_hist)], jnp.int32)
+                if args.format == "pcm1":
+                    w, cr, valid = bz.pcm1_frame_decode(
+                        jnp.asarray(lines[None]), coords,
+                        jnp.asarray([ref], jnp.int32),
+                        jnp.asarray([black], jnp.int32),
+                        jnp.asarray([white], jnp.int32),
+                        shift_limit=shift)
+                    store = sp1.PCM1LineStore.from_decoded(
+                        np.asarray(w[0]), np.asarray(cr[0]),
+                        np.full(L, frame_no), nums,
+                        ref_level=np.full(L, ref))
+                    if frame_no == 1:
+                        tag = sp1.PCM1LineStore(1)
+                        tag.service[0] = sp1.SRV_NEW_FILE
+                        tag.frame_number[0] = frame_no
+                        store = sp1.PCM1LineStore.concat([tag, store])
+                    stitcher.push_frame(store)
+                else:
+                    w, cr, valid, cb = bz.pcm16x0_frame_decode(
+                        jnp.asarray(lines[None]), coords,
+                        jnp.asarray([ref], jnp.int32),
+                        jnp.asarray([black], jnp.int32),
+                        jnp.asarray([white], jnp.int32),
+                        shift_limit=shift)
+                    wl = np.asarray(w[0]).reshape(L * 3, 3)
+                    cl = np.asarray(cr[0]).reshape(L * 3)
+                    store = sp16.PCM16X0LineStore.from_decoded(
+                        wl, cl, np.full(L * 3, frame_no),
+                        np.repeat(nums, 3), np.tile(np.arange(3), L),
+                        control_bit=np.repeat(np.asarray(cb[0]), 3))
+                    if frame_no == 1:
+                        tag = sp16.PCM16X0LineStore(1)
+                        tag.service[0] = sp16.SRV_NEW_FILE
+                        tag.frame_number[0] = frame_no
+                        store = sp16.PCM16X0LineStore.concat([tag, store])
+                    stitcher.push_frame(store)
+            pairs = [p for p in stitcher.pop_samples()
+                     if p.service == 0]
+            if pairs:
+                samples = np.array([[p.left, p.right] for p in pairs],
+                                   dtype=np.int16)
+                valid2 = np.array([[p.left_valid, p.right_valid]
+                                   for p in pairs], dtype=bool)
+                blk2 = np.array([[p.block_ok, p.block_ok] for p in pairs],
+                                dtype=bool)
+                out = proc.process(samples, valid2, blk2, file_end=False)
+                if writer is None:
+                    writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+                writer.write(out)
+                writer.flush()
+    stitcher.finish()
+    pairs = [p for p in stitcher.pop_samples() if p.service == 0]
+    if pairs:
+        samples = np.array([[p.left, p.right] for p in pairs],
+                           dtype=np.int16)
+        valid2 = np.array([[p.left_valid, p.right_valid] for p in pairs],
+                          dtype=bool)
+        blk2 = np.array([[p.block_ok, p.block_ok] for p in pairs],
+                        dtype=bool)
+        out = proc.process(samples, valid2, blk2, file_end=True)
+        if writer is None:
+            writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+        writer.write(out)
+    if writer is not None:
+        writer.close()
+    else:
+        print("warning: no decodable PCM found", file=sys.stderr)
+    print(f"decoded {frame_no} frames -> {out_path}")
     return 0
 
 

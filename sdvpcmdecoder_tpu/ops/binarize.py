@@ -283,6 +283,152 @@ def stc007_frame_decode(pixels, coords, ref_level, black, white,
                      valid=any_valid, hyst=pick_h, shift=pick_s)
 
 
+@functools.lru_cache(maxsize=None)
+def format_syndrome_table(fmt: str):
+    """Affine syndrome map (TABLE [n,16], CONST) for any format's line
+    bits: syndrome(bits) == 0 iff calculated CRC equals the read CRC.
+
+    Built numerically from the format's scalar CRC (linearity over GF(2)
+    makes n+1 evaluations sufficient); covers the PCM-1 complemented CRC
+    scheme transparently.
+    """
+    from ..formats import pcm1 as _p1, pcm16x0 as _p16
+
+    if fmt == "stc007":
+        table, const = stc007.crc_syndrome_table()
+        return table.astype(np.int32), const
+
+    if fmt == "pcm1":
+        n_words, wbits, nb = 6, 13, _p1.BITS_PCM_DATA
+
+        def synd(bits):
+            words, crc_read = _p1.data_bits_to_words(bits[None], xp=np)
+            return int(_p1.calc_crc(words, xp=np)[0]) ^ int(crc_read[0])
+    elif fmt == "pcm16x0":
+        n_words, wbits, nb = 3, 16, _p16.BITS_PCM_DATA
+
+        def synd(bits):
+            words, crc_read = _p16.data_bits_to_words(bits[None], xp=np)
+            return int(_p16.calc_crc(words, xp=np)[0]) ^ int(crc_read[0])
+    else:
+        raise ValueError(fmt)
+    zero = np.zeros(nb, dtype=np.int64)
+    const = synd(zero)
+    table = np.zeros((nb, 16), dtype=np.int32)
+    for i in range(nb):
+        e = zero.copy()
+        e[i] = 1
+        v = synd(e) ^ const
+        table[i] = [(v >> j) & 1 for j in range(16)]
+    return table, const
+
+
+FORMAT_GEOM = {
+    # n_bits, bit_ofs(part-adjusted at call), bits_between, bits_per_line,
+    # left_zone, right_zone
+    "stc007": (stc007.BITS_PCM_DATA, stc007.COORD_BIT_OFS,
+               stc007.BITS_BETWEEN_COORDS, stc007.BITS_IN_LINE,
+               stc007.BITS_LEFT_SHIFT, stc007.BITS_RIGHT_SHIFT),
+    "pcm1": (94, 0, 94, 94, 16, 52),
+    "pcm16x0": (64, 0, 193, 193, 34, 107),
+}
+
+
+def generic_frame_decode(pixels, coords, ref_level, black, white, fmt,
+                         hyst_limit=0, shift_limit=2, part_start=0):
+    """Format-parameterized frame-grouped trial-grid decode.
+
+    Same MXU machinery as stc007_frame_decode for PCM-1 (94-bit lines)
+    and PCM-16x0 (64-bit sublines; call 3x with part_start in
+    {0, 64, 129}). Returns (bits [F, L, n_bits] int32, valid [F, L],
+    hyst, shift).
+    """
+    F, L, W = pixels.shape
+    n_h, n_s = hyst_limit + 1, shift_limit + 1
+    n_bits, bit_ofs, between, per_line, lz, rz = FORMAT_GEOM[fmt]
+    data_start = coords[:, 0].astype(jnp.int32)
+    data_stop = coords[:, 1].astype(jnp.int32)
+    psm, half = calc_ppb(data_start, data_stop, between)
+    shift_ids = jnp.arange(n_s, dtype=jnp.int32)
+    pc = bit_pixel_coords(
+        data_start[:, None], psm[:, None], half[:, None],
+        shift_ids[None, :], n_bits, bit_ofs + part_start, per_line, lz, rz,
+        pixel_stop=W)
+    sel = _selection_matrix(pc, W)
+    px = jnp.einsum("flw,fsbw->fslb", pixels.astype(jnp.bfloat16), sel,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    depths = jnp.arange(n_h, dtype=jnp.int32)
+    rl = jnp.maximum(ref_level[None, :] - depths[:, None], 1)
+    rh = jnp.minimum(ref_level[None, :] + depths[:, None], 254)
+    read_ok = (rl > black[None, :]) & (rh < white[None, :])
+    bits = hysteresis_read(px[None], rl[:, :, None, None],
+                           rh[:, :, None, None])  # [H, F, S, L, n]
+    table, const = format_syndrome_table(fmt)
+    synd_bits = jnp.matmul(bits.astype(jnp.bfloat16),
+                           jnp.asarray(table, jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    synd = crc_mod.pack_bits_to_u16(synd_bits.astype(jnp.int32) & 1) ^ const
+    valid = (synd == 0) & read_ok[:, :, None, None]
+    prio = (depths[:, None] * n_s + shift_ids[None, :])[:, None, :, None]
+    big = n_h * n_s
+    fv = valid.transpose(1, 3, 0, 2).reshape(F, L, big)
+    fp = jnp.broadcast_to(prio, valid.shape) \
+        .transpose(1, 3, 0, 2).reshape(F, L, big)
+    pick = jnp.argmin(jnp.where(fv, fp, big), axis=-1)
+    any_valid = jnp.any(fv, axis=-1)
+    pick = jnp.where(any_valid, pick, 0)
+    bits_fl = bits.transpose(1, 3, 0, 2, 4).reshape(F, L, big, n_bits)
+    chosen = jnp.take_along_axis(bits_fl, pick[..., None, None],
+                                 axis=2)[:, :, 0]
+    return chosen, any_valid, pick // n_s, pick % n_s
+
+
+def pcm1_frame_decode(pixels, coords, ref_level, black, white,
+                      shift_limit=2):
+    """PCM-1 frame decode -> (words [F,L,6], crc_read [F,L], valid)."""
+    from ..formats import pcm1 as _p1
+    bits, valid, hyst, shift = generic_frame_decode(
+        pixels, coords, ref_level, black, white, "pcm1",
+        hyst_limit=0, shift_limit=shift_limit)
+    words, crc_read = _p1.data_bits_to_words(bits)
+    return words, crc_read, valid
+
+
+def pcm16x0_frame_decode(pixels, coords, ref_level, black, white,
+                         shift_limit=2):
+    """PCM-16x0 frame decode: 3 sublines per line + control bit.
+
+    Returns (words [F, L, 3, 3], crc_read [F, L, 3], valid [F, L, 3],
+    ctrl_bit [F, L]).
+    """
+    from ..formats import pcm16x0 as _p16
+    per_part = []
+    for part, pstart in enumerate((0, 64, 129)):
+        bits, valid, hyst, shift = generic_frame_decode(
+            pixels, coords, ref_level, black, white, "pcm16x0",
+            hyst_limit=0, shift_limit=shift_limit, part_start=pstart)
+        w, c = _p16.data_bits_to_words(bits)
+        per_part.append((w, c, valid))
+    words = jnp.stack([p[0] for p in per_part], axis=2)
+    crc_read = jnp.stack([p[1] for p in per_part], axis=2)
+    valid = jnp.stack([p[2] for p in per_part], axis=2)
+    # Control bit: line bit 128 sampled at shift stage 0, plain threshold.
+    F, L, W = pixels.shape
+    n_bits, bit_ofs, between, per_line, lz, rz = FORMAT_GEOM["pcm16x0"]
+    data_start = coords[:, 0].astype(jnp.int32)
+    data_stop = coords[:, 1].astype(jnp.int32)
+    psm, half = calc_ppb(data_start, data_stop, between)
+    cpx = bit_pixel_coords(
+        data_start[:, None], psm[:, None], half[:, None],
+        jnp.zeros((1,), jnp.int32)[None, :], 1, 128, per_line, lz, rz,
+        pixel_stop=W)                                   # [F, 1, 1]
+    selc = _selection_matrix(cpx, W)
+    cval = jnp.einsum("flw,fsbw->fslb", pixels.astype(jnp.bfloat16), selc,
+                      preferred_element_type=jnp.float32)
+    ctrl = cval[:, 0, :, 0].astype(jnp.int32) > ref_level[:, None]
+    return words, crc_read, valid, ctrl
+
+
 def pick_center_ref_level(black, white, min_contrast=8, min_ref_lvl=1,
                           max_ref_lvl=254, xp=jnp):
     """Mid-point reference pick (binarizer.cpp pickCenterRefLevel).

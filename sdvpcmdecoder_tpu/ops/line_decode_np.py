@@ -307,7 +307,9 @@ def search_coordinates(pixels_line, ref, black, white, width, fmt="pcm1",
         ds, de = history
     else:
         # First transition from each edge (findPCM1Coordinates :5620-5700).
-        margin = width // 16
+        # The reference uses width/16; with no history at all we widen the
+        # seed search so captures with large borders still bootstrap.
+        margin = width // 4
         line = pixels_line
         state = line[0] > ref
         ds = 0

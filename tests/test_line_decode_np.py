@@ -104,3 +104,41 @@ def test_stc007_trial_matches_device_path():
         assert valid
         assert w == list(lw[i])
         assert cr == crcs[i]
+
+
+def test_generic_device_decode_pcm1():
+    import jax.numpy as jnp
+    from sdvpcmdecoder_tpu.ops import binarize as bz
+    rng = np.random.default_rng(7)
+    words = rng.integers(0, 1 << 13, size=(20, 6))
+    crcs = pcm1.calc_crc(words, xp=np)
+    bits = pcm1.words_to_data_bits(words, crcs, xp=np)
+    pixels, (ds, de) = enc.render_bits(bits, width=1024, ppb=10.0)
+    w, cr, valid = bz.pcm1_frame_decode(
+        jnp.asarray(pixels[None]), jnp.asarray([[ds, de]], jnp.int32),
+        jnp.asarray([110], jnp.int32), jnp.asarray([20], jnp.int32),
+        jnp.asarray([200], jnp.int32))
+    assert bool(jnp.all(valid))
+    np.testing.assert_array_equal(np.asarray(w[0]), words)
+    np.testing.assert_array_equal(np.asarray(cr[0]), crcs)
+
+
+def test_generic_device_decode_pcm16x0():
+    import jax.numpy as jnp
+    from sdvpcmdecoder_tpu.ops import binarize as bz
+    rng = np.random.default_rng(8)
+    sub_words = rng.integers(0, 1 << 16, size=(15, 3, 3))
+    crcs = pcm16x0.calc_crc(sub_words, xp=np)
+    ctrl = (rng.integers(0, 2, size=15)).astype(np.int64)
+    rows = [pcm16x0.line_bits(sub_words[i:i+1], crcs[i:i+1], int(ctrl[i]),
+                              xp=np)[0] for i in range(15)]
+    line_bits = np.stack(rows)
+    pixels, (ds, de) = enc.render_bits(line_bits, width=1600, ppb=7.0)
+    w, cr, valid, cb = bz.pcm16x0_frame_decode(
+        jnp.asarray(pixels[None]), jnp.asarray([[ds, de]], jnp.int32),
+        jnp.asarray([110], jnp.int32), jnp.asarray([20], jnp.int32),
+        jnp.asarray([200], jnp.int32))
+    assert bool(jnp.all(valid))
+    np.testing.assert_array_equal(np.asarray(w[0]), sub_words)
+    np.testing.assert_array_equal(np.asarray(cr[0]), crcs)
+    np.testing.assert_array_equal(np.asarray(cb[0]).astype(np.int64), ctrl)
