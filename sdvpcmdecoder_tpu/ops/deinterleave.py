@@ -83,6 +83,16 @@ def _q_solve_banks():
     return A, B
 
 
+@functools.lru_cache(maxsize=None)
+def _q_solve_banks_stacked():
+    """Stacked transposed banks [14, 49*14] so e1 contributions for all
+    pairs come from two fixed matmuls."""
+    A, B = _q_solve_banks()
+    Astack = np.concatenate([A[k].T for k in range(49)], axis=1)
+    Bstack = np.concatenate([B[k].T for k in range(49)], axis=1)
+    return Astack.astype(np.int64), Bstack.astype(np.int64)
+
+
 def _calc_p(words):
     """P parity (stc007deinterleaver.cpp:1296-1304): XOR of audio words."""
     return (words[..., 0] ^ words[..., 1] ^ words[..., 2]
@@ -238,8 +248,28 @@ def correct_blocks(words, crc_ok, resolution, en_p=True, en_q=True,
     pair_k = xp.where(pair_valid,
                       first * 7 + xp.minimum(eff_second, 6), 0)
     if q_active:
-        e1 = (gf2.apply_gf2_indexed(list(A_bank), pair_k, sq, xp=xp)
-              ^ gf2.apply_gf2_indexed(list(B_bank), pair_k, sp, xp=xp))
+        # e1 = A[k] @ sq ^ B[k] @ sp for the per-block pair k. Evaluated
+        # as two FIXED matmuls against the stacked banks [14, 49*14]
+        # followed by a one-hot pair selection — no per-block matrix
+        # gathers (slow on TPU).
+        Astack, Bstack = _q_solve_banks_stacked()
+        sq_bits = gf2.word_to_bits(sq, xp=xp).astype(
+            jnp.int32 if xp is jnp else np.int64)
+        sp_bits = gf2.word_to_bits(sp, xp=xp).astype(sq_bits.dtype)
+        if xp is jnp:
+            allq = jnp.matmul(sq_bits, jnp.asarray(Astack, jnp.int32),
+                              preferred_element_type=jnp.int32) & 1
+            allp = jnp.matmul(sp_bits, jnp.asarray(Bstack, jnp.int32),
+                              preferred_element_type=jnp.int32) & 1
+        else:
+            allq = (sq_bits.astype(np.float32)
+                    @ Astack.astype(np.float32)).astype(np.int64) & 1
+            allp = (sp_bits.astype(np.float32)
+                    @ Bstack.astype(np.float32)).astype(np.int64) & 1
+        both = (allq ^ allp).reshape(sq.shape + (49, 14))
+        onehot_k = (xp.arange(49) == pair_k[..., None])
+        e1_bits = xp.sum(both * onehot_k[..., None], axis=-2)
+        e1 = gf2.bits_to_word(e1_bits, xp=xp)
         e2 = e1 ^ sp
     else:
         e1 = e2 = xp.zeros_like(sp)
