@@ -193,9 +193,14 @@ def main(argv=None):
         if writer is not None:
             writer.close()
     dt = time.perf_counter() - t0
+    from .utils.stats import DecodeStats
+    agg = DecodeStats()
+    for fr in stitcher.frame_log:
+        agg.add_frame(fr)
+    agg.samples_masked = proc.total_masked
+    print(agg.summary())
     print(f"decoded {frame_no} frames in {dt:.2f}s "
-          f"({frame_no / dt:.1f} fps) -> {out_path} "
-          f"(masked {proc.total_masked} samples)")
+          f"({frame_no / dt:.1f} fps) -> {out_path}")
     return 0
 
 

@@ -1,0 +1,143 @@
+"""Multi-capture batch driver: N concurrent tapes through one chip.
+
+BASELINE config 5: "Batched multi-tape pipeline: 8 concurrent
+dropout-heavy captures, auto format/level search, streaming WAV out."
+
+Design: the device decodes interleaved frame batches from all captures
+(one dispatch covers every capture's next frame chunk — the device never
+idles while hosts stitch); each capture owns its stitcher + audio chain +
+WAV writer, run on a thread pool since the host stitcher is the per-core
+bottleneck.
+"""
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.stats import DecodeStats
+from . import audio as ap
+from . import ingest, v2d, wav
+from . import stitcher_stc007 as st
+
+
+@dataclass
+class CaptureJob:
+    path: str
+    out_path: str
+    reader: object = None
+    driver: object = None
+    stitcher: object = None
+    audio: object = None
+    writer: object = None
+    stats: DecodeStats = dataclasses.field(default_factory=DecodeStats)
+    frame_no: int = 0
+    logged: int = 0
+    first: bool = True
+    done: bool = False
+
+
+class BatchDecoder:
+    """Decode several captures concurrently (STC-007 family)."""
+
+    def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
+                 shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
+                 frames_per_round=4, workers=None):
+        self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
+        self.frames_per_round = frames_per_round
+        preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
+            else st.VID_NTSC
+        for j in self.jobs:
+            j.reader = ingest.VideoReader(j.path)
+            j.driver = v2d.V2DDriver(hyst_limit=hyst_limit,
+                                     shift_limit=shift_limit)
+            j.stitcher = st.STC007Stitcher(preset_video=preset_video)
+            j.audio = ap.AudioProcessor(mask_mode=mask_mode)
+        self.pool = ThreadPoolExecutor(workers or min(8, len(self.jobs)))
+
+    def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
+        for store in stores:
+            job.stitcher.push_frame(store)
+        if finish:
+            job.stitcher.finish()
+        for fr in job.stitcher.frame_log[job.logged:]:
+            job.stats.add_frame(fr)
+        job.logged = len(job.stitcher.frame_log)
+        pairs = [p for p in job.stitcher.pop_samples()
+                 if p.service == st.SRV_NO]
+        if not pairs:
+            return
+        samples = np.array([[p.left, p.right] for p in pairs], np.int16)
+        valid = np.array([[p.left_valid, p.right_valid] for p in pairs],
+                         bool)
+        blk = np.array([[p.block_ok, p.block_ok] for p in pairs], bool)
+        out = job.audio.process(samples, valid, blk, file_end=False)
+        job.stats.add_audio(out, job.audio.total_masked)
+        if job.writer is None:
+            job.writer = wav.WavWriter(job.out_path, pairs[0].sample_rate)
+        job.writer.write(out)
+        job.writer.flush()
+
+    def run(self):
+        """Round-robin: decode a frame chunk per capture per round."""
+        while not all(j.done for j in self.jobs):
+            futures = []
+            for j in self.jobs:
+                if j.done:
+                    continue
+                batch = j.reader.read_frames(j.frame_no,
+                                             self.frames_per_round)
+                if batch.shape[0] == 0:
+                    self._stitch_and_write(j, [], finish=True)
+                    self._drain_final(j)
+                    j.done = True
+                    continue
+                stores = []
+                split = [ingest.split_fields(batch[f])
+                         for f in range(batch.shape[0])]
+                lines_b = np.stack([s[0] for s in split])
+                results = j.driver.decode_frames(lines_b)
+                for (lines, nums), res in zip(split, results):
+                    j.frame_no += 1
+                    if res is None:
+                        j.stats.frames_no_pcm += 1
+                        continue
+                    store = st.LineStore.from_decoded(
+                        res.words, res.crc_read, res.valid,
+                        np.full(len(nums), j.frame_no), nums,
+                        ref_level=np.full(len(nums), res.ref_level))
+                    j.stats.lines_total += len(nums)
+                    j.stats.lines_valid += int(res.valid.sum())
+                    if j.first:
+                        tag = st.LineStore(1)
+                        tag.service[0] = st.SRV_NEW_FILE
+                        tag.frame_number[0] = j.frame_no
+                        store = st.LineStore.concat([tag, store])
+                        j.first = False
+                    stores.append(store)
+                futures.append(self.pool.submit(self._stitch_and_write, j,
+                                                stores))
+            for f in futures:
+                f.result()
+        return {j.path: j.stats for j in self.jobs}
+
+    def _drain_final(self, job):
+        pairs = [p for p in job.stitcher.pop_samples()
+                 if p.service == st.SRV_NO]
+        if pairs:
+            samples = np.array([[p.left, p.right] for p in pairs],
+                               np.int16)
+            valid = np.array([[p.left_valid, p.right_valid]
+                              for p in pairs], bool)
+            blk = np.array([[p.block_ok, p.block_ok] for p in pairs], bool)
+            out = job.audio.process(samples, valid, blk, file_end=True)
+            job.stats.add_audio(out, job.audio.total_masked)
+            if job.writer is None:
+                job.writer = wav.WavWriter(job.out_path,
+                                           pairs[0].sample_rate)
+            job.writer.write(out)
+        if job.writer is not None:
+            job.writer.close()
+        job.reader.close()

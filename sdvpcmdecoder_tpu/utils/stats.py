@@ -1,0 +1,64 @@
+"""Aggregate decode statistics (the GUI counter panel analog).
+
+The reference MainWindow keeps ~30 counters updated by stat slots
+(mainwindow.h:434-467); here a DecodeStats object aggregates the frame
+descriptors the stitchers already produce plus audio-chain masking counts,
+and renders the end-of-run summary.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DecodeStats:
+    frames_total: int = 0
+    frames_no_pcm: int = 0
+    lines_total: int = 0
+    lines_valid: int = 0
+    blocks_total: int = 0
+    blocks_fix_p: int = 0
+    blocks_fix_q: int = 0
+    blocks_fix_cwd: int = 0
+    blocks_broken: int = 0
+    blocks_drop: int = 0
+    samples_drop: int = 0
+    samples_masked: int = 0
+    samples_out: int = 0
+    peak_level: int = 0          # VU analog: max |sample| seen
+
+    def add_frame(self, frasm, lines_total=0, lines_valid=0):
+        self.frames_total += 1
+        self.lines_total += lines_total
+        self.lines_valid += lines_valid
+        self.blocks_total += getattr(frasm, "blocks_total", 0)
+        self.blocks_fix_p += getattr(frasm, "blocks_fix_p", 0)
+        self.blocks_fix_q += getattr(frasm, "blocks_fix_q", 0)
+        self.blocks_fix_cwd += getattr(frasm, "blocks_fix_cwd", 0)
+        self.blocks_broken += (getattr(frasm, "blocks_broken_field", 0)
+                               + getattr(frasm, "blocks_broken", 0))
+        self.blocks_drop += getattr(frasm, "blocks_drop", 0)
+        self.samples_drop += getattr(frasm, "samples_drop", 0)
+
+    def add_audio(self, samples, masked):
+        import numpy as np
+        self.samples_out += len(samples)
+        self.samples_masked += masked
+        if len(samples):
+            self.peak_level = max(self.peak_level,
+                                  int(np.abs(samples).max()))
+
+    def summary(self) -> str:
+        lv = (100.0 * self.lines_valid / self.lines_total
+              if self.lines_total else 0.0)
+        return (
+            f"frames: {self.frames_total} ({self.frames_no_pcm} no PCM)\n"
+            f"lines:  {self.lines_valid}/{self.lines_total} valid "
+            f"({lv:.1f}%)\n"
+            f"blocks: {self.blocks_total} total, "
+            f"P-fix {self.blocks_fix_p}, Q-fix {self.blocks_fix_q}, "
+            f"CWD {self.blocks_fix_cwd}, broken {self.blocks_broken}, "
+            f"dropped {self.blocks_drop}\n"
+            f"samples: {self.samples_out} out, "
+            f"{self.samples_drop} damaged, {self.samples_masked} masked, "
+            f"peak {self.peak_level}")
