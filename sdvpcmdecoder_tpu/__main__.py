@@ -118,6 +118,7 @@ def main(argv=None):
         writer = None
         frame_no = 0
         first = True
+        line_counts = [0, 0]
         for base in range(0, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
             split = [ingest.split_fields(batch[f])
@@ -140,6 +141,8 @@ def main(argv=None):
                 frame_no += 1
                 if res is None:
                     continue
+                line_counts[0] += len(nums)
+                line_counts[1] += int(res.valid.sum())
                 store = st.LineStore.from_decoded(
                     res.words, res.crc_read, res.valid,
                     np.full(len(nums), frame_no), nums,
@@ -197,6 +200,7 @@ def main(argv=None):
     agg = DecodeStats()
     for fr in stitcher.frame_log:
         agg.add_frame(fr)
+    agg.lines_total, agg.lines_valid = line_counts
     agg.samples_masked = proc.total_masked
     print(agg.summary())
     print(f"decoded {frame_no} frames in {dt:.2f}s "
