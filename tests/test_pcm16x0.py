@@ -118,3 +118,30 @@ def test_si_stitcher_detects_padding():
     ok, padding, _ = s.find_si_padding(store)
     assert ok
     assert padding == crop, padding
+
+
+def test_ei_interleave_roundtrip():
+    """EI (PCM-1630) geometry: 490-subline offsets across the frame."""
+    n_lines = 2 * sp16.LINES_PF  # whole frame of sublines
+    usable = di16.EI_OFS * 3
+    left, right = _field_samples(usable, seed=9)
+    sub = np.zeros((n_lines * 3, 3), dtype=np.int64)
+    # Encode one EI block set: block i uses sublines i, i+490, i+980.
+    shifts = np.arange(di16.EI_OFS)
+    orders = (shifts % 2) == 1
+    for i in range(di16.EI_OFS):
+        eo = bool(orders[i])
+        rows = [i, i + di16.EI_OFS, i + 2 * di16.EI_OFS]
+        for blk in range(3):
+            p = 3 * i + blk
+            lval = int(left[p])
+            rval = int(right[p])
+            sub[rows[di16._line_of_word(eo, blk, 0)], blk] = lval
+            sub[rows[di16._line_of_word(eo, blk, 1)], blk] = rval
+            sub[rows[di16._line_of_word(eo, blk, 2)], blk] = lval ^ rval
+    res = di16.decode_blocks(sub, np.ones(len(sub), bool), shifts, orders,
+                             ei=True)
+    assert res["block_valid"].all()
+    got_l = res["samples"][..., 0].reshape(-1)
+    el = np.asarray(pcm16x0.expand_sample(left, xp=np))
+    np.testing.assert_array_equal(got_l, el)
