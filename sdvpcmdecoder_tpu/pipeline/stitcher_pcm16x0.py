@@ -285,6 +285,47 @@ class PCM16X0Stitcher:
                 code=not bool(cb[BIT_CODE_OFS]))
         return ok, st, ctrl
 
+    def find_zero_control_bit_offset(self, field: PCM16X0LineStore,
+                                     from_top=True):
+        """findZeroControlBitOffset (:868-1058): locate the interleave
+        grid by the zeroed control bit repeating every 105 sublines.
+
+        Returns the PART_LEFT subline offset of the best grid anchor, or
+        -1. Vectorized: counts CRC-valid middle sublines with a zero
+        control bit across all 7 interleave blocks for every candidate
+        line offset.
+        """
+        S = len(field)
+        if S < 3:
+            return -1
+        valid = field.crc_valid()
+        n_lines = S // 3
+        limit = min(n_lines, di16.SI_OFS * 3 // 2)
+        mids = np.arange(n_lines) * 3 + 1  # PART_MIDDLE offsets
+        if not from_top:
+            mids = mids[::-1]
+        best_cnt, best_ofs = 0, -1
+        for k in range(limit):
+            base = mids[k]
+            cnt = 0
+            for iblk in range(7):
+                ofs = base + iblk * SI_TRUE_INTERLEAVE if from_top \
+                    else base - iblk * SI_TRUE_INTERLEAVE
+                if 0 <= ofs < S and valid[ofs] \
+                        and not field.control_bit[ofs]:
+                    cnt += 1
+            if cnt > best_cnt:
+                best_cnt, best_ofs = cnt, base - 1  # back to PART_LEFT
+        return best_ofs if best_cnt > 0 else -1
+
+    def padding_from_zero_offset(self, zero_ofs):
+        """Interleave-grid padding (in lines) implied by a zero-bit
+        anchor at PART_LEFT subline `zero_ofs`."""
+        if zero_ofs < 0:
+            return None
+        rem = zero_ofs % SI_TRUE_INTERLEAVE
+        return ((SI_TRUE_INTERLEAVE - rem) // 3) % di16.SI_OFS
+
     def find_si_padding(self, field: PCM16X0LineStore):
         """Sweep paddings, reference-style stats sort + accept rules."""
         stats = []
@@ -299,13 +340,20 @@ class PCM16X0Stitcher:
         best = order[0]
         if best.silent >= MAX_BURST_SILENCE_SI:
             return None, 0, ctrls.get(0, {})
-        if best.unchecked > MAX_BURST_UNCH_SI:
-            return False, 0, ctrls.get(0, {})
-        if len(order) > 1 and not (
-                best.broken < order[1].broken or best.valid > order[1].valid):
-            if best.broken > 0:
-                return False, 0, ctrls.get(0, {})
-        if best.valid == 0:
+        ambiguous = (best.unchecked > MAX_BURST_UNCH_SI
+                     or best.valid == 0
+                     or (len(order) > 1 and best.broken > 0
+                         and not (best.broken < order[1].broken
+                                  or best.valid > order[1].valid)))
+        if ambiguous:
+            # Zero-control-bit grid anchor as the alignment fallback
+            # (findZeroControlBitOffset / estimateBlockNumber).
+            z = self.find_zero_control_bit_offset(field)
+            pad = self.padding_from_zero_offset(z)
+            if pad is not None:
+                _, st2, ctrl2 = self.try_si_padding(field, pad)
+                if st2 is not None and st2.broken == 0 and st2.valid > 0:
+                    return True, pad, ctrl2
             return False, 0, ctrls.get(0, {})
         return True, best.index, ctrls.get(best.index, {})
 

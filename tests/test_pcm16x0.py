@@ -145,3 +145,27 @@ def test_ei_interleave_roundtrip():
     got_l = res["samples"][..., 0].reshape(-1)
     el = np.asarray(pcm16x0.expand_sample(left, xp=np))
     np.testing.assert_array_equal(got_l, el)
+
+
+def test_zero_control_bit_alignment():
+    """The zero control bit repeating every 105 sublines anchors the
+    interleave grid (findZeroControlBitOffset port)."""
+    lpf = sp16.LINES_PF
+    usable = (lpf * 3 // sp16.SI_TRUE_INTERLEAVE) * sp16.SI_TRUE_INTERLEAVE
+    lo, ro = _field_samples(usable, seed=10)
+    sub, _ = di16.interleave_field(lo, ro, lpf)
+    store = _mk_store(sub, lpf)
+    # Control bits: 0 at line_index < 4 lines of each interleave block
+    # (BIT_*_OFS region), 1 elsewhere.
+    S = len(store)
+    pos = np.arange(S) % sp16.SI_TRUE_INTERLEAVE
+    store.control_bit = ~(pos < sp16.BIT_CODE_OFS + 3)
+    s = sp16.PCM16X0Stitcher()
+    z = s.find_zero_control_bit_offset(store)
+    assert z >= 0
+    assert s.padding_from_zero_offset(z) == 0
+    # Crop 5 lines from the top: the anchor must imply padding 5.
+    crop = 5
+    store2 = store.take(np.arange(3 * crop, S))
+    z2 = s.find_zero_control_bit_offset(store2)
+    assert s.padding_from_zero_offset(z2) == crop
