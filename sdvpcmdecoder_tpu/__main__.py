@@ -112,12 +112,15 @@ def main(argv=None):
                           "bff": st.ORDER_BFF}[args.field_order],
             preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[
                 args.resolution])
-        driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift)
+        driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift,
+                               ref_sweep=args.quality == "insane")
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None
         frame_no = 0
         first = True
+        audio_out = 0
+        audio_peak = 0
         line_counts = [0, 0]
         for base in range(0, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
@@ -146,7 +149,8 @@ def main(argv=None):
                 store = st.LineStore.from_decoded(
                     res.words, res.crc_read, res.valid,
                     np.full(len(nums), frame_no), nums,
-                    ref_level=np.full(len(nums), res.ref_level))
+                    ref_level=np.full(len(nums), res.ref_level),
+                    forced_bad=res.forced_bad)
                 if first:
                     tag = st.LineStore(1)
                     tag.service[0] = st.SRV_NEW_FILE
@@ -176,6 +180,9 @@ def main(argv=None):
                 blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
                                dtype=bool)
                 out = proc.process(samples, valid, blk, file_end=False)
+                audio_out += len(out)
+                if len(out):
+                    audio_peak = max(audio_peak, int(np.abs(out).max()))
                 if writer is None:
                     writer = wav.WavWriter(out_path, pairs[0].sample_rate)
                 writer.write(out)
@@ -190,6 +197,9 @@ def main(argv=None):
             blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
                            dtype=bool)
             out = proc.process(samples, valid, blk, file_end=True)
+            audio_out += len(out)
+            if len(out):
+                audio_peak = max(audio_peak, int(np.abs(out).max()))
             if writer is None:
                 writer = wav.WavWriter(out_path, pairs[0].sample_rate)
             writer.write(out)
@@ -202,6 +212,8 @@ def main(argv=None):
         agg.add_frame(fr)
     agg.lines_total, agg.lines_valid = line_counts
     agg.samples_masked = proc.total_masked
+    agg.samples_out = audio_out
+    agg.peak_level = audio_peak
     print(agg.summary())
     print(f"decoded {frame_no} frames in {dt:.2f}s "
           f"({frame_no / dt:.1f} fps) -> {out_path}")

@@ -283,6 +283,133 @@ def stc007_frame_decode(pixels, coords, ref_level, black, white,
                      valid=any_valid, hyst=pick_h, shift=pick_s)
 
 
+def stc007_ref_sweep_decode(pixels, coords, black, white, ref_levels,
+                            hyst_limit=HYST_DEPTH_MAX,
+                            shift_limit=SHIFT_STAGES_MAX):
+    """Full reference-level sweep, TPU-native (sweepRefLevel
+    binarizer.cpp:3551 / calcRefLevelBySweep :3821).
+
+    The reference walks every brightness in [black+1, white-1] per line,
+    re-running its serial trial loops at each level.  Here the sweep is
+    just one more trial axis: per-shift pixel samples are computed ONCE
+    (they don't depend on the reference level), then a lax.scan walks a
+    shared ref-level grid, each step reducing the (hyst, shift) grid to
+    the lexicographically-first valid result for that level — the
+    early-exit readPCMdata call inside the reference's sweep loop.
+
+    pixels [F, L, W] uint8; coords [F, 2]; black/white [F];
+    ref_levels [R] int32 (descending, white -> black scan order).
+    Returns per-level arrays with leading axis R: valid/crc/hyst/shift
+    [R, F, L] and words [R, F, L, 8].  Levels outside a frame's
+    (black, white) open interval are masked invalid, which realises the
+    per-line sweep span without dynamic shapes.
+    """
+    F, L, W = pixels.shape
+    n_h, n_s = hyst_limit + 1, shift_limit + 1
+    data_start = coords[:, 0].astype(jnp.int32)
+    data_stop = coords[:, 1].astype(jnp.int32)
+    psm, half = calc_ppb(data_start, data_stop, stc007.BITS_BETWEEN_COORDS)
+    shift_ids = jnp.arange(n_s, dtype=jnp.int32)
+    pc = bit_pixel_coords(
+        data_start[:, None], psm[:, None], half[:, None],
+        shift_ids[None, :], stc007.BITS_PCM_DATA, stc007.COORD_BIT_OFS,
+        stc007.BITS_IN_LINE, stc007.BITS_LEFT_SHIFT,
+        stc007.BITS_RIGHT_SHIFT, pixel_stop=W)            # [F, S, 128]
+    sel = _selection_matrix(pc, W)                        # [F, S, 128, W]
+    px = jnp.einsum("flw,fsbw->fslb", pixels.astype(jnp.bfloat16), sel,
+                    preferred_element_type=jnp.float32)   # [F, S, L, 128]
+    px = px.astype(jnp.int32)
+    table, const = _syndrome_const()
+    table = jnp.asarray(table, jnp.bfloat16)
+    depths = jnp.arange(n_h, dtype=jnp.int32)
+    prio = depths[:, None] * n_s + shift_ids[None, :]     # [H, S]
+    big = n_h * n_s
+
+    def step(_, ref):
+        rl = jnp.maximum(ref - depths, 1)                 # [H]
+        rh = jnp.minimum(ref + depths, 254)
+        read_ok = (rl[:, None] > black) & (rh[:, None] < white)  # [H, F]
+        bits = hysteresis_read(px[None],
+                               rl[:, None, None, None],
+                               rh[:, None, None, None])   # [H,F,S,L,128]
+        synd_bits = jnp.matmul(bits.astype(jnp.bfloat16), table,
+                               preferred_element_type=jnp.float32)
+        synd_bits = synd_bits.astype(jnp.int32) & 1
+        syndrome = crc_mod.pack_bits_to_u16(synd_bits) ^ const
+        valid = (syndrome == 0) & read_ok[:, :, None, None]  # [H,F,S,L]
+        flat_valid = valid.transpose(1, 3, 0, 2).reshape(F, L, big)
+        flat_prio = jnp.broadcast_to(prio[:, None, :, None], valid.shape) \
+            .transpose(1, 3, 0, 2).reshape(F, L, big)
+        order = jnp.where(flat_valid, flat_prio, big)
+        pick = jnp.argmin(order, axis=-1)                 # [F, L]
+        any_valid = jnp.any(flat_valid, axis=-1)
+        pick = jnp.where(any_valid, pick, 0)
+        bits_fl = bits.transpose(1, 3, 0, 2, 4)           # [F,L,H,S,128]
+        chosen = jnp.take_along_axis(
+            bits_fl.reshape(F, L, big, stc007.BITS_PCM_DATA),
+            pick[..., None, None], axis=2)[:, :, 0]
+        words, crc_read = stc007.data_bits_to_words(chosen)
+        return None, (any_valid, crc_read.astype(jnp.int32),
+                      (pick // n_s).astype(jnp.int32),
+                      (pick % n_s).astype(jnp.int32), words)
+
+    _, (valid, crc, hyst, shift, words) = jax.lax.scan(
+        step, None, ref_levels.astype(jnp.int32))
+    return dict(valid=valid, crc=crc, hyst=hyst, shift=shift, words=words)
+
+
+def pick_ref_sweep(valid, crc, hyst, shift, min_valid_crcs=5):
+    """CRC-statistics selection over a ref-level sweep (host numpy).
+
+    Port of calcRefLevelBySweep :3821 selection: find the most frequent
+    CRC across levels (findMostFrequentCRC :1829), drop collisions
+    (invalidateNonFrequentCRCs :1931), require a span of at least
+    `min_valid_crcs` levels (digi_set default, binarizer.cpp:55), then
+    pick the middle of the longest contiguous run at the lowest
+    (hysteresis, shift) combo (pickLevelByCRCStats :1985).  A span that
+    exists but is too narrow still yields a pick, flagged forced-bad
+    (SPAN_TOO_NARROW -> pickLevelByCRCStatsOpt + setForcedBad :3997).
+
+    Arrays are [R, N] (levels descending, lines flattened).
+    Returns (pick_idx [N], good [N], forced_bad [N]); pick_idx is -1
+    where no level produced a valid CRC.
+    """
+    R, N = valid.shape
+    crc = np.where(valid, crc, -1)
+    # Count, for each level r, how many levels share its CRC.
+    same = (crc[:, None, :] == crc[None, :, :]) & valid[None, :, :]
+    counts = same.sum(axis=1) * valid                     # [R, N]
+    best = counts.argmax(axis=0)                          # first max:
+    span = counts[best, np.arange(N)]                     # highest level
+    modal_crc = crc[best, np.arange(N)]
+    target = valid & (crc == modal_crc[None, :]) & (span[None, :] > 0)
+    h_m = np.where(target, hyst, 0x7FFF)
+    low_d = h_m.min(axis=0)
+    s_m = np.where(target & (hyst == low_d[None, :]), shift, 0x7FFF)
+    low_s = s_m.min(axis=0)
+    region = target & (hyst == low_d[None, :]) & (shift == low_s[None, :])
+    pick_idx = np.full(N, -1, dtype=np.int64)
+    for n in np.nonzero(span > 0)[0]:
+        m = region[:, n]
+        # Longest contiguous run; ties go to the LATER (lower-level) run
+        # (pickLevelByCRCStats :2105 uses >=).
+        runs = []
+        r = 0
+        while r < R:
+            if m[r]:
+                st = r
+                while r < R and m[r]:
+                    r += 1
+                runs.append((st, r - 1))
+            else:
+                r += 1
+        lo, hi = max(runs, key=lambda t: (t[1] - t[0], t[0]))
+        pick_idx[n] = lo + (hi - lo) // 2
+    good = span >= min_valid_crcs
+    forced_bad = (span > 0) & ~good
+    return pick_idx, good, forced_bad
+
+
 @functools.lru_cache(maxsize=None)
 def format_syndrome_table(fmt: str):
     """Affine syndrome map (TABLE [n,16], CONST) for any format's line

@@ -149,10 +149,12 @@ class LineStore:
 
     @staticmethod
     def from_decoded(words, crc_read, valid, frame_number, line_number,
-                     ref_level=None, has_markers=None):
+                     ref_level=None, has_markers=None, forced_bad=None):
         """Build a store from binarizer output arrays (device -> host)."""
         n = len(crc_read)
         out = LineStore(n)
+        if forced_bad is not None:
+            out.forced_bad = np.asarray(forced_bad, bool).copy()
         out.words = np.asarray(words, np.int64).copy()
         out.source_crc = np.asarray(crc_read, np.int64).copy()
         v = np.asarray(valid, bool)

@@ -49,16 +49,30 @@ class FrameDecodeResult:
     white: int
     coords: tuple
     duplicates: np.ndarray  # [L] bool
+    forced_bad: np.ndarray | None = None  # [L] narrow ref-sweep span
 
 
 class V2DDriver:
-    """STC-007 frame decoder with prescan + damping + fallback."""
+    """STC-007 frame decoder with prescan + damping + fallback.
+
+    With ref_sweep=True (INSANE quality) every line additionally runs the
+    full reference-level sweep with CRC-collision statistics
+    (calcRefLevelBySweep binarizer.cpp:3821); the sweep result overrides
+    the center-reference fast path whenever any level yields a valid CRC.
+    The reference also sweeps at NORMAL for STC-007; here NORMAL keeps the
+    center-reference trial grid (which already trials hyst x shift) and
+    the sweep is reserved for INSANE — one batched R-level dispatch.
+    """
 
     def __init__(self, hyst_limit=4, shift_limit=2,
-                 preset: agc.BinPreset | None = None):
+                 preset: agc.BinPreset | None = None,
+                 ref_sweep=False, sweep_step=4, min_valid_crcs=5):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
+        self.ref_sweep = ref_sweep
+        self.sweep_step = sweep_step
+        self.min_valid_crcs = min_valid_crcs
         self.state = V2DState()
 
     # -- prescan ----------------------------------------------------------
@@ -144,6 +158,10 @@ class V2DDriver:
         words = np.asarray(batch.words)
         crc_read = np.asarray(batch.crc_read)
         valid = np.asarray(batch.valid)
+        forced = np.zeros((F, L), bool)
+        if self.ref_sweep:
+            words, crc_read, valid, forced = self._ref_sweep_merge(
+                pixels, coords, blacks, whites, words, crc_read, valid)
         out = []
         for f in range(F):
             if not usable[f]:
@@ -156,8 +174,42 @@ class V2DDriver:
                 wf, cf, vf, int(refs[f]),
                 int(blacks[f]), int(whites[f]),
                 (int(coords[f, 0]), int(coords[f, 1])),
-                np.zeros(L, bool)))
+                np.zeros(L, bool), forced[f]))
         return out
+
+    def _ref_sweep_merge(self, pixels, coords, blacks, whites,
+                         words, crc_read, valid):
+        """INSANE path: batched ref-level sweep + CRC-stats pick; the
+        sweep result replaces the fast-path read for every line where
+        any level produced a valid CRC (STG_REF_SWEEP_RUN replaces
+        STG_REF_FIND entirely in the reference, processLine :1130)."""
+        F, L, _ = pixels.shape
+        levels = np.arange(254, 1, -self.sweep_step, dtype=np.int32)
+        R = len(levels)
+        sw = bz.stc007_ref_sweep_decode(
+            jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
+            jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
+            jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
+            jnp.asarray(levels),
+            hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+        sv = np.asarray(sw["valid"]).reshape(R, F * L)
+        sc = np.asarray(sw["crc"]).reshape(R, F * L)
+        sh = np.asarray(sw["hyst"]).reshape(R, F * L)
+        ss = np.asarray(sw["shift"]).reshape(R, F * L)
+        pick, good, fbad = bz.pick_ref_sweep(
+            sv, sc, sh, ss, min_valid_crcs=self.min_valid_crcs)
+        rows = np.nonzero(pick >= 0)[0]
+        words = words.reshape(F * L, -1).copy()
+        crc_read = crc_read.reshape(F * L).copy()
+        valid = valid.reshape(F * L).copy()
+        forced = np.zeros(F * L, bool)
+        sw_words = np.asarray(sw["words"]).reshape(R, F * L, -1)
+        words[rows] = sw_words[pick[rows], rows]
+        crc_read[rows] = sc[pick[rows], rows]
+        valid[rows] = True
+        forced[rows] = fbad[rows]
+        return (words.reshape(F, L, -1), crc_read.reshape(F, L),
+                valid.reshape(F, L), forced.reshape(F, L))
 
     FALLBACK_BUCKET = 64  # fixed shape so the retry path compiles once
 
@@ -224,6 +276,13 @@ class V2DDriver:
         words = np.asarray(batch.words[0])
         crc_read = np.asarray(batch.crc_read[0])
         valid = np.asarray(batch.valid[0])
+        forced = np.zeros(L, bool)
+        if self.ref_sweep:
+            w4, c4, v4, f4 = self._ref_sweep_merge(
+                pixels[None], np.asarray([[coords[0], coords[1]]]),
+                np.asarray([max(black, 0)]), np.asarray([min(white, 255)]),
+                words[None], crc_read[None], valid[None])
+            words, crc_read, valid, forced = w4[0], c4[0], v4[0], f4[0]
 
         words, crc_read, valid = self._marker_fallback(
             pixels, words, crc_read, valid, ref, black, white)
@@ -246,4 +305,4 @@ class V2DDriver:
             # exact duplicates (all words equal) are flagged
             dup[1:] = valid[1:] & valid[:-1] & (diffbits == 0)
         return FrameDecodeResult(words, crc_read, valid, ref, black, white,
-                                 coords, dup)
+                                 coords, dup, forced)
