@@ -23,7 +23,8 @@ def build_parser():
     p.add_argument("input", help="input capture (.y4m or raw gray8)")
     p.add_argument("-o", "--output", default=None, help="output WAV path")
     p.add_argument("--format", default="stc007",
-                   choices=["stc007", "m2", "pcm1", "pcm16x0"],
+                   choices=["stc007", "m2", "pcm1", "pcm16x0",
+                            "pcm1630"],
                    help="PCM format (default stc007)")
     p.add_argument("--raw-size", default=None,
                    help="WxH for raw input, e.g. 1152x588")
@@ -90,7 +91,7 @@ def main(argv=None):
 
     out_path = args.output or (args.input.rsplit(".", 1)[0] + ".wav")
 
-    if args.format in ("pcm1", "pcm16x0"):
+    if args.format in ("pcm1", "pcm16x0", "pcm1630"):
         return _decode_other_format(args, raw_size, mask_map, hyst, shift,
                                     out_path)
 
@@ -236,7 +237,9 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
     if args.format == "pcm1":
         stitcher = sp1.PCM1Stitcher(field_order=order)
     else:
-        stitcher = sp16.PCM16X0Stitcher(field_order=order,
+        fmt16 = sp16.FORMAT_EI if args.format == "pcm1630" \
+            else sp16.FORMAT_SI
+        stitcher = sp16.PCM16X0Stitcher(field_order=order, fmt=fmt16,
                                         en_p=not args.no_ecc)
     writer = None
     frame_no = 0
@@ -263,7 +266,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 for k in range(1, 5):
                     sw = ld.search_coordinates(
                         lines[k * gap], ref, black, white, W,
-                        fmt=args.format, history=coord_hist)
+                        fmt="pcm16x0" if args.format == "pcm1630"
+                        else args.format, history=coord_hist)
                     if sw is not None:
                         break
                 if sw is not None:

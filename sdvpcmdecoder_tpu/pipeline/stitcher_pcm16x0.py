@@ -9,9 +9,12 @@ control-bit stream decode (BIT_*_OFS :159-167, collectCtrlBitStats
 
 Scope notes vs the reference: EI (PCM-1630) decode is supported through
 the same block op with the 490-subline offset and whole-frame interleave;
-the reference's EI frame-border alignment search (findEIFrameStitching
-:3588-4118) is approximated by the same padding-sweep scoring applied to
-the EI geometry.
+the inter-field padding search (findEIPadding :2649 / tryEIPadding :2379,
+driven from findEIFrameStitching :3588) sweeps line paddings between the
+two fields scoring blocks at every subline offset; the per-field
+top-alignment redistribution (conditionEIFramePadding :2996 /
+findEIDataAlignment :3467) is folded into the inter-field sweep since
+the EI pairing only depends on relative field placement.
 """
 from __future__ import annotations
 
@@ -35,6 +38,11 @@ MAX_PADDING_SI = di16.SI_OFS        # line padding sweep limit
 MAX_BURST_SILENCE_SI = di16.SI_OFS - 1
 MAX_BURST_UNCH_SI = di16.SI_OFS - 1
 MAX_BURST_BROKEN = 1
+# EI inter-field padding sweep (pcm16x0datastitcher.h:146-154).
+MAX_PADDING_EI = 81                 # line padding sweep limit
+MAX_BURST_SILENCE_EI = MAX_PADDING_EI * 3
+MAX_BURST_UNCH_EI = MAX_PADDING_EI * 3
+MIN_VALID_EI = EI_TRUE_INTERLEAVE // 3
 MIN_GOOD_LINES_PF = LINES_PF * 4 // 5
 STATS_DEPTH = 65
 # Control-bit offsets within an interleave block (:159-167).
@@ -116,6 +124,7 @@ class FrameAsmPCM16X0:
     even_valid_lines: int = 0
     odd_padding: int = 0
     even_padding: int = 0
+    inner_padding: int = 0          # EI inter-field padding (lines)
     padding_ok: bool = False
     silence: bool = False
     emphasis: bool = False
@@ -415,8 +424,102 @@ class PCM16X0Stitcher:
             q = PCM16X0LineStore.concat([q, PCM16X0LineStore(target - S)])
         self._stream_blocks(q, fr, ei=False)
 
+    # -- EI inter-field padding (tryEIPadding :2379 / findEIPadding :2649)
+    def _ei_queue(self, f1, f2, padding):
+        """field1 + `padding` empty lines + field2, as padding_queue."""
+        pad = PCM16X0LineStore(3 * padding)
+        if len(f1):
+            pad.frame_number[:] = f1.frame_number[-1] if len(f1) else 0
+        return PCM16X0LineStore.concat([f1, pad, f2])
+
+    def try_ei_padding(self, f1, f2, padding):
+        """Score one inter-field padding: blocks at EVERY subline offset
+        (the EI pairing i, i+490, i+980 has no modular grid), burst
+        counters as tryEIPadding :2420-2610."""
+        q = self._ei_queue(f1, f2, padding)
+        S = len(q)
+        n = S - 2 * di16.EI_OFS - 1
+        if n <= 0:
+            return StitchStats(index=padding)
+        shifts = np.arange(n)
+        orders = (shifts % 2) == 1
+        res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
+                                 ei=True, en_p=self.en_p, force_ecc=True)
+        silent = (res["samples"] == 0).all(axis=(-1, -2))
+        bv = res["block_valid"]
+        fixed_p = (res["state"] == di16.AUD_FIX_P).any(axis=-1)
+        broken = (res["state"] == di16.AUD_BROKEN).any(axis=-1)
+        no_check = (res["stage"] == di16.STG_NO_CHECK).any(axis=-1)
+        valid_b = bv & ~silent & ~no_check
+        unch = no_check | fixed_p
+        vmax = smax = umax = bmax = 0
+        vrun = srun = urun = brun = 0
+        for k in range(n):
+            if valid_b[k]:
+                vrun += 1
+            else:
+                vmax = max(vmax, vrun)
+            if silent[k]:
+                srun += 1
+                if srun >= MAX_BURST_SILENCE_EI:
+                    vrun = 0
+            else:
+                smax = max(smax, srun)
+                srun = 0
+            if unch[k]:
+                urun += 1
+                if urun > MAX_BURST_UNCH_EI:
+                    vrun = 0
+            else:
+                umax = max(umax, urun)
+                urun = 0
+            if broken[k]:
+                brun += 1
+                vrun = 0
+            else:
+                bmax = max(bmax, brun)
+                brun = 0
+        vmax, smax = max(vmax, vrun), max(smax, srun)
+        umax, bmax = max(umax, urun), max(bmax, brun)
+        return StitchStats(index=padding, valid=vmax, silent=smax,
+                           unchecked=umax, broken=bmax)
+
+    def find_ei_padding(self, f1, f2):
+        """Sweep inter-field paddings; min-broken filter, then the stats
+        sort and accept rules of findEIPadding :2793-2920.
+        Returns (ok, padding, stats)."""
+        if not self.en_p:
+            return False, 0, StitchStats()
+        stats = [self.try_ei_padding(f1, f2, pad)
+                 for pad in range(MAX_PADDING_EI)]
+        min_broken = min(st.broken for st in stats)
+        cand = [st for st in stats
+                if st.broken == min_broken and st.valid > 0]
+        if not cand:
+            return False, 0, StitchStats()
+        cand.sort(key=StitchStats.sort_key)
+        best = cand[0]
+        if best.unchecked > MAX_BURST_UNCH_EI \
+                or best.silent >= MAX_BURST_SILENCE_EI:
+            return False, 0, best
+        ok = min_broken == 0 and best.valid > MIN_VALID_EI
+        return ok, best.index, best
+
     def _process_frame_ei(self, fields, order, fr):
-        q = PCM16X0LineStore.concat([fields[order[0]], fields[order[1]]])
+        f1, f2 = fields[order[0]], fields[order[1]]
+        ok, pad, _ = self.find_ei_padding(f1, f2)
+        if ok:
+            fr.padding_ok = True
+            self.stats_padding.append(pad)
+            self.stats_padding = self.stats_padding[-STATS_DEPTH:]
+        elif self.stats_padding:
+            # STG_TRY_PREVIOUS: fall back to the most frequent padding
+            # seen so far (getProbablePadding analog).
+            pad = max(set(self.stats_padding), key=self.stats_padding.count)
+        else:
+            pad = 0
+        fr.inner_padding = pad
+        q = self._ei_queue(f1, f2, pad)
         S = len(q)
         need = EI_TRUE_INTERLEAVE * 3
         if S < need:

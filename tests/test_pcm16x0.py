@@ -169,3 +169,24 @@ def test_zero_control_bit_alignment():
     store2 = store.take(np.arange(3 * crop, S))
     z2 = s.find_zero_control_bit_offset(store2)
     assert s.padding_from_zero_offset(z2) == crop
+
+
+def test_ei_interfield_padding():
+    """EI stitcher: a field-1 bottom crop is recovered by the
+    inter-field padding sweep (findEIPadding port)."""
+    lpf = sp16.LINES_PF  # frame = 2*735 = 1470 sublines = one EI set
+    usable = di16.EI_OFS * 3
+    lo, ro = _field_samples(usable, seed=11)
+    sub, _ = di16.interleave_field(lo, ro, 2 * lpf, ei=True)
+    half = sp16.SUBLINES_PF
+    crop = 6  # lines cut off the bottom of field 1
+    f1 = _mk_store(sub[:half - 3 * crop], lpf - crop, parity_base=1)
+    f2 = _mk_store(sub[half:], lpf, parity_base=2)
+    s = sp16.PCM16X0Stitcher(fmt=sp16.FORMAT_EI)
+    ok, pad, st = s.find_ei_padding(f1, f2)
+    assert ok, st
+    assert pad == crop, pad
+    # Uncropped fields need no padding.
+    f1f = _mk_store(sub[:half], lpf, parity_base=1)
+    ok2, pad2, _ = s.find_ei_padding(f1f, f2)
+    assert ok2 and pad2 == 0
