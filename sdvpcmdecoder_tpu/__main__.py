@@ -122,6 +122,7 @@ def main(argv=None):
         first = True
         audio_out = 0
         audio_peak = 0
+        frames_no_pcm = 0
         line_counts = [0, 0]
         for base in range(0, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
@@ -144,14 +145,23 @@ def main(argv=None):
             for (lines, nums), res in zip(split, results):
                 frame_no += 1
                 if res is None:
-                    continue
-                line_counts[0] += len(nums)
-                line_counts[1] += int(res.valid.sum())
-                store = st.LineStore.from_decoded(
-                    res.words, res.crc_read, res.valid,
-                    np.full(len(nums), frame_no), nums,
-                    ref_level=np.full(len(nums), res.ref_level),
-                    forced_bad=res.forced_bad)
+                    # Dropped/no-PCM frame: push an all-invalid frame so
+                    # the interleave timing holds and the gap masks as
+                    # silence (the reference inserts dummy frames for
+                    # drops, ffmpegwrapper.cpp:898-907).
+                    line_counts[0] += len(nums)
+                    frames_no_pcm += 1
+                    store = st.LineStore(len(nums))
+                    store.frame_number[:] = frame_no
+                    store.line_number = np.asarray(nums, np.int64).copy()
+                else:
+                    line_counts[0] += len(nums)
+                    line_counts[1] += int(res.valid.sum())
+                    store = st.LineStore.from_decoded(
+                        res.words, res.crc_read, res.valid,
+                        np.full(len(nums), frame_no), nums,
+                        ref_level=np.full(len(nums), res.ref_level),
+                        forced_bad=res.forced_bad)
                 if first:
                     tag = st.LineStore(1)
                     tag.service[0] = st.SRV_NEW_FILE
@@ -215,6 +225,7 @@ def main(argv=None):
     agg.samples_masked = proc.total_masked
     agg.samples_out = audio_out
     agg.peak_level = audio_peak
+    agg.frames_no_pcm = frames_no_pcm
     print(agg.summary())
     print(f"decoded {frame_no} frames in {dt:.2f}s "
           f"({frame_no / dt:.1f} fps) -> {out_path}")

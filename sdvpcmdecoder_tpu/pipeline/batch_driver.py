@@ -103,15 +103,23 @@ class BatchDecoder:
                 for (lines, nums), res in zip(split, results):
                     j.frame_no += 1
                     if res is None:
+                        # Dropped/no-PCM frame: all-invalid dummy frame
+                        # keeps interleave timing (the reference inserts
+                        # dummies for drops, ffmpegwrapper.cpp:898-907).
                         j.stats.frames_no_pcm += 1
-                        continue
-                    store = st.LineStore.from_decoded(
-                        res.words, res.crc_read, res.valid,
-                        np.full(len(nums), j.frame_no), nums,
-                        ref_level=np.full(len(nums), res.ref_level),
-                        forced_bad=res.forced_bad)
-                    j.stats.lines_total += len(nums)
-                    j.stats.lines_valid += int(res.valid.sum())
+                        store = st.LineStore(len(nums))
+                        store.frame_number[:] = j.frame_no
+                        store.line_number = np.asarray(nums,
+                                                       np.int64).copy()
+                        j.stats.lines_total += len(nums)
+                    else:
+                        store = st.LineStore.from_decoded(
+                            res.words, res.crc_read, res.valid,
+                            np.full(len(nums), j.frame_no), nums,
+                            ref_level=np.full(len(nums), res.ref_level),
+                            forced_bad=res.forced_bad)
+                        j.stats.lines_total += len(nums)
+                        j.stats.lines_valid += int(res.valid.sum())
                     if j.first:
                         tag = st.LineStore(1)
                         tag.service[0] = st.SRV_NEW_FILE
