@@ -181,38 +181,27 @@ def main(argv=None):
                           f"brk[{fr.blocks_broken_field:3d}] "
                           f"drop[{fr.blocks_drop:3d}]")
             # Drain periodically to bound memory.
-            pairs = [p for p in stitcher.pop_samples()
-                     if p.service == st.SRV_NO]
-            if pairs:
-                samples = np.array([[p.left, p.right] for p in pairs],
-                                   dtype=np.int16)
-                valid = np.array([[p.left_valid, p.right_valid]
-                                  for p in pairs], dtype=bool)
-                blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
-                               dtype=bool)
+            arrs = st.chunks_to_arrays(stitcher.pop_sample_chunks())
+            if arrs is not None:
+                samples, valid, blk, rate = arrs
                 out = proc.process(samples, valid, blk, file_end=False)
                 audio_out += len(out)
                 if len(out):
                     audio_peak = max(audio_peak, int(np.abs(out).max()))
                 if writer is None:
-                    writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+                    writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
         stitcher.finish()
-        pairs = [p for p in stitcher.pop_samples() if p.service == st.SRV_NO]
-        if pairs:
-            samples = np.array([[p.left, p.right] for p in pairs],
-                               dtype=np.int16)
-            valid = np.array([[p.left_valid, p.right_valid]
-                              for p in pairs], dtype=bool)
-            blk = np.array([[p.block_ok, p.block_ok] for p in pairs],
-                           dtype=bool)
+        arrs = st.chunks_to_arrays(stitcher.pop_sample_chunks())
+        if arrs is not None:
+            samples, valid, blk, rate = arrs
             out = proc.process(samples, valid, blk, file_end=True)
             audio_out += len(out)
             if len(out):
                 audio_peak = max(audio_peak, int(np.abs(out).max()))
             if writer is None:
-                writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+                writer = wav.WavWriter(out_path, rate)
             writer.write(out)
         if writer is not None:
             writer.close()

@@ -66,18 +66,14 @@ class BatchDecoder:
         for fr in job.stitcher.frame_log[job.logged:]:
             job.stats.add_frame(fr)
         job.logged = len(job.stitcher.frame_log)
-        pairs = [p for p in job.stitcher.pop_samples()
-                 if p.service == st.SRV_NO]
-        if not pairs:
+        arrs = st.chunks_to_arrays(job.stitcher.pop_sample_chunks())
+        if arrs is None:
             return
-        samples = np.array([[p.left, p.right] for p in pairs], np.int16)
-        valid = np.array([[p.left_valid, p.right_valid] for p in pairs],
-                         bool)
-        blk = np.array([[p.block_ok, p.block_ok] for p in pairs], bool)
+        samples, valid, blk, rate = arrs
         out = job.audio.process(samples, valid, blk, file_end=False)
         job.stats.add_audio(out, job.audio.total_masked)
         if job.writer is None:
-            job.writer = wav.WavWriter(job.out_path, pairs[0].sample_rate)
+            job.writer = wav.WavWriter(job.out_path, rate)
         job.writer.write(out)
         job.writer.flush()
 
@@ -134,19 +130,13 @@ class BatchDecoder:
         return {j.path: j.stats for j in self.jobs}
 
     def _drain_final(self, job):
-        pairs = [p for p in job.stitcher.pop_samples()
-                 if p.service == st.SRV_NO]
-        if pairs:
-            samples = np.array([[p.left, p.right] for p in pairs],
-                               np.int16)
-            valid = np.array([[p.left_valid, p.right_valid]
-                              for p in pairs], bool)
-            blk = np.array([[p.block_ok, p.block_ok] for p in pairs], bool)
+        arrs = st.chunks_to_arrays(job.stitcher.pop_sample_chunks())
+        if arrs is not None:
+            samples, valid, blk, rate = arrs
             out = job.audio.process(samples, valid, blk, file_end=True)
             job.stats.add_audio(out, job.audio.total_masked)
             if job.writer is None:
-                job.writer = wav.WavWriter(job.out_path,
-                                           pairs[0].sample_rate)
+                job.writer = wav.WavWriter(job.out_path, rate)
             job.writer.write(out)
         if job.writer is not None:
             job.writer.close()

@@ -90,17 +90,10 @@ class FullDecoder:
 
         Returns (samples [N,2] int16, sample_rate) or (None, None).
         """
-        pairs = [p for p in self.stitcher.pop_samples()
-                 if p.service == st.SRV_NO]
-        if not pairs:
+        arrs = st.chunks_to_arrays(self.stitcher.pop_sample_chunks())
+        if arrs is None:
             return None, None
-        samples = np.array([[p.left, p.right] for p in pairs],
-                           dtype=np.int16)
-        word_valid = np.array([[p.left_valid, p.right_valid]
-                               for p in pairs], dtype=bool)
-        block_ok = np.array([[p.block_ok, p.block_ok] for p in pairs],
-                            dtype=bool)
-        rate = pairs[0].sample_rate
+        samples, word_valid, block_ok, rate = arrs
         out = self.audio.process(samples, word_valid, block_ok,
                                  file_end=file_end)
         return out, rate

@@ -298,6 +298,53 @@ class SamplePair:
     file_path: str = ""
 
 
+@dataclass
+class SampleChunk:
+    """A run of sample pairs as struct-of-arrays (the batch analog of a
+    list of PCMSamplePair).  Service tags travel as chunks with
+    service != SRV_NO and empty arrays."""
+    samples: np.ndarray = None   # [N, 2] int
+    valid: np.ndarray = None     # [N, 2] bool
+    fixed: np.ndarray = None     # [N, 2] bool
+    block_ok: np.ndarray = None  # [N] bool
+    sample_rate: int = SAMPLE_RATE_44100
+    emphasis: bool = False
+    service: int = SRV_NO
+    file_path: str = ""
+
+    @staticmethod
+    def tag(service, file_path=""):
+        return SampleChunk(service=service, file_path=file_path)
+
+    def to_pairs(self):
+        if self.service != SRV_NO:
+            return [SamplePair(service=self.service,
+                               file_path=self.file_path)]
+        return [SamplePair(left=int(self.samples[i, 0]),
+                           right=int(self.samples[i, 1]),
+                           block_ok=bool(self.block_ok[i]),
+                           left_valid=bool(self.valid[i, 0]),
+                           right_valid=bool(self.valid[i, 1]),
+                           left_fixed=bool(self.fixed[i, 0]),
+                           right_fixed=bool(self.fixed[i, 1]),
+                           sample_rate=self.sample_rate,
+                           emphasis=self.emphasis)
+                for i in range(len(self.block_ok))]
+
+
+def chunks_to_arrays(chunks):
+    """Concatenate data chunks -> (samples [N,2] int16, valid [N,2],
+    block_ok [N,2], rate) skipping service tags; None if no data."""
+    data = [c for c in chunks if c.service == SRV_NO and len(c.block_ok)]
+    if not data:
+        return None
+    samples = np.concatenate([c.samples for c in data]).astype(np.int16)
+    valid = np.concatenate([c.valid for c in data])
+    blk = np.concatenate([np.repeat(c.block_ok[:, None], 2, axis=1)
+                          for c in data])
+    return samples, valid, blk, data[0].sample_rate
+
+
 # ---------------------------------------------------------------------------
 # Deinterleave evaluation helpers (vectorized over block shifts)
 # ---------------------------------------------------------------------------
@@ -437,7 +484,7 @@ class STC007Stitcher:
         # interleave chains fields of adjacent frames together
         # (stc007datastitcher.h:22-25); performDeinterleave leaves the last
         # MIN_DEINT_DATA lines for the next frame's fill to extend.
-        self.out_samples: list[SamplePair] = []
+        self.out_chunks: list[SampleChunk] = []
         self.file_start = False
         self.file_end = False
         self.file_name = ""
@@ -467,8 +514,17 @@ class STC007Stitcher:
         self._pump(final=True)
 
     def pop_samples(self):
-        out = self.out_samples
-        self.out_samples = []
+        """Compat shim: materialize SamplePair objects (tests/tools)."""
+        out = []
+        for c in self.pop_sample_chunks():
+            out.extend(c.to_pairs())
+        return out
+
+    def pop_sample_chunks(self):
+        """Batch output path: list of SampleChunk (arrays, no per-sample
+        objects) — the production consumers use this."""
+        out = self.out_chunks
+        self.out_chunks = []
         return out
 
     # -- main loop --------------------------------------------------------
@@ -485,7 +541,7 @@ class STC007Stitcher:
             self.frasm_f1 = self.frasm_f2
             self.frasm_f2 = FrameAsm()
             if self.file_end:
-                self.out_samples.append(SamplePair(service=SRV_END_FILE))
+                self.out_chunks.append(SampleChunk.tag(SRV_END_FILE))
                 self.reset_file_state()
             self.file_start = self.file_end = False
 
@@ -509,8 +565,8 @@ class STC007Stitcher:
         self.find_field_stitching()
         if self.file_start:
             self.conv_queue = LineStore(0)
-            self.out_samples.append(
-                SamplePair(service=SRV_NEW_FILE, file_path=self.file_name))
+            self.out_chunks.append(
+                SampleChunk.tag(SRV_NEW_FILE, self.file_name))
         frame_lines = self.fill_frame_for_output()
         self.conv_queue = LineStore.concat([self.conv_queue, frame_lines])
         self.conv_queue = self.prescan_frame(self.conv_queue)
@@ -1638,13 +1694,7 @@ class STC007Stitcher:
         v6 = wvalid.reshape(n_blocks * 3, 2)
         f6 = wfixed.reshape(n_blocks * 3, 2)
         b3 = np.repeat(bvalid, 3)
-        self.out_samples.extend(
-            SamplePair(left=int(s6[i, 0]), right=int(s6[i, 1]),
-                       block_ok=bool(b3[i]),
-                       left_valid=bool(v6[i, 0]),
-                       right_valid=bool(v6[i, 1]),
-                       left_fixed=bool(f6[i, 0]),
-                       right_fixed=bool(f6[i, 1]),
-                       sample_rate=rate, emphasis=False)
-            for i in range(n_blocks * 3))
+        self.out_chunks.append(SampleChunk(
+            samples=s6, valid=v6, fixed=f6, block_ok=b3,
+            sample_rate=rate, emphasis=False))
         return n_blocks
