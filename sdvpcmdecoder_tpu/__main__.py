@@ -228,7 +228,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
     from .ops import binarize as bz, agc, markers  # noqa: F401
     from .pipeline import stitcher_pcm1 as sp1
     from .pipeline import stitcher_pcm16x0 as sp16
-    from .pipeline.stitcher_stc007 import ORDER_TFF, ORDER_BFF, ORDER_UNK
+    from .pipeline.stitcher_stc007 import (ORDER_TFF, ORDER_BFF, ORDER_UNK,
+                                           chunks_to_arrays)
 
     proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                  args.mask_scope)])
@@ -311,32 +312,21 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         tag.frame_number[0] = frame_no
                         store = sp16.PCM16X0LineStore.concat([tag, store])
                     stitcher.push_frame(store)
-            pairs = [p for p in stitcher.pop_samples()
-                     if p.service == 0]
-            if pairs:
-                samples = np.array([[p.left, p.right] for p in pairs],
-                                   dtype=np.int16)
-                valid2 = np.array([[p.left_valid, p.right_valid]
-                                   for p in pairs], dtype=bool)
-                blk2 = np.array([[p.block_ok, p.block_ok] for p in pairs],
-                                dtype=bool)
+            arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
+            if arrs is not None:
+                samples, valid2, blk2, rate = arrs
                 out = proc.process(samples, valid2, blk2, file_end=False)
                 if writer is None:
-                    writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+                    writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
     stitcher.finish()
-    pairs = [p for p in stitcher.pop_samples() if p.service == 0]
-    if pairs:
-        samples = np.array([[p.left, p.right] for p in pairs],
-                           dtype=np.int16)
-        valid2 = np.array([[p.left_valid, p.right_valid] for p in pairs],
-                          dtype=bool)
-        blk2 = np.array([[p.block_ok, p.block_ok] for p in pairs],
-                        dtype=bool)
+    arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
+    if arrs is not None:
+        samples, valid2, blk2, rate = arrs
         out = proc.process(samples, valid2, blk2, file_end=True)
         if writer is None:
-            writer = wav.WavWriter(out_path, pairs[0].sample_rate)
+            writer = wav.WavWriter(out_path, rate)
         writer.write(out)
     if writer is not None:
         writer.close()

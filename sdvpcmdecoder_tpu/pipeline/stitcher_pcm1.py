@@ -16,7 +16,8 @@ from ..formats import pcm1
 from ..ops import pcm1_deint as di1
 from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
                               SRV_FILLER, ORDER_TFF, ORDER_BFF,
-                              SAMPLE_RATE_44100, SamplePair)
+                              SAMPLE_RATE_44100, SamplePair,
+                              SampleChunk, chunks_to_arrays)
 
 SRV_HEADER = 6  # PCMLine SRVLINE_HEADER_LINE
 LINES_PF = di1.LINES_PF_NTSC
@@ -116,13 +117,19 @@ class PCM1Stitcher:
         self.auto_offset = auto_offset
         self.preset_odd_offset = odd_offset
         self.preset_even_offset = even_offset
-        self.out_samples: list[SamplePair] = []
+        self.out_chunks: list[SampleChunk] = []
         self.frame_log: list[FrameAsmPCM1] = []
         self.file_started = False
 
     def pop_samples(self):
-        out = self.out_samples
-        self.out_samples = []
+        out = []
+        for c in self.pop_sample_chunks():
+            out.extend(c.to_pairs())
+        return out
+
+    def pop_sample_chunks(self):
+        out = self.out_chunks
+        self.out_chunks = []
         return out
 
     # -- trimming (findFrameTrim :202-571) --------------------------------
@@ -243,7 +250,7 @@ class PCM1Stitcher:
         self._find_padding(fr)
         fr.emphasis = self.emphasis_set
         if self.file_start and not self.file_started:
-            self.out_samples.append(SamplePair(service=SRV_NEW_FILE))
+            self.out_chunks.append(SampleChunk.tag(SRV_NEW_FILE))
             self.file_started = True
         order = ("odd", "even") if fr.field_order == ORDER_TFF \
             else ("even", "odd")
@@ -253,7 +260,7 @@ class PCM1Stitcher:
                                      getattr(fr, f"{name}_bottom_padding"))
         self.frame_log.append(dataclasses.replace(fr))
         if self.file_end:
-            self.out_samples.append(SamplePair(service=SRV_END_FILE))
+            self.out_chunks.append(SampleChunk.tag(SRV_END_FILE))
             self.file_started = False
 
     def _deinterleave_field(self, field, fr: FrameAsmPCM1, top_pad,
@@ -276,15 +283,12 @@ class PCM1Stitcher:
         fr.blocks_total += di1.INT_BLK_PER_FIELD
         bv = out["block_valid"].reshape(di1.INT_BLK_PER_FIELD, -1)[:, 0] \
             if False else None
-        blocks_bad = 0
-        vb = out["valid"].reshape(-1)
-        for p in range(len(left)):
-            self.out_samples.append(SamplePair(
-                left=int(left[p]), right=int(right[p]),
-                block_ok=bool(out["block_valid"][p]),
-                left_valid=bool(out["valid"][p]),
-                right_valid=bool(out["valid"][p]),
-                sample_rate=SAMPLE_RATE_44100, emphasis=fr.emphasis))
+        v2 = np.repeat(out["valid"][:, None], 2, axis=1)
+        self.out_chunks.append(SampleChunk(
+            samples=np.stack([left, right], axis=1),
+            valid=v2, fixed=np.zeros_like(v2),
+            block_ok=np.asarray(out["block_valid"], bool),
+            sample_rate=SAMPLE_RATE_44100, emphasis=fr.emphasis))
         bad_blocks = np.unique(
             np.nonzero(~out["block_valid"])[0] // di1.BLOCK_PAIRS)
         fr.blocks_drop += len(bad_blocks)

@@ -28,7 +28,8 @@ from ..ops import pcm16x0_deint as di16
 from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
                               SRV_FILLER, ORDER_TFF, ORDER_BFF,
                               SAMPLE_RATE_44100, SAMPLE_RATE_44056,
-                              SamplePair, StitchStats)
+                              SamplePair, StitchStats,
+                              SampleChunk, chunks_to_arrays)
 
 LINES_PF = 245                      # NTSC field (SI and EI use NTSC gear)
 SUBLINES_PF = LINES_PF * 3
@@ -147,14 +148,20 @@ class PCM16X0Stitcher:
         self.en_p = en_p
         self.mask_seams = mask_seams
         self.preset_sample_rate = preset_sample_rate
-        self.out_samples: list[SamplePair] = []
+        self.out_chunks: list[SampleChunk] = []
         self.frame_log: list[FrameAsmPCM16X0] = []
         self.stats_padding: list[int] = []
         self.file_started = False
 
     def pop_samples(self):
-        out = self.out_samples
-        self.out_samples = []
+        out = []
+        for c in self.pop_sample_chunks():
+            out.extend(c.to_pairs())
+        return out
+
+    def pop_sample_chunks(self):
+        out = self.out_chunks
+        self.out_chunks = []
         return out
 
     # -- trim / split (mirrors PCM-1 flow with 16x0 specifics) ------------
@@ -379,7 +386,7 @@ class PCM16X0Stitcher:
         for name in ("odd", "even"):
             fields[name] = self.prescan_false_pos(fields[name])
         if self.file_start and not self.file_started:
-            self.out_samples.append(SamplePair(service=SRV_NEW_FILE))
+            self.out_chunks.append(SampleChunk.tag(SRV_NEW_FILE))
             self.file_started = True
         order = ("odd", "even") if fr.field_order == ORDER_TFF \
             else ("even", "odd")
@@ -390,7 +397,7 @@ class PCM16X0Stitcher:
             self._process_frame_ei(fields, order, fr)
         self.frame_log.append(dataclasses.replace(fr))
         if self.file_end:
-            self.out_samples.append(SamplePair(service=SRV_END_FILE))
+            self.out_chunks.append(SampleChunk.tag(SRV_END_FILE))
             self.file_started = False
 
     def _process_field_si(self, field: PCM16X0LineStore,
@@ -548,20 +555,15 @@ class PCM16X0Stitcher:
         fr.blocks_broken += int(np.sum(broken))
         fr.blocks_fix_p += int(np.sum(res["state"] == di16.AUD_FIX_P))
         fr.samples_drop += int(np.sum(~res["word_valid"][..., :2]))
-        for b in range(B):
-            for blk in range(3):
-                brk = bool(broken[b, blk])
-                lv = bool(res["word_valid"][b, blk, 0]) and not brk
-                rv = bool(res["word_valid"][b, blk, 1]) and not brk
-                bok = bool(bv[b]) and not brk
-                lf = bool(res["word_crc"][b, blk, 0]) if bok else False
-                rf = bool(res["word_crc"][b, blk, 1]) if bok else False
-                self.out_samples.append(SamplePair(
-                    left=int(res["samples"][b, blk, 0]),
-                    right=int(res["samples"][b, blk, 1]),
-                    block_ok=bok, left_valid=lv, right_valid=rv,
-                    left_fixed=lf, right_fixed=rf,
-                    sample_rate=fr.sample_rate, emphasis=fr.emphasis))
+        B3 = B * 3
+        brk = broken.reshape(B3)
+        wv = res["word_valid"][..., :2].reshape(B3, 2) & ~brk[:, None]
+        bok = np.repeat(np.asarray(bv, bool), 3) & ~brk
+        wf = res["word_crc"][..., :2].reshape(B3, 2) & bok[:, None]
+        self.out_chunks.append(SampleChunk(
+            samples=res["samples"].reshape(B3, 2), valid=wv, fixed=wf,
+            block_ok=bok, sample_rate=fr.sample_rate,
+            emphasis=fr.emphasis))
 
     def finish(self):
         pass
