@@ -124,24 +124,12 @@ def main(argv=None):
         audio_peak = 0
         frames_no_pcm = 0
         line_counts = [0, 0]
-        for base in range(0, n_frames, args.batch):
-            batch = rd.read_frames(base, min(args.batch, n_frames - base))
-            split = [ingest.split_fields(batch[f])
-                     for f in range(batch.shape[0])]
-            if not split:
-                continue
-            lines_b = np.stack([s[0] for s in split])
-            # Pad the tail batch to the full batch size so the device
-            # sees one compiled shape.
-            pad_frames = 0
-            if lines_b.shape[0] < args.batch:
-                pad_frames = args.batch - lines_b.shape[0]
-                lines_b = np.concatenate(
-                    [lines_b, np.zeros((pad_frames,) + lines_b.shape[1:],
-                                       np.uint8)])
-            results = driver.decode_frames(lines_b)
-            if pad_frames:
-                results = results[:-pad_frames]
+
+        def consume(split, results):
+            # Runs on the single stitch worker: the host reassembly for
+            # batch N overlaps the device decode of batch N+1.
+            nonlocal frame_no, first, audio_out, audio_peak, \
+                frames_no_pcm, writer
             for (lines, nums), res in zip(split, results):
                 frame_no += 1
                 if res is None:
@@ -192,6 +180,32 @@ def main(argv=None):
                     writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
+
+        from concurrent.futures import ThreadPoolExecutor
+        stitch_pool = ThreadPoolExecutor(1)
+        pending = []
+        for base in range(0, n_frames, args.batch):
+            batch = rd.read_frames(base, min(args.batch, n_frames - base))
+            split = [ingest.split_fields(batch[f])
+                     for f in range(batch.shape[0])]
+            if not split:
+                continue
+            lines_b = np.stack([s[0] for s in split])
+            # Pad the tail batch to the full batch size so the device
+            # sees one compiled shape.
+            pad_frames = 0
+            if lines_b.shape[0] < args.batch:
+                pad_frames = args.batch - lines_b.shape[0]
+                lines_b = np.concatenate(
+                    [lines_b, np.zeros((pad_frames,) + lines_b.shape[1:],
+                                       np.uint8)])
+            results = driver.decode_frames(lines_b)
+            if pad_frames:
+                results = results[:-pad_frames]
+            pending.append(stitch_pool.submit(consume, split, results))
+        for f in pending:
+            f.result()
+        stitch_pool.shutdown(wait=True)
         stitcher.finish()
         arrs = st.chunks_to_arrays(stitcher.pop_sample_chunks())
         if arrs is not None:
