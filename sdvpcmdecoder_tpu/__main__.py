@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--quality", default="normal",
                    choices=["draft", "fast", "normal", "insane"],
                    help="binarization effort (hysteresis/shift limits)")
+    p.add_argument("--force-coords", default=None, metavar="START:STOP",
+                   help="force horizontal data coordinates in pixels, "
+                        "skipping marker search (bin_preset "
+                        "en_force_coords)")
     p.add_argument("--no-ecc", action="store_true",
                    help="disable P/Q error correction")
     p.add_argument("--cwd", action="store_true",
@@ -113,8 +117,13 @@ def main(argv=None):
                           "bff": st.ORDER_BFF}[args.field_order],
             preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[
                 args.resolution])
+        fcoords = None
+        if args.force_coords:
+            a, b = args.force_coords.split(":")
+            fcoords = (int(a), int(b))
         driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift,
-                               ref_sweep=args.quality == "insane")
+                               ref_sweep=args.quality == "insane",
+                               forced_coords=fcoords)
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None

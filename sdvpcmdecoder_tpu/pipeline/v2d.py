@@ -66,13 +66,18 @@ class V2DDriver:
 
     def __init__(self, hyst_limit=4, shift_limit=2,
                  preset: agc.BinPreset | None = None,
-                 ref_sweep=False, sweep_step=4, min_valid_crcs=5):
+                 ref_sweep=False, sweep_step=4, min_valid_crcs=5,
+                 forced_coords=None):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
         self.ref_sweep = ref_sweep
         self.sweep_step = sweep_step
         self.min_valid_crcs = min_valid_crcs
+        # bin_preset_t.en_force_coords/horiz_coords (binarizer.h:175-176):
+        # skip marker/coordinate search entirely and sample at the given
+        # (data_start, data_stop) pixel coordinates.
+        self.forced_coords = forced_coords
         self.state = V2DState()
 
     # -- prescan ----------------------------------------------------------
@@ -97,6 +102,9 @@ class V2DDriver:
         res = markers.search_markers(sample, ref, preset=self.preset)
         ds, de, mok = markers.coords_from_markers(res)
         good = ok & cok & mok
+        if self.forced_coords is not None:
+            # Forced coordinates: markers are not required, keep AGC/ref.
+            good = ok & cok
         if not good.any():
             return None
         med = lambda a: int(np.median(a[good]))
@@ -133,7 +141,12 @@ class V2DDriver:
         for f in range(F):
             pre = self.prescan(pixels[f])
             if pre is None:
-                if self.state.coord_history:
+                if self.forced_coords is not None:
+                    coords[f] = self.forced_coords
+                    refs[f] = 127
+                    blacks[f], whites[f] = 0, 255
+                    usable[f] = True
+                elif self.state.coord_history:
                     coords[f] = np.median(
                         np.array(self.state.coord_history), axis=0)
                     refs[f] = int(np.median(self.state.ref_history))
@@ -145,6 +158,8 @@ class V2DDriver:
             coords[f] = c
             refs[f], blacks[f], whites[f] = r, b, w
             usable[f] = True
+        if self.forced_coords is not None:
+            coords[:] = self.forced_coords
         if not usable.any():
             return [None] * F
         # Single batched dispatch; unusable frames decode with defaults
@@ -219,6 +234,11 @@ class V2DDriver:
         STG_INPUT_LEVEL re-find). Lines are re-decoded through the same
         frame-grouped matmul path as batches of single-line frames,
         padded to a fixed bucket so only one shape ever compiles."""
+        if self.forced_coords is not None:
+            # Coordinates are forced: no marker re-search (sweepRefLevel
+            # :3714-3720 "Data coordinates are forced, don't perform
+            # the search").
+            return words, crc_read, valid
         L = pixels.shape[0]
         bad = np.nonzero(~valid)[0]
         if len(bad) == 0 or len(bad) == L:
@@ -256,15 +276,20 @@ class V2DDriver:
         """pixels [L, W] uint8 (one frame, field-sequential order)."""
         pre = self.prescan(pixels)
         if pre is None:
-            if not self.state.coord_history:
+            if self.forced_coords is not None:
+                coords, ref, black, white = self.forced_coords, 127, 0, 255
+            elif self.state.coord_history:
+                coords = tuple(np.median(
+                    np.array(self.state.coord_history), axis=0).astype(int))
+                ref = int(np.median(self.state.ref_history))
+                black, white = 0, 255
+            else:
                 return None
-            coords = tuple(np.median(
-                np.array(self.state.coord_history), axis=0).astype(int))
-            ref = int(np.median(self.state.ref_history))
-            black, white = 0, 255
         else:
             (coords, ref, black, white) = pre
             coords, ref = self._damped_coords((coords, ref))
+        if self.forced_coords is not None:
+            coords = tuple(self.forced_coords)
         L, W = pixels.shape
         batch = bz.stc007_frame_decode(
             jnp.asarray(pixels[None]),

@@ -85,3 +85,28 @@ def test_v2d_insane_frame():
     assert res.valid.all()
     np.testing.assert_array_equal(res.words, words)
     assert not res.forced_bad.any()
+
+
+def test_forced_coordinates():
+    """--force-coords analog: marker zones destroyed, decode must still
+    work at the forced coordinates and fail without them."""
+    L = 16
+    rng = np.random.default_rng(12)
+    left = rng.integers(1, 1 << 14, size=3 * L)
+    right = rng.integers(1, 1 << 14, size=3 * L)
+    px, coords, words, crcs = enc.encode_stream(
+        left, right, width=1152, ppb=8.0, n_lines=L)
+    px = px.copy()
+    px[:, :60] = 20     # wipe START marker zone
+    px[:, 1100:] = 20   # wipe STOP marker zone
+    ds, de = int(coords[0, 0]), int(coords[0, 1])
+    drv = v2d.V2DDriver(hyst_limit=2, shift_limit=1,
+                        forced_coords=(ds, de))
+    res = drv.decode_frame(px)
+    assert res is not None
+    assert res.valid.all()
+    np.testing.assert_array_equal(res.words, words)
+    # Without forcing, marker search cannot find coordinates.
+    drv2 = v2d.V2DDriver(hyst_limit=2, shift_limit=1)
+    res2 = drv2.decode_frame(px)
+    assert res2 is None or not res2.valid.any()
