@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--quality", default="normal",
                    choices=["draft", "fast", "normal", "insane"],
                    help="binarization effort (hysteresis/shift limits)")
+    p.add_argument("--render-dir", default=None,
+                   help="write per-frame PCM visualization PPMs "
+                        "(RenderPCM analog) into this directory")
     p.add_argument("--force-coords", default=None, metavar="START:STOP",
                    help="force horizontal data coordinates in pixels, "
                         "skipping marker search (bin_preset "
@@ -166,6 +169,14 @@ def main(argv=None):
                     store = st.LineStore.concat([tag, store])
                     first = False
                 stitcher.push_frame(store)
+                if args.render_dir and res is not None:
+                    from .pipeline import render as rn
+                    import os
+                    os.makedirs(args.render_dir, exist_ok=True)
+                    img = rn.render_stc007_lines(res.words, res.crc_read,
+                                                 res.valid)
+                    rn.write_ppm(os.path.join(
+                        args.render_dir, f"frame_{frame_no:05d}.ppm"), img)
                 if args.stats and stitcher.frame_log:
                     fr = stitcher.frame_log[-1]
                     print(f"F[{fr.frame_number:04d}] "
