@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--quality", default="normal",
                    choices=["draft", "fast", "normal", "insane"],
                    help="binarization effort (hysteresis/shift limits)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file: save stitcher state every "
+                        "batch; if it exists, resume the decode from it")
     p.add_argument("--render-dir", default=None,
                    help="write per-frame PCM visualization PPMs "
                         "(RenderPCM analog) into this directory")
@@ -136,6 +139,19 @@ def main(argv=None):
         audio_peak = 0
         frames_no_pcm = 0
         line_counts = [0, 0]
+        start_base = 0
+        if args.checkpoint:
+            from .utils import resume as ckpt
+            import os as _os
+            if _os.path.exists(args.checkpoint + ".json"):
+                frame_no, audio_out, ck_rate = ckpt.load_checkpoint(
+                    args.checkpoint, stitcher)
+                start_base = frame_no
+                first = False
+                writer = wav.WavWriter(out_path, ck_rate,
+                                       resume_at=audio_out)
+                print(f"resuming at frame {frame_no}, "
+                      f"{audio_out} samples written")
 
         def consume(split, results):
             # Runs on the single stitch worker: the host reassembly for
@@ -200,11 +216,16 @@ def main(argv=None):
                     writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
+            if args.checkpoint:
+                from .utils import resume as ckpt
+                ckpt.save_checkpoint(
+                    args.checkpoint, frame_no, stitcher, audio_out,
+                    writer.sample_rate if writer else 44100)
 
         from concurrent.futures import ThreadPoolExecutor
         stitch_pool = ThreadPoolExecutor(1)
         pending = []
-        for base in range(0, n_frames, args.batch):
+        for base in range(start_base, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
             split = [ingest.split_fields(batch[f])
                      for f in range(batch.shape[0])]

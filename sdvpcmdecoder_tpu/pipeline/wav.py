@@ -30,12 +30,23 @@ def _header(sample_rate: int, data_bytes: int, channels: int = 2,
 class WavWriter:
     """Streaming stereo 16-bit WAV writer with valid-on-flush headers."""
 
-    def __init__(self, path: str | Path, sample_rate: int = 44100):
+    def __init__(self, path: str | Path, sample_rate: int = 44100,
+                 resume_at: int | None = None):
+        """resume_at: reopen an existing file, truncate to that many
+        sample pairs and append (checkpoint/resume path)."""
         self.path = Path(path)
         self.sample_rate = sample_rate
-        self._data_bytes = 0
-        self._fh = open(self.path, "wb")
-        self._fh.write(_header(sample_rate, 0))
+        if resume_at is not None and self.path.exists():
+            self._data_bytes = resume_at * 4
+            self._fh = open(self.path, "r+b")
+            self._fh.truncate(HEADER_SIZE + self._data_bytes)
+            self._fh.seek(0)
+            self._fh.write(_header(sample_rate, self._data_bytes))
+            self._fh.seek(HEADER_SIZE + self._data_bytes)
+        else:
+            self._data_bytes = 0
+            self._fh = open(self.path, "wb")
+            self._fh.write(_header(sample_rate, 0))
 
     def write(self, samples: np.ndarray):
         """samples [N, 2] int16 (L, R)."""

@@ -16,31 +16,38 @@ import numpy as np
 
 from ..pipeline import stitcher_stc007 as st
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_checkpoint(path, frame_index: int, stitcher: st.STC007Stitcher,
-                    samples_written: int):
+                    samples_written: int, sample_rate: int = 44100):
     path = Path(path)
     meta = dict(
         version=FORMAT_VERSION,
         frame_index=frame_index,
         samples_written=samples_written,
+        sample_rate=sample_rate,
         frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
         frasm_f1=dataclasses.asdict(stitcher.frasm_f1),
         stats_field_order=stitcher.stats_field_order,
         stats_resolution=stitcher.stats_resolution,
         broken_countdown=stitcher.broken_countdown,
+        pending_nos=[fno for fno, _ in stitcher.pending_frames],
     )
     path.with_suffix(".json").write_text(json.dumps(meta))
     conv = stitcher.conv_queue
-    np.savez_compressed(
-        path.with_suffix(".npz"),
-        **{f: getattr(conv, f) for f in st.LineStore.FIELDS})
+    arrays = {f: getattr(conv, f) for f in st.LineStore.FIELDS}
+    # The sliding window's unpaired frames must survive the restart or
+    # the first resumed frame would never be seam-stitched.
+    for i, (_, store) in enumerate(stitcher.pending_frames):
+        for f in st.LineStore.FIELDS:
+            arrays[f"pend{i}_{f}"] = getattr(store, f)
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
 
 
 def load_checkpoint(path, stitcher: st.STC007Stitcher):
-    """Restore stitcher state; returns (frame_index, samples_written)."""
+    """Restore stitcher state; returns (frame_index, samples_written,
+    sample_rate)."""
     path = Path(path)
     meta = json.loads(path.with_suffix(".json").read_text())
     assert meta["version"] == FORMAT_VERSION
@@ -55,4 +62,11 @@ def load_checkpoint(path, stitcher: st.STC007Stitcher):
     for f in st.LineStore.FIELDS:
         setattr(conv, f, data[f])
     stitcher.conv_queue = conv
-    return int(meta["frame_index"]), int(meta["samples_written"])
+    stitcher.pending_frames = []
+    for i, fno in enumerate(meta.get("pending_nos", [])):
+        store = st.LineStore(0)
+        for f in st.LineStore.FIELDS:
+            setattr(store, f, data[f"pend{i}_{f}"])
+        stitcher.pending_frames.append((int(fno), store))
+    return (int(meta["frame_index"]), int(meta["samples_written"]),
+            int(meta.get("sample_rate", 44100)))

@@ -61,7 +61,7 @@ def test_resume_roundtrip(tmp_path):
     ck = tmp_path / "ck"
     resume.save_checkpoint(ck, 2, s, n_out)
     s2 = st.STC007Stitcher(preset_video=st.VID_PAL)
-    fidx, written = resume.load_checkpoint(ck, s2)
+    fidx, written, _rate = resume.load_checkpoint(ck, s2)
     assert (fidx, written) == (2, n_out)
     assert s2.frasm_f1.frame_number == s.frasm_f1.frame_number
     assert len(s2.conv_queue) == len(s.conv_queue)
@@ -74,3 +74,23 @@ def test_resume_roundtrip(tmp_path):
         np.full(nl, fr["frame_number"]), fr["line_numbers"]))
     s2.finish()
     assert len(s2.pop_samples()) > 0
+
+
+def test_checkpoint_pending_frames(tmp_path):
+    """Checkpoint v2 roundtrips the sliding window's unpaired frame."""
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    from sdvpcmdecoder_tpu.utils import resume as ck
+    s1 = st.STC007Stitcher(preset_video=st.VID_PAL)
+    store = st.LineStore(10)
+    store.frame_number[:] = 7
+    store.line_number = 1 + 2 * np.arange(10)
+    s1.push_frame(store)            # one frame stays pending (window of 2)
+    assert len(s1.pending_frames) == 1
+    ck.save_checkpoint(tmp_path / "c", 7, s1, 1234, 44100)
+    s2 = st.STC007Stitcher(preset_video=st.VID_PAL)
+    fi, sw, rate = ck.load_checkpoint(tmp_path / "c", s2)
+    assert (fi, sw, rate) == (7, 1234, 44100)
+    assert len(s2.pending_frames) == 1
+    fno, pend = s2.pending_frames[0]
+    assert fno == 7
+    np.testing.assert_array_equal(pend.line_number, store.line_number)
