@@ -153,11 +153,17 @@ def main(argv=None):
                 print(f"resuming at frame {frame_no}, "
                       f"{audio_out} samples written")
 
+        # Per-stage wall-time aggregates (the QElapsedTimer stage splits
+        # of processLine / loopTime signals, batch-granular here).
+        stage_t = {"read": 0.0, "decode": 0.0, "stitch": 0.0,
+                   "audio": 0.0}
+
         def consume(split, results):
             # Runs on the single stitch worker: the host reassembly for
             # batch N overlaps the device decode of batch N+1.
             nonlocal frame_no, first, audio_out, audio_peak, \
                 frames_no_pcm, writer
+            t_st = time.perf_counter()
             for (lines, nums), res in zip(split, results):
                 frame_no += 1
                 if res is None:
@@ -204,6 +210,8 @@ def main(argv=None):
                           f"Q[{fr.blocks_fix_q:3d}] "
                           f"brk[{fr.blocks_broken_field:3d}] "
                           f"drop[{fr.blocks_drop:3d}]")
+            stage_t["stitch"] += time.perf_counter() - t_st
+            t_au = time.perf_counter()
             # Drain periodically to bound memory.
             arrs = st.chunks_to_arrays(stitcher.pop_sample_chunks())
             if arrs is not None:
@@ -216,6 +224,7 @@ def main(argv=None):
                     writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
+            stage_t["audio"] += time.perf_counter() - t_au
             if args.checkpoint:
                 from .utils import resume as ckpt
                 ckpt.save_checkpoint(
@@ -226,11 +235,14 @@ def main(argv=None):
         stitch_pool = ThreadPoolExecutor(1)
         pending = []
         for base in range(start_base, n_frames, args.batch):
+            t_rd = time.perf_counter()
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
             split = [ingest.split_fields(batch[f])
                      for f in range(batch.shape[0])]
+            stage_t["read"] += time.perf_counter() - t_rd
             if not split:
                 continue
+            t_dc = time.perf_counter()
             lines_b = np.stack([s[0] for s in split])
             # Pad the tail batch to the full batch size so the device
             # sees one compiled shape.
@@ -243,6 +255,7 @@ def main(argv=None):
             results = driver.decode_frames(lines_b)
             if pad_frames:
                 results = results[:-pad_frames]
+            stage_t["decode"] += time.perf_counter() - t_dc
             pending.append(stitch_pool.submit(consume, split, results))
         for f in pending:
             f.result()
@@ -271,6 +284,8 @@ def main(argv=None):
     agg.peak_level = audio_peak
     agg.frames_no_pcm = frames_no_pcm
     print(agg.summary())
+    print("timings: " + ", ".join(f"{k} {v:.2f}s"
+                                  for k, v in stage_t.items()))
     print(f"decoded {frame_no} frames in {dt:.2f}s "
           f"({frame_no / dt:.1f} fps) -> {out_path}")
     return 0
