@@ -47,11 +47,39 @@ def samples_to_blocks(left: np.ndarray, right: np.ndarray):
     return blocks
 
 
-def blocks_to_lines(blocks: np.ndarray, n_lines: int | None = None):
+def samples_to_blocks16(left: np.ndarray, right: np.ndarray):
+    """16-bit (PCM-F1 EE) sample words -> 16-bit block matrix [Nb, 8].
+
+    Columns 0..5 audio, 6 = P16 (XOR of the six 16-bit words; XOR is
+    bitwise so its high/low split is consistent), 7 = zero placeholder —
+    the S word is per LINE, built by blocks_to_lines for resolution 16.
+    """
+    n = len(left)
+    nb = (n + 2) // 3
+    pad = nb * 3 - n
+    l = np.concatenate([left, np.zeros(pad, dtype=left.dtype)])
+    r = np.concatenate([right, np.zeros(pad, dtype=right.dtype)])
+    blocks = np.zeros((nb, 8), dtype=np.int64)
+    blocks[:, 0] = l[0::3]
+    blocks[:, 1] = r[0::3]
+    blocks[:, 2] = l[1::3]
+    blocks[:, 3] = r[1::3]
+    blocks[:, 4] = l[2::3]
+    blocks[:, 5] = r[2::3]
+    blocks[:, 6] = np.bitwise_xor.reduce(blocks[:, :6], axis=1)
+    return blocks
+
+
+def blocks_to_lines(blocks: np.ndarray, n_lines: int | None = None,
+                    resolution: int = 14):
     """Interleave blocks into per-line word arrays [L, 8] + CRCs [L].
 
     Line s, tap w carries word w of block (s - 16*w); out-of-range blocks
     are silent. Default L = Nb + 112 so every block is fully covered.
+    With resolution=16 the block table holds 16-bit words; each line slot
+    keeps the 14 MSBs and slot 7 becomes the per-LINE S word packing the
+    2 LSBs of the line's own 7 words at F1_S_OFFSETS
+    (stc007deinterleaver.cpp:1195-1274).
     """
     nb = blocks.shape[0]
     if n_lines is None:
@@ -66,6 +94,12 @@ def blocks_to_lines(blocks: np.ndarray, n_lines: int | None = None):
     # line s tap w -> block index s - 16w, shifted by the 112 silent pad.
     bidx = s[:, None] - taps[None, :] + stc007.MIN_DEINT_DATA
     line_words = ext[bidx, np.arange(8)[None, :]]
+    if resolution == 16:
+        w16 = line_words
+        line_words = w16 >> stc007.F1_WORD_OFS
+        line_words[:, 7] = 0
+        for k, sh in enumerate(stc007.F1_S_OFFSETS):
+            line_words[:, 7] |= (w16[:, k] & stc007.F1_S_MASK) << sh
     crcs = stc007.calc_crc(line_words, xp=np)
     return line_words, crcs
 
@@ -125,7 +159,8 @@ def render_bits(bits: np.ndarray, width=1280, ppb=8.0, start_px=32,
 
 
 def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
-                  first_frame=1, bottom_crop=0, top_crop=0):
+                  first_frame=1, bottom_crop=0, top_crop=0,
+                  resolution=14):
     """Field-structured synthetic capture for the stitcher.
 
     The tape's PCM line sequence is field-sequential: frame f carries
@@ -141,9 +176,12 @@ def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
     """
     from ..formats import stc007 as _stc
     need = n_frames * 2 * lines_pf
-    blocks = samples_to_blocks(np.asarray(left, np.int64),
-                               np.asarray(right, np.int64))
-    line_words, crcs = blocks_to_lines(blocks, need)
+    to_blocks = samples_to_blocks16 if resolution == 16 \
+        else samples_to_blocks
+    blocks = to_blocks(np.asarray(left, np.int64),
+                       np.asarray(right, np.int64))
+    line_words, crcs = blocks_to_lines(blocks, need,
+                                       resolution=resolution)
     frames = []
     for f in range(n_frames):
         fields = []

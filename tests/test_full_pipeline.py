@@ -81,3 +81,36 @@ def test_pixels_to_wav_clean_bit_exact(tmp_path):
     n_check = min(n_good, len(out_l) - st0)
     np.testing.assert_array_equal(out_l[st0:st0 + n_check], el[:n_check])
     np.testing.assert_array_equal(out_r[st0:st0 + n_check], er[:n_check])
+
+
+def test_ntsc_16bit_end_to_end():
+    """NTSC geometry + 16-bit PCM-F1 resolution, auto-detected: the full
+    pixels->WAV chain stays bit-exact with the S-word LSB extension."""
+    lpf = 245
+    n_frames = 4
+    rng = np.random.default_rng(88)
+    n = 3 * n_frames * 2 * lpf
+    left = rng.integers(0, 1 << 16, size=n)
+    right = rng.integers(0, 1 << 16, size=n)
+    frames = enc.encode_fields(left, right, n_frames, lines_pf=lpf,
+                               resolution=16)
+    dec = fd.FullDecoder(lines_per_field=lpf, hyst_limit=1, shift_limit=1)
+    for fr in frames:
+        pixels, coords = enc.render_lines(fr["line_words"], fr["crcs"],
+                                          width=1152, ppb=8.0)
+        dec.push_frame(pixels, coords[0], line_numbers=fr["line_numbers"])
+    dec.finish()
+    samples, rate = dec.collect()
+    assert samples is not None
+    exp = np.where(left >= 0x8000, left - 0x10000, left).astype(np.int64)
+    out_l = samples[:, 0].astype(np.int64)
+    idx = np.nonzero(out_l == exp[0])[0]
+    assert len(idx) > 0
+    st0 = int(idx[0])
+    n_check = min(3 * (n_frames * 2 * lpf - 160), len(out_l) - st0)
+    np.testing.assert_array_equal(out_l[st0:st0 + n_check], exp[:n_check])
+    # The stitcher must have auto-detected 16-bit resolution.
+    from sdvpcmdecoder_tpu.ops import deinterleave as di
+    assert any(f.odd_resolution in (di.RES_MODE_16BIT,
+                                    di.RES_MODE_16BIT_AUTO)
+               for f in dec.stitcher.frame_log)
