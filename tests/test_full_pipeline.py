@@ -114,3 +114,29 @@ def test_ntsc_16bit_end_to_end():
     assert any(f.odd_resolution in (di.RES_MODE_16BIT,
                                     di.RES_MODE_16BIT_AUTO)
                for f in dec.stitcher.frame_log)
+
+
+def test_m2_end_to_end():
+    """M2 companding: same tape layout, different sample expansion."""
+    lpf = 294
+    rng = np.random.default_rng(89)
+    n = 3 * 2 * 2 * lpf
+    left = rng.integers(1, 1 << 14, size=n)
+    right = rng.integers(1, 1 << 14, size=n)
+    frames = enc.encode_fields(left, right, 2, lines_pf=lpf)
+    dec = fd.FullDecoder(lines_per_field=lpf, hyst_limit=1, shift_limit=1,
+                         m2=True)
+    for fr in frames:
+        pixels, coords = enc.render_lines(fr["line_words"], fr["crcs"],
+                                          width=1152, ppb=8.0)
+        dec.push_frame(pixels, coords[0], line_numbers=fr["line_numbers"])
+    dec.finish()
+    samples, rate = dec.collect()
+    exp = np.asarray(stc007.expand_sample(left, m2=True, xp=np)) \
+        .astype(np.int64)
+    out_l = samples[:, 0].astype(np.int64)
+    idx = np.nonzero(out_l == exp[0])[0]
+    assert len(idx) > 0
+    st0 = int(idx[0])
+    n_check = min(3 * (2 * 2 * lpf - 160), len(out_l) - st0)
+    np.testing.assert_array_equal(out_l[st0:st0 + n_check], exp[:n_check])
