@@ -127,7 +127,16 @@ class LineStore:
         return stc007.calc_crc(self.words, xp=np)
 
     def crc_valid_ignore_forced(self):
-        return self.calc_crc() == self.source_crc
+        # The trim/split/seam machinery asks ~10x per frame; cache until
+        # words are mutated (CWD write-back calls invalidate_crc()).
+        cached = getattr(self, "_crcv", None)
+        if cached is None:
+            cached = self.calc_crc() == self.source_crc
+            self._crcv = cached
+        return cached
+
+    def invalidate_crc(self):
+        self._crcv = None
 
     def crc_valid(self):
         return (~self.forced_bad) & self.crc_valid_ignore_forced()
@@ -1589,6 +1598,7 @@ class STC007Stitcher:
                             conv.source_crc[row] = int(conv.calc_crc()[row])
                             conv.word_valid[row, 8] = True
                             line_fix_cnt += 1
+                        conv.invalidate_crc()
                         crc_valid_if = conv.crc_valid_ignore_forced()
                     else:
                         full = int(batch.words[b, w])
@@ -1606,6 +1616,7 @@ class STC007Stitcher:
                         if conv.calc_crc()[row] == conv.source_crc[row]:
                             conv.word_valid[row, :] = True
                             line_fix_cnt += 1
+                        conv.invalidate_crc()
                         crc_valid_if = conv.crc_valid_ignore_forced()
                 else:
                     # False-positive valid line feeding a fixed block:
