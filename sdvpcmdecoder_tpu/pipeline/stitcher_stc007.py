@@ -687,6 +687,9 @@ class STC007Stitcher:
             return SAMPLE_RES_14BIT
         if self.preset_resolution == SAMPLE_RES_16BIT:
             return SAMPLE_RES_16BIT
+        cached = getattr(fld, "_fieldres", None)
+        if cached is not None:
+            return cached
         f_size = len(fld)
         if f_size <= stc007.MIN_DEINT_DATA:
             return SAMPLE_RES_UNKNOWN
@@ -698,18 +701,24 @@ class STC007Stitcher:
                 en_q=False, stop=test_size, m2=self.mode_m2)
             good = aux["block_valid"] & aux["can_force"] & ~aux["silent"]
             broken = aux["broken"]
-            # Serial count with BROKEN decrement floor at 0 (:1090-1140).
-            c = 0
-            for g, b in zip(good, broken):
-                if g:
-                    c += 1
-                elif b and c > 0:
-                    c -= 1
+            # Count with BROKEN decrement floored at 0 (:1090-1140):
+            # c_t = max(c_{t-1} + x_t, 0) vectorizes as the reflected
+            # running sum cum_t - min(0, min_{s<=t} cum_s).
+            x = good.astype(np.int64) - (~good & broken).astype(np.int64)
+            cum = np.cumsum(x)
+            if len(cum):
+                c = int(cum[-1]
+                        - min(0, int(np.minimum.accumulate(cum)[-1])))
+            else:
+                c = 0
             counts[key] = c
         if counts[14] > stc007.INTERLEAVE_OFS * 2:
             ratio = counts[16] * 128 // counts[14]
-            return SAMPLE_RES_16BIT if ratio > 32 else SAMPLE_RES_14BIT
-        return SAMPLE_RES_UNKNOWN
+            res = SAMPLE_RES_16BIT if ratio > 32 else SAMPLE_RES_14BIT
+        else:
+            res = SAMPLE_RES_UNKNOWN
+        fld._fieldres = res
+        return res
 
     @staticmethod
     def resolution_mode_for_seam(r1, r2):
