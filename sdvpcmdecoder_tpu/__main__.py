@@ -332,17 +332,26 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 # Frame coordinates: sweep on spread sample lines
                 # (prescanCoordinates analog), seeded by prior frames.
                 from .ops import line_decode_np as ld
-                sw = None
                 gap = L // 5
+                hits = []
                 for k in range(1, 5):
                     sw = ld.search_coordinates(
                         lines[k * gap], ref, black, white, W,
                         fmt="pcm16x0" if args.format == "pcm1630"
                         else args.format, history=coord_hist)
                     if sw is not None:
-                        break
-                if sw is not None:
-                    coord_hist = (sw["start"], sw["stop"])
+                        hits.append((sw["start"], sw["stop"]))
+                        if coord_hist is None and len(hits) == 1:
+                            # Seed further sample lines with the first
+                            # hit so their sweeps stay narrow.
+                            coord_hist = hits[0]
+                if hits:
+                    # Median over the sampled lines: one jittered line
+                    # must not poison the frame coordinates
+                    # (medianCoordinates analog).
+                    hs = np.array(hits)
+                    coord_hist = (int(np.median(hs[:, 0])),
+                                  int(np.median(hs[:, 1])))
                 if coord_hist is None:
                     continue
                 coords = jnp.asarray([list(coord_hist)], jnp.int32)
@@ -353,9 +362,17 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         jnp.asarray([black], jnp.int32),
                         jnp.asarray([white], jnp.int32),
                         shift_limit=shift)
+                    wl1 = np.asarray(w[0]).copy()
+                    cl1 = np.asarray(cr[0]).copy()
+                    if args.quality in ("normal", "insane"):
+                        fixed = ld.refine_failed_lines(
+                            lines, np.asarray(valid[0]), coord_hist, ref,
+                            black, white, "pcm1", shift_limit=shift)
+                        for li, (fw, fc) in fixed.items():
+                            wl1[li] = fw
+                            cl1[li] = fc
                     store = sp1.PCM1LineStore.from_decoded(
-                        np.asarray(w[0]), np.asarray(cr[0]),
-                        np.full(L, frame_no), nums,
+                        wl1, cl1, np.full(L, frame_no), nums,
                         ref_level=np.full(L, ref))
                     if frame_no == 1:
                         tag = sp1.PCM1LineStore(1)
@@ -370,8 +387,15 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         jnp.asarray([black], jnp.int32),
                         jnp.asarray([white], jnp.int32),
                         shift_limit=shift)
-                    wl = np.asarray(w[0]).reshape(L * 3, 3)
-                    cl = np.asarray(cr[0]).reshape(L * 3)
+                    wl = np.asarray(w[0]).reshape(L * 3, 3).copy()
+                    cl = np.asarray(cr[0]).reshape(L * 3).copy()
+                    if args.quality in ("normal", "insane"):
+                        fixed = ld.refine_failed_lines(
+                            lines, np.asarray(valid[0]), coord_hist, ref,
+                            black, white, "pcm16x0", shift_limit=shift)
+                        for (li, part), (fw, fc) in fixed.items():
+                            wl[3 * li + part] = fw
+                            cl[3 * li + part] = fc
                     store = sp16.PCM16X0LineStore.from_decoded(
                         wl, cl, np.full(L * 3, frame_no),
                         np.repeat(nums, 3), np.tile(np.arange(3), L),

@@ -288,6 +288,60 @@ def _crc_stats_filter(trials):
     return alive
 
 
+def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
+                        shift_limit=SHIFT_STAGES_SAFE, span=8, step=2,
+                        max_lines=48):
+    """Per-line coordinate refinement for lines that failed the shared
+    frame coordinates — the batch analog of the reference's per-line
+    findPCM1Coordinates/findPCM16X0Coordinates (binarizer.cpp:5601/:5819)
+    handling tape jitter beyond the pixel-shift stages.
+
+    lines [L, W] uint8; valid: [L] bool (PCM-1) or [L, 3] bool (16x0
+    per subline part); coords (start, stop).  Mutates nothing; returns
+    (words, crc, fixed_mask) for the refined lines only, as a dict
+    {line_index: (words, crc)} (PCM-1) or {(line, part): ...} (16x0).
+    """
+    W = lines.shape[1]
+    ds, de = coords
+    deltas = sorted(range(-span, span + 1, step), key=abs)
+    out = {}
+    if fmt == "pcm1":
+        bad = np.nonzero(~valid)[0][:max_lines]
+        for li in bad:
+            done = False
+            for d1 in deltas:
+                for d2 in deltas:
+                    w, cr, calc, ok, d, s = read_pcm_grid(
+                        decode_trial_pcm1, lines[li], ds + d1, de + d2,
+                        ref, black, white, W, 0, shift_limit)
+                    if ok:
+                        out[int(li)] = (w, cr)
+                        done = True
+                        break
+                if done:
+                    break
+    else:
+        bad_rows = np.nonzero(~valid.all(axis=-1))[0][:max_lines]
+        for li in bad_rows:
+            for part in range(3):
+                if valid[li, part]:
+                    continue
+                done = False
+                for d1 in deltas:
+                    for d2 in deltas:
+                        w, cr, calc, ok, d, s = read_pcm_grid(
+                            decode_trial_pcm16x0, lines[li], ds + d1,
+                            de + d2, ref, black, white, W, 0,
+                            shift_limit, part=part)
+                        if ok:
+                            out[(int(li), part)] = (w, cr)
+                            done = True
+                            break
+                    if done:
+                        break
+    return out
+
+
 def search_coordinates(pixels_line, ref, black, white, width, fmt="pcm1",
                        history=None, part=0, bin_mode_shifts=SHIFT_STAGES_SAFE,
                        preset: BinPreset | None = None):

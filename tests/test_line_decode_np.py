@@ -142,3 +142,38 @@ def test_generic_device_decode_pcm16x0():
     np.testing.assert_array_equal(np.asarray(w[0]), sub_words)
     np.testing.assert_array_equal(np.asarray(cr[0]), crcs)
     np.testing.assert_array_equal(np.asarray(cb[0]).astype(np.int64), ctrl)
+
+
+def test_refine_failed_lines_jitter():
+    """Per-line coordinate refinement recovers lines whose start jitters
+    beyond the pixel-shift stages (findPCM1Coordinates per-line analog)."""
+    import jax.numpy as jnp
+    from sdvpcmdecoder_tpu.ops import binarize as bz
+    from sdvpcmdecoder_tpu.ops import line_decode_np as ld
+    rng = np.random.default_rng(17)
+    L, W = 12, 1600
+    words = rng.integers(0, 1 << 13, size=(L, 6))
+    crcs = pcm1.calc_crc(words, xp=np)
+    jitter = rng.choice([-14, -12, 12, 14], size=L)
+    jitter[:4] = 0  # some stable lines keep the frame coords honest
+    rows, starts = [], []
+    for i in range(L):
+        bits = pcm1.words_to_data_bits(words[i:i+1], crcs[i:i+1], xp=np)
+        px, (ds, de) = enc.render_bits(bits, width=W, ppb=7.0,
+                                       start_px=32 + int(jitter[i]))
+        rows.append(px[0]); starts.append((ds, de))
+    pixels = np.stack(rows)
+    ds0, de0 = starts[0]
+    w, cr, valid = bz.pcm1_frame_decode(
+        jnp.asarray(pixels[None]), jnp.asarray([[ds0, de0]], jnp.int32),
+        jnp.asarray([110], jnp.int32), jnp.asarray([20], jnp.int32),
+        jnp.asarray([200], jnp.int32), shift_limit=2)
+    v = np.asarray(valid[0])
+    assert not v.all()  # jitter breaks some lines at frame coords
+    fixed = ld.refine_failed_lines(pixels, v, (ds0, de0), 110, 20, 200,
+                                   "pcm1", shift_limit=2, span=16)
+    wl = np.asarray(w[0]).copy()
+    for li, (fw, fc) in fixed.items():
+        wl[li] = fw
+    np.testing.assert_array_equal(wl, words)
+    assert len(fixed) == int((~v).sum())
