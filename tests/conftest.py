@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # compile on CPU; cache across test runs.
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize re-points JAX_PLATFORMS at import
+# time; the config knob wins over plugin registration.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
