@@ -76,3 +76,37 @@ def test_cli_pcm1630(tmp_path):
         np.concatenate(lefts), xp=np)).astype(np.int64)
     o = data[:, 0].astype(np.int64)
     np.testing.assert_array_equal(o[:len(el)], el[:len(o)])
+
+
+def test_cli_pcm16x0_si(tmp_path):
+    rng = np.random.default_rng(103)
+    W = 1600
+    LPF = 245
+    usable = (LPF * 3 // (3 * di16.SI_OFS)) * (3 * di16.SI_OFS)
+    n_frames = 2
+    lefts, vids = [], []
+    for f in range(n_frames):
+        img = np.zeros((2 * LPF, W), np.uint8)
+        for half in range(2):  # odd then even field (TFF)
+            left = rng.integers(1, 1 << 16, size=usable)
+            right = rng.integers(1, 1 << 16, size=usable)
+            lefts.append(left)
+            sub, _ = di16.interleave_field(left, right, LPF)
+            crcs = pcm16x0.calc_crc(sub, xp=np)
+            bits = pcm16x0.line_bits(sub.reshape(LPF, 3, 3),
+                                     crcs.reshape(LPF, 3), 0, xp=np)
+            px, _ = enc.render_bits(bits, width=W, ppb=7.0)
+            img[half::2] = px
+        vids.append(img)
+    cap = tmp_path / "si.y4m"
+    out = tmp_path / "si.wav"
+    ingest.write_y4m(cap, np.stack(vids), chroma="mono")
+    rc = main([str(cap), "-o", str(out), "--format", "pcm16x0",
+               "--quality", "fast"])
+    assert rc == 0
+    data, rate = wav.read_wav(out)
+    el = np.asarray(pcm16x0.expand_sample(
+        np.concatenate(lefts), xp=np)).astype(np.int64)
+    o = data[:, 0].astype(np.int64)
+    n_cmp = min(len(o), len(el))
+    np.testing.assert_array_equal(o[:n_cmp], el[:n_cmp])
