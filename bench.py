@@ -32,7 +32,7 @@ def main():
     from sdvpcmdecoder_tpu.synth import encoder as enc
     from sdvpcmdecoder_tpu.pipeline import decoder
 
-    frames_per_call = int(os.environ.get("BENCH_FRAMES", "32"))
+    frames_per_call = int(os.environ.get("BENCH_FRAMES", "128"))
     n_lines = frames_per_call * PAL_LINES_PER_FRAME
     rng = np.random.default_rng(0)
     n_samp = 3 * n_lines
