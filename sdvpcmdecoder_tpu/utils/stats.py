@@ -61,4 +61,12 @@ class DecodeStats:
             f"dropped {self.blocks_drop}\n"
             f"samples: {self.samples_out} out, "
             f"{self.samples_drop} damaged, {self.samples_masked} masked, "
-            f"peak {self.peak_level}")
+            f"peak {self.peak_level} ({self.peak_dbfs():+.1f} dBFS)")
+
+    def peak_dbfs(self) -> float:
+        """Peak level in dBFS (the VU meter analog; sample2vu lookup.h:30
+        feeds the reference's GUI bars from the same max-abs value)."""
+        import math
+        if self.peak_level <= 0:
+            return -96.0
+        return 20.0 * math.log10(self.peak_level / 32768.0)
