@@ -310,7 +310,10 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
     else:
         fmt16 = sp16.FORMAT_EI if args.format == "pcm1630" \
             else sp16.FORMAT_SI
-        stitcher = sp16.PCM16X0Stitcher(field_order=order, fmt=fmt16,
+        # EI auto-detects field order through the padding sweep.
+        order16 = ORDER_UNK if (args.field_order == "auto"
+                                and fmt16 == sp16.FORMAT_EI) else order
+        stitcher = sp16.PCM16X0Stitcher(field_order=order16, fmt=fmt16,
                                         en_p=not args.no_ecc)
     writer = None
     frame_no = 0

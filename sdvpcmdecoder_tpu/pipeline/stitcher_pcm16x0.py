@@ -26,7 +26,7 @@ import numpy as np
 from ..formats import pcm16x0
 from ..ops import pcm16x0_deint as di16
 from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
-                              SRV_FILLER, ORDER_TFF, ORDER_BFF,
+                              SRV_FILLER, ORDER_UNK, ORDER_TFF, ORDER_BFF,
                               SAMPLE_RATE_44100, SAMPLE_RATE_44056,
                               SamplePair, StitchStats,
                               SampleChunk, chunks_to_arrays)
@@ -151,6 +151,7 @@ class PCM16X0Stitcher:
         self.out_chunks: list[SampleChunk] = []
         self.frame_log: list[FrameAsmPCM16X0] = []
         self.stats_padding: list[int] = []
+        self.stats_order: list[int] = []
         self.file_started = False
 
     def pop_samples(self):
@@ -379,7 +380,9 @@ class PCM16X0Stitcher:
         data = buf.service == SRV_NO
         frames = buf.frame_number[data]
         fr.frame_number = int(frames[0]) if len(frames) else 0
-        fr.field_order = self.preset_field_order
+        fr.field_order = self.preset_field_order \
+            if self.preset_field_order != ORDER_UNK else \
+            (self.stats_order[-1] if self.stats_order else ORDER_TFF)
         fr.ei_format = self.fmt == FORMAT_EI
         self._find_trim(buf, fr)
         fields = self._split_fields(buf, fr)
@@ -514,7 +517,20 @@ class PCM16X0Stitcher:
 
     def _process_frame_ei(self, fields, order, fr):
         f1, f2 = fields[order[0]], fields[order[1]]
-        ok, pad, _ = self.find_ei_padding(f1, f2)
+        ok, pad, st1 = self.find_ei_padding(f1, f2)
+        if self.preset_field_order == ORDER_UNK and not ok:
+            # Field-order auto-detection: the reference's EI stage
+            # machine falls through findEIPadding(TFF) to
+            # findEIPadding(BFF) (:3813/:3884).
+            ok2, pad2, st2 = self.find_ei_padding(f2, f1)
+            if ok2:
+                f1, f2 = f2, f1
+                ok, pad = ok2, pad2
+                fr.field_order = ORDER_BFF if fr.field_order == ORDER_TFF \
+                    else ORDER_TFF
+        if ok and self.preset_field_order == ORDER_UNK:
+            self.stats_order.append(fr.field_order)
+            self.stats_order = self.stats_order[-STATS_DEPTH:]
         if ok:
             fr.padding_ok = True
             self.stats_padding.append(pad)

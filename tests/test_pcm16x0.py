@@ -190,3 +190,34 @@ def test_ei_interfield_padding():
     f1f = _mk_store(sub[:half], lpf, parity_base=1)
     ok2, pad2, _ = s.find_ei_padding(f1f, f2)
     assert ok2 and pad2 == 0
+
+
+def test_ei_bff_field_order():
+    """BFF EI capture decodes bit-exact with the BFF preset. (The
+    padding sweep alone cannot distinguish orders on clean data: the
+    XOR parity is label-invariant under the half-frame rotation, which
+    also holds for the reference's TFF-first tryEIPadding; the UNK
+    fallback only resolves cases where the first order fails.)"""
+    lpf = sp16.LINES_PF
+    usable = di16.EI_OFS * 3
+    lo, ro = _field_samples(usable, seed=21)
+    sub, _ = di16.interleave_field(lo, ro, 2 * lpf, ei=True)
+    half = sp16.SUBLINES_PF
+    # BFF: the EVEN field comes first in the stream.
+    f_even = _mk_store(sub[:half], lpf, parity_base=2)
+    f_odd = _mk_store(sub[half:], lpf, parity_base=1)
+    store = sp16.PCM16X0LineStore.concat([f_odd, f_even])
+    tag = sp16.PCM16X0LineStore(1)
+    tag.service[0] = sp16.SRV_NEW_FILE
+    tag.frame_number[0] = 1
+    store = sp16.PCM16X0LineStore.concat([tag, store])
+    s = sp16.PCM16X0Stitcher(fmt=sp16.FORMAT_EI,
+                             field_order=sp16.ORDER_BFF)
+    s.push_frame(store)
+    fr = s.frame_log[0]
+    assert fr.field_order == sp16.ORDER_BFF
+    assert fr.padding_ok
+    pairs = [p for p in s.pop_samples() if p.service == sp16.SRV_NO]
+    el = np.asarray(pcm16x0.expand_sample(lo, xp=np))
+    out_l = np.array([p.left for p in pairs])
+    np.testing.assert_array_equal(out_l[:len(el)], el[:len(out_l)])
