@@ -78,9 +78,16 @@ class BatchDecoder:
         job.writer.flush()
 
     def run(self):
-        """Round-robin: decode a frame chunk per capture per round."""
+        """Round-robin: decode a frame chunk per capture per round.
+
+        All live captures' frames are fused into ONE device dispatch per
+        round when their geometries match (prepare/dispatch/finalize
+        split of V2DDriver); per-capture prescan state and stitching
+        stay independent.
+        """
         while not all(j.done for j in self.jobs):
             futures = []
+            round_work = []   # (job, split, lines_b, prep)
             for j in self.jobs:
                 if j.done:
                     continue
@@ -91,11 +98,41 @@ class BatchDecoder:
                     self._drain_final(j)
                     j.done = True
                     continue
-                stores = []
                 split = [ingest.split_fields(batch[f])
                          for f in range(batch.shape[0])]
                 lines_b = np.stack([s[0] for s in split])
-                results = j.driver.decode_frames(lines_b)
+                round_work.append((j, split, lines_b,
+                                   j.driver.prepare_frames(lines_b)))
+            fused = len(round_work) > 1 and len(
+                {w[2].shape[1:] for w in round_work}) == 1
+            if fused:
+                px = np.concatenate([w[2] for w in round_work])
+                prep = {k: np.concatenate([w[3][k] for w in round_work])
+                        for k in ("coords", "refs", "blacks", "whites",
+                                  "usable")}
+                drv0 = round_work[0][0].driver
+                dw, dc, dv, df = drv0.dispatch_frames(px, prep)
+                ofs = 0
+                per_job = []
+                for (j, split, lines_b, jprep) in round_work:
+                    n = lines_b.shape[0]
+                    per_job.append(j.driver.finalize_frames(
+                        lines_b, jprep, dw[ofs:ofs + n], dc[ofs:ofs + n],
+                        dv[ofs:ofs + n], df[ofs:ofs + n]))
+                    ofs += n
+            else:
+                per_job = []
+                for (j, split, lines_b, jprep) in round_work:
+                    if not jprep["usable"].any():
+                        per_job.append([None] * lines_b.shape[0])
+                        continue
+                    w_, c_, v_, f_ = j.driver.dispatch_frames(lines_b,
+                                                              jprep)
+                    per_job.append(j.driver.finalize_frames(
+                        lines_b, jprep, w_, c_, v_, f_))
+            for (j, split, lines_b, _), results in zip(round_work,
+                                                       per_job):
+                stores = []
                 for (lines, nums), res in zip(split, results):
                     j.frame_no += 1
                     if res is None:

@@ -124,15 +124,12 @@ class V2DDriver:
         return (start, stop), ref
 
     # -- batched frame decode (production path) ---------------------------
-    def decode_frames(self, pixels: np.ndarray):
-        """Decode a BATCH of frames [F, L, W] in one device dispatch.
+    def prepare_frames(self, pixels: np.ndarray):
+        """Host phase: per-frame prescan + damping -> decode parameters.
 
-        Per-frame prescan + damping run on host; the trial-grid decode for
-        all frames is a single stc007_frame_decode call (one compile for a
-        fixed batch shape). Returns list of FrameDecodeResult (None for
-        frames with no PCM detected and no history).
+        Returns dict(coords [F,2], refs/blacks/whites [F], usable [F]).
         """
-        F, L, W = pixels.shape
+        F = pixels.shape[0]
         coords = np.zeros((F, 2), np.int64)
         refs = np.zeros(F, np.int64)
         blacks = np.zeros(F, np.int64)
@@ -160,23 +157,39 @@ class V2DDriver:
             usable[f] = True
         if self.forced_coords is not None:
             coords[:] = self.forced_coords
-        if not usable.any():
-            return [None] * F
-        # Single batched dispatch; unusable frames decode with defaults
-        # and are dropped afterwards.
+        return dict(coords=coords, refs=refs, blacks=blacks,
+                    whites=whites, usable=usable)
+
+    def dispatch_frames(self, pixels, prep):
+        """Device phase: one batched trial-grid dispatch (+ ref sweep).
+
+        Safe to call with a CONCATENATION of several drivers' prepared
+        batches — everything here is per-frame.
+        """
+        coords, blacks, whites = prep["coords"], prep["blacks"], \
+            prep["whites"]
         batch = bz.stc007_frame_decode(
             jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
-            jnp.asarray(np.maximum(refs, 1), jnp.int32),
+            jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
             jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
             jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
             hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
         words = np.asarray(batch.words)
         crc_read = np.asarray(batch.crc_read)
         valid = np.asarray(batch.valid)
-        forced = np.zeros((F, L), bool)
+        forced = np.zeros(valid.shape, bool)
         if self.ref_sweep:
             words, crc_read, valid, forced = self._ref_sweep_merge(
                 pixels, coords, blacks, whites, words, crc_read, valid)
+        return words, crc_read, valid, forced
+
+    def finalize_frames(self, pixels, prep, words, crc_read, valid,
+                        forced):
+        """Host phase: per-line marker fallback + result assembly."""
+        F, L, W = pixels.shape
+        coords, refs = prep["coords"], prep["refs"]
+        blacks, whites, usable = prep["blacks"], prep["whites"], \
+            prep["usable"]
         out = []
         for f in range(F):
             if not usable[f]:
@@ -191,6 +204,22 @@ class V2DDriver:
                 (int(coords[f, 0]), int(coords[f, 1])),
                 np.zeros(L, bool), forced[f]))
         return out
+
+    def decode_frames(self, pixels: np.ndarray):
+        """Decode a BATCH of frames [F, L, W] in one device dispatch.
+
+        Per-frame prescan + damping run on host; the trial-grid decode for
+        all frames is a single stc007_frame_decode call (one compile for a
+        fixed batch shape). Returns list of FrameDecodeResult (None for
+        frames with no PCM detected and no history).
+        """
+        F = pixels.shape[0]
+        prep = self.prepare_frames(pixels)
+        if not prep["usable"].any():
+            return [None] * F
+        words, crc_read, valid, forced = self.dispatch_frames(pixels, prep)
+        return self.finalize_frames(pixels, prep, words, crc_read, valid,
+                                    forced)
 
     def _ref_sweep_merge(self, pixels, coords, blacks, whites,
                          words, crc_read, valid):
