@@ -28,7 +28,7 @@ def _interpret():
     # Tests run on CPU where Mosaic can't compile; use interpreter there.
     return jax.default_backend() != "tpu"
 
-from ..formats import stc007, crc as crc_mod
+from ..formats import stc007
 from . import binarize as bz
 
 NBITS = stc007.BITS_PCM_DATA  # 128

@@ -16,8 +16,7 @@ from ..formats import pcm1
 from ..ops import pcm1_deint as di1
 from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
                               SRV_FILLER, ORDER_TFF, ORDER_BFF,
-                              SAMPLE_RATE_44100, SamplePair,
-                              SampleChunk, chunks_to_arrays)
+                              SAMPLE_RATE_44100, SampleChunk)
 
 SRV_HEADER = 6  # PCMLine SRVLINE_HEADER_LINE
 LINES_PF = di1.LINES_PF_NTSC

@@ -28,8 +28,7 @@ from ..ops import pcm16x0_deint as di16
 from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
                               SRV_FILLER, ORDER_UNK, ORDER_TFF, ORDER_BFF,
                               SAMPLE_RATE_44100, SAMPLE_RATE_44056,
-                              SamplePair, StitchStats,
-                              SampleChunk, chunks_to_arrays)
+                              StitchStats, SampleChunk)
 
 LINES_PF = 245                      # NTSC field (SI and EI use NTSC gear)
 SUBLINES_PF = LINES_PF * 3

@@ -14,7 +14,7 @@ Line data is a struct-of-arrays (`LineStore`), not per-line objects.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import numpy as np
 

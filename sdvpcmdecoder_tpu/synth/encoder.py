@@ -174,7 +174,6 @@ def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
     crcs [N], line_numbers [N] — lines ordered field1-then-field2 as the
     reference's VIP emits them (vin_ffmpeg.cpp:213 spliceFrame).
     """
-    from ..formats import stc007 as _stc
     need = n_frames * 2 * lines_pf
     to_blocks = samples_to_blocks16 if resolution == 16 \
         else samples_to_blocks
