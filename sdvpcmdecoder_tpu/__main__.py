@@ -129,6 +129,7 @@ def main(argv=None):
             fcoords = (int(a), int(b))
         driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift,
                                ref_sweep=args.quality == "insane",
+                               ref_sweep_fallback=args.quality == "normal",
                                forced_coords=fcoords)
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])

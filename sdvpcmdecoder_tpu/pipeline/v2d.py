@@ -67,11 +67,15 @@ class V2DDriver:
     def __init__(self, hyst_limit=4, shift_limit=2,
                  preset: agc.BinPreset | None = None,
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
-                 forced_coords=None):
+                 forced_coords=None, ref_sweep_fallback=False):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
         self.ref_sweep = ref_sweep
+        # NORMAL-mode analog of the reference's always-on STC-007 sweep:
+        # only lines still invalid after the marker fallback re-run the
+        # full level sweep, bucketed to a fixed shape.
+        self.ref_sweep_fallback = ref_sweep_fallback
         self.sweep_step = sweep_step
         self.min_valid_crcs = min_valid_crcs
         # bin_preset_t.en_force_coords/horiz_coords (binarizer.h:175-176):
@@ -198,12 +202,63 @@ class V2DDriver:
             wf, cf, vf = self._marker_fallback(
                 pixels[f], words[f], crc_read[f], valid[f], int(refs[f]),
                 int(blacks[f]), int(whites[f]))
+            ff = forced[f]
+            if self.ref_sweep_fallback and not self.ref_sweep \
+                    and not vf.all():
+                wf, cf, vf, ff = self._sweep_failed_lines(
+                    pixels[f], (int(coords[f, 0]), int(coords[f, 1])),
+                    int(blacks[f]), int(whites[f]), wf, cf, vf, ff)
             out.append(FrameDecodeResult(
                 wf, cf, vf, int(refs[f]),
                 int(blacks[f]), int(whites[f]),
                 (int(coords[f, 0]), int(coords[f, 1])),
-                np.zeros(L, bool), forced[f]))
+                np.zeros(L, bool), ff))
         return out
+
+    def _sweep_failed_lines(self, pixels, coords, black, white, words,
+                            crc_read, valid, forced):
+        """Per-line ref-level sweep for lines the fast path and marker
+        fallback could not decode (NORMAL-mode sweep parity, bucketed
+        to a fixed shape so only one sweep shape ever compiles)."""
+        bad = np.nonzero(~valid)[0]
+        if len(bad) == 0:
+            return words, crc_read, valid, forced
+        B = self.FALLBACK_BUCKET
+        levels = np.arange(254, 1, -self.sweep_step, dtype=np.int32)
+        R = len(levels)
+        words = words.copy()
+        crc_read = crc_read.copy()
+        valid = valid.copy()
+        forced = forced.copy()
+        for base in range(0, len(bad), B):
+            grp = bad[base:base + B]
+            n = len(grp)
+            px = np.zeros((B, 1, pixels.shape[1]), np.uint8)
+            px[:n, 0] = pixels[grp]
+            sw = bz.stc007_ref_sweep_decode(
+                jnp.asarray(px),
+                jnp.asarray(np.tile(np.asarray(coords)[None], (B, 1)),
+                            jnp.int32),
+                jnp.full((B,), max(black, 0), jnp.int32),
+                jnp.full((B,), min(white, 255), jnp.int32),
+                jnp.asarray(levels),
+                hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+            sv = np.asarray(sw["valid"]).reshape(R, B)
+            sc = np.asarray(sw["crc"]).reshape(R, B)
+            pick, good, fbad = bz.pick_ref_sweep(
+                sv, sc, np.asarray(sw["hyst"]).reshape(R, B),
+                np.asarray(sw["shift"]).reshape(R, B),
+                min_valid_crcs=self.min_valid_crcs)
+            sw_words = np.asarray(sw["words"]).reshape(R, B, 8)
+            for k in range(n):
+                if pick[k] < 0:
+                    continue
+                row = grp[k]
+                words[row] = sw_words[pick[k], k]
+                crc_read[row] = sc[pick[k], k]
+                valid[row] = True
+                forced[row] = fbad[k]
+        return words, crc_read, valid, forced
 
     def decode_frames(self, pixels: np.ndarray):
         """Decode a BATCH of frames [F, L, W] in one device dispatch.
@@ -340,6 +395,11 @@ class V2DDriver:
 
         words, crc_read, valid = self._marker_fallback(
             pixels, words, crc_read, valid, ref, black, white)
+        if self.ref_sweep_fallback and not self.ref_sweep \
+                and not valid.all():
+            words, crc_read, valid, forced = self._sweep_failed_lines(
+                pixels, coords, black, white, words, crc_read, valid,
+                forced)
 
         # Duplicate-line detection (doBinarize :825-860): a line whose
         # words differ from the previous by fewer bits than

@@ -110,3 +110,29 @@ def test_forced_coordinates():
     drv2 = v2d.V2DDriver(hyst_limit=2, shift_limit=1)
     res2 = drv2.decode_frame(px)
     assert res2 is None or not res2.valid.any()
+
+
+def test_sweep_fallback_recovers_dim_lines():
+    """NORMAL mode: lines too dim for the frame reference level get the
+    per-line sweep fallback (the reference sweeps STC-007 at NORMAL)."""
+    L = 24
+    rng = np.random.default_rng(23)
+    left = rng.integers(1, 1 << 14, size=3 * L)
+    right = rng.integers(1, 1 << 14, size=3 * L)
+    px, coords, words, crcs = enc.encode_stream(
+        left, right, width=1152, ppb=8.0, n_lines=L)
+    # Dim a few lines far below the frame's reference level.
+    dim = [5, 11, 17]
+    pxd = px.astype(np.float64)
+    pxd[dim] = 5 + (pxd[dim] - 20) * (60 - 5) / (200 - 20)
+    pxd = np.clip(pxd, 0, 255).astype(np.uint8)
+    drv = v2d.V2DDriver(hyst_limit=2, shift_limit=1,
+                        ref_sweep_fallback=True)
+    res = drv.decode_frame(pxd)
+    assert res is not None
+    assert res.valid.all(), np.nonzero(~res.valid)[0]
+    np.testing.assert_array_equal(res.words, words)
+    # Without the fallback the dim lines stay invalid.
+    drv2 = v2d.V2DDriver(hyst_limit=2, shift_limit=1)
+    res2 = drv2.decode_frame(pxd)
+    assert not res2.valid[dim].any()
