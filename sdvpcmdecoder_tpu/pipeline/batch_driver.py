@@ -44,7 +44,8 @@ class BatchDecoder:
 
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
-                 frames_per_round=4, workers=None, ref_sweep=False):
+                 frames_per_round=4, workers=None, ref_sweep=False,
+                 ref_sweep_fallback=False):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
@@ -53,7 +54,8 @@ class BatchDecoder:
             j.reader = ingest.VideoReader(j.path)
             j.driver = v2d.V2DDriver(hyst_limit=hyst_limit,
                                      shift_limit=shift_limit,
-                                     ref_sweep=ref_sweep)
+                                     ref_sweep=ref_sweep,
+                                     ref_sweep_fallback=ref_sweep_fallback)
             j.stitcher = st.STC007Stitcher(preset_video=preset_video)
             j.audio = ap.AudioProcessor(mask_mode=mask_mode)
         self.pool = ThreadPoolExecutor(workers or min(8, len(self.jobs)))
