@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--quality", default="normal",
                    choices=["draft", "fast", "normal", "insane"],
                    help="binarization effort (hysteresis/shift limits)")
+    p.add_argument("--sample-rate", default=0, type=int,
+                   choices=[0, 44100, 44056],
+                   help="force output sample rate (0 = by standard)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file: save stitcher state every "
                         "batch; if it exists, resume the decode from it")
@@ -122,7 +125,8 @@ def main(argv=None):
             preset_order={"auto": st.ORDER_UNK, "tff": st.ORDER_TFF,
                           "bff": st.ORDER_BFF}[args.field_order],
             preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[
-                args.resolution])
+                args.resolution],
+            preset_sample_rate=args.sample_rate)
         fcoords = None
         if args.force_coords:
             a, b = args.force_coords.split(":")
@@ -315,7 +319,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
         order16 = ORDER_UNK if (args.field_order == "auto"
                                 and fmt16 == sp16.FORMAT_EI) else order
         stitcher = sp16.PCM16X0Stitcher(field_order=order16, fmt=fmt16,
-                                        en_p=not args.no_ecc)
+                                        en_p=not args.no_ecc,
+                                        preset_sample_rate=args.sample_rate)
     writer = None
     frame_no = 0
     coord_hist = None  # frame-level coordinate damping (V2D analog)
