@@ -170,7 +170,7 @@ def build_selection(coords, n_s, width):
 
 def stc007_fused_decode_frames(pixels, coords, ref_level, black, white,
                                hyst_limit=4, shift_limit=2,
-                               tile_lines=216):
+                               tile_lines=296):
     """Per-frame fused decode: pixels [F, Lf, W], coords [F, 2],
     ref/black/white [F]. Grid is (frame, line-tile); each frame's
     selection matrix streams from HBM once per tile. Returns a LineBatch
@@ -248,7 +248,7 @@ def stc007_fused_decode_frames(pixels, coords, ref_level, black, white,
 
 
 def stc007_fused_decode(pixels, coords, ref_level, black, white,
-                        hyst_limit=4, shift_limit=2, tile_lines=216):
+                        hyst_limit=4, shift_limit=2, tile_lines=296):
     """Fused decode for one frame group sharing coordinates.
 
     pixels [L, W] uint8, coords (start, stop) python ints/0-d arrays,
