@@ -327,6 +327,11 @@ class V2DDriver:
         bad = np.nonzero(~valid)[0]
         if len(bad) == 0 or len(bad) == L:
             return words, crc_read, valid
+        # Device outputs arrive as read-only views; the retry writes
+        # per-line results back in place.
+        words = np.array(words)
+        crc_read = np.array(crc_read)
+        valid = np.array(valid)
         sub = pixels[bad]
         res = markers.search_markers(sub, np.full(len(bad), ref),
                                      preset=self.preset)

@@ -48,3 +48,32 @@ def test_noisy_cropped_dropout_capture():
     fixes = sum(f.blocks_fix_p + f.blocks_fix_q
                 for f in dec.stitcher.frame_log)
     assert fixes > 0
+
+
+def test_ppb_drift_marker_recovery():
+    """Tape-speed wobble: per-line PPB drifts so the shared frame
+    coordinates miss some lines; the per-line marker re-search recovers
+    them (the reference re-finds coordinates per line)."""
+    from sdvpcmdecoder_tpu.pipeline import v2d
+    rng = np.random.default_rng(91)
+    L = 64
+    left = rng.integers(1, 1 << 14, size=3 * L)
+    right = rng.integers(1, 1 << 14, size=3 * L)
+    from sdvpcmdecoder_tpu.synth import encoder as e2
+    blocks = e2.samples_to_blocks(np.asarray(left), np.asarray(right))
+    line_words, crcs = e2.blocks_to_lines(blocks, L)
+    rows = []
+    for i in range(L):
+        # ppb wobbles +-1.5% line to line.
+        ppb = 8.0 * (1.0 + 0.015 * np.sin(i / 3.0))
+        px, _ = e2.render_lines(line_words[i:i+1], crcs[i:i+1],
+                                width=1152, ppb=ppb)
+        rows.append(px[0])
+    pixels = np.stack(rows)
+    drv = v2d.V2DDriver(hyst_limit=2, shift_limit=2)
+    res = drv.decode_frame(pixels)
+    assert res is not None
+    # The drift must not defeat the decode: marker re-search per line
+    # recovers what the shared coords miss.
+    assert res.valid.all(), np.nonzero(~res.valid)[0]
+    np.testing.assert_array_equal(res.words, line_words)
