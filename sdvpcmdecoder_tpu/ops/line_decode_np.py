@@ -216,6 +216,46 @@ def pick_cut_bits_pcm1(words, crc_read, start, stop, width,
     return new_words, found[1], True, left_n, right_n, False
 
 
+def pick_cut_bits_pcm16x0(words, crc_read, start, stop, width, part,
+                          preset: BinPreset | None = None):
+    """pickCutBitsUpPCM16X0 (:6599): brute-force frame-edge bits for the
+    sub-line that owns them — PART_LEFT patches its first word's MSBs
+    with the unique-solution rule (two valid patches = collision =
+    forced bad); PART_RIGHT re-derives its CRC's cut LSBs from the
+    calculated CRC (single candidate by construction).
+
+    Returns (words, crc_read, valid, picked_left, picked_right,
+    forced_bad).
+    """
+    preset = preset or BinPreset()
+    left_n, right_n = count_cut_bits(SPEC_PCM16X0_FULL, start, stop,
+                                     width, preset.left_bit_pick,
+                                     preset.right_bit_pick)
+    if part == 0 and left_n:
+        clean = int(words[0]) & ((1 << (16 - left_n)) - 1)
+        found = None
+        for li in range(1 << left_n):
+            test = list(words)
+            test[0] = clean | (li << (16 - left_n))
+            calc = int(pcm16x0.calc_crc(np.asarray([test]), xp=np)[0])
+            if calc == crc_read:
+                if found is not None:
+                    return words, crc_read, False, left_n, 0, True
+                found = test[0]
+        if found is None:
+            return words, crc_read, False, 0, 0, False
+        nw = list(words)
+        nw[0] = found
+        return nw, crc_read, True, left_n, 0, False
+    if part == 2 and right_n:
+        mask = ~((1 << right_n) - 1) & 0xFFFF
+        calc = int(pcm16x0.calc_crc(np.asarray([list(words)]), xp=np)[0])
+        if (calc & mask) == (crc_read & mask):
+            return list(words), calc, True, 0, right_n, False
+        return words, crc_read, False, 0, 0, False
+    return words, crc_read, False, 0, 0, False
+
+
 # ---------------------------------------------------------------------------
 # Coordinate sweep (searchPCM1Data :4123 / PCM-16x0 :4514)
 # ---------------------------------------------------------------------------
@@ -408,7 +448,16 @@ def search_coordinates(pixels_line, ref, black, white, width, fmt="pcm1",
                     ref, black, white, width, 0, bin_mode_shifts,
                     part=part)
                 picked_l = picked_r = 0
+                if not valid:
+                    words, crc_read, valid, picked_l, picked_r, forced = \
+                        pick_cut_bits_pcm16x0(words, crc_read, start_ofs,
+                                              stop_ofs, width, part,
+                                              preset)
                 hyst_rank = d
+                if picked_r:
+                    hyst_rank = 0x0D
+                elif picked_l:
+                    hyst_rank = 0x0C
             right_trials.append(dict(
                 result=bool(valid), crc=crc_read, hyst=hyst_rank,
                 shift=s, start=start_ofs, stop=stop_ofs, words=words,

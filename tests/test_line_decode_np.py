@@ -177,3 +177,39 @@ def test_refine_failed_lines_jitter():
         wl[li] = fw
     np.testing.assert_array_equal(wl, words)
     assert len(fixed) == int((~v).sum())
+
+
+def test_pcm16x0_bit_picker():
+    """Left-edge cut bits of the PART_LEFT sub-line recovered by brute
+    force with the unique-solution rule; PART_RIGHT CRC LSBs re-derived."""
+    rng = np.random.default_rng(33)
+    sub_words = rng.integers(0, 1 << 16, size=(3, 3))
+    crcs = pcm16x0.calc_crc(sub_words, xp=np)
+    bits = pcm16x0.line_bits(sub_words[None], crcs[None], 0, xp=np)
+    # Cut the leftmost 3 bit cells off-frame.
+    pixels, _ = enc.render_bits(bits[:, 3:], width=1600, ppb=7.0,
+                                start_px=0)
+    ds_virtual = -21
+    de = int(round(0 + 190 * 7.0))
+    w, cr, calc, valid, d, s = ld.read_pcm_grid(
+        ld.decode_trial_pcm16x0, pixels[0], ds_virtual, de, 110, 20, 200,
+        1600, 0, 0, part=0)
+    assert not valid
+    fw, fc, ok, pl, pr, forced = ld.pick_cut_bits_pcm16x0(
+        w, cr, ds_virtual, de, 1600, 0)
+    assert ok and not forced
+    assert pl >= 3
+    assert fw == list(sub_words[0])
+    # Right side: CRC LSBs cut; the calculated CRC fills them in.
+    pixels2, _ = enc.render_bits(bits[:, :-3], width=1330, ppb=7.0,
+                                 start_px=0)
+    de2 = int(round(193 * 7.0))
+    w2, cr2, calc2, valid2, d2, s2 = ld.read_pcm_grid(
+        ld.decode_trial_pcm16x0, pixels2[0], 0, de2, 110, 20, 200,
+        1330, 0, 0, part=2)
+    assert not valid2
+    fw2, fc2, ok2, pl2, pr2, forced2 = ld.pick_cut_bits_pcm16x0(
+        w2, cr2, 0, de2, 1330, 2)
+    assert ok2 and pr2 >= 3
+    assert fw2 == list(sub_words[2])
+    assert fc2 == int(crcs[2])
