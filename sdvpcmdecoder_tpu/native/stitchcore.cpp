@@ -1,0 +1,543 @@
+// Native host core for the STC-007 stitcher: per-block deinterleave
+// correction (the hot op behind every seam-padding trial and the final
+// deinterleave).  Semantics are EXACTLY ops/deinterleave.py::correct_blocks
+// (the vectorized port of the reference's processBlock decision tree,
+// stc007deinterleaver.cpp:286-1123); the numpy path stays as the
+// reference implementation and tests assert bit-identity.
+//
+// GF(2) matrix tables (T^k, (T^k+I)^-1; stc007deinterleaver.cpp:4-75) are
+// NOT duplicated here — Python passes the row masks from formats/gf2.py
+// via stc007_set_q_tables, keeping one source of truth.
+//
+// Build: g++ -O3 -shared -fPIC -o libsdvstitch.so stitchcore.cpp
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int N_WORDS = 8;
+constexpr int N_AUDIO = 6;
+constexpr int WORD_P0 = 6;
+constexpr int WORD_Q0 = 7;
+constexpr int NO_ERR = 64;
+
+// audio_state
+constexpr int AUD_ORIG = 0, AUD_FIX_P = 1, AUD_FIX_Q = 2, AUD_BROKEN = 3;
+// stage
+constexpr int STG_DATA_OK = 0, STG_NO_CHECK = 1, STG_BAD_BLOCK = 2;
+
+// Row-mask tables set from Python (gf2.MATRICES): tpow_rows[k+6] is T^k
+// for k in -6..6, inv_rows[d-1] is (T^d+I)^-1 for d in 1..5.
+static uint16_t g_tpow[13][14];
+static uint16_t g_inv[5][14];
+static bool g_tables_set = false;
+
+inline int32_t gf2_apply(const uint16_t rows[14], int32_t word) {
+    int32_t out = 0;
+    for (int r = 0; r < 14; ++r) {
+        out |= (__builtin_parity(rows[r] & (uint32_t)word) << r);
+    }
+    return out;
+}
+
+inline int32_t tpow_apply(int k, int32_t w) { return gf2_apply(g_tpow[k + 6], w); }
+inline int32_t inv_apply(int d, int32_t w) { return gf2_apply(g_inv[d - 1], w); }
+
+inline int32_t calc_p(const int32_t* w) {
+    return w[0] ^ w[1] ^ w[2] ^ w[3] ^ w[4] ^ w[5];
+}
+
+inline int32_t calc_q(const int32_t* w) {
+    int32_t q = 0;
+    for (int k = 0; k < 6; ++k) q ^= tpow_apply(6 - k, w[k]);
+    return q;
+}
+
+}  // namespace
+
+namespace {
+
+constexpr int F1_S_OFFSETS[7] = {12, 10, 8, 6, 4, 2, 0};
+constexpr int F1_WORD_OFS = 2;
+constexpr int F1_S_MASK = 0x0003;
+constexpr int BIT_M2_RANGE = 1 << 13;
+constexpr int BIT_M2_SIGN = 1 << 12;
+
+// res modes (ops/deinterleave.py:44)
+constexpr int M14 = 0, M14A = 1, M16A = 2, M16 = 3;
+
+struct BlockResult {
+    int32_t w[8];
+    uint8_t valid[8];
+    uint8_t lcrc[8];
+    int32_t state;
+    int32_t stage;
+};
+
+// One-block port of the correct_blocks loop body above.
+inline void correct_one(const int32_t* w_in, const uint8_t* c_in, bool is14,
+                        bool en_p, bool en_q, bool force_ecc,
+                        BlockResult* r) {
+    const bool q_active = is14 && en_q;
+    const int tot_limit = is14 ? N_WORDS : 7;
+    int32_t* w = r->w;
+    uint8_t* valid = r->valid;
+    uint8_t* lcrc = r->lcrc;
+    for (int i = 0; i < N_WORDS; ++i) {
+        w[i] = w_in[i];
+        valid[i] = c_in[i];
+        lcrc[i] = c_in[i];
+    }
+    int state = AUD_ORIG;
+    int stage = STG_BAD_BLOCK;
+    int first = NO_ERR, second = NO_ERR, aud_errs = 0, tot_errs = 0;
+    for (int i = 0; i < N_AUDIO; ++i) {
+        if (!c_in[i]) {
+            ++aud_errs;
+            if (first == NO_ERR) first = i;
+            else if (second == NO_ERR) second = i;
+        }
+    }
+    for (int i = 0; i < tot_limit; ++i) tot_errs += !c_in[i];
+    const bool p_ok = c_in[WORD_P0], q_ok = c_in[WORD_Q0];
+    const int32_t sp = calc_p(w) ^ w[WORD_P0];
+    const int32_t sq = is14 ? (calc_q(w) ^ w[WORD_Q0]) : 0;
+    const bool le2 = tot_errs <= 2;
+
+    if (le2 && aud_errs == 0) {
+        if (!force_ecc) {
+            stage = STG_DATA_OK;
+        } else if (!en_p) {
+            stage = STG_NO_CHECK;
+        } else if (p_ok) {
+            if (sp == 0) {
+                stage = STG_DATA_OK;
+                if (q_active) {
+                    int32_t sq_fixed = calc_q(w) ^ w[WORD_Q0];
+                    if (q_ok && sq_fixed != 0) {
+                        state = AUD_BROKEN;
+                        stage = STG_BAD_BLOCK;
+                    } else if (!q_ok) {
+                        int32_t nq = calc_q(w);
+                        if (nq != w[WORD_Q0]) lcrc[WORD_Q0] = 0;
+                        w[WORD_Q0] = nq;
+                        valid[WORD_Q0] = 1;
+                    }
+                }
+            } else {
+                state = AUD_BROKEN;
+            }
+        } else {
+            if (q_active) {
+                if (!q_ok) {
+                    stage = STG_NO_CHECK;
+                    w[WORD_P0] = calc_p(w);
+                    w[WORD_Q0] = calc_q(w);
+                    valid[WORD_P0] = valid[WORD_Q0] = 1;
+                    lcrc[WORD_P0] = lcrc[WORD_Q0] = 0;
+                } else if (sq == 0) {
+                    stage = STG_DATA_OK;
+                    int32_t np = calc_p(w);
+                    if (np != w[WORD_P0]) lcrc[WORD_P0] = 0;
+                    w[WORD_P0] = np;
+                    valid[WORD_P0] = 1;
+                } else {
+                    state = AUD_BROKEN;
+                }
+            } else {
+                stage = STG_NO_CHECK;
+            }
+        }
+    } else if (le2 && aud_errs == 1 && en_p) {
+        bool went_p_route = false;
+        if (p_ok) {
+            went_p_route = true;
+            if (sp == 0) {
+                valid[first] = 1;
+            } else {
+                w[first] ^= sp;
+                valid[first] = 1;
+                lcrc[first] = 0;
+            }
+            stage = STG_DATA_OK;
+            state = AUD_FIX_P;
+        } else if (q_active && q_ok) {
+            if (sq == 0) {
+                valid[first] = 1;
+                int32_t np = calc_p(w);
+                if (np != w[WORD_P0]) lcrc[WORD_P0] = 0;
+                w[WORD_P0] = np;
+                valid[WORD_P0] = 1;
+                stage = STG_DATA_OK;
+                state = AUD_FIX_Q;
+            } else {
+                int32_t e1 = tpow_apply(-(6 - first), sq);
+                int32_t e2 = e1 ^ sp;
+                if (e1 != 0) { w[first] ^= e1; lcrc[first] = 0; }
+                valid[first] = 1;
+                if (e2 != 0) { w[WORD_P0] ^= e2; lcrc[WORD_P0] = 0; }
+                valid[WORD_P0] = 1;
+                stage = STG_DATA_OK;
+                state = AUD_FIX_Q;
+            }
+        }
+        if (went_p_route && q_active) {
+            if (force_ecc) {
+                int32_t sq_fixed = calc_q(w) ^ w[WORD_Q0];
+                if (q_ok && sq_fixed != 0) {
+                    state = AUD_BROKEN;
+                    stage = STG_BAD_BLOCK;
+                }
+            }
+            if (!q_ok) {
+                int32_t nq = calc_q(w);
+                if (nq != w[WORD_Q0]) lcrc[WORD_Q0] = 0;
+                w[WORD_Q0] = nq;
+                valid[WORD_Q0] = 1;
+            }
+        }
+    } else if (le2 && aud_errs == 2 && q_active && q_ok && p_ok) {
+        if (sp == 0 && sq == 0) {
+            valid[first] = valid[second] = 1;
+            stage = STG_DATA_OK;
+            state = AUD_FIX_Q;
+        } else {
+            int d = second - first;
+            int32_t e1 = inv_apply(d, tpow_apply(-(6 - second), sq) ^ sp);
+            int32_t e2 = e1 ^ sp;
+            if (e1 != 0) { w[first] ^= e1; lcrc[first] = 0; }
+            valid[first] = 1;
+            if (e2 != 0) { w[second] ^= e2; lcrc[second] = 0; }
+            valid[second] = 1;
+            stage = STG_DATA_OK;
+            state = AUD_FIX_Q;
+        }
+    }
+    if (state == AUD_BROKEN) {
+        for (int i = 0; i < tot_limit; ++i) { valid[i] = 0; lcrc[i] = 0; }
+    }
+    r->state = state;
+    r->stage = stage;
+}
+
+// correct_blocks_cwd semantics for one block (ops/deinterleave.py:479-512).
+inline bool correct_one_cwd(const int32_t* w_in, const uint8_t* c_in,
+                            const uint8_t* cwd_b, bool is14, bool en_p,
+                            bool en_q, bool force_ecc, bool en_cwd,
+                            BlockResult* r) {
+    correct_one(w_in, c_in, is14, en_p, en_q, force_ecc, r);
+    if (!en_cwd) return false;
+    const int tot_limit = is14 ? N_WORDS : 7;
+    int raw_tot = 0, raw_aud = 0;
+    bool helpful = false;
+    for (int i = 0; i < tot_limit; ++i) {
+        raw_tot += !c_in[i];
+        if (cwd_b[i] && !c_in[i]) helpful = true;
+    }
+    for (int i = 0; i < N_AUDIO; ++i) raw_aud += !c_in[i];
+    const bool enters = raw_tot > 2 || (raw_aud == 2 && !is14);
+    if (!(enters && helpful)) return false;
+    uint8_t eff[8];
+    for (int i = 0; i < N_WORDS; ++i) eff[i] = c_in[i] | cwd_b[i];
+    correct_one(w_in, eff, is14, en_p, en_q, force_ecc, r);
+    // line_crc keeps RAW source CRC state for CWD blocks.
+    for (int i = 0; i < N_WORDS; ++i) r->lcrc[i] = c_in[i];
+    return true;
+}
+
+inline int16_t expand14(int32_t word, bool m2) {
+    int32_t w = word & 0x3FFF;
+    int32_t out;
+    if (!m2) {
+        out = (w << 2) & 0xFFFF;
+    } else if ((w & BIT_M2_RANGE) == 0) {
+        out = (w << 3) & 0xFFFF;
+    } else {
+        int32_t lo = w & ~BIT_M2_RANGE;
+        if (w & BIT_M2_SIGN)
+            lo |= (1 << 15) | (1 << 14) | BIT_M2_RANGE;
+        out = lo;
+    }
+    if (out >= 0x8000) out -= 0x10000;
+    return (int16_t)out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void stc007_set_q_tables(const uint16_t* tpow_rows, const uint16_t* inv_rows) {
+    std::memcpy(g_tpow, tpow_rows, sizeof(g_tpow));
+    std::memcpy(g_inv, inv_rows, sizeof(g_inv));
+    g_tables_set = true;
+}
+
+// words_in/words_out [B*8] int32; crc_in/valid_out/line_crc_out [B*8] u8;
+// audio_state_out/stage_out [B] int32.  resolution: 0 = 14-bit, 1 = 16-bit.
+// In-place aliasing of in/out buffers is NOT allowed.
+int stc007_correct_blocks(
+    const int32_t* words_in, const uint8_t* crc_in, int64_t B,
+    int32_t resolution, int32_t en_p, int32_t en_q, int32_t force_ecc,
+    int32_t* words_out, uint8_t* valid_out, uint8_t* line_crc_out,
+    int32_t* audio_state_out, int32_t* stage_out) {
+    if (!g_tables_set) return -1;
+    const bool is14 = resolution == 0;
+    for (int64_t b = 0; b < B; ++b) {
+        BlockResult r;
+        correct_one(words_in + b * N_WORDS, crc_in + b * N_WORDS, is14,
+                    en_p, en_q, force_ecc, &r);
+        for (int i = 0; i < N_WORDS; ++i) {
+            words_out[b * N_WORDS + i] = r.w[i];
+            valid_out[b * N_WORDS + i] = r.valid[i];
+            line_crc_out[b * N_WORDS + i] = r.lcrc[i];
+        }
+        audio_state_out[b] = r.state;
+        stage_out[b] = r.stage;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-seam evaluation: gather + per-block correction + derived flags +
+// samples in one call (the hot loop behind eval_rows / tryPadding /
+// getFieldResolution / performDeinterleave).  Semantics are EXACTLY
+// pipeline/stitcher_stc007.py::eval_rows over ops/deinterleave.py.
+// ---------------------------------------------------------------------------
+
+// Full seam evaluation over B blocks.
+//   line_words [L*8] int32, line_crc [L*8] u8 (crc_ok incl. forced-bad),
+//   cwd_line   [L] u8 or NULL,
+//   rows       [B*8] int64 or NULL (NULL -> contiguous shifts from `start`)
+// Outputs (all preallocated by the caller):
+//   words [B*8] i32, valid/lcrc [B*8] u8, state/stage/resolution [B] i32,
+//   flags [B] u8 (bit0 broken, 1 block_valid, 2 can_force, 3 silent,
+//                 4 fixed_p, 5 fixed_q, 6 cwd_applied),
+//   samples [B*6] i16.
+int stc007_eval_rows(
+    const int32_t* line_words, const uint8_t* line_crc,
+    const uint8_t* cwd_line, const int64_t* rows, int64_t start, int64_t B,
+    int32_t res_mode, int32_t en_p, int32_t en_q, int32_t force_ecc,
+    int32_t en_cwd, int32_t m2,
+    int32_t* words_out, uint8_t* valid_out, uint8_t* lcrc_out,
+    int32_t* state_out, int32_t* stage_out, int32_t* res_out,
+    uint8_t* flags_out, int16_t* samples_out) {
+    if (!g_tables_set) return -1;
+
+    for (int64_t b = 0; b < B; ++b) {
+        int64_t rb[8];
+        if (rows) {
+            for (int i = 0; i < 8; ++i) rb[i] = rows[b * 8 + i];
+        } else {
+            for (int i = 0; i < 8; ++i) rb[i] = start + b + 16 * i;
+        }
+        int32_t w14[8];
+        uint8_t c14[8];
+        uint8_t cwd_b[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        for (int i = 0; i < 8; ++i) {
+            w14[i] = line_words[rb[i] * 8 + i];
+            c14[i] = line_crc[rb[i] * 8 + i];
+            if (cwd_line) cwd_b[i] = cwd_line[rb[i]];
+        }
+
+        auto run = [&](bool is14, BlockResult* r, bool* cwd_app) {
+            if (is14) {
+                *cwd_app = correct_one_cwd(w14, c14, cwd_b, true, en_p,
+                                           en_q, force_ecc, en_cwd, r);
+            } else {
+                int32_t w16[8];
+                uint8_t c16[8];
+                for (int i = 0; i < 7; ++i) {
+                    int32_t s = line_words[rb[i] * 8 + WORD_Q0];
+                    w16[i] = (w14[i] << F1_WORD_OFS)
+                           + ((s >> F1_S_OFFSETS[i]) & F1_S_MASK);
+                    c16[i] = c14[i] && line_crc[rb[i] * 8 + WORD_Q0];
+                }
+                w16[7] = 0;
+                c16[7] = 1;
+                *cwd_app = correct_one_cwd(w16, c16, cwd_b, false, en_p,
+                                           en_q, force_ecc, en_cwd, r);
+            }
+        };
+
+        BlockResult r;
+        bool cwd_app = false;
+        bool is14_sel;
+        if (res_mode == M14 || res_mode == M16) {
+            is14_sel = res_mode == M14;
+            run(is14_sel, &r, &cwd_app);
+        } else {
+            bool first14 = res_mode == M14A;
+            run(first14, &r, &cwd_app);
+            is14_sel = first14;
+            if (r.stage == STG_BAD_BLOCK) {
+                BlockResult r2;
+                bool ca2 = false;
+                run(!first14, &r2, &ca2);
+                if (r2.stage != STG_BAD_BLOCK) {
+                    r = r2;
+                    cwd_app = ca2;
+                    is14_sel = !first14;
+                }
+            }
+        }
+
+        const int lim = is14_sel ? 8 : 7;
+        const bool broken = r.state == AUD_BROKEN;
+        bool block_valid = true;
+        for (int i = 0; i < 6; ++i) block_valid = block_valid && r.valid[i];
+        int raw_errs = 0;
+        for (int i = 0; i < lim; ++i)
+            raw_errs += (!r.lcrc[i]) && !cwd_b[i];
+        const bool can_force =
+            !broken && (is14_sel ? raw_errs <= 1 : raw_errs == 0);
+        bool silent = true;
+        for (int i = 0; i < 6; ++i) {
+            int16_t s;
+            if (is14_sel) {
+                s = expand14(r.w[i], m2);
+            } else {
+                int32_t v = r.w[i] & 0xFFFF;
+                if (v >= 0x8000) v -= 0x10000;
+                s = (int16_t)v;
+            }
+            samples_out[b * 6 + i] = s;
+            if (s != 0) silent = false;
+        }
+        uint8_t flags = 0;
+        if (broken) flags |= 1;
+        if (block_valid) flags |= 2;
+        if (can_force) flags |= 4;
+        if (silent) flags |= 8;
+        if (r.state == AUD_FIX_P) flags |= 16;
+        if (r.state == AUD_FIX_Q) flags |= 32;
+        if (cwd_app) flags |= 64;
+        flags_out[b] = flags;
+        for (int i = 0; i < 8; ++i) {
+            words_out[b * 8 + i] = r.w[i];
+            valid_out[b * 8 + i] = r.valid[i];
+            lcrc_out[b * 8 + i] = r.lcrc[i];
+        }
+        state_out[b] = r.state;
+        stage_out[b] = r.stage;
+        res_out[b] = is14_sel ? 0 : 1;
+    }
+    return 0;
+}
+
+// STC-007 START/STOP marker search over a batch of lines — the native
+// twin of ops/markers.py (_search_start_line/_search_stop_line, port of
+// searchSTC007Markers binarizer.cpp:5275-5601).  Semantics bit-identical
+// to the Python reference; tests assert equality.
+//   pixels [N*W] u8; bin_low/bin_high [N] i32; outputs [N] each.
+//   stage codes: start 0..4 (BOT_2=4 == found), stop 0..3 (LEN_OK=3).
+void stc007_marker_search(
+    const uint8_t* pixels, int64_t N, int64_t W,
+    const int32_t* bin_low, const int32_t* bin_high,
+    int32_t mark_start_max, int32_t mark_end_min, int32_t ppb,
+    int32_t limit, uint8_t* st_found, uint8_t* ed_found,
+    int64_t* dstart, int64_t* dstop, int64_t* sbg, int64_t* sed,
+    int64_t* eed) {
+    const int64_t lim = limit < W ? limit : W;
+    for (int64_t n = 0; n < N; ++n) {
+        const uint8_t* px = pixels + n * W;
+        const int32_t lo = bin_low[n], hi = bin_high[n];
+        // Forward START "1010" walk with bit-length sanity resets.
+        int stage = 0;  // MARK_ST_START
+        int64_t b1s = 0, b1e = 0, b3s = 0, b3e = 0;
+        for (int64_t i = 0; i < lim;) {
+            const int32_t v = px[i];
+            if (stage == 0) {
+                if (i > mark_start_max) break;
+                if (v >= lo) { b1s = i; stage = 1; }
+            } else if (stage == 1) {
+                if (v < lo) { b1e = i; stage = 2; }
+            } else if (stage == 2) {
+                if (v >= hi) {
+                    b3s = i;
+                    const int64_t zl = b3s - b1e;
+                    if (zl > 2 * ppb || zl < ppb / 2) { stage = 0; continue; }
+                    stage = 3;
+                }
+            } else {  // stage == 3 (TOP_2)
+                if (v < hi) {
+                    b3e = i;
+                    const int64_t ol = b3e - b3s;
+                    if (ol > 2 * ppb || ol < ppb / 2) { stage = 0; continue; }
+                    stage = 4;
+                    break;
+                }
+            }
+            ++i;
+        }
+        st_found[n] = stage == 4;
+        sbg[n] = b1s;
+        sed[n] = b3e;
+        dstart[n] = 0; dstop[n] = 0; eed[n] = 0; ed_found[n] = 0;
+        if (stage != 4) continue;
+        dstart[n] = b1e;
+        // Backward STOP "01111" walk.
+        int est = 0;  // MARK_ED_START
+        int64_t ed_s = 0, ed_e = 0;
+        const int64_t lo_limit =
+            mark_end_min > ppb * 6 ? mark_end_min - (int64_t)ppb * 6 : 0;
+        for (int64_t i = W - 1; i > lo_limit; --i) {
+            const int32_t v = px[i];
+            if (est == 0) {
+                if (i < mark_end_min) break;
+                if (v >= hi) { ed_e = i + 1; est = 1; }
+            } else {  // MARK_ED_TOP
+                if (v < hi) {
+                    ed_s = i + 1;
+                    if ((ed_e - ed_s) >= 2 * ppb) { est = 3; break; }
+                    est = 0;
+                }
+            }
+        }
+        ed_found[n] = est == 3;
+        dstop[n] = ed_s;
+        eed[n] = ed_e;
+    }
+}
+
+// tryPadding burst counters over packed eval flags (:1623-1720).
+// out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
+void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,
+                        int32_t en_q, int32_t max_burst_silence,
+                        int32_t max_burst_broken, int32_t* out) {
+    int valid_run = 0, sil_run = 0, unch_run = 0;
+    int valid_max = 0, sil_max = 0, unch_max = 0, broken_count = 0;
+    for (int64_t i = 0; i < B; ++i) {
+        const uint8_t f = flags[i];
+        const bool broken = f & 1, bval = f & 2, cforce = f & 4,
+                   silent = f & 8, fixp = f & 16, fixq = f & 32;
+        const bool valid_b = bval && !silent && cforce;
+        const bool unch = en_q ? (!cforce || fixq) : fixp;
+        if (valid_b) ++valid_run;
+        else if (valid_run > valid_max) valid_max = valid_run;
+        if (silent) {
+            if (++sil_run >= max_burst_silence) valid_run = 0;
+        } else {
+            if (sil_run > sil_max) sil_max = sil_run;
+            sil_run = 0;
+        }
+        if (unch) {
+            if (++unch_run >= unch_lim) valid_run = 0;
+        } else {
+            if (unch_run > unch_max) unch_max = unch_run;
+            unch_run = 0;
+        }
+        if (broken) {
+            if (++broken_count >= max_burst_broken) valid_run = 0;
+        }
+    }
+    if (valid_run > valid_max) valid_max = valid_run;
+    if (sil_run > sil_max) sil_max = sil_run;
+    if (unch_run > unch_max) unch_max = unch_run;
+    out[0] = valid_max;
+    out[1] = sil_max;
+    out[2] = unch_max;
+    out[3] = broken_count;
+}
+
+}  // extern "C"

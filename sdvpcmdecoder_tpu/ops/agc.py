@@ -2,11 +2,17 @@
 
 Port of Binarizer::findBlackWhite and its helpers (binarizer.cpp:
 2450-3551): brightness histogram, noise-filtered useful span, peak search
-with early-stop distance windows, contrast/validity checks.
+with early-stop distance windows, contrast/validity checks — plus the
+format-specific scan-region selection (findPCM1BW :2560, findPCM16X0BW
+:2602, findSTC007BW :2683, findArVidBW :3074): each format feeds the
+histogram from regions guaranteed to contain both black and white pixels
+(marker zones, CRC areas), so per-line brightness drift (head switching,
+AGC pumping) doesn't skew the levels.
 
-TPU formulation: per-line histograms are one one-hot matmul
-(pixels [N, W] -> hist [N, 256] on the MXU); the 256-step peak scans
-vectorize across lines. A numpy twin drives host-side slow paths.
+Host formulation: per-line histograms are one flattened bincount over
+(line_id * 256 + pixel) ids — a single C pass, no Python loop; the
+256-step peak scans vectorize across lines.  `line_histograms_device`
+is the jax twin (one-hot contraction on the MXU) for on-device use.
 """
 from __future__ import annotations
 
@@ -41,14 +47,43 @@ class BinPreset:
 
 
 def line_histograms(pixels: np.ndarray, lo: np.ndarray, hi: np.ndarray):
-    """Per-line histogram of pixels[i, lo[i]:hi[i]] -> [N, 256]."""
+    """Per-line histogram of pixels[i, lo[i]:hi[i]] -> [N, 256].
+
+    One flattened bincount over (line_id*256 + value) ids — no Python
+    per-line loop."""
+    return region_histograms(pixels, [(lo, hi)])
+
+
+def region_histograms(pixels: np.ndarray, spans):
+    """Accumulated per-line histogram over several pixel spans.
+
+    spans: list of (lo [N] or scalar, hi [N] or scalar); each line i
+    accumulates pixels[i, lo[i]:hi[i]) across all spans -> [N, 256].
+    """
     N, W = pixels.shape
     idx = np.arange(W)[None, :]
-    mask = (idx >= lo[:, None]) & (idx < hi[:, None])
-    hist = np.zeros((N, 256), dtype=np.int64)
-    for i in range(N):
-        hist[i] = np.bincount(pixels[i][mask[i]], minlength=256)
-    return hist
+    mask = np.zeros((N, W), dtype=bool)
+    for lo, hi in spans:
+        lo = np.broadcast_to(np.asarray(lo, np.int64), (N,))
+        hi = np.broadcast_to(np.asarray(hi, np.int64), (N,))
+        mask |= (idx >= lo[:, None]) & (idx < hi[:, None])
+    line_id = np.broadcast_to(np.arange(N)[:, None] << 8, (N, W))
+    ids = (line_id | pixels)[mask]
+    return np.bincount(ids, minlength=N * 256).reshape(N, 256)
+
+
+def line_histograms_device(pixels, mask):
+    """Device twin: per-line masked histogram as a one-hot contraction.
+
+    pixels [N, W] uint8/int, mask [N, W] bool -> hist [N, 256] int32
+    (hist = sum_w mask * onehot(pixels) — an [N,W] x [W->256] one-hot
+    contraction the MXU handles as a bf16 matmul)."""
+    import jax.numpy as jnp
+    levels = jnp.arange(256, dtype=jnp.int32)
+    onehot = (pixels[..., None].astype(jnp.int32) == levels) \
+        & mask[..., None]
+    return jnp.sum(onehot.astype(jnp.bfloat16), axis=-2,
+                   dtype=jnp.float32).astype(jnp.int32)
 
 
 def _useful_levels(hist: np.ndarray, preset: BinPreset):
@@ -103,20 +138,106 @@ def _peak_scan(hist, start, stop_limit, min_count, delta, upward=True):
     return best, found
 
 
-def find_black_white(pixels: np.ndarray, preset: BinPreset | None = None,
-                     do_sweep=False):
-    """Generic findBlackWhite: returns (black [N], white [N], ok [N]).
+def _stc007_hist(pixels: np.ndarray, preset: BinPreset, ppb: int):
+    """findSTC007BW (binarizer.cpp:2683-3074): marker-aware histogram
+    region selection, vectorized across lines.
 
-    Histogram region: central part of the line with /16 margins
-    (binarizer.cpp:3152-3166 generic path). Format-specific marker-zone
-    refinements (findSTC007BW etc.) layer on top for noisy captures.
+    1. Edge histogram (START zone 10ppb + STOP zone 20ppb) -> useful span
+       and a WHITE peak for the STOP marker.
+    2. Central /8-margin histogram as the default.
+    3. Backward STOP-marker search at the rough center reference; when a
+       marker of >= 2ppb white is found, the histogram is re-filled from
+       the 64ppb CRC region left of it (fallback to central when < 32 px).
+    """
+    N, W = pixels.shape
+    end = W - 1
+    length = end
+    ppb = max(int(ppb), 1)
+    eh = region_histograms(
+        pixels, [(0, min(10 * ppb, W)), (max(0, end - 20 * ppb), W)])
+    ul, uh = _useful_levels(eh, preset)
+    rng = uh - ul
+    # WHITE peak for the STOP marker: downward scan, early stop range/8.
+    white_mark, white_det = _peak_scan(
+        eh, uh, uh - rng // 4, np.zeros(N, np.int64),
+        np.maximum(rng // 8, 1), upward=False)
+    central = region_histograms(pixels, [(length // 8, end - length // 8)])
+
+    # Backward STOP-marker search at the rough center reference.
+    mark_dist = (length * preset.mark_max_dist) // 100
+    mark_end_min = end - mark_dist
+    pixel_limit = max(0, mark_end_min - 6 * ppb)
+    ref = ul + (white_mark - ul) // 2
+    contrast_ok = white_det & ((white_mark - ul) >= preset.min_contrast)
+
+    above = pixels >= np.clip(ref, 1, 255)[:, None]
+    above &= contrast_ok[:, None]
+    # Run extraction: starts/ends of maximal True runs per line.
+    padded = np.zeros((N, W + 2), dtype=np.int8)
+    padded[:, 1:-1] = above
+    d = np.diff(padded, axis=1)
+    sl, sp = np.nonzero(d == 1)    # run starts (line, pos)
+    el, ep = np.nonzero(d == -1)   # run ends (exclusive)
+    # sl == el elementwise (same number of transitions per line).
+    run_len = ep - sp
+    entered = (ep - 1) >= mark_end_min     # right edge within marker zone
+    success = entered & (sp > pixel_limit + 1) & (run_len >= 2 * ppb)
+    aborted = entered & (sp <= pixel_limit + 1)
+    # Right-to-left: an aborted run to the right of a success kills it.
+    s_succ = np.full(N, -1, np.int64)
+    np.maximum.at(s_succ, sl[success], sp[success])
+    s_abort = np.full(N, -1, np.int64)
+    np.maximum.at(s_abort, sl[aborted], sp[aborted])
+    has_marker = (s_succ >= 0) & (s_succ > s_abort)
+    # mark_ed_bit_start = run start; CRC region = 64ppb left of it.
+    mark_start = np.where(has_marker, s_succ, 0)
+    reg_lo = np.where(mark_start >= 64 * ppb, mark_start - 64 * ppb,
+                      (length * preset.mark_max_dist) // 100) + 1
+    reg_hi = mark_start
+    cnt = reg_hi - 1 - (reg_lo - 1)
+    use_marker = has_marker & (cnt >= 32)
+    mh = region_histograms(pixels, [(np.where(use_marker, reg_lo, 0),
+                                     np.where(use_marker, reg_hi, 0))])
+    return np.where(use_marker[:, None], mh, central)
+
+
+def _format_hist(pixels: np.ndarray, preset: BinPreset, fmt: str,
+                 ppb: int | None):
+    """Histogram scan-region selection per format (findPCM1BW :2560,
+    findPCM16X0BW :2602, findSTC007BW :2683, findArVidBW :3074,
+    generic :3149-3166)."""
+    N, W = pixels.shape
+    end = W - 1
+    ln = end
+    if fmt == "pcm1":
+        spans = [(ln // 8, end - ln // 32)]
+    elif fmt == "pcm16x0":
+        a = ln // 8
+        spans = [(ln // 5, ln // 5 + a),
+                 (a * 4 + a // 2, a * 4 + a // 2 + a),
+                 (end - ln // 64 - a, end - ln // 64)]
+    elif fmt == "arvid":
+        spans = [(ln // 32, ln // 4)]
+    elif fmt == "stc007":
+        return _stc007_hist(pixels, preset, ppb or max(W // 160, 1))
+    else:
+        spans = [(ln // 16, end - ln // 16)]
+    return region_histograms(pixels, spans)
+
+
+def find_black_white(pixels: np.ndarray, preset: BinPreset | None = None,
+                     do_sweep=False, fmt: str = "generic",
+                     ppb: int | None = None):
+    """findBlackWhite: returns (black [N], white [N], ok [N]).
+
+    fmt selects the histogram scan region ("pcm1", "pcm16x0", "stc007",
+    "arvid", "generic"); the peak-search logic below is common
+    (binarizer.cpp:3116-3500). ppb (pixels per bit, int) feeds the
+    STC-007 marker-zone refinement.
     """
     preset = preset or BinPreset()
     N, W = pixels.shape
-    margin = W // 16
-    lo = np.full(N, margin, dtype=np.int64)
-    hi = np.full(N, W - margin, dtype=np.int64)
-    hist = line_histograms(pixels, lo, hi)
+    hist = _format_hist(pixels, preset, fmt, ppb)
     useful_low, useful_high = _useful_levels(hist, preset)
     rng = useful_high - useful_low
     low_limit = useful_low + rng // 3

@@ -243,11 +243,24 @@ def stc007_frame_decode(pixels, coords, ref_level, black, white,
 
     # Hysteresis trials on shared samples: [H, F, S, L, 128] bits.
     depths = jnp.arange(n_h, dtype=jnp.int32)
-    rl = jnp.maximum(ref_level[None, :] - depths[:, None], 1)   # [H, F]
-    rh = jnp.minimum(ref_level[None, :] + depths[:, None], 254)
-    read_ok = (rl > black[None, :]) & (rh < white[None, :])     # [H, F]
-    bits = hysteresis_read(px[None], rl[:, :, None, None],
-                           rh[:, :, None, None])          # [H, F, S, L, 128]
+    if ref_level.ndim == 2:
+        # Per-LINE levels [F, L] (per-line AGC, findSTC007BW et al.):
+        # the trial grid already broadcasts over lines, so drift-tracking
+        # levels cost nothing extra.
+        rl = jnp.maximum(ref_level[None] - depths[:, None, None], 1)
+        rh = jnp.minimum(ref_level[None] + depths[:, None, None], 254)
+        read_ok = (rl > black[None]) & (rh < white[None])   # [H, F, L]
+        # hysteresis_read appends the bit axis itself: pass [H, F, 1, L].
+        bits = hysteresis_read(px[None], rl[:, :, None, :],
+                               rh[:, :, None, :])
+        read_ok_hfsl = read_ok[:, :, None, :]               # [H, F, 1, L]
+    else:
+        rl = jnp.maximum(ref_level[None, :] - depths[:, None], 1)  # [H, F]
+        rh = jnp.minimum(ref_level[None, :] + depths[:, None], 254)
+        read_ok = (rl > black[None, :]) & (rh < white[None, :])    # [H, F]
+        read_ok_hfsl = read_ok[:, :, None, None]
+        bits = hysteresis_read(px[None], rl[:, :, None, None],
+                               rh[:, :, None, None])      # [H, F, S, L, 128]
 
     # CRC syndrome for every trial: one matmul over the last axis.
     table, const = _syndrome_const()
@@ -256,7 +269,7 @@ def stc007_frame_decode(pixels, coords, ref_level, black, white,
                            preferred_element_type=jnp.float32)
     synd_bits = synd_bits.astype(jnp.int32) & 1
     syndrome = crc_mod.pack_bits_to_u16(synd_bits) ^ const  # [H,F,S,L]
-    valid = (syndrome == 0) & read_ok[:, :, None, None]
+    valid = (syndrome == 0) & read_ok_hfsl
 
     # Lexicographic (h, s) priority selection per line.
     prio = (depths[:, None] * n_s + shift_ids[None, :])     # [H, S]

@@ -215,6 +215,16 @@ def correct_blocks(words, crc_ok, resolution, en_p=True, en_q=True,
     words [B,8] int32, crc_ok [B,8] bool. resolution/en_*/force_ecc are
     static python values. Returns a BlockBatch.
     """
+    if xp is np:
+        # Host path: the native core (ops/stitch_native.py) runs the same
+        # tree ~100x faster; the numpy code below stays the reference
+        # implementation (tests assert bit-identity between the two).
+        from . import stitch_native as _sn
+        if _sn.available():
+            w, v, lc, a, s = _sn.correct_blocks_arrays(
+                words, crc_ok, resolution, en_p, en_q, force_ecc)
+            res_arr = np.full((words.shape[0],), resolution, dtype=np.int32)
+            return BlockBatch(w, v, lc, a, s, res_arr)
     B = words.shape[0]
     is14 = resolution == RES_14BIT
     q_active = is14 and en_q

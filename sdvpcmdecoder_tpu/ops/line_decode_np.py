@@ -330,7 +330,7 @@ def _crc_stats_filter(trials):
 
 def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
                         shift_limit=SHIFT_STAGES_SAFE, span=8, step=2,
-                        max_lines=48):
+                        max_lines=None):
     """Per-line coordinate refinement for lines that failed the shared
     frame coordinates — the batch analog of the reference's per-line
     findPCM1Coordinates/findPCM16X0Coordinates (binarizer.cpp:5601/:5819)
@@ -345,8 +345,20 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
     ds, de = coords
     deltas = sorted(range(-span, span + 1, step), key=abs)
     out = {}
+
+    def cap(idx, what):
+        # max_lines=None (default) refines everything; an explicit cap
+        # logs what it drops instead of silently leaving lines invalid.
+        if max_lines is not None and len(idx) > max_lines:
+            import logging
+            logging.getLogger(__name__).warning(
+                "refine_failed_lines: capping %s from %d to %d lines",
+                what, len(idx), max_lines)
+            return idx[:max_lines]
+        return idx
+
     if fmt == "pcm1":
-        bad = np.nonzero(~valid)[0][:max_lines]
+        bad = cap(np.nonzero(~valid)[0], "pcm1 failed lines")
         for li in bad:
             done = False
             for d1 in deltas:
@@ -361,7 +373,8 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
                 if done:
                     break
     else:
-        bad_rows = np.nonzero(~valid.all(axis=-1))[0][:max_lines]
+        bad_rows = cap(np.nonzero(~valid.all(axis=-1))[0],
+                       "pcm16x0 failed lines")
         for li in bad_rows:
             for part in range(3):
                 if valid[li, part]:

@@ -117,6 +117,19 @@ def search_markers(pixels: np.ndarray, ref_level: np.ndarray,
     mark_end_min = (W - 1) - mark_start_max
     limit = min(W, mark_start_max + ppb * 5)
 
+    from . import stitch_native as _sn
+    if _sn.available():
+        # Native walk (~100x the Python loop); the loops below stay as
+        # the reference implementation, tests assert bit-identity.
+        ref = np.asarray(ref_level, np.int64)
+        bin_low = np.maximum(ref - hyst_lvl, preset.min_ref_lvl)
+        st, ed, dstart, dstop, sbg, sed, eed = _sn.marker_search(
+            pixels, bin_low, ref, mark_start_max, mark_end_min, ppb,
+            limit)
+        # Python semantics: the stop search only runs for start-found
+        # lines (outputs already zeroed otherwise in the native core).
+        return MarkerResult(st, ed, dstart, dstop, sbg, sed, eed)
+
     st_found = np.zeros(N, bool)
     ed_found = np.zeros(N, bool)
     dstart = np.zeros(N, np.int64)

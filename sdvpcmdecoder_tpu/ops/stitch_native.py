@@ -1,0 +1,198 @@
+"""ctypes bridge to the native stitcher core (native/stitchcore.cpp).
+
+The host stitcher evaluates the block-correction decision tree thousands
+of times per frame (every padding trial of every seam, findPadding
+stc007datastitcher.cpp:1743); the numpy expression of that tree costs
+~10us/block in vector-op dispatch, the native core ~100ns/block.  The
+numpy path (ops/deinterleave.py) remains the reference implementation;
+tests assert bit-identity.  Set SDV_NO_NATIVE=1 to disable.
+
+GF(2) tables are pushed from formats/gf2.py at load time (one source of
+truth for the Q-code matrices, stc007deinterleaver.cpp:4-75).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..formats import gf2
+
+_LIB = None
+_TRIED = False
+
+
+def _matrix_to_rows(m: np.ndarray) -> list[int]:
+    """bool [14,14] matrix -> 14 row masks (row r: bit c set iff M[r,c])."""
+    return [int(sum(int(m[r, c]) << c for c in range(gf2.BITS)))
+            for r in range(gf2.BITS)]
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SDV_NO_NATIVE"):
+        return None
+    src = Path(__file__).resolve().parent.parent / "native" / "stitchcore.cpp"
+    lib = src.with_name("libsdvstitch.so")
+    try:
+        if not lib.exists() or lib.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(lib), str(src)],
+                check=True, capture_output=True)
+        L = ctypes.CDLL(str(lib))
+        L.stc007_set_q_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_correct_blocks.restype = ctypes.c_int
+        L.stc007_correct_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_eval_rows.restype = ctypes.c_int
+        L.stc007_eval_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_burst_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.stc007_marker_search.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        tpow_rows = np.zeros((13, gf2.BITS), dtype=np.uint16)
+        for k in range(-6, 7):
+            tpow_rows[k + 6] = _matrix_to_rows(gf2.tpow(k))
+        inv_rows = np.zeros((5, gf2.BITS), dtype=np.uint16)
+        for d in range(1, 6):
+            inv_rows[d - 1] = _matrix_to_rows(gf2.tk_plus_i_inv(d))
+        L.stc007_set_q_tables(tpow_rows.ctypes.data, inv_rows.ctypes.data)
+        # Keep the tables alive (memcpy'd in C++, but be safe anyway).
+        L._tables = (tpow_rows, inv_rows)
+        _LIB = L
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def correct_blocks_arrays(words, crc_ok, resolution, en_p, en_q, force_ecc):
+    """Native correct_blocks: returns the BlockBatch field arrays
+    (words, valid, line_crc, audio_state, stage) as numpy; resolution is
+    di.RES_14BIT/RES_16BIT."""
+    L = _load()
+    B = words.shape[0]
+    w_in = np.ascontiguousarray(words, dtype=np.int32)
+    c_in = np.ascontiguousarray(crc_ok, dtype=np.uint8)
+    w_out = np.empty((B, 8), dtype=np.int32)
+    v_out = np.empty((B, 8), dtype=np.uint8)
+    l_out = np.empty((B, 8), dtype=np.uint8)
+    a_out = np.empty(B, dtype=np.int32)
+    s_out = np.empty(B, dtype=np.int32)
+    rc = L.stc007_correct_blocks(
+        w_in.ctypes.data, c_in.ctypes.data, B, int(resolution),
+        int(bool(en_p)), int(bool(en_q)), int(bool(force_ecc)),
+        w_out.ctypes.data, v_out.ctypes.data, l_out.ctypes.data,
+        a_out.ctypes.data, s_out.ctypes.data)
+    if rc != 0:
+        raise RuntimeError("stc007_correct_blocks failed")
+    return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
+            a_out, s_out)
+
+
+# Packed flag bits of stc007_eval_rows' flags output.
+FLAG_BROKEN, FLAG_BLOCK_VALID, FLAG_CAN_FORCE, FLAG_SILENT, FLAG_FIX_P, \
+    FLAG_FIX_Q, FLAG_CWD_APP = 1, 2, 4, 8, 16, 32, 64
+
+
+def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
+                     res_mode, en_p, en_q, force_ecc, en_cwd, m2):
+    """Native whole-seam eval.
+
+    line_words [L,8] int, line_crc [L,8] bool, cwd_line [L] bool or None,
+    rows [B,8] int or None (None -> contiguous shifts from `start`).
+    Returns (words[B,8] i64, valid[B,8], line_crc[B,8], state[B], stage[B],
+    resolution[B], flags[B] u8, samples[B,6] i16).
+    """
+    L = _load()
+    B = int(n_blocks)
+    w_in = np.ascontiguousarray(line_words, dtype=np.int32)
+    c_in = np.ascontiguousarray(line_crc, dtype=np.uint8)
+    cwd_ptr = 0
+    cwd_arr = None
+    if cwd_line is not None:
+        cwd_arr = np.ascontiguousarray(cwd_line, dtype=np.uint8)
+        cwd_ptr = cwd_arr.ctypes.data
+    rows_ptr = 0
+    rows_arr = None
+    if rows is not None:
+        rows_arr = np.ascontiguousarray(rows, dtype=np.int64)
+        rows_ptr = rows_arr.ctypes.data
+    w_out = np.empty((B, 8), dtype=np.int32)
+    v_out = np.empty((B, 8), dtype=np.uint8)
+    l_out = np.empty((B, 8), dtype=np.uint8)
+    a_out = np.empty(B, dtype=np.int32)
+    s_out = np.empty(B, dtype=np.int32)
+    r_out = np.empty(B, dtype=np.int32)
+    f_out = np.empty(B, dtype=np.uint8)
+    smp_out = np.empty((B, 6), dtype=np.int16)
+    rc = L.stc007_eval_rows(
+        w_in.ctypes.data, c_in.ctypes.data, cwd_ptr, rows_ptr, int(start),
+        B, int(res_mode), int(bool(en_p)), int(bool(en_q)),
+        int(bool(force_ecc)), int(bool(en_cwd)), int(bool(m2)),
+        w_out.ctypes.data, v_out.ctypes.data, l_out.ctypes.data,
+        a_out.ctypes.data, s_out.ctypes.data, r_out.ctypes.data,
+        f_out.ctypes.data, smp_out.ctypes.data)
+    if rc != 0:
+        raise RuntimeError("stc007_eval_rows failed")
+    return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
+            a_out, s_out, r_out, f_out, smp_out)
+
+
+def marker_search(pixels, bin_low, bin_high, mark_start_max, mark_end_min,
+                  ppb, limit):
+    """Native STC-007 marker search (searchSTC007Markers port).
+
+    pixels [N, W] uint8, bin_low/high [N]. Returns the MarkerResult field
+    arrays (st_found, ed_found, dstart, dstop, sbg, sed, eed)."""
+    L = _load()
+    N, W = pixels.shape
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    lo = np.ascontiguousarray(bin_low, dtype=np.int32)
+    hi = np.ascontiguousarray(bin_high, dtype=np.int32)
+    st = np.empty(N, np.uint8)
+    ed = np.empty(N, np.uint8)
+    outs = [np.empty(N, np.int64) for _ in range(5)]
+    L.stc007_marker_search(
+        px.ctypes.data, N, W, lo.ctypes.data, hi.ctypes.data,
+        int(mark_start_max), int(mark_end_min), int(ppb), int(limit),
+        st.ctypes.data, ed.ctypes.data, outs[0].ctypes.data,
+        outs[1].ctypes.data, outs[2].ctypes.data, outs[3].ctypes.data,
+        outs[4].ctypes.data)
+    return (st.astype(bool), ed.astype(bool), *outs)
+
+
+def burst_stats(flags, unch_lim, en_q, max_burst_silence, max_burst_broken):
+    """Native tryPadding burst counters over packed eval flags."""
+    L = _load()
+    f = np.ascontiguousarray(flags, dtype=np.uint8)
+    out = np.empty(4, dtype=np.int32)
+    L.stc007_burst_stats(f.ctypes.data, len(f), int(unch_lim),
+                         int(bool(en_q)), int(max_burst_silence),
+                         int(max_burst_broken), out.ctypes.data)
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])

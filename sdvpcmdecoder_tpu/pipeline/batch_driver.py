@@ -34,8 +34,10 @@ class CaptureJob:
     writer: object = None
     stats: DecodeStats = dataclasses.field(default_factory=DecodeStats)
     frame_no: int = 0
+    frames_read: int = 0
     logged: int = 0
     first: bool = True
+    eof: bool = False
     done: bool = False
 
 
@@ -80,60 +82,101 @@ class BatchDecoder:
         job.writer.flush()
 
     def run(self):
-        """Round-robin: decode a frame chunk per capture per round.
+        """Round-robin with one round in flight: while the device chews
+        on round k+1's fused dispatch, the host stitches round k (the
+        software-pipelined analog of the reference's VIN/V2D queue pair,
+        config.h:76-77).
 
         All live captures' frames are fused into ONE device dispatch per
         round when their geometries match (prepare/dispatch/finalize
         split of V2DDriver); per-capture prescan state and stitching
         stay independent.
         """
-        while not all(j.done for j in self.jobs):
-            futures = []
-            round_work = []   # (job, split, lines_b, prep)
-            for j in self.jobs:
-                if j.done:
-                    continue
-                batch = j.reader.read_frames(j.frame_no,
-                                             self.frames_per_round)
-                if batch.shape[0] == 0:
-                    self._stitch_and_write(j, [], finish=True)
-                    self._drain_final(j)
-                    j.done = True
-                    continue
-                split = [ingest.split_fields(batch[f])
-                         for f in range(batch.shape[0])]
-                lines_b = np.stack([s[0] for s in split])
-                round_work.append((j, split, lines_b,
-                                   j.driver.prepare_frames(lines_b)))
-            fused = len(round_work) > 1 and len(
-                {w[2].shape[1:] for w in round_work}) == 1
-            if fused:
-                px = np.concatenate([w[2] for w in round_work])
-                prep = {k: np.concatenate([w[3][k] for w in round_work])
-                        for k in ("coords", "refs", "blacks", "whites",
-                                  "usable")}
-                drv0 = round_work[0][0].driver
-                dw, dc, dv, df = drv0.dispatch_frames(px, prep)
-                ofs = 0
-                per_job = []
-                for (j, split, lines_b, jprep) in round_work:
-                    n = lines_b.shape[0]
-                    per_job.append(j.driver.finalize_frames(
-                        lines_b, jprep, dw[ofs:ofs + n], dc[ofs:ofs + n],
-                        dv[ofs:ofs + n], df[ofs:ofs + n]))
-                    ofs += n
+        pending = None   # (round_work, fused_ctx)
+        while True:
+            round_work = self._read_round()
+            ctx = self._dispatch_round(round_work)
+            if pending is not None:
+                self._complete_round(*pending)
+            pending = (round_work, ctx) if round_work else None
+            if not round_work:
+                for j in self.jobs:
+                    if j.eof and not j.done:
+                        self._stitch_and_write(j, [], finish=True)
+                        self._drain_final(j)
+                        j.done = True
+                if all(j.done for j in self.jobs):
+                    break
+        return {j.path: j.stats for j in self.jobs}
+
+    def _read_round(self):
+        round_work = []   # (job, split, lines_b, prep)
+        for j in self.jobs:
+            if j.done or j.eof:
+                continue
+            batch = j.reader.read_frames(j.frames_read,
+                                         self.frames_per_round)
+            if batch.shape[0] == 0:
+                j.eof = True
+                continue
+            j.frames_read += batch.shape[0]
+            split = [ingest.split_fields(batch[f])
+                     for f in range(batch.shape[0])]
+            lines_b = np.stack([s[0] for s in split])
+            round_work.append((j, split, lines_b,
+                               j.driver.prepare_frames(lines_b)))
+        return round_work
+
+    def _dispatch_round(self, round_work):
+        """Enqueue the round's device work; returns a context for
+        _complete_round (non-blocking)."""
+        if not round_work:
+            return None
+        fused = len(round_work) > 1 and len(
+            {w[2].shape[1:] for w in round_work}) == 1
+        if fused:
+            px = np.concatenate([w[2] for w in round_work])
+            prep = {k: np.concatenate([w[3][k] for w in round_work])
+                    for k in ("coords", "refs", "blacks", "whites",
+                              "usable")}
+            drv0 = round_work[0][0].driver
+            dev = drv0.dispatch_frames_async(px, prep)
+            return ("fused", px, prep, dev)
+        devs = []
+        for (j, split, lines_b, jprep) in round_work:
+            if not jprep["usable"].any():
+                devs.append(None)
             else:
-                per_job = []
-                for (j, split, lines_b, jprep) in round_work:
-                    if not jprep["usable"].any():
-                        per_job.append([None] * lines_b.shape[0])
-                        continue
-                    w_, c_, v_, f_ = j.driver.dispatch_frames(lines_b,
-                                                              jprep)
-                    per_job.append(j.driver.finalize_frames(
-                        lines_b, jprep, w_, c_, v_, f_))
-            for (j, split, lines_b, _), results in zip(round_work,
-                                                       per_job):
+                devs.append(j.driver.dispatch_frames_async(lines_b, jprep))
+        return ("per_job", devs)
+
+    def _complete_round(self, round_work, ctx):
+        if ctx is None:
+            return
+        if ctx[0] == "fused":
+            _, px, prep, dev = ctx
+            drv0 = round_work[0][0].driver
+            dw, dc, dv, df = drv0.materialize_frames(px, prep, dev)
+            ofs = 0
+            per_job = []
+            for (j, split, lines_b, jprep) in round_work:
+                n = lines_b.shape[0]
+                per_job.append(j.driver.finalize_frames(
+                    lines_b, jprep, dw[ofs:ofs + n], dc[ofs:ofs + n],
+                    dv[ofs:ofs + n], df[ofs:ofs + n]))
+                ofs += n
+        else:
+            per_job = []
+            for (j, split, lines_b, jprep), dev in zip(round_work, ctx[1]):
+                if dev is None:
+                    per_job.append([None] * lines_b.shape[0])
+                    continue
+                w_, c_, v_, f_ = j.driver.materialize_frames(lines_b,
+                                                             jprep, dev)
+                per_job.append(j.driver.finalize_frames(
+                    lines_b, jprep, w_, c_, v_, f_))
+        futures = []
+        for (j, split, lines_b, _), results in zip(round_work, per_job):
                 stores = []
                 for (lines, nums), res in zip(split, results):
                     j.frame_no += 1
@@ -164,9 +207,8 @@ class BatchDecoder:
                     stores.append(store)
                 futures.append(self.pool.submit(self._stitch_and_write, j,
                                                 stores))
-            for f in futures:
-                f.result()
-        return {j.path: j.stats for j in self.jobs}
+        for f in futures:
+            f.result()
 
     def _drain_final(self, job):
         arrs = st.chunks_to_arrays(job.stitcher.pop_sample_chunks())

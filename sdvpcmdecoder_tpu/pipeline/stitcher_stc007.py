@@ -101,6 +101,9 @@ class LineStore:
         out = LineStore(0)
         for f in self.FIELDS:
             setattr(out, f, getattr(self, f)[idx].copy())
+        cached = getattr(self, "_crcv", None)
+        if cached is not None:
+            out._crcv = cached[idx].copy()
         return out
 
     @staticmethod
@@ -108,6 +111,11 @@ class LineStore:
         out = LineStore(0)
         for f in LineStore.FIELDS:
             setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        # The CRC-valid cache composes: avoids re-CRC'ing every frame pair
+        # (each frame is otherwise CRC'd once as frame 2, again as frame 1).
+        caches = [getattr(s, "_crcv", None) for s in stores]
+        if all(c is not None for c in caches):
+            out._crcv = np.concatenate(caches)
         return out
 
     @staticmethod
@@ -120,6 +128,7 @@ class LineStore:
         out.frame_number[:] = frame_number
         if line_numbers is not None:
             out.line_number[:] = line_numbers
+        out._crcv = np.zeros(n, bool)  # source CRC is the complement
         return out
 
     # -- derived per-line quantities --------------------------------------
@@ -177,6 +186,15 @@ class LineStore:
         out.bw_set[:] = True
         out.has_markers[:] = v if has_markers is None \
             else np.asarray(has_markers, bool)
+        # Control Block detection (binarizer.cpp:1609-1614 after a valid
+        # read -> setServCtrlBlk, stc007line.cpp:101-129): zero the cue
+        # words, keep ID/ADDR1/ADDR2/CTRL, make the CRC valid, tag the
+        # line as service so it never enters field data.
+        cb = v & np.asarray(stc007.is_control_block(out.words, xp=np))
+        if cb.any():
+            out.words[cb, :4] = 0
+            out.source_crc[cb] = stc007.calc_crc(out.words[cb], xp=np)
+            out.service[cb] = SRV_CTRL_BLOCK
         return out
 
 
@@ -229,6 +247,9 @@ class FrameAsm:
     ctrl_minute: int = -1
     ctrl_second: int = -1
     ctrl_field: int = -1
+    ctrl_emphasis: bool = False   # CB control bit 0, active low
+    ctrl_m2: bool = False         # CB format ID == M2
+    ctrl_seen: bool = False
 
     # -- order helpers (frametrimset.cpp:505-640) -------------------------
     def is_order_set(self):
@@ -375,6 +396,26 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
     if stop <= start:
         return None, None, None
     shifts = np.arange(start, stop, dtype=np.int64)
+    taps = np.arange(8) * stc007.INTERLEAVE_OFS
+    rows = shifts[:, None] + taps[None, :]
+    batch, cwd_app, aux = eval_rows(store, rows, res_mode,
+                                    ignore_crc=ignore_crc,
+                                    force_ecc=force_ecc, en_p=en_p,
+                                    en_q=en_q, en_cwd=en_cwd, m2=m2)
+    aux["shifts"] = shifts
+    return batch, cwd_app, aux
+
+
+def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
+              force_ecc=True, en_p=True, en_q=True, en_cwd=False, m2=False):
+    """eval_blocks core over explicit per-block line rows [B, 8].
+
+    rows[b, w] is the absolute line index feeding interleave tap w of
+    block b — this lets callers batch MANY padded seam queues into one
+    deinterleaver call (each padding is just a different index map,
+    reference tryPadding :1417/findPadding :1743).
+    """
+    n = len(store)
     if ignore_crc:
         crc_ok = (store.coords_valid & store.bw_set)[:, None] \
             & np.ones((1, 8), bool)
@@ -382,12 +423,13 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
         crc_ok = store.word_crc[:, :8] & ~store.forced_bad[:, None]
     cwd_line = store.is_fixed_by_cwd() if en_cwd else np.zeros(n, bool)
 
-    taps = np.arange(8) * stc007.INTERLEAVE_OFS
-    rows = shifts[:, None] + taps[None, :]
+    from ..ops import stitch_native as _sn
+    if _sn.available():
+        return _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode,
+                                 force_ecc, en_p, en_q, en_cwd, m2)
 
     def run(resolution):
-        w, c = di.assemble_blocks(store.words, crc_ok, shifts, resolution,
-                                  xp=np)
+        w, c = _assemble_rows(store.words, crc_ok, rows, resolution)
         cwd = cwd_line[rows]
         if en_cwd:
             batch, cwd_app = di.correct_blocks_cwd(
@@ -396,7 +438,7 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
         else:
             batch = di.correct_blocks(w, c, resolution, en_p=en_p,
                                       en_q=en_q, force_ecc=force_ecc, xp=np)
-            cwd_app = np.zeros(len(shifts), bool)
+            cwd_app = np.zeros(rows.shape[0], bool)
         return batch, cwd, cwd_app
 
     if res_mode == di.RES_MODE_14BIT:
@@ -436,10 +478,10 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
     start_frame = store.frame_number[rows[:, 0]]
     start_line = store.line_number[rows[:, 0]]
     last_tap = np.where(is16, 6, 7)
-    stop_rows = shifts + last_tap * stc007.INTERLEAVE_OFS
+    stop_rows = rows[np.arange(rows.shape[0]), last_tap]
     stop_frame = store.frame_number[stop_rows]
     stop_line = store.line_number[stop_rows]
-    aux = dict(shifts=shifts, broken=broken, block_valid=block_valid,
+    aux = dict(rows=rows, broken=broken, block_valid=block_valid,
                can_force=can_force, silent=silent, fixed_p=fixed_p,
                fixed_q=fixed_q, samples=samples,
                start_frame=start_frame, start_line=start_line,
@@ -447,6 +489,100 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
                errors_audio_fixed=np.sum(~batch.valid[:, :6], axis=-1),
                cwd_in=cwd_in)
     return batch, cwd_app, aux
+
+
+def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
+                      en_p, en_q, en_cwd, m2):
+    """eval_rows via the native core (one C call: gather + correction +
+    flags + samples); output contract identical to the numpy path."""
+    from ..ops import stitch_native as _sn
+    B = rows.shape[0]
+    w, v, lc, state, stage, res, flags, samples = _sn.eval_rows_arrays(
+        store.words, crc_ok, cwd_line if en_cwd else None, rows, 0, B,
+        res_mode, en_p, en_q, force_ecc, en_cwd, m2)
+    batch = di.BlockBatch(w, v, lc, state, stage, res)
+    cwd_app = (flags & _sn.FLAG_CWD_APP) != 0
+    broken = (flags & _sn.FLAG_BROKEN) != 0
+    is16 = res == di.RES_16BIT
+    start_frame = store.frame_number[rows[:, 0]]
+    start_line = store.line_number[rows[:, 0]]
+    stop_rows = rows[np.arange(B), np.where(is16, 6, 7)]
+    if en_cwd:
+        cwd_in = cwd_line[rows]
+    else:
+        cwd_in = np.zeros((B, 8), bool)
+    aux = dict(rows=rows, broken=broken,
+               block_valid=(flags & _sn.FLAG_BLOCK_VALID) != 0,
+               can_force=(flags & _sn.FLAG_CAN_FORCE) != 0,
+               silent=(flags & _sn.FLAG_SILENT) != 0,
+               fixed_p=(flags & _sn.FLAG_FIX_P) != 0,
+               fixed_q=(flags & _sn.FLAG_FIX_Q) != 0,
+               samples=samples, flags=flags,
+               start_frame=start_frame, start_line=start_line,
+               stop_frame=store.frame_number[stop_rows],
+               stop_line=store.line_number[stop_rows],
+               errors_audio_fixed=np.sum(~v[:, :6], axis=-1),
+               cwd_in=cwd_in)
+    return batch, cwd_app, aux
+
+
+def _assemble_rows(line_words, line_crc_ok, rows, resolution):
+    """di.assemble_blocks with explicit per-tap line rows [B, 8]."""
+    widx = np.arange(8, dtype=np.int32)[None, :]
+    w = line_words[rows, widx]
+    c = line_crc_ok[rows, widx]
+    if resolution == di.RES_14BIT:
+        return w, c
+    s_words = line_words[rows[:, :7], di.WORD_Q0]
+    s_crc = line_crc_ok[rows[:, :7], di.WORD_Q0]
+    shifts = np.array(stc007.F1_S_OFFSETS, dtype=np.int32)[None, :]
+    w16 = ((w[:, :7] << stc007.F1_WORD_OFS)
+           + ((s_words >> shifts) & stc007.F1_S_MASK))
+    c16 = c[:, :7] & s_crc
+    zeros = np.zeros_like(w[:, :1])
+    return (np.concatenate([w16, zeros], axis=-1),
+            np.concatenate([c16, np.ones_like(c[:, :1])], axis=-1))
+
+
+def _burst_stats(valid_b, silent, unch, broken, unchecked_lim):
+    """Vectorized tryPadding burst counters (:1623-1720).
+
+    Serial semantics: valid_run counts valid blocks and is zeroed at every
+    step where the silence run >= MAX_BURST_SILENCE, the unchecked run >=
+    unchecked_lim, or the cumulative broken count >= MAX_BURST_BROKEN;
+    valid_max samples the run (pre-increment of step i, i.e. the run after
+    step i-1) at every non-valid block plus the final run.  Expressed with
+    cumsums: run_after[i] = cumvalid[i] - cumvalid[last_reset<=i].
+
+    Returns (valid_max, silent_max, unchecked_max, broken_count).
+    """
+    n = len(valid_b)
+    if n == 0:
+        return 0, 0, 0, 0
+    idx = np.arange(n)
+
+    def runs(mask):
+        # consecutive-True run length ending at i
+        last_false = np.maximum.accumulate(np.where(~mask, idx, -1))
+        return np.where(mask, idx - last_false, 0)
+
+    sil_run = runs(silent)
+    unch_run = runs(unch)
+    sil_max = int(sil_run.max())
+    unch_max = int(unch_run.max())
+    broken_count = int(broken.sum())
+
+    reset = ((silent & (sil_run >= MAX_BURST_SILENCE))
+             | (unch & (unch_run >= unchecked_lim))
+             | (broken & (np.cumsum(broken) >= MAX_BURST_BROKEN)))
+    cumv = np.cumsum(valid_b.astype(np.int64))
+    last_reset = np.maximum.accumulate(np.where(reset, idx, -1))
+    base = np.where(last_reset >= 0, cumv[np.maximum(last_reset, 0)], 0)
+    run_after = cumv - base
+    prev_run = np.concatenate([[0], run_after[:-1]])
+    cand = prev_run[~valid_b]
+    valid_max = int(max(cand.max() if len(cand) else 0, run_after[-1]))
+    return valid_max, sil_max, unch_max, broken_count
 
 
 # ---------------------------------------------------------------------------
@@ -465,10 +601,12 @@ class STC007Stitcher:
                  preset_sample_rate=0, mask_seams=True,
                  broken_mask_dur=UNCH_MASK_DURATION // 2,
                  max_unch_14=MAX_BURST_UNCH_14BIT,
-                 max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False):
+                 max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False,
+                 auto_m2=False):
         self.en_p, self.en_q, self.en_cwd = en_p, en_q, en_cwd
         self.ignore_crc = ignore_crc
         self.mode_m2 = mode_m2
+        self.auto_m2 = auto_m2
         self.preset_video = preset_video
         self.preset_order = preset_order
         self.preset_resolution = preset_resolution
@@ -502,6 +640,7 @@ class STC007Stitcher:
     # -- input ------------------------------------------------------------
     def push_frame(self, store: LineStore):
         """Queue one frame's worth of lines (may include service lines)."""
+        store.crc_valid_ignore_forced()  # prime the CRC cache once per frame
         data = store.service == SRV_NO
         frames = store.frame_number[data]
         fno = int(frames[0]) if len(frames) else (
@@ -615,6 +754,15 @@ class STC007Stitcher:
                 fr.ctrl_minute = fields["minute"]
                 fr.ctrl_second = fields["second"]
                 fr.ctrl_field = fields["field"]
+                fr.ctrl_emphasis = fields["emphasis"]
+                fr.ctrl_m2 = fields["m2"]
+                fr.ctrl_seen = True
+                # Auto M2 sample format from the CB format-ID bits (the
+                # reference leaves this to a user setting,
+                # setM2SampleFormat stc007datastitcher.cpp:7026; here the
+                # tape tells us directly).
+                if self.auto_m2 and fields["m2"] != self.mode_m2:
+                    self.mode_m2 = fields["m2"]
 
         for fr in (fa, fb):
             if fr.trim_ok:
@@ -693,6 +841,18 @@ class STC007Stitcher:
         f_size = len(fld)
         if f_size <= stc007.MIN_DEINT_DATA:
             return SAMPLE_RES_UNKNOWN
+        # The same field content is seen twice (as frame 2, then frame 1 of
+        # the next pair) but the LineStore is rebuilt, so memoize on a
+        # content fingerprint across pairs.
+        key = (f_size, int(fld.frame_number[0]), int(fld.line_number[0]),
+               int(fld.source_crc.sum()), int(fld.words.sum()),
+               int(fld.word_crc.sum()), int(fld.forced_bad.sum()))
+        memo = getattr(self, "_fieldres_memo", None)
+        if memo is None:
+            memo = self._fieldres_memo = {}
+        if key in memo:
+            fld._fieldres = memo[key]
+            return memo[key]
         test_size = f_size - stc007.MIN_DEINT_DATA
         counts = {}
         for mode, key in ((di.RES_MODE_14BIT, 14), (di.RES_MODE_16BIT, 16)):
@@ -718,6 +878,9 @@ class STC007Stitcher:
         else:
             res = SAMPLE_RES_UNKNOWN
         fld._fieldres = res
+        if len(memo) > 256:
+            memo.clear()
+        memo[key] = res
         return res
 
     @staticmethod
@@ -786,6 +949,27 @@ class STC007Stitcher:
         part2 = field2.take(np.arange(count2))
         return LineStore.concat([part1, pad, part2])
 
+    def _seam_flags(self, aux):
+        """(valid_b, silent, unch, broken) per-block flags for burst stats
+        (tryPadding :1623-1656)."""
+        valid_b = aux["block_valid"] & ~aux["silent"] & aux["can_force"]
+        if self.en_q:
+            unch = ~aux["can_force"] | aux["fixed_q"]
+        else:
+            unch = aux["fixed_p"]
+        return valid_b, aux["silent"], unch, aux["broken"]
+
+    def _stats_verdict(self, stats, unchecked_lim):
+        if stats.broken >= MAX_BURST_BROKEN:
+            return DS_RET_BROKE
+        if stats.silent > MAX_BURST_SILENCE:
+            return DS_RET_SILENCE
+        if stats.unchecked > unchecked_lim:
+            return DS_RET_NO_PAD
+        if stats.valid == 0:
+            return DS_RET_NO_PAD
+        return DS_RET_OK
+
     def try_padding(self, field1, field2, padding, want_stats=False):
         """tryPadding: deinterleave the seam buffer, collect burst stats."""
         queue = self.build_padding_queue(field1, field2, padding)
@@ -798,57 +982,101 @@ class STC007Stitcher:
         if batch is None:
             return DS_RET_NO_DATA, None
         unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+        vmax, smax, umax, bcnt = self._burst_from_aux(aux, unchecked_lim)
+        stats = StitchStats(index=padding, valid=vmax, silent=smax,
+                            unchecked=umax, broken=bcnt)
+        return self._stats_verdict(stats, unchecked_lim), stats
 
-        valid_b = aux["block_valid"] & ~aux["silent"] & aux["can_force"]
-        silent = aux["silent"]
-        # "Unchecked" blocks (:1623-1656).
-        if self.en_q:
-            unch = ~aux["can_force"] | aux["fixed_q"]
+    def _burst_from_aux(self, aux, unchecked_lim, sl=slice(None)):
+        if "flags" in aux:
+            from ..ops import stitch_native as _sn
+            return _sn.burst_stats(aux["flags"][sl], unchecked_lim,
+                                   self.en_q, MAX_BURST_SILENCE,
+                                   MAX_BURST_BROKEN)
+        valid_b, silent, unch, broken = self._seam_flags(aux)
+        return _burst_stats(valid_b[sl], silent[sl], unch[sl], broken[sl],
+                            unchecked_lim)
+
+    def batched_padding_stats(self, field1, field2, max_padding):
+        """Score ALL paddings 0..max_padding-1 in grouped deinterleaver
+        calls (VS the reference's serial per-pad tryPadding sweep).
+
+        Every padding queue is the same master buffer [field1 tail |
+        max_padding empties | field2 head] viewed through a different
+        index map, so block assembly for the whole sweep is one gather.
+        Returns a list of StitchStats (None where the queue is too short),
+        bit-identical to calling try_padding(pad) per pad.
+        """
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        f1_size, f2_size = len(field1), len(field2)
+        f1s = min(f1_size, keep)
+        c2 = min(f2_size, keep)
+        if f1_size:
+            line_num = int(field1.line_number[f1_size - 1])
+            frame_num = int(field1.frame_number[f1_size - 1])
         else:
-            unch = aux["fixed_p"]
-        broken = aux["broken"]
+            line_num, frame_num = 0, 0
+        pad_nums = line_num + 2 * (np.arange(max_padding) + 1)
+        master = LineStore.concat([
+            field1.take(np.arange(f1_size - f1s, f1_size)),
+            LineStore.empty_lines(max_padding, frame_num, pad_nums,
+                                  m2=self.mode_m2),
+            field2.take(np.arange(c2))])
+        unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+        taps = np.arange(8) * stc007.INTERLEAVE_OFS
 
-        valid_run = sil_run = unch_run = 0
-        valid_max = sil_max = unch_max = 0
-        broken_count = 0
-        for i in range(len(valid_b)):
-            if valid_b[i]:
-                valid_run += 1
-            else:
-                valid_max = max(valid_max, valid_run)
-            if silent[i]:
-                sil_run += 1
-                if sil_run >= MAX_BURST_SILENCE:
-                    valid_run = 0
-            else:
-                sil_max = max(sil_max, sil_run)
-                sil_run = 0
-            if unch[i]:
-                unch_run += 1
-                if unch_run >= unchecked_lim:
-                    valid_run = 0
-            else:
-                unch_max = max(unch_max, unch_run)
-                unch_run = 0
-            if broken[i]:
-                broken_count += 1
-                if broken_count >= MAX_BURST_BROKEN:
-                    valid_run = 0
-        valid_max = max(valid_max, valid_run)
-        sil_max = max(sil_max, sil_run)
-        unch_max = max(unch_max, unch_run)
+        def res_of(row):
+            fno = master.frame_number[row]
+            is_even = (master.line_number[row] % 2) == 0
+            for fr in (self.frasm_f2, self.frasm_f1, self.frasm_f0):
+                if fno == fr.frame_number:
+                    return fr.even_resolution if is_even \
+                        else fr.odd_resolution
+            return di.RES_MODE_14BIT
 
-        stats = StitchStats(index=padding, valid=valid_max, silent=sil_max,
-                            unchecked=unch_max, broken=broken_count)
-        if broken_count >= MAX_BURST_BROKEN:
-            return DS_RET_BROKE, stats
-        if sil_max > MAX_BURST_SILENCE:
-            return DS_RET_SILENCE, stats
-        if unch_max > unchecked_lim:
-            return DS_RET_NO_PAD, stats
-        if valid_max == 0:
-            return DS_RET_NO_PAD, stats
-        return DS_RET_OK, stats
+        queues, modes = [], []
+        for p in range(max_padding):
+            len1 = min(f1_size, keep - p)
+            q = np.concatenate([
+                np.arange(f1s - len1, f1s),
+                np.arange(f1s, f1s + p),
+                np.arange(f1s + max_padding, f1s + max_padding + c2)])
+            queues.append(q)
+            if self.mode_m2 or len(q) <= stc007.MIN_DEINT_DATA:
+                modes.append(di.RES_MODE_14BIT if self.mode_m2
+                             else di.RES_MODE_14BIT_AUTO)
+            else:
+                modes.append(self.resolution_mode_for_seam(
+                    res_of(q[0]), res_of(q[stc007.LINE_OFFSETS[-1]])))
+
+        stats_out = [None] * max_padding
+        for mode in sorted(set(modes)):
+            group = [p for p in range(max_padding)
+                     if modes[p] == mode
+                     and len(queues[p]) >= stc007.MIN_DEINT_DATA
+                     and len(queues[p]) - stc007.MIN_DEINT_DATA > 0]
+            if not group:
+                continue
+            rows_list, counts = [], []
+            for p in group:
+                q = queues[p]
+                b = len(q) - stc007.MIN_DEINT_DATA
+                shifts = np.arange(b)
+                rows_list.append(q[shifts[:, None] + taps[None, :]])
+                counts.append(b)
+            rows_all = np.concatenate(rows_list)
+            _, _, aux = eval_rows(
+                master, rows_all, mode, ignore_crc=self.ignore_crc,
+                force_ecc=True, en_p=self.en_p, en_q=self.en_q,
+                en_cwd=False, m2=self.mode_m2)
+            ofs = 0
+            for p, b in zip(group, counts):
+                vmax, smax, umax, bcnt = self._burst_from_aux(
+                    aux, unchecked_lim, slice(ofs, ofs + b))
+                stats_out[p] = StitchStats(index=p, valid=vmax, silent=smax,
+                                           unchecked=umax, broken=bcnt)
+                ofs += b
+        return stats_out
 
     def find_padding(self, field1, field2, in_std, in_resolution):
         """findPadding (:1743-2057). Returns (result, padding)."""
@@ -869,11 +1097,15 @@ class STC007Stitcher:
         if not (self.en_p or self.en_q):
             return DS_RET_NO_PAD, fallback
 
+        # All paddings scored at once; the early-exit replay below keeps
+        # the reference's exact stitch_data contents (pads after the break
+        # keep their default zero stats, which matters for the sort).
+        all_stats = self.batched_padding_stats(field1, field2, max_padding)
         stitch_data = [StitchStats(index=p) for p in range(max_padding)]
         min_broken = 0xFFFF
         no_brk_idx = 0
         for pad in range(max_padding):
-            _, st = self.try_padding(field1, field2, pad)
+            st = all_stats[pad]
             if st is not None:
                 stitch_data[pad] = st
             if min_broken > stitch_data[pad].broken:
@@ -1583,7 +1815,15 @@ class STC007Stitcher:
         block_valid = batch.valid[:, :6].all(axis=-1)
         candidates = np.nonzero(block_valid & fixed)[0]
         line_fix_cnt = 0
-        crc_valid_if = conv.crc_valid_ignore_forced()
+        crc_valid_if = conv.crc_valid_ignore_forced().copy()
+        wrote = False
+
+        def row_crc(row):
+            # Single-row CRC: incremental write-back must not recompute
+            # the whole buffer per word write (reference patchBrokenLines
+            # re-CRCs only the touched line, stc007datastitcher.cpp:5459).
+            return int(stc007.calc_crc(conv.words[row:row + 1], xp=np)[0])
+
         for b in candidates:
             max_fix = 6 if (not self.en_q or is16[b]) else 7
             for w in range(max_fix + 1):
@@ -1599,16 +1839,17 @@ class STC007Stitcher:
                         if conv.words[row, w] != new_word:
                             conv.words[row, w] = new_word
                         conv.word_valid[row, w] = True
-                        if conv.calc_crc()[row] == conv.source_crc[row]:
+                        if row_crc(row) == conv.source_crc[row]:
                             conv.word_valid[row, :] = True
                             line_fix_cnt += 1
                         elif conv.word_valid[row, :8].all():
                             # dropout on the CRC word itself
-                            conv.source_crc[row] = int(conv.calc_crc()[row])
+                            conv.source_crc[row] = row_crc(row)
                             conv.word_valid[row, 8] = True
                             line_fix_cnt += 1
-                        conv.invalidate_crc()
-                        crc_valid_if = conv.crc_valid_ignore_forced()
+                        wrote = True
+                        crc_valid_if[row] = \
+                            row_crc(row) == conv.source_crc[row]
                     else:
                         full = int(batch.words[b, w])
                         new_word = full >> stc007.F1_WORD_OFS
@@ -1617,16 +1858,17 @@ class STC007Stitcher:
                         if conv.words[row, w] != new_word:
                             conv.words[row, w] = new_word
                             conv.word_valid[row, w] = True
-                        if conv.calc_crc()[row] != conv.source_crc[row]:
+                        if row_crc(row) != conv.source_crc[row]:
                             old_s = int(conv.words[row, 7])
                             new_s = (old_s & ~(stc007.F1_S_MASK << ofs)) \
                                 | (s_bits << ofs)
                             conv.words[row, 7] = new_s
-                        if conv.calc_crc()[row] == conv.source_crc[row]:
+                        if row_crc(row) == conv.source_crc[row]:
                             conv.word_valid[row, :] = True
                             line_fix_cnt += 1
-                        conv.invalidate_crc()
-                        crc_valid_if = conv.crc_valid_ignore_forced()
+                        wrote = True
+                        crc_valid_if[row] = \
+                            row_crc(row) == conv.source_crc[row]
                 else:
                     # False-positive valid line feeding a fixed block:
                     # its word disagrees with the corrected one (:6313-6334).
@@ -1634,6 +1876,8 @@ class STC007Stitcher:
                             and not is16[b]:
                         if conv.words[row, w] != int(batch.words[b, w]):
                             conv.forced_bad[row] = True
+        if wrote:
+            conv.invalidate_crc()
         return line_fix_cnt
 
     # -- final deinterleave (performDeinterleave :6675-6888) --------------
@@ -1670,18 +1914,32 @@ class STC007Stitcher:
             if not f0.outer_padding_ok and not f0.outer_silence:
                 unsafe |= (~silent & (sf != spf) & (sf == f0.frame_number)
                            & (spf == fa.frame_number))
-        # BROKEN masking countdown (serial, :6798-6830).
+        # BROKEN masking countdown (:6798-6830).  The countdown decrements
+        # every block and can only re-trigger once it hits 0, so coverage
+        # is a greedy set of [trigger, trigger+dur) windows — O(#broken)
+        # instead of a per-block Python loop.
         broken = aux["broken"]
         countdown = self.broken_countdown
         post_broken = np.zeros(n_blocks, bool)
-        for b in range(n_blocks):
-            if not silent[b] and not unsafe[b]:
-                if self.broken_mask_dur > 0 and countdown == 0 and broken[b]:
+        active = ~silent & ~unsafe
+        if countdown > 0 or (self.broken_mask_dur > 0
+                             and bool((active & broken).any())):
+            triggers = np.nonzero(active & broken)[0]
+            t_i = 0
+            pos = 0
+            while pos < n_blocks:
+                if countdown > 0:
+                    end = min(n_blocks, pos + countdown)
+                    post_broken[pos:end] = active[pos:end]
+                    countdown -= end - pos
+                    pos = end
+                else:
+                    while t_i < len(triggers) and triggers[t_i] < pos:
+                        t_i += 1
+                    if t_i >= len(triggers) or self.broken_mask_dur <= 0:
+                        break
+                    pos = int(triggers[t_i])
                     countdown = self.broken_mask_dur
-                if countdown != 0:
-                    post_broken[b] = True
-            if countdown > 0:
-                countdown -= 1
         self.broken_countdown = countdown
         mask_blocks = unsafe | post_broken
 
@@ -1714,7 +1972,13 @@ class STC007Stitcher:
         v6 = wvalid.reshape(n_blocks * 3, 2)
         f6 = wfixed.reshape(n_blocks * 3, 2)
         b3 = np.repeat(bvalid, 3)
+        # Emphasis from the field's Control Block control bits
+        # (stc007line.cpp:573; CB carried in frasm via findFramesTrim —
+        # the reference's block-level emphasis is a TODO at
+        # stc007datastitcher.cpp:6719, this wires it through).
+        emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
+            else (f0.ctrl_emphasis if f0.ctrl_seen else False)
         self.out_chunks.append(SampleChunk(
             samples=s6, valid=v6, fixed=f6, block_ok=b3,
-            sample_rate=rate, emphasis=False))
+            sample_rate=rate, emphasis=emphasis))
         return n_blocks

