@@ -323,12 +323,23 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                                         preset_sample_rate=args.sample_rate)
     writer = None
     frame_no = 0
+    start_base = 0
+    if args.checkpoint:
+        from .utils import resume as ckpt
+        import os as _os
+        if _os.path.exists(args.checkpoint + ".json"):
+            frame_no, audio_out, ck_rate = ckpt.load_checkpoint(
+                args.checkpoint, stitcher)
+            start_base = frame_no
+            writer = wav.WavWriter(out_path, ck_rate, resume_at=audio_out)
+            print(f"resuming at frame {frame_no}, "
+                  f"{audio_out} samples written")
     coord_hist = None  # frame-level coordinate damping (V2D analog)
     with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
         n_frames = rd.n_frames if args.frames is None \
             else min(args.frames, rd.n_frames)
-        for base in range(0, n_frames, args.batch):
+        for base in range(start_base, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
             for f in range(batch.shape[0]):
                 lines, nums = ingest.split_fields(batch[f])
@@ -423,6 +434,12 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                     writer = wav.WavWriter(out_path, rate)
                 writer.write(out)
                 writer.flush()
+            if args.checkpoint:
+                from .utils import resume as ckpt
+                ckpt.save_checkpoint(
+                    args.checkpoint, frame_no, stitcher,
+                    writer.samples_written if writer else 0,
+                    writer.sample_rate if writer else 44100)
     stitcher.finish()
     arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
     if arrs is not None:

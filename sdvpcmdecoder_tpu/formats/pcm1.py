@@ -48,6 +48,21 @@ BLOCK_WORD_CNT_SHORT = BLOCK_WORD_CNT - 2    # 182
 _WORD_BIT_COUNTS = [BITS_PER_WORD] * N_WORDS + [BITS_PER_CRC]
 
 
+# Header/footer service line pattern (pcm1line.cpp:314-323): fixed words
+# with source CRC 0xCCCC (the calculated CRC does NOT match — header lines
+# are special-cased as valid).
+HEADER_WORDS = (0x0666, 0x0CCC, 0x1999, 0x1333, 0x0666, 0x0CCC)
+HEADER_CRC = 0xCCCC
+
+
+def is_header(words, source_crc, xp=np):
+    """PCM1Line::hasHeader (pcm1line.cpp:314-323)."""
+    m = source_crc == HEADER_CRC
+    for i, w in enumerate(HEADER_WORDS):
+        m = m & (words[..., i] == w)
+    return m
+
+
 def calc_crc(words, xp=jnp):
     """CRC-16 with complemented input words and complemented result
     (pcm1line.cpp:158-171)."""

@@ -389,9 +389,16 @@ def pick_ref_sweep(valid, crc, hyst, shift, min_valid_crcs=5):
     """
     R, N = valid.shape
     crc = np.where(valid, crc, -1)
-    # Count, for each level r, how many levels share its CRC.
-    same = (crc[:, None, :] == crc[None, :, :]) & valid[None, :, :]
-    counts = same.sum(axis=1) * valid                     # [R, N]
+    # Count, for each level r, how many valid levels of the same line
+    # share its CRC — sort-grouped, O(RN log R) instead of an [R,R,N]
+    # equality tensor.
+    counts = np.zeros((R, N), dtype=np.int64)
+    if valid.any():
+        rr, nn = np.nonzero(valid)
+        ids = nn.astype(np.int64) * (1 << 17) + crc[rr, nn] + 1
+        _, inverse, grp_counts = np.unique(ids, return_inverse=True,
+                                           return_counts=True)
+        counts[rr, nn] = grp_counts[inverse]
     best = counts.argmax(axis=0)                          # first max:
     span = counts[best, np.arange(N)]                     # highest level
     modal_crc = crc[best, np.arange(N)]
@@ -401,23 +408,23 @@ def pick_ref_sweep(valid, crc, hyst, shift, min_valid_crcs=5):
     s_m = np.where(target & (hyst == low_d[None, :]), shift, 0x7FFF)
     low_s = s_m.min(axis=0)
     region = target & (hyst == low_d[None, :]) & (shift == low_s[None, :])
+    # Longest contiguous run per line; ties go to the LATER (lower-level)
+    # run (pickLevelByCRCStats :2105 uses >=) — run extraction over all
+    # lines at once via transitions, best run by an encoded score.
     pick_idx = np.full(N, -1, dtype=np.int64)
-    for n in np.nonzero(span > 0)[0]:
-        m = region[:, n]
-        # Longest contiguous run; ties go to the LATER (lower-level) run
-        # (pickLevelByCRCStats :2105 uses >=).
-        runs = []
-        r = 0
-        while r < R:
-            if m[r]:
-                st = r
-                while r < R and m[r]:
-                    r += 1
-                runs.append((st, r - 1))
-            else:
-                r += 1
-        lo, hi = max(runs, key=lambda t: (t[1] - t[0], t[0]))
-        pick_idx[n] = lo + (hi - lo) // 2
+    padded = np.zeros((R + 2, N), np.int8)
+    padded[1:-1] = region
+    d = np.diff(padded, axis=0)
+    ln_s, r_s = np.nonzero(d.T == 1)   # run starts, line-major order
+    ln_e, r_e = np.nonzero(d.T == -1)  # run ends (exclusive), aligned
+    if len(ln_s):
+        length = r_e - r_s
+        pick = r_s + (r_e - 1 - r_s) // 2
+        score = (length * (R + 2) + r_s) * 512 + pick
+        best_score = np.full(N, -1, dtype=np.int64)
+        np.maximum.at(best_score, ln_s, score)
+        found = best_score >= 0
+        pick_idx[found] = best_score[found] % 512
     good = span >= min_valid_crcs
     forced_bad = (span > 0) & ~good
     return pick_idx, good, forced_bad

@@ -47,9 +47,10 @@ class BatchDecoder:
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
                  frames_per_round=4, workers=None, ref_sweep=False,
-                 ref_sweep_fallback=False):
+                 ref_sweep_fallback=False, checkpoint=False):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
+        self.checkpoint = checkpoint
         preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
             else st.VID_NTSC
         for j in self.jobs:
@@ -60,7 +61,32 @@ class BatchDecoder:
                                      ref_sweep_fallback=ref_sweep_fallback)
             j.stitcher = st.STC007Stitcher(preset_video=preset_video)
             j.audio = ap.AudioProcessor(mask_mode=mask_mode)
+            if checkpoint:
+                self._try_resume(j)
         self.pool = ThreadPoolExecutor(workers or min(8, len(self.jobs)))
+
+    @staticmethod
+    def _ckpt_path(job):
+        return job.out_path + ".ckpt"
+
+    def _try_resume(self, job):
+        import os
+        from ..utils import resume as ckpt
+        p = self._ckpt_path(job)
+        if not os.path.exists(p + ".json"):
+            return
+        frame_no, audio_out, rate = ckpt.load_checkpoint(p, job.stitcher)
+        job.frame_no = job.frames_read = frame_no
+        job.first = False
+        job.logged = len(job.stitcher.frame_log)
+        job.writer = wav.WavWriter(job.out_path, rate, resume_at=audio_out)
+
+    def _save_checkpoint(self, job):
+        from ..utils import resume as ckpt
+        ckpt.save_checkpoint(
+            self._ckpt_path(job), job.frame_no, job.stitcher,
+            job.writer.samples_written if job.writer else 0,
+            job.writer.sample_rate if job.writer else 44100)
 
     def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
         for store in stores:
@@ -80,6 +106,8 @@ class BatchDecoder:
             job.writer = wav.WavWriter(job.out_path, rate)
         job.writer.write(out)
         job.writer.flush()
+        if self.checkpoint:
+            self._save_checkpoint(job)
 
     def run(self):
         """Round-robin with one round in flight: while the device chews
@@ -222,3 +250,10 @@ class BatchDecoder:
         if job.writer is not None:
             job.writer.close()
         job.reader.close()
+        if self.checkpoint:
+            import os
+            for suf in (".json", ".npz"):
+                try:
+                    os.remove(self._ckpt_path(job) + suf)
+                except FileNotFoundError:
+                    pass

@@ -63,9 +63,20 @@ def _native_lib():
 
 
 class VideoReader:
-    """Frame batch reader for Y4M or raw-gray captures."""
+    """Frame batch reader for Y4M or raw-gray captures.
 
-    def __init__(self, path, fmt=None, raw_size=None, use_native=True):
+    Dropped-frame handling (the DTS drop detection + dummy-frame insert
+    of the reference, ffmpegwrapper.h:172-174, vin_ffmpeg.cpp:367-523):
+    a `<capture>.pts` sidecar maps each STORED frame to its TIMELINE
+    index (JSON list, or {"timeline": [...]}); gaps in the timeline read
+    back as all-black frames, which the V2D prescan rejects so the
+    decoder inserts interleave-preserving dummy frames downstream.
+    Capture tools (or the FFmpegReader below) emit the sidecar from
+    container timestamps.
+    """
+
+    def __init__(self, path, fmt=None, raw_size=None, use_native=True,
+                 timeline=None):
         self.path = str(path)
         if fmt is None:
             fmt = "y4m" if self.path.endswith((".y4m", ".Y4M")) else "raw"
@@ -82,6 +93,33 @@ class VideoReader:
             self.n_frames = int(self._lib.sdv_frames(self._h))
         else:
             self._open_python(raw_size)
+        self._init_timeline(timeline)
+
+    def _init_timeline(self, timeline):
+        """timeline[k] = timeline index of stored frame k (sorted); None
+        loads the `<path>.pts` sidecar when present."""
+        self._stored_frames = self.n_frames
+        self._timeline_map = None
+        if timeline is None:
+            sidecar = Path(self.path + ".pts")
+            if sidecar.exists():
+                import json
+                data = json.loads(sidecar.read_text())
+                timeline = data["timeline"] if isinstance(data, dict) \
+                    else data
+        if timeline is None:
+            return
+        tl = np.asarray(timeline, np.int64)
+        assert len(tl) == self._stored_frames, \
+            f"sidecar maps {len(tl)} frames, capture has " \
+            f"{self._stored_frames}"
+        n_timeline = int(tl[-1]) + 1 if len(tl) else 0
+        # timeline position -> stored index, -1 = dropped frame
+        inv = np.full(n_timeline, -1, np.int64)
+        inv[tl] = np.arange(self._stored_frames)
+        self._timeline_map = inv
+        self.n_frames = n_timeline
+        self.dropped_frames = int(n_timeline - self._stored_frames)
 
     # -- python fallback --------------------------------------------------
     def _open_python(self, raw_size):
@@ -126,8 +164,32 @@ class VideoReader:
             self.n_frames = len(self._mm) // self._stride
 
     def read_frames(self, first, count):
-        """-> uint8 [count, H, W] luma batch."""
+        """-> uint8 [count, H, W] luma batch (timeline view: dropped
+        frames read as all-black)."""
+        if self._timeline_map is None:
+            return self._read_stored(first, count)
         count = max(0, min(count, self.n_frames - first))
+        if count == 0:
+            return np.zeros((0, self.height, self.width), np.uint8)
+        out = np.zeros((count, self.height, self.width), np.uint8)
+        stored = self._timeline_map[first:first + count]
+        present = stored >= 0
+        # contiguous runs of present frames read in one go
+        k = 0
+        while k < count:
+            if not present[k]:
+                k += 1
+                continue
+            j = k
+            while j + 1 < count and present[j + 1] \
+                    and stored[j + 1] == stored[j] + 1:
+                j += 1
+            out[k:j + 1] = self._read_stored(int(stored[k]), j - k + 1)
+            k = j + 1
+        return out
+
+    def _read_stored(self, first, count):
+        count = max(0, min(count, self._stored_frames - first))
         if count == 0:
             return np.zeros((0, self.height, self.width), np.uint8)
         if self._h:
@@ -174,6 +236,57 @@ def split_fields(frame: np.ndarray, double_narrow=True):
     nums = np.concatenate([1 + 2 * np.arange(len(field0)),
                            2 + 2 * np.arange(len(field1))])
     return lines, nums
+
+
+def transcode_with_ffmpeg(src, dst_y4m, ffmpeg="ffmpeg"):
+    """Any FFmpeg-decodable capture -> gray Y4M + `.pts` drop sidecar.
+
+    The reference opens arbitrary containers and detects dropped frames
+    by DTS deltas (ffmpegwrapper.cpp:543 slotOpenInput, drop check
+    ffmpegwrapper.h:172-174).  Without libav bindings in-process, this
+    spawns the ffmpeg binary twice: once with `showinfo` to harvest per-
+    frame PTS (drop detection), once to transcode luma to Y4M.  Writes
+    `<dst>.pts` mapping stored frames to timeline indices so VideoReader
+    re-inserts dummy frames at the gaps.
+
+    Returns the number of detected drops. Raises FileNotFoundError when
+    no ffmpeg binary is available (offline pre-transcode then applies).
+    """
+    import json
+    import re
+    import shutil
+    if shutil.which(ffmpeg) is None:
+        raise FileNotFoundError(
+            f"{ffmpeg} not found: pre-transcode to Y4M offline or provide "
+            "a .pts sidecar for drop handling")
+    probe = subprocess.run(
+        [ffmpeg, "-hide_banner", "-i", str(src), "-map", "0:v:0",
+         "-vf", "showinfo", "-f", "null", "-"],
+        capture_output=True, text=True)
+    pts = [float(m.group(1)) for m in
+           re.finditer(r"pts_time:\s*([0-9.]+)", probe.stderr)]
+    subprocess.run(
+        [ffmpeg, "-hide_banner", "-y", "-i", str(src), "-map", "0:v:0",
+         "-pix_fmt", "gray", "-f", "yuv4mpegpipe", str(dst_y4m)],
+        check=True, capture_output=True)
+    drops = 0
+    if len(pts) > 2:
+        deltas = np.diff(pts)
+        step = float(np.median(deltas))
+        if step > 0:
+            # timeline index of each stored frame by rounded PTS/step
+            timeline = np.round((np.asarray(pts) - pts[0]) / step)
+            timeline = np.maximum.accumulate(
+                timeline.astype(np.int64))  # monotonic guard
+            # ensure strictly increasing (duplicate PTS collapse to +1)
+            for i in range(1, len(timeline)):
+                if timeline[i] <= timeline[i - 1]:
+                    timeline[i] = timeline[i - 1] + 1
+            drops = int(timeline[-1] + 1 - len(timeline))
+            if drops > 0:
+                Path(str(dst_y4m) + ".pts").write_text(
+                    json.dumps({"timeline": timeline.tolist()}))
+    return drops
 
 
 def write_y4m(path, frames: np.ndarray, chroma="mono"):

@@ -79,6 +79,12 @@ class PCM1LineStore:
         out.bw_set[:] = True
         if ref_level is not None:
             out.ref_level = np.asarray(ref_level, np.int64).copy()
+        # Header/footer service lines (binarizer.cpp:1562-1566 ->
+        # setServHeader): the fixed pattern with source CRC 0xCCCC anchors
+        # vertical alignment and flags emphasis.
+        hdr = np.asarray(pcm1.is_header(out.words, out.source_crc, xp=np))
+        if hdr.any():
+            out.service[hdr] = SRV_HEADER
         return out
 
 

@@ -114,6 +114,7 @@ class FrameAsmPCM16X0:
     frame_number: int = 0
     field_order: int = ORDER_TFF
     ei_format: bool = False
+    ei_detected: bool = False
     odd_top_data: int = 0
     odd_bottom_data: int = 0
     even_top_data: int = 0
@@ -141,16 +142,24 @@ class PCM16X0Stitcher:
     """Single-frame PCM-16x0 reassembler with SI padding auto-detection."""
 
     def __init__(self, field_order=ORDER_TFF, fmt=FORMAT_SI, en_p=True,
-                 mask_seams=True, preset_sample_rate=0):
+                 mask_seams=True, preset_sample_rate=0, auto_fmt=False):
         self.preset_field_order = field_order
         self.fmt = fmt
         self.en_p = en_p
         self.mask_seams = mask_seams
         self.preset_sample_rate = preset_sample_rate
+        # SI<->EI auto-switch from the control-bit MODE stream (the
+        # reference exposes SI/EI as an auto/preset user mode).
+        self.auto_fmt = auto_fmt
         self.out_chunks: list[SampleChunk] = []
         self.frame_log: list[FrameAsmPCM16X0] = []
         self.stats_padding: list[int] = []
         self.stats_order: list[int] = []
+        # 65-deep control-bit histories (:240-243).
+        self.stats_emph: list[bool] = []
+        self.stats_rate: list[int] = []
+        self.stats_code: list[bool] = []
+        self.stats_mode: list[bool] = []
         self.file_started = False
 
     def pop_samples(self):
@@ -289,17 +298,7 @@ class PCM16X0Stitcher:
                          unchecked=umax, broken=brk_total)
         ok = (brk_total < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
               and umax <= MAX_BURST_UNCH_SI and vmax > 0)
-        # Control bits from the first interleave block (BIT_*_OFS).
-        ctrl = {}
-        if S > BIT_CODE_OFS:
-            cb = q.control_bit
-            ctrl = dict(
-                emphasis=not bool(cb[BIT_EMPHASIS_OFS]),
-                sample_rate=SAMPLE_RATE_44100
-                if not cb[BIT_SAMPLERATE_OFS] else SAMPLE_RATE_44056,
-                ei_format=not bool(cb[BIT_MODE_OFS]),
-                code=not bool(cb[BIT_CODE_OFS]))
-        return ok, st, ctrl
+        return ok, st
 
     def find_zero_control_bit_offset(self, field: PCM16X0LineStore,
                                      from_top=True):
@@ -345,17 +344,15 @@ class PCM16X0Stitcher:
     def find_si_padding(self, field: PCM16X0LineStore):
         """Sweep paddings, reference-style stats sort + accept rules."""
         stats = []
-        ctrls = {}
         for pad in range(MAX_PADDING_SI):
-            ok, st, ctrl = self.try_si_padding(field, pad)
+            ok, st = self.try_si_padding(field, pad)
             stats.append(st)
-            ctrls[pad] = ctrl
             if ok and st.broken == 0 and pad == 0:
                 break  # clean zero-padding: fast path
         order = sorted(stats, key=StitchStats.sort_key)
         best = order[0]
         if best.silent >= MAX_BURST_SILENCE_SI:
-            return None, 0, ctrls.get(0, {})
+            return None, 0
         ambiguous = (best.unchecked > MAX_BURST_UNCH_SI
                      or best.valid == 0
                      or (len(order) > 1 and best.broken > 0
@@ -367,11 +364,61 @@ class PCM16X0Stitcher:
             z = self.find_zero_control_bit_offset(field)
             pad = self.padding_from_zero_offset(z)
             if pad is not None:
-                _, st2, ctrl2 = self.try_si_padding(field, pad)
+                _, st2 = self.try_si_padding(field, pad)
                 if st2 is not None and st2.broken == 0 and st2.valid > 0:
-                    return True, pad, ctrl2
-            return False, 0, ctrls.get(0, {})
-        return True, best.index, ctrls.get(best.index, {})
+                    return True, pad
+            return False, 0
+        return True, best.index
+
+    # -- control-bit stream (collectCtrlBitStats :4745-4915) --------------
+    def collect_ctrl_bit_stats(self, queues):
+        """Decode the 129th-bit stream over the frame's assembled field
+        queues: the control bit of the CRC-valid PART_MIDDLE subline at
+        BIT_*_OFS of every interleave block, majority-voted across the
+        frame (a zero bit votes "enabled"/44100/EI/code).
+
+        Returns dict(emphasis, sample_rate, ei_format, code, valid) or
+        None when the frame holds too few sublines."""
+        q = PCM16X0LineStore.concat(queues) if len(queues) > 1 \
+            else queues[0]
+        if len(q) < SUBLINES_PF:
+            return None
+        valid = q.crc_valid()
+        cb = q.control_bit
+        counts, votes = {}, {}
+        for name, ofs in (("emphasis", BIT_EMPHASIS_OFS),
+                          ("rate", BIT_SAMPLERATE_OFS),
+                          ("mode", BIT_MODE_OFS), ("code", BIT_CODE_OFS)):
+            idx = np.arange(14) * SI_TRUE_INTERLEAVE + 1 + ofs
+            idx = idx[idx < len(q)]
+            v = valid[idx]
+            counts[name] = int(v.sum())
+            votes[name] = int((v & ~cb[idx]).sum())
+        return dict(
+            emphasis=votes["emphasis"] > counts["emphasis"] // 2,
+            sample_rate=SAMPLE_RATE_44100
+            if votes["rate"] > counts["rate"] // 2 else SAMPLE_RATE_44056,
+            ei_format=votes["mode"] > counts["mode"] // 2,
+            code=votes["code"] > counts["code"] // 2,
+            valid=(counts["emphasis"] >= 2 and counts["rate"] >= 2
+                   and counts["code"] >= 2))
+
+    def update_ctrl_bit_stats(self, det):
+        """updateCtrlBitStats: push detected flags into 65-deep history."""
+        if det is None or not det["valid"]:
+            return
+        for key, hist in (("emphasis", self.stats_emph),
+                          ("sample_rate", self.stats_rate),
+                          ("code", self.stats_code),
+                          ("ei_format", self.stats_mode)):
+            hist.append(det[key])
+            del hist[:-STATS_DEPTH]
+
+    @staticmethod
+    def _probable(hist, default):
+        if not hist:
+            return default
+        return max(set(hist), key=hist.count)
 
     # -- frame processing -------------------------------------------------
     def push_frame(self, buf: PCM16X0LineStore):
@@ -393,8 +440,30 @@ class PCM16X0Stitcher:
         order = ("odd", "even") if fr.field_order == ORDER_TFF \
             else ("even", "odd")
         if self.fmt == FORMAT_SI:
-            for name in order:
-                self._process_field_si(fields[name], fr)
+            # Assemble both padded field queues first, then decode the
+            # frame's control-bit stream over them (the reference fills
+            # the whole-frame conv_queue before collectCtrlBitStats).
+            queues = [self._si_field_queue(fields[name], fr)
+                      for name in order]
+            det = self.collect_ctrl_bit_stats(queues)
+            self.update_ctrl_bit_stats(det)
+            if det is not None and det["valid"]:
+                fr.emphasis = det["emphasis"]
+                fr.code = det["code"]
+                rate = det["sample_rate"]
+                ei = det["ei_format"]
+            else:
+                fr.emphasis = self._probable(self.stats_emph, False)
+                fr.code = self._probable(self.stats_code, False)
+                rate = self._probable(self.stats_rate, SAMPLE_RATE_44100)
+                ei = self._probable(self.stats_mode, False)
+            fr.sample_rate = self.preset_sample_rate or rate
+            fr.ei_detected = bool(ei)
+            if self.auto_fmt and det is not None and det["valid"] and ei:
+                # EI tape under an SI decode: switch from the next frame.
+                self.fmt = FORMAT_EI
+            for q in queues:
+                self._stream_blocks(q, fr, ei=False)
         else:
             self._process_frame_ei(fields, order, fr)
         self.frame_log.append(dataclasses.replace(fr))
@@ -402,9 +471,10 @@ class PCM16X0Stitcher:
             self.out_chunks.append(SampleChunk.tag(SRV_END_FILE))
             self.file_started = False
 
-    def _process_field_si(self, field: PCM16X0LineStore,
-                          fr: FrameAsmPCM16X0):
-        ok, padding, ctrl = self.find_si_padding(field)
+    def _si_field_queue(self, field: PCM16X0LineStore,
+                        fr: FrameAsmPCM16X0) -> PCM16X0LineStore:
+        """Padding detection + queue assembly for one SI field."""
+        ok, padding = self.find_si_padding(field)
         if ok is None:
             fr.silence = True
             padding = 0
@@ -416,13 +486,6 @@ class PCM16X0Stitcher:
         elif self.stats_padding:
             padding = max(set(self.stats_padding),
                           key=self.stats_padding.count)
-        if ctrl:
-            fr.emphasis = ctrl.get("emphasis", fr.emphasis)
-            fr.code = ctrl.get("code", fr.code)
-            if self.preset_sample_rate:
-                fr.sample_rate = self.preset_sample_rate
-            else:
-                fr.sample_rate = ctrl.get("sample_rate", fr.sample_rate)
         q = self._padded_field(field, padding)
         # Assemble a full field (fillFrameForOutput pads every field to
         # SUBLINES_PF; performDeinterleave consumes whole super-blocks).
@@ -431,7 +494,7 @@ class PCM16X0Stitcher:
         target += (-target) % SI_TRUE_INTERLEAVE
         if target > S:
             q = PCM16X0LineStore.concat([q, PCM16X0LineStore(target - S)])
-        self._stream_blocks(q, fr, ei=False)
+        return q
 
     # -- EI inter-field padding (tryEIPadding :2379 / findEIPadding :2649)
     def _ei_queue(self, f1, f2, padding):

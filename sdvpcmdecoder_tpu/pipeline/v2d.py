@@ -33,6 +33,40 @@ COORD_LONG_HISTORY = 16
 BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 
 
+def find_duplicate_lines(words, crc_read, valid, field_bounds=None):
+    """Head-switch duplicate detection (doBinarize :1210-1260): a VALID
+    line whose 128 data+CRC bits differ from the previous valid line of
+    the same field by <= BITS_PCM_DATA/BIT_DIFF_THRES_DIV bits, and which
+    is not almost-silent (>=2 of 6 samples within +/-16,
+    stc007line.cpp:582-613), is a probable duplicate.
+
+    words [L, 8], crc_read [L], valid [L]; field_bounds: list of (lo, hi)
+    row ranges (the "last line" resets at field boundaries).  Returns a
+    [L] bool mask marking the LATER line of each duplicate pair.
+    """
+    L = len(valid)
+    dup = np.zeros(L, bool)
+    thres = stc007.BITS_PCM_DATA // BIT_DIFF_THRES_DIV
+    samples = np.asarray(stc007.expand_sample(words[:, :6], xp=np))
+    almost_silent = (np.abs(samples.astype(np.int32)) < 16).sum(-1) >= 2
+    for lo, hi in (field_bounds or [(0, L)]):
+        vi = np.nonzero(valid[lo:hi])[0] + lo
+        if len(vi) < 2:
+            continue
+        a, b = vi[:-1], vi[1:]
+        x = (words[a] ^ words[b]).astype(np.uint64)
+        diff = np.zeros(len(a), np.int64)
+        while x.any():
+            diff += (x & 1).sum(axis=-1).astype(np.int64)
+            x >>= 1
+        c = (crc_read[a] ^ crc_read[b]).astype(np.uint64)
+        while c.any():
+            diff += (c & 1).astype(np.int64)
+            c >>= 1
+        dup[b] = (diff <= thres) & ~almost_silent[b]
+    return dup
+
+
 @dataclass
 class V2DState:
     coord_history: list = field(default_factory=list)  # per-frame medians
@@ -68,7 +102,7 @@ class V2DDriver:
                  preset: agc.BinPreset | None = None,
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
                  forced_coords=None, ref_sweep_fallback=False,
-                 per_line_agc=False):
+                 per_line_agc=False, dup_detect=True):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
@@ -77,6 +111,7 @@ class V2DDriver:
         # frame-level black/white from 4 sampled lines — tracks per-line
         # brightness drift (head switching, AGC pumping).
         self.per_line_agc = per_line_agc
+        self.dup_detect = dup_detect  # check_line_copy (doBinarize :1210)
         self.ref_sweep = ref_sweep
         # NORMAL-mode analog of the reference's always-on STC-007 sweep:
         # only lines still invalid after the marker fallback re-run the
@@ -262,10 +297,17 @@ class V2DDriver:
                 wf, cf, vf, ff = self._sweep_failed_lines(
                     pixels[f], (int(coords[f, 0]), int(coords[f, 1])),
                     bf, wh, wf, cf, vf, ff)
+            dup = np.zeros(L, bool)
+            if self.dup_detect:
+                # Lines arrive field-sequentially; the duplicate tracker
+                # resets at the field boundary (doBinarize :1040-1046).
+                dup = find_duplicate_lines(
+                    wf, cf, vf & ~ff, [(0, L // 2), (L // 2, L)])
+                ff = ff | dup
             out.append(FrameDecodeResult(
                 wf, cf, vf, rf, bf, wh,
                 (int(coords[f, 0]), int(coords[f, 1])),
-                np.zeros(L, bool), ff))
+                dup, ff))
         return out
 
     def _sweep_failed_lines(self, pixels, coords, black, white, words,
@@ -459,22 +501,10 @@ class V2DDriver:
                 pixels, coords, black, white, words, crc_read, valid,
                 forced)
 
-        # Duplicate-line detection (doBinarize :825-860): a line whose
-        # words differ from the previous by fewer bits than
-        # total_bits/BIT_DIFF_THRES_DIV among VALID lines is a probable
-        # head-switch duplicate.
         dup = np.zeros(L, dtype=bool)
-        if L > 1:
-            x = words[1:] ^ words[:-1]
-            diffbits = np.zeros(L - 1, dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                diffbits += (v & 1).sum(axis=-1)
-                v >>= 1
-            thres = (8 * 14) // BIT_DIFF_THRES_DIV
-            dup[1:] = valid[1:] & valid[:-1] & (diffbits < thres) \
-                & (diffbits > 0) & False  # flag only, reference keeps data
-            # exact duplicates (all words equal) are flagged
-            dup[1:] = valid[1:] & valid[:-1] & (diffbits == 0)
+        if self.dup_detect:
+            dup = find_duplicate_lines(words, crc_read, valid & ~forced,
+                                       [(0, L // 2), (L // 2, L)])
+            forced = forced | dup
         return FrameDecodeResult(words, crc_read, valid, ref, black, white,
                                  coords, dup, forced)

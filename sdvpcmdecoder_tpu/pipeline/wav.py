@@ -48,6 +48,11 @@ class WavWriter:
             self._fh = open(self.path, "wb")
             self._fh.write(_header(sample_rate, 0))
 
+    @property
+    def samples_written(self) -> int:
+        """Sample pairs written so far (the checkpoint resume point)."""
+        return self._data_bytes // 4
+
     def write(self, samples: np.ndarray):
         """samples [N, 2] int16 (L, R)."""
         arr = np.ascontiguousarray(samples.astype("<i2"))

@@ -1,10 +1,16 @@
-"""Checkpoint/resume for long batch decodes.
+"""Checkpoint/resume for long batch decodes — all three format paths.
 
 The reference streams one-pass with no resume (SURVEY.md section 5); its
 only mid-run durability is the WAV header patch-on-flush. Batch jobs over
-hours of tape need real resume: frame index, stitcher carry state (frame
-descriptors, stats histories, conv-queue tail) and the output sample
-count, snapshotted as a JSON + npz pair next to the WAV.
+hours of tape need real resume: frame index, stitcher carry state and the
+output sample count, snapshotted as a JSON + npz pair next to the WAV.
+
+Carry state per stitcher kind:
+  * STC007Stitcher — two-frame sliding window: frame descriptors, 65-deep
+    stats, BROKEN countdown, conv-queue tail, unpaired pending frames;
+  * PCM16X0Stitcher — single-frame, but 65-deep padding/order and
+    control-bit histories plus the (possibly auto-switched) SI/EI format;
+  * PCM1Stitcher — single-frame, only the file-started flag.
 """
 from __future__ import annotations
 
@@ -14,59 +20,101 @@ from pathlib import Path
 
 import numpy as np
 
-from ..pipeline import stitcher_stc007 as st
-
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
-def save_checkpoint(path, frame_index: int, stitcher: st.STC007Stitcher,
+def _kind(stitcher):
+    return type(stitcher).__name__
+
+
+def save_checkpoint(path, frame_index: int, stitcher,
                     samples_written: int, sample_rate: int = 44100):
+    from ..pipeline import stitcher_stc007 as st
     path = Path(path)
+    kind = _kind(stitcher)
     meta = dict(
         version=FORMAT_VERSION,
+        kind=kind,
         frame_index=frame_index,
         samples_written=samples_written,
         sample_rate=sample_rate,
-        frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
-        frasm_f1=dataclasses.asdict(stitcher.frasm_f1),
-        stats_field_order=stitcher.stats_field_order,
-        stats_resolution=stitcher.stats_resolution,
-        broken_countdown=stitcher.broken_countdown,
-        pending_nos=[fno for fno, _ in stitcher.pending_frames],
     )
-    path.with_suffix(".json").write_text(json.dumps(meta))
-    conv = stitcher.conv_queue
-    arrays = {f: getattr(conv, f) for f in st.LineStore.FIELDS}
-    # The sliding window's unpaired frames must survive the restart or
-    # the first resumed frame would never be seam-stitched.
-    for i, (_, store) in enumerate(stitcher.pending_frames):
-        for f in st.LineStore.FIELDS:
-            arrays[f"pend{i}_{f}"] = getattr(store, f)
-    np.savez_compressed(path.with_suffix(".npz"), **arrays)
+    arrays = {}
+    if kind == "STC007Stitcher":
+        meta.update(
+            frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
+            frasm_f1=dataclasses.asdict(stitcher.frasm_f1),
+            stats_field_order=stitcher.stats_field_order,
+            stats_resolution=stitcher.stats_resolution,
+            broken_countdown=stitcher.broken_countdown,
+            mode_m2=stitcher.mode_m2,
+            pending_nos=[fno for fno, _ in stitcher.pending_frames],
+        )
+        conv = stitcher.conv_queue
+        arrays = {f: getattr(conv, f) for f in st.LineStore.FIELDS}
+        # The sliding window's unpaired frames must survive the restart
+        # or the first resumed frame would never be seam-stitched.
+        for i, (_, store) in enumerate(stitcher.pending_frames):
+            for f in st.LineStore.FIELDS:
+                arrays[f"pend{i}_{f}"] = getattr(store, f)
+    elif kind == "PCM16X0Stitcher":
+        meta.update(
+            stats_padding=stitcher.stats_padding,
+            stats_order=stitcher.stats_order,
+            stats_emph=[bool(x) for x in stitcher.stats_emph],
+            stats_rate=[int(x) for x in stitcher.stats_rate],
+            stats_code=[bool(x) for x in stitcher.stats_code],
+            stats_mode=[bool(x) for x in stitcher.stats_mode],
+            fmt=stitcher.fmt,
+            file_started=stitcher.file_started,
+        )
+    elif kind == "PCM1Stitcher":
+        meta.update(file_started=stitcher.file_started)
+    else:
+        raise TypeError(f"unknown stitcher kind {kind}")
+    Path(str(path) + ".json").write_text(json.dumps(meta))
+    np.savez_compressed(Path(str(path) + ".npz"), **arrays)
 
 
-def load_checkpoint(path, stitcher: st.STC007Stitcher):
+def load_checkpoint(path, stitcher):
     """Restore stitcher state; returns (frame_index, samples_written,
     sample_rate)."""
+    from ..pipeline import stitcher_stc007 as st
     path = Path(path)
-    meta = json.loads(path.with_suffix(".json").read_text())
-    assert meta["version"] == FORMAT_VERSION
-    for name in ("frasm_f0", "frasm_f1"):
-        setattr(stitcher, name, st.FrameAsm(**meta[name]))
-    stitcher.frasm_f2 = st.FrameAsm()
-    stitcher.stats_field_order = list(meta["stats_field_order"])
-    stitcher.stats_resolution = list(meta["stats_resolution"])
-    stitcher.broken_countdown = int(meta["broken_countdown"])
-    data = np.load(path.with_suffix(".npz"))
-    conv = st.LineStore(0)
-    for f in st.LineStore.FIELDS:
-        setattr(conv, f, data[f])
-    stitcher.conv_queue = conv
-    stitcher.pending_frames = []
-    for i, fno in enumerate(meta.get("pending_nos", [])):
-        store = st.LineStore(0)
+    meta = json.loads(Path(str(path) + ".json").read_text())
+    assert meta["version"] in (2, FORMAT_VERSION)
+    kind = meta.get("kind", "STC007Stitcher")
+    assert kind == _kind(stitcher), \
+        f"checkpoint is for {kind}, not {_kind(stitcher)}"
+    if kind == "STC007Stitcher":
+        for name in ("frasm_f0", "frasm_f1"):
+            setattr(stitcher, name, st.FrameAsm(**meta[name]))
+        stitcher.frasm_f2 = st.FrameAsm()
+        stitcher.stats_field_order = list(meta["stats_field_order"])
+        stitcher.stats_resolution = list(meta["stats_resolution"])
+        stitcher.broken_countdown = int(meta["broken_countdown"])
+        stitcher.mode_m2 = bool(meta.get("mode_m2", stitcher.mode_m2))
+        data = np.load(Path(str(path) + ".npz"))
+        conv = st.LineStore(0)
         for f in st.LineStore.FIELDS:
-            setattr(store, f, data[f"pend{i}_{f}"])
-        stitcher.pending_frames.append((int(fno), store))
+            setattr(conv, f, data[f])
+        stitcher.conv_queue = conv
+        stitcher.pending_frames = []
+        for i, fno in enumerate(meta.get("pending_nos", [])):
+            store = st.LineStore(0)
+            for f in st.LineStore.FIELDS:
+                setattr(store, f, data[f"pend{i}_{f}"])
+            stitcher.pending_frames.append((int(fno), store))
+    elif kind == "PCM16X0Stitcher":
+        stitcher.stats_padding = list(meta["stats_padding"])
+        stitcher.stats_order = list(meta["stats_order"])
+        stitcher.stats_emph = [bool(x) for x in meta["stats_emph"]]
+        stitcher.stats_rate = [int(x) for x in meta["stats_rate"]]
+        stitcher.stats_code = [bool(x) for x in meta["stats_code"]]
+        stitcher.stats_mode = [bool(x) for x in meta["stats_mode"]]
+        stitcher.fmt = int(meta["fmt"])
+        stitcher.file_started = bool(meta["file_started"])
+    elif kind == "PCM1Stitcher":
+        stitcher.file_started = bool(meta["file_started"])
     return (int(meta["frame_index"]), int(meta["samples_written"]),
             int(meta.get("sample_rate", 44100)))

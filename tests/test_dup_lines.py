@@ -1,0 +1,82 @@
+"""Duplicate-line (head-switch copy) handling in the production path.
+
+A duplicated line carries a VALID CRC (it is a bit-exact copy of its
+neighbor), so without detection its words enter the deinterleaver as
+good data and corrupt six blocks; with detection it is forced bad and
+P/Q ECC reconstructs the true words (videotodigital.h:107-110 semantics).
+"""
+import numpy as np
+
+from sdvpcmdecoder_tpu.formats import stc007
+from sdvpcmdecoder_tpu.pipeline import v2d
+from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+from sdvpcmdecoder_tpu.synth import encoder as enc
+
+
+def _dup_frame(n_lines=400, dup_at=200):
+    # dup_at > MIN_DEINT_DATA so every interleave tap of the duplicated
+    # line carries real (non-silent) words — leader lines are exempt via
+    # the almost-silent rule, as in the reference.
+    rng = np.random.default_rng(9)
+    n = 3 * n_lines
+    left = rng.integers(1, 1 << 14, size=n)
+    right = rng.integers(1, 1 << 14, size=n)
+    pixels, coords, words, crcs = enc.encode_stream(
+        left, right, width=1152, ppb=8.0, n_lines=n_lines)
+    pixels = pixels.copy()
+    pixels[dup_at + 1] = pixels[dup_at]  # head-switch duplicate
+    return pixels, words, left, right, dup_at
+
+
+def test_find_duplicate_lines_flags_copy():
+    pixels, words, *_ , dup_at = _dup_frame()
+    drv = v2d.V2DDriver(hyst_limit=1, shift_limit=1)
+    res = drv.decode_frames(pixels[None])[0]
+    assert res.duplicates[dup_at + 1]
+    assert res.forced_bad[dup_at + 1]
+    # no false positives among fully-active lines (the interleave ramp-in
+    # can legitimately trigger on mostly-silent lines)
+    active = np.zeros(len(res.valid), bool)
+    active[112:] = True
+    assert res.duplicates[active].sum() == 1
+
+
+def test_duplicate_not_double_emitted():
+    pixels, words, left, right, dup_at = _dup_frame()
+    el = np.asarray(stc007.expand_sample(left, xp=np))
+
+    def decode(dup_detect):
+        drv = v2d.V2DDriver(hyst_limit=1, shift_limit=1,
+                            dup_detect=dup_detect)
+        res = drv.decode_frames(pixels[None])[0]
+        store = st.LineStore.from_decoded(
+            res.words, res.crc_read, res.valid,
+            np.ones(len(res.valid)), 1 + 2 * np.arange(len(res.valid)),
+            forced_bad=res.forced_bad)
+        conv = store
+        stitcher = st.STC007Stitcher()
+        n = stitcher.perform_deinterleave(conv)
+        chunks = stitcher.pop_sample_chunks()
+        arr = st.chunks_to_arrays(chunks)
+        return arr[0][:, 0].astype(np.int64), arr[1][:, 0]
+
+    out_on, valid_on = decode(True)
+    n_chk = min(len(out_on), len(el))
+    assert np.array_equal(out_on[:n_chk], el[:n_chk]), \
+        "ECC must reconstruct the overwritten line"
+    out_off, _ = decode(False)
+    assert not np.array_equal(out_off[:n_chk], el[:n_chk]), \
+        "without detection the duplicate corrupts samples"
+
+
+def test_silent_runs_not_flagged():
+    # Silence legitimately repeats; almost-silent lines are exempt.
+    n_lines = 160
+    left = np.zeros(3 * n_lines, np.int64)
+    right = np.zeros(3 * n_lines, np.int64)
+    pixels, coords, *_ = enc.encode_stream(left, right, width=1152,
+                                           ppb=8.0, n_lines=n_lines)
+    drv = v2d.V2DDriver(hyst_limit=1, shift_limit=1)
+    res = drv.decode_frames(pixels[None])[0]
+    assert res.valid.all()
+    assert not res.duplicates.any()

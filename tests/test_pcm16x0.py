@@ -115,7 +115,7 @@ def test_si_stitcher_detects_padding():
     store = _mk_store(sub_cropped, lpf - crop, parity_base=1 + 2 * crop)
     even = sp16.PCM16X0LineStore(0)
     s = sp16.PCM16X0Stitcher()
-    ok, padding, _ = s.find_si_padding(store)
+    ok, padding = s.find_si_padding(store)
     assert ok
     assert padding == crop, padding
 
