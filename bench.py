@@ -114,12 +114,12 @@ def make_captures(tmp, n_caps, n_frames):
 def e2e_fps(tmp):
     from sdvpcmdecoder_tpu.pipeline import batch_driver
     n_caps = int(os.environ.get("BENCH_E2E_CAPS", "8"))
-    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "24"))
+    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "32"))
     jobs = make_captures(tmp, n_caps, n_frames)
 
     def run(tag):
         dec = batch_driver.BatchDecoder(jobs, hyst_limit=4, shift_limit=2,
-                                        frames_per_round=8)
+                                        frames_per_round=16)
         for k, j in enumerate(dec.jobs):
             j.out_path = os.path.join(tmp, f"out_{tag}_{k}.wav")
         t0 = time.perf_counter()

@@ -148,9 +148,8 @@ class BatchDecoder:
                 j.eof = True
                 continue
             j.frames_read += batch.shape[0]
-            split = [ingest.split_fields(batch[f])
-                     for f in range(batch.shape[0])]
-            lines_b = np.stack([s[0] for s in split])
+            lines_b, nums = ingest.split_fields_batch(batch)
+            split = [(lines_b[f], nums) for f in range(batch.shape[0])]
             round_work.append((j, split, lines_b,
                                j.driver.prepare_frames(lines_b)))
         return round_work

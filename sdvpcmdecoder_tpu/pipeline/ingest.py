@@ -289,6 +289,19 @@ def transcode_with_ffmpeg(src, dst_y4m, ffmpeg="ffmpeg"):
     return drops
 
 
+def split_fields_batch(frames: np.ndarray, double_narrow=True):
+    """split_fields over a whole frame batch [F, H, W] in one pass.
+
+    Returns (lines [F, H, W'], line_numbers [H])."""
+    F, H, W = frames.shape
+    if double_narrow and W < MIN_WIDTH_FOR_SINGLE:
+        frames = np.repeat(frames, 2, axis=2)
+    lines = np.concatenate([frames[:, 0::2], frames[:, 1::2]], axis=1)
+    nums = np.concatenate([1 + 2 * np.arange((H + 1) // 2),
+                           2 + 2 * np.arange(H // 2)])
+    return lines, nums
+
+
 def write_y4m(path, frames: np.ndarray, chroma="mono"):
     """Test helper: write grayscale frames [F, H, W] as Y4M."""
     F, H, W = frames.shape

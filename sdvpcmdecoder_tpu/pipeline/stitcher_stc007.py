@@ -384,7 +384,7 @@ def _res_mode_is16(res_mode):
 
 def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
                 force_ecc=True, en_p=True, en_q=True, en_cwd=False,
-                start=0, stop=None, m2=False):
+                start=0, stop=None, m2=False, full_aux=True):
     """Run the vectorized deinterleaver over shifts [start, stop).
 
     Equivalent of the reference's serial processBlock sweep. Returns
@@ -401,13 +401,15 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
     batch, cwd_app, aux = eval_rows(store, rows, res_mode,
                                     ignore_crc=ignore_crc,
                                     force_ecc=force_ecc, en_p=en_p,
-                                    en_q=en_q, en_cwd=en_cwd, m2=m2)
+                                    en_q=en_q, en_cwd=en_cwd, m2=m2,
+                                    full_aux=full_aux)
     aux["shifts"] = shifts
     return batch, cwd_app, aux
 
 
 def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
-              force_ecc=True, en_p=True, en_q=True, en_cwd=False, m2=False):
+              force_ecc=True, en_p=True, en_q=True, en_cwd=False, m2=False,
+              full_aux=True):
     """eval_blocks core over explicit per-block line rows [B, 8].
 
     rows[b, w] is the absolute line index feeding interleave tap w of
@@ -426,7 +428,8 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
     from ..ops import stitch_native as _sn
     if _sn.available():
         return _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode,
-                                 force_ecc, en_p, en_q, en_cwd, m2)
+                                 force_ecc, en_p, en_q, en_cwd, m2,
+                                 full_aux=full_aux)
 
     def run(resolution):
         w, c = _assemble_rows(store.words, crc_ok, rows, resolution)
@@ -492,9 +495,12 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
 
 
 def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
-                      en_p, en_q, en_cwd, m2):
+                      en_p, en_q, en_cwd, m2, full_aux=True):
     """eval_rows via the native core (one C call: gather + correction +
-    flags + samples); output contract identical to the numpy path."""
+    flags + samples); output contract identical to the numpy path.
+    full_aux=False skips the source frame/line gathers (only the final
+    deinterleave's seam masking needs them — 10 of 11 evals per frame
+    are seam/resolution probes that read the packed flags alone)."""
     from ..ops import stitch_native as _sn
     B = rows.shape[0]
     w, v, lc, state, stage, res, flags, samples = _sn.eval_rows_arrays(
@@ -502,27 +508,23 @@ def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
         res_mode, en_p, en_q, force_ecc, en_cwd, m2)
     batch = di.BlockBatch(w, v, lc, state, stage, res)
     cwd_app = (flags & _sn.FLAG_CWD_APP) != 0
-    broken = (flags & _sn.FLAG_BROKEN) != 0
-    is16 = res == di.RES_16BIT
-    start_frame = store.frame_number[rows[:, 0]]
-    start_line = store.line_number[rows[:, 0]]
-    stop_rows = rows[np.arange(B), np.where(is16, 6, 7)]
-    if en_cwd:
-        cwd_in = cwd_line[rows]
-    else:
-        cwd_in = np.zeros((B, 8), bool)
-    aux = dict(rows=rows, broken=broken,
+    aux = dict(rows=rows, broken=(flags & _sn.FLAG_BROKEN) != 0,
                block_valid=(flags & _sn.FLAG_BLOCK_VALID) != 0,
                can_force=(flags & _sn.FLAG_CAN_FORCE) != 0,
                silent=(flags & _sn.FLAG_SILENT) != 0,
                fixed_p=(flags & _sn.FLAG_FIX_P) != 0,
                fixed_q=(flags & _sn.FLAG_FIX_Q) != 0,
-               samples=samples, flags=flags,
-               start_frame=start_frame, start_line=start_line,
-               stop_frame=store.frame_number[stop_rows],
-               stop_line=store.line_number[stop_rows],
-               errors_audio_fixed=np.sum(~v[:, :6], axis=-1),
-               cwd_in=cwd_in)
+               samples=samples, flags=flags)
+    if full_aux:
+        is16 = res == di.RES_16BIT
+        stop_rows = rows[np.arange(B), np.where(is16, 6, 7)]
+        cwd_in = cwd_line[rows] if en_cwd else np.zeros((B, 8), bool)
+        aux.update(start_frame=store.frame_number[rows[:, 0]],
+                   start_line=store.line_number[rows[:, 0]],
+                   stop_frame=store.frame_number[stop_rows],
+                   stop_line=store.line_number[stop_rows],
+                   errors_audio_fixed=np.sum(~v[:, :6], axis=-1),
+                   cwd_in=cwd_in)
     return batch, cwd_app, aux
 
 
@@ -858,7 +860,8 @@ class STC007Stitcher:
         for mode, key in ((di.RES_MODE_14BIT, 14), (di.RES_MODE_16BIT, 16)):
             batch, _, aux = eval_blocks(
                 fld, mode, ignore_crc=False, force_ecc=True, en_p=True,
-                en_q=False, stop=test_size, m2=self.mode_m2)
+                en_q=False, stop=test_size, m2=self.mode_m2,
+                full_aux=False)
             good = aux["block_valid"] & aux["can_force"] & ~aux["silent"]
             broken = aux["broken"]
             # Count with BROKEN decrement floored at 0 (:1090-1140):
@@ -978,7 +981,8 @@ class STC007Stitcher:
         res_mode = self.get_data_block_resolution(queue, 0)
         batch, _, aux = eval_blocks(
             queue, res_mode, ignore_crc=self.ignore_crc, force_ecc=True,
-            en_p=self.en_p, en_q=self.en_q, en_cwd=False, m2=self.mode_m2)
+            en_p=self.en_p, en_q=self.en_q, en_cwd=False, m2=self.mode_m2,
+            full_aux=False)
         if batch is None:
             return DS_RET_NO_DATA, None
         unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
@@ -1068,7 +1072,7 @@ class STC007Stitcher:
             _, _, aux = eval_rows(
                 master, rows_all, mode, ignore_crc=self.ignore_crc,
                 force_ecc=True, en_p=self.en_p, en_q=self.en_q,
-                en_cwd=False, m2=self.mode_m2)
+                en_cwd=False, m2=self.mode_m2, full_aux=False)
             ofs = 0
             for p, b in zip(group, counts):
                 vmax, smax, umax, bcnt = self._burst_from_aux(
@@ -1600,26 +1604,33 @@ class STC007Stitcher:
         f1_cnt = min(f1_cnt, target)
         f2_cnt = min(f2_cnt, target)
 
-        parts = []
+        # The assembly is recorded as index specs and materialized with
+        # ONE gather at the end (a dozen per-part take/concat passes over
+        # 12 arrays otherwise dominate the steady-state frame cost).
+        f1_n, f2_n = len(field1), len(field2)
+        idx_parts = []      # index runs into [field1 | field2 | empty row]
+        pad_spots = []      # (start position, nums, frame_number)
+        pos = [0]
         added_inner = added_outer = 0
         last_line = [0]
 
         def add_field(fld, start, count):
             count = max(0, count)
-            idx = np.arange(start, start + count)
-            sub = fld.take(idx)
-            parts.append(sub)
+            base = 0 if fld is field1 else f1_n
+            idx_parts.append(base + np.arange(start, start + count))
+            pos[0] += count
             if count:
-                last_line[0] = int(sub.line_number[-1]) + 2
+                last_line[0] = int(fld.line_number[start + count - 1]) + 2
             return count
 
         def add_pad(count, frame=None):
             count = max(0, count)
             nums = last_line[0] + 2 * np.arange(count)
             last_line[0] += 2 * count
-            parts.append(LineStore.empty_lines(
-                count, fa.frame_number if frame is None else frame, nums,
-                m2=self.mode_m2))
+            idx_parts.append(np.full(count, f1_n + f2_n, dtype=np.int64))
+            pad_spots.append((pos[0], nums,
+                              fa.frame_number if frame is None else frame))
+            pos[0] += count
             return count
 
         if self.file_start:
@@ -1777,7 +1788,16 @@ class STC007Stitcher:
 
         fa.inner_padding = added_inner
         fa.outer_padding = added_outer
-        return LineStore.concat(parts) if parts else LineStore(0)
+        if not idx_parts:
+            return LineStore(0)
+        src = LineStore.concat(
+            [field1, field2,
+             LineStore.empty_lines(1, 0, None, m2=self.mode_m2)])
+        out = src.take(np.concatenate(idx_parts))
+        for (p, nums, frame) in pad_spots:
+            out.line_number[p:p + len(nums)] = nums
+            out.frame_number[p:p + len(nums)] = frame
+        return out
 
     # -- CWD pre-scan (prescanFrame :6401-6455, performCWD :5905-6401) ----
     def prescan_frame(self, conv: LineStore) -> LineStore:

@@ -241,12 +241,16 @@ class V2DDriver:
         """
         coords, blacks, whites = prep["coords"], prep["blacks"], \
             prep["whites"]
-        return bz.stc007_frame_decode(
+        batch = bz.stc007_frame_decode(
             jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
             jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
             jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
             jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
             hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
+        # Words are 14-bit, CRC 16-bit: casting on DEVICE halves the
+        # device->host transfer (the remote-chip link bounds e2e).
+        return batch._replace(words=batch.words.astype(jnp.int16),
+                              crc_read=batch.crc_read.astype(jnp.uint16))
 
     def materialize_frames(self, pixels, prep, batch):
         """Blocking device->host transfer of a dispatch + INSANE sweep."""
