@@ -204,6 +204,11 @@ def main(argv=None):
                                                  res.valid)
                     rn.write_ppm(os.path.join(
                         args.render_dir, f"frame_{frame_no:05d}.ppm"), img)
+                    # Source view (the reference's first frame_vis
+                    # window).
+                    rn.write_ppm(os.path.join(
+                        args.render_dir, f"source_{frame_no:05d}.ppm"),
+                        rn.render_source_lines(lines))
                 if args.stats and stitcher.frame_log:
                     fr = stitcher.frame_log[-1]
                     print(f"F[{fr.frame_number:04d}] "
@@ -394,6 +399,18 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                     store = sp1.PCM1LineStore.from_decoded(
                         wl1, cl1, np.full(L, frame_no), nums,
                         ref_level=np.full(L, ref))
+                    if args.render_dir:
+                        from .pipeline import render as rn
+                        import os as _os
+                        _os.makedirs(args.render_dir, exist_ok=True)
+                        rn.write_ppm(_os.path.join(
+                            args.render_dir, f"frame_{frame_no:05d}.ppm"),
+                            rn.render_pcm1_lines(
+                                wl1, cl1, store.crc_valid()))
+                        rn.write_ppm(_os.path.join(
+                            args.render_dir,
+                            f"source_{frame_no:05d}.ppm"),
+                            rn.render_source_lines(lines))
                     if frame_no == 1:
                         tag = sp1.PCM1LineStore(1)
                         tag.service[0] = sp1.SRV_NEW_FILE
@@ -420,6 +437,19 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         wl, cl, np.full(L * 3, frame_no),
                         np.repeat(nums, 3), np.tile(np.arange(3), L),
                         control_bit=np.repeat(np.asarray(cb[0]), 3))
+                    if args.render_dir:
+                        from .pipeline import render as rn
+                        import os as _os
+                        _os.makedirs(args.render_dir, exist_ok=True)
+                        rn.write_ppm(_os.path.join(
+                            args.render_dir, f"frame_{frame_no:05d}.ppm"),
+                            rn.render_pcm16x0_sublines(
+                                wl, cl, store.crc_valid(),
+                                control_bit=store.control_bit))
+                        rn.write_ppm(_os.path.join(
+                            args.render_dir,
+                            f"source_{frame_no:05d}.ppm"),
+                            rn.render_source_lines(lines))
                     if frame_no == 1:
                         tag = sp16.PCM16X0LineStore(1)
                         tag.service[0] = sp16.SRV_NEW_FILE

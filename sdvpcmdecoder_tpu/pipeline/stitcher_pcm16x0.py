@@ -578,6 +578,29 @@ class PCM16X0Stitcher:
         return ok, best.index, best
 
     def _process_frame_ei(self, fields, order, fr):
+        # Frame-border conditioning (conditionEIFramePadding :2996,
+        # findEIDataAlignment :3467): the EI block grid — including its
+        # even/odd pairing parity — anchors to the FRAME border.  A
+        # capture cropped at the top of a field would otherwise shift the
+        # grid by an odd number of sublines and silently flip the order;
+        # restore each field's leading lines as empty padding derived
+        # from the absolute line numbers.  The empties decode as erasures
+        # and P-correction recovers the affected blocks.
+        fields = dict(fields)
+        for name, base in (("odd", 1), ("even", 2)):
+            fld = fields[name]
+            if not len(fld):
+                continue
+            top = int(fld.line_number[0])
+            missing = (top - base) // 2
+            if 0 < missing <= MAX_PADDING_EI:
+                pre = PCM16X0LineStore(3 * missing)
+                pre.frame_number[:] = fld.frame_number[0]
+                pre.line_number = base + 2 * np.repeat(
+                    np.arange(missing), 3)
+                pre.line_part = np.tile(np.arange(3, dtype=np.int8),
+                                        missing)
+                fields[name] = PCM16X0LineStore.concat([pre, fld])
         f1, f2 = fields[order[0]], fields[order[1]]
         ok, pad, st1 = self.find_ei_padding(f1, f2)
         if self.preset_field_order == ORDER_UNK and not ok:
