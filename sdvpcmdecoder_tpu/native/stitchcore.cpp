@@ -425,6 +425,43 @@ int stc007_eval_rows(
     return 0;
 }
 
+// Histogram peak search with early-stop window (findBlackWhite
+// binarizer.cpp:3235-3330) — native twin of ops/agc.py::_peak_scan.
+// hist [N*256] i64; start/stop_limit/min_count/delta [N] i64;
+// outputs best [N] i64 (-1 when not found), found [N] u8.
+void agc_peak_scan(const int64_t* hist, int64_t N,
+                   const int64_t* start, const int64_t* stop_limit,
+                   const int64_t* min_count, const int64_t* delta,
+                   int32_t upward, int64_t* best, uint8_t* found) {
+    for (int64_t n = 0; n < N; ++n) {
+        const int64_t* h = hist + n * 256;
+        int64_t best_lvl = -1, best_cnt = 0;
+        bool ok = false;
+        int64_t pos = start[n];
+        for (int step = 0; step < 256; ++step) {
+            if (upward ? (pos > stop_limit[n]) : (pos < stop_limit[n]))
+                break;
+            int64_t p = pos < 0 ? 0 : (pos > 255 ? 255 : pos);
+            int64_t cnt = h[p];
+            if (cnt > best_cnt) {
+                best_cnt = cnt;
+                if (cnt > min_count[n]) {
+                    best_lvl = pos;
+                    ok = true;
+                }
+            }
+            if (ok) {
+                int64_t dist = pos >= best_lvl ? pos - best_lvl
+                                               : best_lvl - pos;
+                if (dist >= delta[n]) break;
+            }
+            pos += upward ? 1 : -1;
+        }
+        best[n] = best_lvl;
+        found[n] = ok;
+    }
+}
+
 // STC-007 START/STOP marker search over a batch of lines — the native
 // twin of ops/markers.py (_search_start_line/_search_stop_line, port of
 // searchSTC007Markers binarizer.cpp:5275-5601).  Semantics bit-identical

@@ -113,8 +113,13 @@ def _peak_scan(hist, start, stop_limit, min_count, delta, upward=True):
 
     Scans from `start` toward `stop_limit` (inclusive), tracking the max
     count; once a qualifying peak is found, stops when the scan moves
-    `delta` past it. Vectorized over lines with a 256-step loop.
+    `delta` past it. Native walk when available (the 256-step vector
+    loop below stays as the tested reference implementation).
     """
+    from . import stitch_native as _sn
+    if _sn.available():
+        return _sn.peak_scan(hist, start, stop_limit, min_count, delta,
+                             upward)
     N = len(start)
     best = np.full(N, -1, dtype=np.int64)
     best_cnt = np.zeros(N, dtype=np.int64)

@@ -65,6 +65,11 @@ def _load():
         L.stc007_burst_stats.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.agc_peak_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -162,6 +167,22 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
         raise RuntimeError("stc007_eval_rows failed")
     return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
             a_out, s_out, r_out, f_out, smp_out)
+
+
+def peak_scan(hist, start, stop_limit, min_count, delta, upward):
+    """Native histogram peak scan (findBlackWhite :3235-3330 twin)."""
+    L = _load()
+    N = hist.shape[0]
+    h = np.ascontiguousarray(hist, np.int64)
+    args = [np.ascontiguousarray(np.broadcast_to(a, (N,)), np.int64)
+            for a in (start, stop_limit, min_count, delta)]
+    best = np.empty(N, np.int64)
+    found = np.empty(N, np.uint8)
+    L.agc_peak_scan(h.ctypes.data, N, args[0].ctypes.data,
+                    args[1].ctypes.data, args[2].ctypes.data,
+                    args[3].ctypes.data, int(bool(upward)),
+                    best.ctypes.data, found.ctypes.data)
+    return best, found.astype(bool)
 
 
 def marker_search(pixels, bin_low, bin_high, mark_start_max, mark_end_min,

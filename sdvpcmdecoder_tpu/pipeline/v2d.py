@@ -247,10 +247,14 @@ class V2DDriver:
             jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
             jnp.asarray(np.clip(whites, 1, 255), jnp.int32),
             hyst_limit=self.hyst_limit, shift_limit=self.shift_limit)
-        # Words are 14-bit, CRC 16-bit: casting on DEVICE halves the
-        # device->host transfer (the remote-chip link bounds e2e).
-        return batch._replace(words=batch.words.astype(jnp.int16),
-                              crc_read=batch.crc_read.astype(jnp.uint16))
+        # Words are 14-bit, CRC 16-bit: cast AND flatten the minor axis on
+        # DEVICE before transfer — an [F, L, 8] device array pads the
+        # 8-wide minor dim to the 128-lane tile on copy-out, a ~16x
+        # transfer blowup over the [F, L*8] view.
+        F = batch.words.shape[0]
+        return batch._replace(
+            words=batch.words.astype(jnp.int16).reshape(F, -1),
+            crc_read=batch.crc_read.astype(jnp.uint16))
 
     def materialize_frames(self, pixels, prep, batch):
         """Blocking device->host transfer of a dispatch + INSANE sweep."""
@@ -259,6 +263,8 @@ class V2DDriver:
         # over the chip link cost far more than one large one.
         words, crc_read, valid = jax.device_get(
             [batch.words, batch.crc_read, batch.valid])
+        if words.ndim == 2:  # flattened [F, L*8] transfer layout
+            words = words.reshape(words.shape[0], -1, 8)
         forced = np.zeros(valid.shape, bool)
         if self.ref_sweep:
             blacks, whites = prep["blacks"], prep["whites"]

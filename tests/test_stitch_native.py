@@ -92,3 +92,27 @@ def test_native_corrects_erasures():
     np.testing.assert_array_equal(out.words[:, :6], blocks[:, :6])
     assert (out.audio_state[:32] == di.AUD_FIX_P).all()
     assert (out.audio_state[32:] == di.AUD_FIX_Q).all()
+
+
+def test_peak_scan_native_matches_python():
+    from sdvpcmdecoder_tpu.ops import agc
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        N = int(rng.integers(1, 40))
+        hist = rng.integers(0, 50, size=(N, 256)).astype(np.int64)
+        start = rng.integers(0, 256, size=N)
+        stop = rng.integers(0, 256, size=N)
+        minc = rng.integers(0, 10, size=N)
+        delta = rng.integers(0, 40, size=N)
+        for up in (True, False):
+            b1, f1 = sn.peak_scan(hist, start, stop, minc, delta, up)
+            import sdvpcmdecoder_tpu.ops.stitch_native as mod
+            saved = mod._LIB, mod._TRIED
+            mod._LIB, mod._TRIED = None, True
+            try:
+                b2, f2 = agc._peak_scan(hist, start.copy(), stop, minc,
+                                        delta, up)
+            finally:
+                mod._LIB, mod._TRIED = saved
+            np.testing.assert_array_equal(b1, b2)
+            np.testing.assert_array_equal(f1, f2)
