@@ -537,6 +537,71 @@ void stc007_marker_search(
     }
 }
 
+// getFieldResolution decode-both-resolutions counter
+// (stc007datastitcher.cpp:996-1214): for each resolution, count
+// good blocks (valid & can_force & !silent) with a BROKEN decrement
+// floored at zero, over contiguous shifts [0, test_size).
+// One call replaces four eval round-trips per frame.
+void stc007_field_res_counts(const int32_t* line_words,
+                             const uint8_t* line_crc, int64_t L,
+                             int64_t test_size, int32_t m2,
+                             int64_t* c14, int64_t* c16) {
+    for (int mode = 0; mode < 2; ++mode) {
+        const bool is14 = mode == 0;
+        int64_t c = 0;
+        for (int64_t b = 0; b < test_size; ++b) {
+            int32_t w14[8];
+            uint8_t ch[8];
+            for (int i = 0; i < 8; ++i) {
+                const int64_t row = b + 16 * i;
+                w14[i] = line_words[row * 8 + i];
+                ch[i] = line_crc[row * 8 + i];
+            }
+            BlockResult r;
+            if (is14) {
+                correct_one(w14, ch, true, 1, 0, 1, &r);
+            } else {
+                int32_t w16[8];
+                uint8_t c16f[8];
+                for (int i = 0; i < 7; ++i) {
+                    const int64_t row = b + 16 * i;
+                    int32_t s = line_words[row * 8 + WORD_Q0];
+                    w16[i] = (w14[i] << F1_WORD_OFS)
+                           + ((s >> F1_S_OFFSETS[i]) & F1_S_MASK);
+                    c16f[i] = ch[i] && line_crc[row * 8 + WORD_Q0];
+                }
+                w16[7] = 0;
+                c16f[7] = 1;
+                correct_one(w16, c16f, false, 1, 0, 1, &r);
+            }
+            const bool broken = r.state == AUD_BROKEN;
+            bool bval = true;
+            for (int i = 0; i < 6; ++i) bval = bval && r.valid[i];
+            const int lim = is14 ? 8 : 7;
+            int raw_errs = 0;
+            for (int i = 0; i < lim; ++i) raw_errs += !r.lcrc[i];
+            const bool can_force =
+                !broken && (is14 ? raw_errs <= 1 : raw_errs == 0);
+            bool silent = true;
+            for (int i = 0; i < 6 && silent; ++i) {
+                int16_t s;
+                if (is14) {
+                    s = expand14(r.w[i], m2);
+                } else {
+                    int32_t v = r.w[i] & 0xFFFF;
+                    if (v >= 0x8000) v -= 0x10000;
+                    s = (int16_t)v;
+                }
+                if (s != 0) silent = false;
+            }
+            const bool good = bval && can_force && !silent;
+            if (good) ++c;
+            else if (broken && c > 0) --c;
+        }
+        *(is14 ? c14 : c16) = c;
+    }
+}
+
 // tryPadding burst counters over packed eval flags (:1623-1720).
 // out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
 void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,

@@ -65,6 +65,10 @@ def _load():
         L.stc007_burst_stats.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.stc007_field_res_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.agc_peak_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -167,6 +171,19 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
         raise RuntimeError("stc007_eval_rows failed")
     return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
             a_out, s_out, r_out, f_out, smp_out)
+
+
+def field_res_counts(line_words, line_crc, test_size, m2):
+    """Native getFieldResolution counters -> (count14, count16)."""
+    L = _load()
+    w = np.ascontiguousarray(line_words, np.int32)
+    c = np.ascontiguousarray(line_crc, np.uint8)
+    c14 = np.zeros(1, np.int64)
+    c16 = np.zeros(1, np.int64)
+    L.stc007_field_res_counts(w.ctypes.data, c.ctypes.data,
+                              w.shape[0], int(test_size), int(bool(m2)),
+                              c14.ctypes.data, c16.ctypes.data)
+    return int(c14[0]), int(c16[0])
 
 
 def peak_scan(hist, start, stop_limit, min_count, delta, upward):

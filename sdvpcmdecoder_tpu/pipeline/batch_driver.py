@@ -23,6 +23,21 @@ from . import ingest, v2d, wav
 from . import stitcher_stc007 as st
 
 
+class _InlineFuture:
+    def __init__(self, value=None):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
+class _InlineExecutor:
+    """Same-thread executor for single-core hosts."""
+
+    def submit(self, fn, *args, **kw):
+        return _InlineFuture(fn(*args, **kw))
+
+
 @dataclass
 class CaptureJob:
     path: str
@@ -63,7 +78,13 @@ class BatchDecoder:
             j.audio = ap.AudioProcessor(mask_mode=mask_mode)
             if checkpoint:
                 self._try_resume(j)
-        self.pool = ThreadPoolExecutor(workers or min(8, len(self.jobs)))
+        import os
+        n_workers = workers or min(8, len(self.jobs))
+        if n_workers <= 1 or (os.cpu_count() or 1) <= 1:
+            # Single host core: the pool only adds GIL churn.
+            self.pool = _InlineExecutor()
+        else:
+            self.pool = ThreadPoolExecutor(n_workers)
 
     @staticmethod
     def _ckpt_path(job):

@@ -843,6 +843,8 @@ class STC007Stitcher:
         f_size = len(fld)
         if f_size <= stc007.MIN_DEINT_DATA:
             return SAMPLE_RES_UNKNOWN
+        from ..ops import stitch_native as _sn
+        use_native = _sn.available()
         # The same field content is seen twice (as frame 2, then frame 1 of
         # the next pair) but the LineStore is rebuilt, so memoize on a
         # content fingerprint across pairs.
@@ -857,24 +859,33 @@ class STC007Stitcher:
             return memo[key]
         test_size = f_size - stc007.MIN_DEINT_DATA
         counts = {}
-        for mode, key in ((di.RES_MODE_14BIT, 14), (di.RES_MODE_16BIT, 16)):
-            batch, _, aux = eval_blocks(
-                fld, mode, ignore_crc=False, force_ecc=True, en_p=True,
-                en_q=False, stop=test_size, m2=self.mode_m2,
-                full_aux=False)
-            good = aux["block_valid"] & aux["can_force"] & ~aux["silent"]
-            broken = aux["broken"]
-            # Count with BROKEN decrement floored at 0 (:1090-1140):
-            # c_t = max(c_{t-1} + x_t, 0) vectorizes as the reflected
-            # running sum cum_t - min(0, min_{s<=t} cum_s).
-            x = good.astype(np.int64) - (~good & broken).astype(np.int64)
-            cum = np.cumsum(x)
-            if len(cum):
-                c = int(cum[-1]
-                        - min(0, int(np.minimum.accumulate(cum)[-1])))
-            else:
-                c = 0
-            counts[key] = c
+        if use_native:
+            # Both resolutions + the floored counter in one native call.
+            crc_ok = fld.word_crc[:, :8] & ~fld.forced_bad[:, None]
+            counts[14], counts[16] = _sn.field_res_counts(
+                fld.words, crc_ok, test_size, self.mode_m2)
+        else:
+            for mode, key in ((di.RES_MODE_14BIT, 14),
+                              (di.RES_MODE_16BIT, 16)):
+                batch, _, aux = eval_blocks(
+                    fld, mode, ignore_crc=False, force_ecc=True, en_p=True,
+                    en_q=False, stop=test_size, m2=self.mode_m2,
+                    full_aux=False)
+                good = aux["block_valid"] & aux["can_force"] \
+                    & ~aux["silent"]
+                broken = aux["broken"]
+                # Count with BROKEN decrement floored at 0 (:1090-1140):
+                # c_t = max(c_{t-1} + x_t, 0) vectorizes as the reflected
+                # running sum cum_t - min(0, min_{s<=t} cum_s).
+                x = good.astype(np.int64) \
+                    - (~good & broken).astype(np.int64)
+                cum = np.cumsum(x)
+                if len(cum):
+                    c = int(cum[-1]
+                            - min(0, int(np.minimum.accumulate(cum)[-1])))
+                else:
+                    c = 0
+                counts[key] = c
         if counts[14] > stc007.INTERLEAVE_OFS * 2:
             ratio = counts[16] * 128 // counts[14]
             res = SAMPLE_RES_16BIT if ratio > 32 else SAMPLE_RES_14BIT
@@ -934,6 +945,55 @@ class STC007Stitcher:
         return self.resolution_mode_for_seam(first, last)
 
     # -- padding (tryPadding :1417-1743) ----------------------------------
+    class _SlimQueue:
+        """Just the arrays a seam evaluation touches — building a full
+        12-array LineStore per tryPadding dominates the steady-state
+        frame cost otherwise."""
+        __slots__ = ("words", "word_crc", "forced_bad", "frame_number",
+                     "line_number", "coords_valid", "bw_set")
+
+        def __len__(self):
+            return len(self.words)
+
+        def is_fixed_by_cwd(self):  # pragma: no cover - en_cwd path
+            raise NotImplementedError("slim queue has no CWD state")
+
+    def _slim_padding_queue(self, field1, field2, padding):
+        """build_padding_queue without the full LineStore (same rows)."""
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        f1_size, f2_size = len(field1), len(field2)
+        start1 = max(0, f1_size - (keep - padding))
+        count2 = min(f2_size, keep)
+        if f1_size:
+            line_num = int(field1.line_number[f1_size - 1])
+            frame_num = int(field1.frame_number[f1_size - 1])
+        else:
+            line_num, frame_num = 0, 0
+        q = self._SlimQueue()
+        sw = stc007.silent_words(m2=self.mode_m2, xp=np)
+        p = padding
+
+        def cat(a1, pad, a2):
+            return np.concatenate([a1[start1:f1_size], pad, a2[:count2]])
+
+        q.words = cat(field1.words, np.tile(sw, (p, 1)), field2.words)
+        q.word_crc = cat(field1.word_crc, np.zeros((p, 9), bool),
+                         field2.word_crc)
+        q.forced_bad = cat(field1.forced_bad, np.zeros(p, bool),
+                           field2.forced_bad)
+        q.frame_number = cat(field1.frame_number,
+                             np.full(p, frame_num, np.int64),
+                             field2.frame_number)
+        q.line_number = cat(field1.line_number,
+                            line_num + 2 * (np.arange(p) + 1),
+                            field2.line_number)
+        if self.ignore_crc:
+            q.coords_valid = cat(field1.coords_valid, np.zeros(p, bool),
+                                 field2.coords_valid)
+            q.bw_set = cat(field1.bw_set, np.zeros(p, bool),
+                           field2.bw_set)
+        return q
+
     def build_padding_queue(self, field1: LineStore, field2: LineStore,
                             padding: int) -> LineStore:
         f1_size, f2_size = len(field1), len(field2)
@@ -975,7 +1035,7 @@ class STC007Stitcher:
 
     def try_padding(self, field1, field2, padding, want_stats=False):
         """tryPadding: deinterleave the seam buffer, collect burst stats."""
-        queue = self.build_padding_queue(field1, field2, padding)
+        queue = self._slim_padding_queue(field1, field2, padding)
         if len(queue) < stc007.MIN_DEINT_DATA:
             return DS_RET_NO_DATA, None
         res_mode = self.get_data_block_resolution(queue, 0)

@@ -140,3 +140,22 @@ def test_stitcher_output_native_vs_numpy(monkeypatch):
     for a, b in zip(ref[:3], nat[:3]):
         np.testing.assert_array_equal(a, b)
     assert ref[3] == nat[3]
+
+
+def test_field_res_counts_native_matches_python():
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as stm
+    for seed, res, bad in ((0, 14, 0.1), (1, 16, 0.1), (2, 14, 0.5)):
+        rng = np.random.default_rng(seed)
+        fld = _store(rng, 220, bad_frac=bad, resolution=res)
+        s1 = stm.STC007Stitcher()
+        r_native = s1.get_field_resolution(fld)
+        import sdvpcmdecoder_tpu.ops.stitch_native as mod
+        saved = mod._LIB, mod._TRIED
+        mod._LIB, mod._TRIED = None, True
+        try:
+            fld2 = fld.take(np.arange(len(fld)))  # fresh memo/caches
+            s2 = stm.STC007Stitcher()
+            r_py = s2.get_field_resolution(fld2)
+        finally:
+            mod._LIB, mod._TRIED = saved
+        assert r_native == r_py, (seed, res, bad, r_native, r_py)
