@@ -52,6 +52,9 @@ SPEC_PCM16X0_FULL = FormatSpec("pcm16x0", 193, 0, 193, 193, 34, 107,
                                ())  # coordinates cover the whole line
 # Per-part start bits within the 193-bit line (pcm16x0 fillPCM16X0).
 PCM16X0_PART_START = (0, 64, 129)
+# ArVid Audio prototype (arvidline.h:36-51): 144 data bits, 18 x 8-bit
+# words, no CRC (the reference's CRC/sample paths are TODO stubs).
+SPEC_ARVID = FormatSpec("arvid", 144, 0, 144, 144, 24, 96, (8,) * 18)
 
 
 def bit_coords(spec: FormatSpec, start, stop, shift_stage, width,
@@ -123,6 +126,27 @@ def decode_trial_pcm16x0(pixels_line, start, stop, ref, depth, shift,
     words = bits_to_words(bits, (16, 16, 16, 16))
     calc = int(pcm16x0.calc_crc(np.asarray([words[:3]]), xp=np)[0])
     return words[:3], words[3], calc, ppb
+
+
+def decode_trial_arvid(pixels_line, start, stop, ref, depth, shift, width):
+    """ArVid Audio read (fillArVidAudio binarizer.cpp:7448): hysteresis
+    bit read -> 18 x 8-bit words.  The format has no CRC (reference
+    TODO), so `calc` mirrors the read-back marker of an always-accepted
+    trial."""
+    cpx, ppb = bit_coords(SPEC_ARVID, start, stop, shift, width)
+    rl, rh = max(ref - depth, 1), min(ref + depth, 254)
+    bits = read_bits(pixels_line, cpx, rl, rh)
+    words = bits_to_words(bits, SPEC_ARVID.word_bit_counts)
+    return words, 0, 0, ppb
+
+
+def arvid_read_line(pixels_line, start, stop, ref, width=None):
+    """Binarize one ArVid line -> words [18] uint8 (no validation, as in
+    the reference's debug-only path, videotodigital.cpp:857-858)."""
+    width = width or len(pixels_line)
+    words, _, _, _ = decode_trial_arvid(pixels_line, start, stop, ref,
+                                        0, 0, width)
+    return np.asarray(words[:18], dtype=np.int64)
 
 
 def read_control_bit(pixels_line, start, stop, ref, width):

@@ -94,3 +94,18 @@ def test_checkpoint_pending_frames(tmp_path):
     fno, pend = s2.pending_frames[0]
     assert fno == 7
     np.testing.assert_array_equal(pend.line_number, store.line_number)
+
+
+def test_arvid_read_line_roundtrip():
+    """ArVid binarize path (fillArVidAudio analog): rendered 18x8-bit
+    words read back exactly; no CRC exists for the prototype format."""
+    from sdvpcmdecoder_tpu.formats import arvid
+    from sdvpcmdecoder_tpu.ops import line_decode_np as ld
+    rng = np.random.default_rng(0)
+    words = rng.integers(0, 256, size=(5, 18))
+    bits = arvid.words_to_data_bits(words)
+    px, (ds, de) = enc.render_bits(bits, width=1280, ppb=8.0,
+                                   noise_sigma=6.0, rng=rng)
+    for i in range(5):
+        got = ld.arvid_read_line(px[i], ds, de, 110)
+        np.testing.assert_array_equal(got, words[i])
