@@ -5,8 +5,10 @@ findSTC007Coordinates (:6047-6116): forward edge-walk for the "1010"
 START marker with bit-length sanity resets, backward walk for the "01111"
 STOP marker, optional hysteresis sweep picking the best coordinate pair.
 
-Vectorized over lines: each line's walk is a short bounded loop over
-threshold-crossing events rather than per-pixel iteration.
+Production path: the per-line walks run in the native core
+(stitchcore.cpp stc007_marker_search, ~0.2 ms for a 588-line frame);
+the Python loops below are the bit-identical reference implementation
+(tests/test_marker_native.py).
 """
 from __future__ import annotations
 

@@ -102,7 +102,7 @@ class V2DDriver:
                  preset: agc.BinPreset | None = None,
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
                  forced_coords=None, ref_sweep_fallback=False,
-                 per_line_agc=False, dup_detect=True):
+                 per_line_agc=False, dup_detect=True, use_pallas=False):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
@@ -112,6 +112,11 @@ class V2DDriver:
         # brightness drift (head switching, AGC pumping).
         self.per_line_agc = per_line_agc
         self.dup_detect = dup_detect  # check_line_copy (doBinarize :1210)
+        # Fused VMEM kernel for the frame trial grid (bit-identical to
+        # the XLA path). Wins at large frame batches (the device-only
+        # bench runs it at F=128); at the driver's small per-round
+        # batches the XLA path dispatches faster, so default off.
+        self.use_pallas = use_pallas
         self.ref_sweep = ref_sweep
         # NORMAL-mode analog of the reference's always-on STC-007 sweep:
         # only lines still invalid after the marker fallback re-run the
@@ -241,7 +246,16 @@ class V2DDriver:
         """
         coords, blacks, whites = prep["coords"], prep["blacks"], \
             prep["whites"]
-        batch = bz.stc007_frame_decode(
+        import jax
+        if self.use_pallas and np.asarray(prep["refs"]).ndim == 1 \
+                and jax.devices()[0].platform == "tpu":
+            # Mosaic kernel on real TPUs only: the CPU fallback would be
+            # the interpreter, far slower than the XLA path.
+            from ..ops import pallas_binarize as pb
+            decode = pb.stc007_fused_decode_frames
+        else:
+            decode = bz.stc007_frame_decode
+        batch = decode(
             jnp.asarray(pixels), jnp.asarray(coords, jnp.int32),
             jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
             jnp.asarray(np.clip(blacks, 0, 254), jnp.int32),
