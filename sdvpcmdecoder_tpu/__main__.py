@@ -456,6 +456,30 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         tag.frame_number[0] = frame_no
                         store = sp16.PCM16X0LineStore.concat([tag, store])
                     stitcher.push_frame(store)
+            if args.stats:
+                # Per-frame work log (the MainWindow column log analog,
+                # mainwindow.h:115-194) for the PCM-1/16x0 paths.
+                for fr in stitcher.frame_log[-batch.shape[0]:]:
+                    if args.format == "pcm1":
+                        print(f"F[{fr.frame_number:04d}] "
+                              f"ord={'-TB'[fr.field_order]} "
+                              f"hdr[{int(getattr(fr, 'header', 0))}] "
+                              f"emph[{int(fr.emphasis)}] "
+                              f"blk[{fr.blocks_total:4d}] "
+                              f"drop[{fr.blocks_drop:3d}]")
+                    else:
+                        print(f"F[{fr.frame_number:04d}] "
+                              f"ord={'-TB'[fr.field_order]} "
+                              f"{'EI' if fr.ei_format else 'SI'} "
+                              f"pad[{fr.odd_padding:02d}/"
+                              f"{fr.even_padding:02d}/"
+                              f"{fr.inner_padding:02d}] "
+                              f"rate[{fr.sample_rate}] "
+                              f"emph[{int(fr.emphasis)}] "
+                              f"blk[{fr.blocks_total:4d}] "
+                              f"P[{fr.blocks_fix_p:3d}] "
+                              f"brk[{fr.blocks_broken:3d}] "
+                              f"drop[{fr.blocks_drop:3d}]")
             arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
             if arrs is not None:
                 samples, valid2, blk2, rate = arrs

@@ -70,6 +70,7 @@ class BatchDecoder:
             else st.VID_NTSC
         for j in self.jobs:
             j.reader = ingest.VideoReader(j.path)
+            j.stats.frames_dropped = getattr(j.reader, "dropped_frames", 0)
             j.driver = v2d.V2DDriver(hyst_limit=hyst_limit,
                                      shift_limit=shift_limit,
                                      ref_sweep=ref_sweep,
@@ -246,6 +247,7 @@ class BatchDecoder:
                             forced_bad=res.forced_bad)
                         j.stats.lines_total += len(nums)
                         j.stats.lines_valid += int(res.valid.sum())
+                        j.stats.lines_dup += int(res.duplicates.sum())
                     if j.first:
                         tag = st.LineStore(1)
                         tag.service[0] = st.SRV_NEW_FILE

@@ -26,6 +26,9 @@ class DecodeStats:
     samples_masked: int = 0
     samples_out: int = 0
     peak_level: int = 0          # VU analog: max |sample| seen
+    lines_dup: int = 0           # stat_dup_err_cnt: head-switch copies
+    frames_bad_stitch: int = 0   # stat_bad_stitch_cnt: padding not found
+    frames_dropped: int = 0      # stat_drop_frame_cnt: capture drops
 
     def add_frame(self, frasm, lines_total=0, lines_valid=0):
         self.frames_total += 1
@@ -39,6 +42,15 @@ class DecodeStats:
                                + getattr(frasm, "blocks_broken", 0))
         self.blocks_drop += getattr(frasm, "blocks_drop", 0)
         self.samples_drop += getattr(frasm, "samples_drop", 0)
+        # Bad stitch: a processed frame whose padding search failed
+        # outright (flag_bad_stitch_cnt semantics).
+        if hasattr(frasm, "inner_padding_ok"):
+            if not (frasm.inner_padding_ok or frasm.outer_padding_ok
+                    or frasm.inner_silence or frasm.outer_silence):
+                self.frames_bad_stitch += 1
+        elif hasattr(frasm, "padding_ok"):
+            if not (frasm.padding_ok or getattr(frasm, "silence", False)):
+                self.frames_bad_stitch += 1
 
     def add_audio(self, samples, masked):
         import numpy as np
@@ -52,13 +64,16 @@ class DecodeStats:
         lv = (100.0 * self.lines_valid / self.lines_total
               if self.lines_total else 0.0)
         return (
-            f"frames: {self.frames_total} ({self.frames_no_pcm} no PCM)\n"
+            f"frames: {self.frames_total} ({self.frames_no_pcm} no PCM, "
+            f"{self.frames_dropped} dropped, "
+            f"{self.frames_bad_stitch} bad stitch)\n"
             f"lines:  {self.lines_valid}/{self.lines_total} valid "
             f"({lv:.1f}%)\n"
             f"blocks: {self.blocks_total} total, "
             f"P-fix {self.blocks_fix_p}, Q-fix {self.blocks_fix_q}, "
             f"CWD {self.blocks_fix_cwd}, broken {self.blocks_broken}, "
             f"dropped {self.blocks_drop}\n"
+            f"dup lines: {self.lines_dup}\n"
             f"samples: {self.samples_out} out, "
             f"{self.samples_drop} damaged, {self.samples_masked} masked, "
             f"peak {self.peak_level} ({self.peak_dbfs():+.1f} dBFS)")
