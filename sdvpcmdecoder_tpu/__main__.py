@@ -121,7 +121,9 @@ def main(argv=None):
                 st.VID_NTSC
         stitcher = st.STC007Stitcher(
             en_p=not args.no_ecc, en_q=not args.no_ecc, en_cwd=args.cwd,
-            mode_m2=args.format == "m2", preset_video=preset_video,
+            mode_m2=args.format == "m2",
+            auto_m2=args.format == "stc007",  # CB format-ID auto-detect
+            preset_video=preset_video,
             preset_order={"auto": st.ORDER_UNK, "tff": st.ORDER_TFF,
                           "bff": st.ORDER_BFF}[args.field_order],
             preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[

@@ -75,7 +75,8 @@ class BatchDecoder:
                                      shift_limit=shift_limit,
                                      ref_sweep=ref_sweep,
                                      ref_sweep_fallback=ref_sweep_fallback)
-            j.stitcher = st.STC007Stitcher(preset_video=preset_video)
+            j.stitcher = st.STC007Stitcher(preset_video=preset_video,
+                                           auto_m2=True)
             j.audio = ap.AudioProcessor(mask_mode=mask_mode)
             if checkpoint:
                 self._try_resume(j)
