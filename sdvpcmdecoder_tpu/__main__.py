@@ -249,13 +249,13 @@ def main(argv=None):
         for base in range(start_base, n_frames, args.batch):
             t_rd = time.perf_counter()
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
-            split = [ingest.split_fields(batch[f])
-                     for f in range(batch.shape[0])]
-            stage_t["read"] += time.perf_counter() - t_rd
-            if not split:
+            if batch.shape[0] == 0:
+                stage_t["read"] += time.perf_counter() - t_rd
                 continue
+            lines_b, nums_all = ingest.split_fields_batch(batch)
+            split = [(lines_b[f], nums_all) for f in range(batch.shape[0])]
+            stage_t["read"] += time.perf_counter() - t_rd
             t_dc = time.perf_counter()
-            lines_b = np.stack([s[0] for s in split])
             # Pad the tail batch to the full batch size so the device
             # sees one compiled shape.
             pad_frames = 0
