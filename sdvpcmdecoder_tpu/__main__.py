@@ -136,7 +136,8 @@ def main(argv=None):
         driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift,
                                ref_sweep=args.quality == "insane",
                                ref_sweep_fallback=args.quality == "normal",
-                               forced_coords=fcoords)
+                               forced_coords=fcoords,
+                               m2=args.format == "m2")
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None

@@ -354,7 +354,7 @@ def _crc_stats_filter(trials):
 
 def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
                         shift_limit=SHIFT_STAGES_SAFE, span=8, step=2,
-                        max_lines=None):
+                        max_lines=256):
     """Per-line coordinate refinement for lines that failed the shared
     frame coordinates — the batch analog of the reference's per-line
     findPCM1Coordinates/findPCM16X0Coordinates (binarizer.cpp:5601/:5819)
@@ -371,8 +371,10 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
     out = {}
 
     def cap(idx, what):
-        # max_lines=None (default) refines everything; an explicit cap
-        # logs what it drops instead of silently leaving lines invalid.
+        # Default cap of 256 lines bounds the per-line host refinement on
+        # pure-noise frames (81 coordinate trials per line); the cap LOGS
+        # what it drops instead of silently leaving lines invalid
+        # (max_lines=None refines everything).
         if max_lines is not None and len(idx) > max_lines:
             import logging
             logging.getLogger(__name__).warning(

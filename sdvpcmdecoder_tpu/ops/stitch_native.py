@@ -42,9 +42,24 @@ def _load():
     lib = src.with_name("libsdvstitch.so")
     try:
         if not lib.exists() or lib.stat().st_mtime < src.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(lib), str(src)],
-                check=True, capture_output=True)
+            # Build to a per-pid temp name + atomic rename: concurrent
+            # processes must not clobber each other's .so mid-load.
+            tmp = lib.with_name(f".libsdvstitch.{os.getpid()}.so")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp),
+                     str(src)],
+                    check=True, capture_output=True)
+                os.replace(tmp, lib)
+            except Exception:
+                # No compiler (or a failed build): fall back to a shipped
+                # .so if one exists, even when older than the source.
+                if not lib.exists():
+                    raise
+                import logging
+                logging.getLogger(__name__).warning(
+                    "stitchcore rebuild failed; loading existing %s "
+                    "(may be stale vs stitchcore.cpp)", lib)
         L = ctypes.CDLL(str(lib))
         L.stc007_set_q_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_correct_blocks.restype = ctypes.c_int
@@ -92,6 +107,10 @@ def _load():
         L._tables = (tpow_rows, inv_rows)
         _LIB = L
     except Exception:
+        import logging
+        logging.getLogger(__name__).warning(
+            "native stitch core unavailable; falling back to the ~100x "
+            "slower numpy reference paths", exc_info=True)
         _LIB = None
     return _LIB
 

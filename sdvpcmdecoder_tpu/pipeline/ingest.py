@@ -113,6 +113,10 @@ class VideoReader:
         assert len(tl) == self._stored_frames, \
             f"sidecar maps {len(tl)} frames, capture has " \
             f"{self._stored_frames}"
+        if len(tl) and (tl[0] < 0 or (np.diff(tl) <= 0).any()):
+            raise ValueError(
+                "timeline sidecar must be non-negative and strictly "
+                "increasing")
         n_timeline = int(tl[-1]) + 1 if len(tl) else 0
         # timeline position -> stored index, -1 = dropped frame
         inv = np.full(n_timeline, -1, np.int64)
@@ -264,7 +268,7 @@ def transcode_with_ffmpeg(src, dst_y4m, ffmpeg="ffmpeg"):
          "-vf", "showinfo", "-f", "null", "-"],
         capture_output=True, text=True)
     pts = [float(m.group(1)) for m in
-           re.finditer(r"pts_time:\s*([0-9.]+)", probe.stderr)]
+           re.finditer(r"pts_time:\s*(-?[0-9.]+)", probe.stderr)]
     subprocess.run(
         [ffmpeg, "-hide_banner", "-y", "-i", str(src), "-map", "0:v:0",
          "-pix_fmt", "gray", "-f", "yuv4mpegpipe", str(dst_y4m)],

@@ -379,17 +379,27 @@ class PCM16X0Stitcher:
 
         Returns dict(emphasis, sample_rate, ei_format, code, valid) or
         None when the frame holds too few sublines."""
+        if sum(len(q) for q in queues) < SUBLINES_PF:
+            return None
+        # Interleave-block bases are PER QUEUE (each padded field starts
+        # its own block grid); fields longer than SUBLINES_PF contribute
+        # extra blocks instead of shifting the second field's grid.
+        bases = []
+        ofs_base = 0
+        for q in queues:
+            n_blk = len(q) // SI_TRUE_INTERLEAVE
+            bases.extend(ofs_base + np.arange(n_blk) * SI_TRUE_INTERLEAVE)
+            ofs_base += len(q)
+        bases = np.asarray(bases, np.int64)
         q = PCM16X0LineStore.concat(queues) if len(queues) > 1 \
             else queues[0]
-        if len(q) < SUBLINES_PF:
-            return None
         valid = q.crc_valid()
         cb = q.control_bit
         counts, votes = {}, {}
         for name, ofs in (("emphasis", BIT_EMPHASIS_OFS),
                           ("rate", BIT_SAMPLERATE_OFS),
                           ("mode", BIT_MODE_OFS), ("code", BIT_CODE_OFS)):
-            idx = np.arange(14) * SI_TRUE_INTERLEAVE + 1 + ofs
+            idx = bases + 1 + ofs
             idx = idx[idx < len(q)]
             v = valid[idx]
             counts[name] = int(v.sum())

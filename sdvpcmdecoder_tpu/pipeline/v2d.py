@@ -33,7 +33,8 @@ COORD_LONG_HISTORY = 16
 BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 
 
-def find_duplicate_lines(words, crc_read, valid, field_bounds=None):
+def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
+                         m2=False):
     """Head-switch duplicate detection (doBinarize :1210-1260): a VALID
     line whose 128 data+CRC bits differ from the previous valid line of
     the same field by <= BITS_PCM_DATA/BIT_DIFF_THRES_DIV bits, and which
@@ -47,7 +48,7 @@ def find_duplicate_lines(words, crc_read, valid, field_bounds=None):
     L = len(valid)
     dup = np.zeros(L, bool)
     thres = stc007.BITS_PCM_DATA // BIT_DIFF_THRES_DIV
-    samples = np.asarray(stc007.expand_sample(words[:, :6], xp=np))
+    samples = np.asarray(stc007.expand_sample(words[:, :6], m2=m2, xp=np))
     almost_silent = (np.abs(samples.astype(np.int32)) < 16).sum(-1) >= 2
     for lo, hi in (field_bounds or [(0, L)]):
         vi = np.nonzero(valid[lo:hi])[0] + lo
@@ -102,7 +103,8 @@ class V2DDriver:
                  preset: agc.BinPreset | None = None,
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
                  forced_coords=None, ref_sweep_fallback=False,
-                 per_line_agc=False, dup_detect=True, use_pallas=False):
+                 per_line_agc=False, dup_detect=True, use_pallas=False,
+                 m2=False):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
@@ -112,6 +114,7 @@ class V2DDriver:
         # brightness drift (head switching, AGC pumping).
         self.per_line_agc = per_line_agc
         self.dup_detect = dup_detect  # check_line_copy (doBinarize :1210)
+        self.m2 = m2  # M2 sample companding (almost-silent dup gate)
         # Fused VMEM kernel for the frame trial grid (bit-identical to
         # the XLA path). Wins at large frame batches (the device-only
         # bench runs it at F=128); at the driver's small per-round
@@ -325,8 +328,10 @@ class V2DDriver:
             if self.dup_detect:
                 # Lines arrive field-sequentially; the duplicate tracker
                 # resets at the field boundary (doBinarize :1040-1046).
+                half = (L + 1) // 2  # field 1 holds ceil(H/2) lines
                 dup = find_duplicate_lines(
-                    wf, cf, vf & ~ff, [(0, L // 2), (L // 2, L)])
+                    wf, cf, vf & ~ff, [(0, half), (half, L)],
+                    m2=self.m2)
                 ff = ff | dup
             out.append(FrameDecodeResult(
                 wf, cf, vf, rf, bf, wh,
@@ -527,8 +532,9 @@ class V2DDriver:
 
         dup = np.zeros(L, dtype=bool)
         if self.dup_detect:
+            half = (L + 1) // 2
             dup = find_duplicate_lines(words, crc_read, valid & ~forced,
-                                       [(0, L // 2), (L // 2, L)])
+                                       [(0, half), (half, L)], m2=self.m2)
             forced = forced | dup
         return FrameDecodeResult(words, crc_read, valid, ref, black, white,
                                  coords, dup, forced)

@@ -43,13 +43,19 @@ class DecodeStats:
         self.blocks_drop += getattr(frasm, "blocks_drop", 0)
         self.samples_drop += getattr(frasm, "samples_drop", 0)
         # Bad stitch: a processed frame whose padding search failed
-        # outright (flag_bad_stitch_cnt semantics).
+        # outright (flag_bad_stitch_cnt semantics) — only counted when
+        # the frame actually carried PCM data (leaders/no-PCM dummies
+        # never ran a padding search).
+        has_data = (getattr(frasm, "odd_data_lines", 0)
+                    + getattr(frasm, "even_data_lines", 0)) > 0
         if hasattr(frasm, "inner_padding_ok"):
-            if not (frasm.inner_padding_ok or frasm.outer_padding_ok
+            if has_data and not (
+                    frasm.inner_padding_ok or frasm.outer_padding_ok
                     or frasm.inner_silence or frasm.outer_silence):
                 self.frames_bad_stitch += 1
         elif hasattr(frasm, "padding_ok"):
-            if not (frasm.padding_ok or getattr(frasm, "silence", False)):
+            if has_data and not (frasm.padding_ok
+                                 or getattr(frasm, "silence", False)):
                 self.frames_bad_stitch += 1
 
     def add_audio(self, samples, masked):

@@ -80,3 +80,33 @@ def test_silent_runs_not_flagged():
     res = drv.decode_frames(pixels[None])[0]
     assert res.valid.all()
     assert not res.duplicates.any()
+
+
+def test_silent_m2_lines_not_flagged():
+    """Silent M2 lines hold 0x2000 words; the almost-silent exemption
+    must use M2 sample expansion or every repeated silent line would be
+    forced bad (review regression)."""
+    words = np.full((8, 8), 0x2000, np.int64)
+    crc = np.asarray(stc007.calc_crc(words, xp=np))
+    valid = np.ones(8, bool)
+    dup_m2 = v2d.find_duplicate_lines(words, crc, valid, m2=True)
+    assert not dup_m2.any()
+    # sanity: with the wrong (non-M2) expansion these would all flag
+    dup_wrong = v2d.find_duplicate_lines(words, crc, valid, m2=False)
+    assert dup_wrong[1:].all()
+
+
+def test_odd_height_field_boundary():
+    """Field 1 holds ceil(H/2) lines: the duplicate tracker must reset at
+    the true boundary, not L//2 (review regression)."""
+    rng = np.random.default_rng(3)
+    L = 9  # odd: field 1 = rows 0..4, field 2 = rows 5..8
+    words = rng.integers(0, 1 << 14, size=(L, 8)).astype(np.int64)
+    # field 1's last line == field 2's first line: legitimate cross-field
+    # similarity, must NOT flag with correct bounds
+    words[5] = words[4]
+    crc = np.asarray(stc007.calc_crc(words, xp=np))
+    half = (L + 1) // 2
+    dup = v2d.find_duplicate_lines(words, crc, np.ones(L, bool),
+                                   [(0, half), (half, L)])
+    assert not dup[5]
