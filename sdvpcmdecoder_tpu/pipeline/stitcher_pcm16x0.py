@@ -259,46 +259,63 @@ class PCM16X0Stitcher:
         orders = np.asarray(orders)
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=False, en_p=self.en_p, force_ecc=True)
-        silent = (res["samples"] == 0).all(axis=(-1, -2))
-        can_force = res["stage"] != 1  # not NO_CHECK anywhere
-        bv = res["block_valid"]
-        fixed_p = (res["state"] == di16.AUD_FIX_P).any(axis=-1)
-        broken = (res["state"] == di16.AUD_BROKEN).any(axis=-1)
-        no_check = (res["stage"] == di16.STG_NO_CHECK).any(axis=-1)
-        valid_b = bv & ~silent & ~no_check
-        # Burst counters per interleave block (trySIPadding :1150-1420).
-        vmax = smax = umax = 0
-        vrun = srun = urun = 0
-        brk_total = 0
-        unch = no_check | fixed_p
-        for k in range(len(shifts)):
-            if valid_b[k]:
-                vrun += 1
-            else:
-                vmax = max(vmax, vrun)
-            if silent[k]:
-                srun += 1
-                if srun >= MAX_BURST_SILENCE_SI:
-                    vrun = 0
-            else:
-                smax = max(smax, srun)
-                srun = 0
-            if unch[k]:
-                urun += 1
-                if urun > MAX_BURST_UNCH_SI:
-                    vrun = 0
-            else:
-                umax = max(umax, urun)
-                urun = 0
-            if broken[k]:
-                brk_total += 1
-                vrun = 0
-        vmax, smax, umax = max(vmax, vrun), max(smax, srun), max(umax, urun)
+        vmax, smax, umax, brk_total = _burst_stats16(
+            *_si_seam_flags(res))
         st = StitchStats(index=padding, valid=vmax, silent=smax,
                          unchecked=umax, broken=brk_total)
         ok = (brk_total < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
               and umax <= MAX_BURST_UNCH_SI and vmax > 0)
         return ok, st
+
+    def batched_si_padding_stats(self, field: PCM16X0LineStore,
+                                 max_padding: int):
+        """Score ALL SI paddings in one deinterleaver call: every padded
+        queue is the master [max_padding*3 empties | field] viewed from a
+        different start offset (the STC-007 batched_padding_stats trick,
+        trySIPadding :1129/findSIPadding :1557).  Bit-identical to
+        calling try_si_padding per pad."""
+        pre = PCM16X0LineStore(3 * max_padding)
+        if len(field):
+            pre.frame_number[:] = field.frame_number[0]
+        master = PCM16X0LineStore.concat([pre, field])
+        mcrc = master.crc_valid()
+        i = np.arange(di16.SI_OFS)
+        shifts_all, orders_all, counts = [], [], []
+        for p in range(max_padding):
+            base = 3 * (max_padding - p)
+            S = 3 * p + len(field)
+            n_groups = S // SI_TRUE_INTERLEAVE
+            counts.append(n_groups * di16.SI_OFS)
+            if n_groups == 0:
+                continue
+            g = np.arange(n_groups)
+            sh = (g[:, None] * SI_TRUE_INTERLEAVE + i[None, :]).ravel()
+            shifts_all.append(base + sh)
+            orders_all.append(np.tile(i % 2 == 1, n_groups))
+        if not shifts_all:
+            return [(False, StitchStats(index=p))
+                    for p in range(max_padding)]
+        res = di16.decode_blocks(
+            master.words, mcrc, np.concatenate(shifts_all),
+            np.concatenate(orders_all), ei=False, en_p=self.en_p,
+            force_ecc=True)
+        valid_b, silent, unch, broken = _si_seam_flags(res)
+        out = []
+        ofs = 0
+        for p, n in enumerate(counts):
+            if n == 0:
+                out.append((False, StitchStats(index=p)))
+                continue
+            sl = slice(ofs, ofs + n)
+            vmax, smax, umax, bt = _burst_stats16(
+                valid_b[sl], silent[sl], unch[sl], broken[sl])
+            st = StitchStats(index=p, valid=vmax, silent=smax,
+                             unchecked=umax, broken=bt)
+            ok = (bt < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
+                  and umax <= MAX_BURST_UNCH_SI and vmax > 0)
+            out.append((ok, st))
+            ofs += n
+        return out
 
     def find_zero_control_bit_offset(self, field: PCM16X0LineStore,
                                      from_top=True):
@@ -343,12 +360,16 @@ class PCM16X0Stitcher:
 
     def find_si_padding(self, field: PCM16X0LineStore):
         """Sweep paddings, reference-style stats sort + accept rules."""
-        stats = []
-        for pad in range(MAX_PADDING_SI):
-            ok, st = self.try_si_padding(field, pad)
-            stats.append(st)
-            if ok and st.broken == 0 and pad == 0:
-                break  # clean zero-padding: fast path
+        # Clean zero-padding fast path first; otherwise score the whole
+        # sweep in one batched call.
+        ok0, st0 = self.try_si_padding(field, 0)
+        if ok0 and st0.broken == 0:
+            stats = [st0]
+        else:
+            stats = [st for _, st
+                     in self.batched_si_padding_stats(field,
+                                                      MAX_PADDING_SI)]
+            stats[0] = st0
         order = sorted(stats, key=StitchStats.sort_key)
         best = order[0]
         if best.silent >= MAX_BURST_SILENCE_SI:
@@ -678,3 +699,45 @@ class PCM16X0Stitcher:
 
     def finish(self):
         pass
+
+
+def _si_seam_flags(res):
+    """Per-block flags for the SI burst counters (trySIPadding
+    :1150-1420)."""
+    silent = (res["samples"] == 0).all(axis=(-1, -2))
+    bv = res["block_valid"]
+    fixed_p = (res["state"] == di16.AUD_FIX_P).any(axis=-1)
+    broken = (res["state"] == di16.AUD_BROKEN).any(axis=-1)
+    no_check = (res["stage"] == di16.STG_NO_CHECK).any(axis=-1)
+    valid_b = bv & ~silent & ~no_check
+    unch = no_check | fixed_p
+    return valid_b, silent, unch, broken
+
+
+def _burst_stats16(valid_b, silent, unch, broken):
+    """Vectorized SI burst counters — same cumsum formulation as the
+    STC-007 _burst_stats, with the 16x0 thresholds (silence run >=
+    MAX_BURST_SILENCE_SI, unchecked run > MAX_BURST_UNCH_SI, every
+    BROKEN block resets)."""
+    n = len(valid_b)
+    if n == 0:
+        return 0, 0, 0, 0
+    idx = np.arange(n)
+
+    def runs(mask):
+        last_false = np.maximum.accumulate(np.where(~mask, idx, -1))
+        return np.where(mask, idx - last_false, 0)
+
+    sil_run = runs(silent)
+    unch_run = runs(unch)
+    reset = ((silent & (sil_run >= MAX_BURST_SILENCE_SI))
+             | (unch & (unch_run > MAX_BURST_UNCH_SI)) | broken)
+    cumv = np.cumsum(valid_b.astype(np.int64))
+    last_reset = np.maximum.accumulate(np.where(reset, idx, -1))
+    base = np.where(last_reset >= 0, cumv[np.maximum(last_reset, 0)], 0)
+    run_after = cumv - base
+    prev_run = np.concatenate([[0], run_after[:-1]])
+    cand = prev_run[~valid_b]
+    vmax = int(max(cand.max() if len(cand) else 0, run_after[-1]))
+    return (vmax, int(sil_run.max()), int(unch_run.max()),
+            int(broken.sum()))

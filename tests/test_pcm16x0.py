@@ -221,3 +221,27 @@ def test_ei_bff_field_order():
     el = np.asarray(pcm16x0.expand_sample(lo, xp=np))
     out_l = np.array([p.left for p in pairs])
     np.testing.assert_array_equal(out_l[:len(el)], el[:len(out_l)])
+
+
+def test_batched_si_padding_matches_serial():
+    """batched_si_padding_stats == per-pad try_si_padding, incl. crops
+    and corruption."""
+    rng = np.random.default_rng(9)
+    lpf = sp16.LINES_PF
+    usable = (lpf * 3 // sp16.SI_TRUE_INTERLEAVE) * sp16.SI_TRUE_INTERLEAVE
+    left, right = _field_samples(usable, seed=9)
+    sub, _ = di16.interleave_field(left, right, lpf)
+    for crop, bad in ((0, 0.0), (4, 0.0), (7, 0.2), (11, 0.6)):
+        w = sub[3 * crop:].copy()
+        crcs = np.asarray(pcm16x0.calc_crc(w, xp=np))
+        n = len(w)
+        flip = rng.random(n) < bad
+        crcs[flip] ^= 0x5555
+        store = sp16.PCM16X0LineStore.from_decoded(
+            w, crcs, np.full(n, 1), 1 + 2 * (crop + np.arange(n) // 3),
+            np.arange(n) % 3)
+        s = sp16.PCM16X0Stitcher()
+        batched = s.batched_si_padding_stats(store, sp16.MAX_PADDING_SI)
+        serial = [s.try_si_padding(store, p)
+                  for p in range(sp16.MAX_PADDING_SI)]
+        assert batched == serial, (crop, bad)
