@@ -548,42 +548,7 @@ class PCM16X0Stitcher:
         orders = (shifts % 2) == 1
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=True, en_p=self.en_p, force_ecc=True)
-        silent = (res["samples"] == 0).all(axis=(-1, -2))
-        bv = res["block_valid"]
-        fixed_p = (res["state"] == di16.AUD_FIX_P).any(axis=-1)
-        broken = (res["state"] == di16.AUD_BROKEN).any(axis=-1)
-        no_check = (res["stage"] == di16.STG_NO_CHECK).any(axis=-1)
-        valid_b = bv & ~silent & ~no_check
-        unch = no_check | fixed_p
-        vmax = smax = umax = bmax = 0
-        vrun = srun = urun = brun = 0
-        for k in range(n):
-            if valid_b[k]:
-                vrun += 1
-            else:
-                vmax = max(vmax, vrun)
-            if silent[k]:
-                srun += 1
-                if srun >= MAX_BURST_SILENCE_EI:
-                    vrun = 0
-            else:
-                smax = max(smax, srun)
-                srun = 0
-            if unch[k]:
-                urun += 1
-                if urun > MAX_BURST_UNCH_EI:
-                    vrun = 0
-            else:
-                umax = max(umax, urun)
-                urun = 0
-            if broken[k]:
-                brun += 1
-                vrun = 0
-            else:
-                bmax = max(bmax, brun)
-                brun = 0
-        vmax, smax = max(vmax, vrun), max(smax, srun)
-        umax, bmax = max(umax, urun), max(bmax, brun)
+        vmax, smax, umax, bmax = _burst_stats_ei(*_si_seam_flags(res))
         return StitchStats(index=padding, valid=vmax, silent=smax,
                            unchecked=umax, broken=bmax)
 
@@ -741,3 +706,31 @@ def _burst_stats16(valid_b, silent, unch, broken):
     vmax = int(max(cand.max() if len(cand) else 0, run_after[-1]))
     return (vmax, int(sil_run.max()), int(unch_run.max()),
             int(broken.sum()))
+
+
+def _burst_stats_ei(valid_b, silent, unch, broken):
+    """Vectorized EI burst counters (tryEIPadding :2420-2610): like the
+    SI counters but `broken` is scored as its MAX RUN, not a total."""
+    n = len(valid_b)
+    if n == 0:
+        return 0, 0, 0, 0
+    idx = np.arange(n)
+
+    def runs(mask):
+        last_false = np.maximum.accumulate(np.where(~mask, idx, -1))
+        return np.where(mask, idx - last_false, 0)
+
+    sil_run = runs(silent)
+    unch_run = runs(unch)
+    brk_run = runs(broken)
+    reset = ((silent & (sil_run >= MAX_BURST_SILENCE_EI))
+             | (unch & (unch_run > MAX_BURST_UNCH_EI)) | broken)
+    cumv = np.cumsum(valid_b.astype(np.int64))
+    last_reset = np.maximum.accumulate(np.where(reset, idx, -1))
+    base = np.where(last_reset >= 0, cumv[np.maximum(last_reset, 0)], 0)
+    run_after = cumv - base
+    prev_run = np.concatenate([[0], run_after[:-1]])
+    cand = prev_run[~valid_b]
+    vmax = int(max(cand.max() if len(cand) else 0, run_after[-1]))
+    return (vmax, int(sil_run.max()), int(unch_run.max()),
+            int(brk_run.max()))
