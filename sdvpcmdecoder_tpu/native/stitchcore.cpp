@@ -602,6 +602,101 @@ void stc007_field_res_counts(const int32_t* line_words,
     }
 }
 
+// PCM-16x0 block decode (ops/pcm16x0_deint.py::decode_blocks twin, port
+// of PCM16X0Deinterleaver: P-parity-only correction, order-dependent
+// word<->line map, getWordToLine pcm16x0datablock.cpp).
+//   sub_words [S*3] i32, sub_crc [S] u8, shifts [B] i64, even [B] u8.
+// Outputs: words [B*9] i32, valid/wcrc [B*9] u8, state/stage [B*3] i32,
+// samples [B*6] i16, block_valid [B] u8.
+namespace {
+// odd-order line of (sub-block, word): word 2 (P) always line 1.
+inline int line_of_word(bool even, int blk, int word) {
+    if (word == 2) return 1;
+    static const int odd_map[3][2] = {{2, 0}, {0, 2}, {2, 0}};
+    int line = odd_map[blk][word];
+    return even ? 2 - line : line;
+}
+}  // namespace
+
+void pcm16x0_decode_blocks(
+    const int32_t* sub_words, const uint8_t* sub_crc,
+    const int64_t* shifts, const uint8_t* even_order, int64_t B,
+    int32_t ofs, int32_t en_p, int32_t force_ecc,
+    int32_t* words_out, uint8_t* valid_out, uint8_t* wcrc_out,
+    int32_t* state_out, int32_t* stage_out, int16_t* samples_out,
+    uint8_t* bval_out) {
+    for (int64_t b = 0; b < B; ++b) {
+        const int64_t r0 = shifts[b];
+        const bool even = even_order[b];
+        bool bval = true;
+        for (int blk = 0; blk < 3; ++blk) {
+            int32_t w[3];
+            uint8_t c[3];
+            for (int word = 0; word < 3; ++word) {
+                const int line = line_of_word(even, blk, word);
+                const int64_t row = r0 + (int64_t)line * ofs;
+                w[word] = sub_words[row * 3 + blk];
+                c[word] = sub_crc[row];
+            }
+            uint8_t valid[3] = {c[0], c[1], c[2]};
+            int state = 0;  // AUD_ORIG
+            int stage = STG_BAD_BLOCK;
+            const int err_total = !c[0] + !c[1] + !c[2];
+            const int err_audio = !c[0] + !c[1];
+            const int32_t sp = w[0] ^ w[1] ^ w[2];
+            const int bad_ptr = !c[0] ? 0 : (!c[1] ? 1 : (!c[2] ? 2 : 64));
+            if (err_total <= 1) {
+                if (en_p && force_ecc) {
+                    if (bad_ptr == 2) {
+                        stage = STG_NO_CHECK;
+                    } else if (sp == 0) {
+                        if (bad_ptr < 3) valid[bad_ptr] = 1;
+                        stage = STG_DATA_OK;
+                    } else if (bad_ptr == 64) {
+                        state = 2;  // AUD_BROKEN in the 16x0 enums
+                        stage = STG_BAD_BLOCK;
+                    } else {  // bad_ptr < 2
+                        w[bad_ptr] ^= sp;
+                        valid[bad_ptr] = 1;
+                        state = 1;  // AUD_FIX_P
+                        stage = STG_DATA_OK;
+                    }
+                } else if (en_p) {
+                    if (err_audio == 0) {
+                        stage = STG_DATA_OK;
+                    } else if (sp == 0) {
+                        stage = STG_DATA_OK;
+                    } else if (bad_ptr < 2) {
+                        w[bad_ptr] ^= sp;
+                        valid[bad_ptr] = 1;
+                        state = 1;
+                        stage = STG_DATA_OK;
+                    }
+                } else {
+                    if (err_audio == 0)
+                        stage = force_ecc ? STG_NO_CHECK : STG_DATA_OK;
+                }
+            }
+            if (state == 2) valid[0] = valid[1] = valid[2] = 0;
+            for (int word = 0; word < 3; ++word) {
+                const int64_t o = (b * 3 + blk) * 3 + word;
+                words_out[o] = w[word];
+                valid_out[o] = valid[word];
+                wcrc_out[o] = c[word];
+            }
+            state_out[b * 3 + blk] = state;
+            stage_out[b * 3 + blk] = stage;
+            for (int word = 0; word < 2; ++word) {
+                int32_t v = w[word] & 0xFFFF;
+                if (v >= 0x8000) v -= 0x10000;
+                samples_out[(b * 3 + blk) * 2 + word] = (int16_t)v;
+            }
+            bval = bval && valid[0] && valid[1];
+        }
+        bval_out[b] = bval;
+    }
+}
+
 // tryPadding burst counters over packed eval flags (:1623-1720).
 // out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
 void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,

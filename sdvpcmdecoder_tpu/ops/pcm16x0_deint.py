@@ -53,6 +53,15 @@ def decode_blocks(sub_words, sub_crc_ok, shifts, even_order, ei=False,
       block_valid [B] bool (all audio words of all sub-blocks valid)
     """
     ofs = EI_OFS if ei else SI_OFS
+    from . import stitch_native as _sn
+    if _sn.available():
+        # Native twin (~20x): the numpy path below stays the tested
+        # reference implementation.
+        w, v, wc, state, stage, samples, bval = \
+            _sn.pcm16x0_decode_blocks(sub_words, sub_crc_ok, shifts,
+                                      even_order, ofs, en_p, force_ecc)
+        return dict(samples=samples, word_valid=v, word_crc=wc,
+                    state=state, stage=stage, block_valid=bval, words=w)
     rows = shifts[:, None] + np.arange(LINE_CNT) * ofs      # [B, 3]
     lw = sub_words[rows]                                    # [B, 3, 3]
     lok = sub_crc_ok[rows]                                  # [B, 3] per line

@@ -84,6 +84,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.pcm16x0_decode_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.agc_peak_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -190,6 +197,36 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
         raise RuntimeError("stc007_eval_rows failed")
     return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
             a_out, s_out, r_out, f_out, smp_out)
+
+
+def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
+                          en_p, force_ecc):
+    """Native PCM-16x0 block decode (P-parity-only correction).
+
+    Returns (words[B,3,3] i64, valid[B,3,3], wcrc[B,3,3], state[B,3],
+    stage[B,3], samples[B,3,2] i16, block_valid[B])."""
+    L = _load()
+    B = len(shifts)
+    w = np.ascontiguousarray(sub_words, np.int32)
+    c = np.ascontiguousarray(sub_crc, np.uint8)
+    sh = np.ascontiguousarray(shifts, np.int64)
+    eo = np.ascontiguousarray(even_order, np.uint8)
+    words = np.empty((B, 3, 3), np.int32)
+    valid = np.empty((B, 3, 3), np.uint8)
+    wcrc = np.empty((B, 3, 3), np.uint8)
+    state = np.empty((B, 3), np.int32)
+    stage = np.empty((B, 3), np.int32)
+    samples = np.empty((B, 3, 2), np.int16)
+    bval = np.empty(B, np.uint8)
+    L.pcm16x0_decode_blocks(
+        w.ctypes.data, c.ctypes.data, sh.ctypes.data, eo.ctypes.data, B,
+        int(ofs), int(bool(en_p)), int(bool(force_ecc)),
+        words.ctypes.data, valid.ctypes.data, wcrc.ctypes.data,
+        state.ctypes.data, stage.ctypes.data, samples.ctypes.data,
+        bval.ctypes.data)
+    return (words.astype(np.int64), valid.astype(bool),
+            wcrc.astype(bool), state.astype(np.int64),
+            stage.astype(np.int64), samples, bval.astype(bool))
 
 
 def field_res_counts(line_words, line_crc, test_size, m2):

@@ -116,3 +116,39 @@ def test_peak_scan_native_matches_python():
                 mod._LIB, mod._TRIED = saved
             np.testing.assert_array_equal(b1, b2)
             np.testing.assert_array_equal(f1, f2)
+
+
+def test_pcm16x0_decode_native_matches_numpy():
+    from sdvpcmdecoder_tpu.ops import pcm16x0_deint as di16
+    rng = np.random.default_rng(0)
+    for ei in (False, True):
+        for en_p, force in ((True, True), (True, False), (False, True)):
+            if ei:
+                n_lines, npairs = 2 * 245, di16.EI_OFS * 3
+            else:
+                n_lines, npairs = 245, 735
+            l = rng.integers(1, 1 << 16, npairs)
+            r = rng.integers(1, 1 << 16, npairs)
+            sub, _ = di16.interleave_field(l, r, n_lines, ei=ei)
+            sub = sub.copy()
+            corrupt = rng.random(len(sub)) < 0.1
+            sub[corrupt, rng.integers(0, 3)] ^= 0x33
+            ok = rng.random(len(sub)) > 0.2
+            S = len(sub)
+            n = S - 2 * (di16.EI_OFS if ei else di16.SI_OFS) - 1
+            shifts = np.arange(max(n, 10))
+            orders = (shifts % 2) == 1
+            a = di16.decode_blocks(sub, ok, shifts, orders, ei=ei,
+                                   en_p=en_p, force_ecc=force)
+            import sdvpcmdecoder_tpu.ops.stitch_native as mod
+            saved = mod._LIB, mod._TRIED
+            mod._LIB, mod._TRIED = None, True
+            try:
+                b = di16.decode_blocks(sub, ok, shifts, orders, ei=ei,
+                                       en_p=en_p, force_ecc=force)
+            finally:
+                mod._LIB, mod._TRIED = saved
+            for k in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]),
+                    err_msg=f"{k} ei={ei} en_p={en_p} force={force}")
