@@ -77,3 +77,68 @@ def test_native_stitcher_differential(case):
             np.testing.assert_array_equal(x, y)
         assert a[3] == b[3]
     assert loga == logb
+
+
+@pytest.mark.parametrize("seed,crop,bad,fmt", [
+    (11, 0, 0.0, "si"), (12, 5, 0.2, "si"), (13, 9, 0.5, "si"),
+    (14, 0, 0.1, "ei"),
+])
+def test_native_pcm16x0_stitcher_differential(seed, crop, bad, fmt):
+    """Whole PCM-16x0 stitcher with the native decode ON == numpy."""
+    from sdvpcmdecoder_tpu.formats import pcm16x0
+    from sdvpcmdecoder_tpu.ops import pcm16x0_deint as di16
+    from sdvpcmdecoder_tpu.pipeline import stitcher_pcm16x0 as sp16
+
+    def run(use_native):
+        rng = np.random.default_rng(seed)
+        lpf = sp16.LINES_PF
+        ei = fmt == "ei"
+        stores = []
+        for parity_base in (1, 2):
+            if ei:
+                npairs = di16.EI_OFS * 3
+                sub, _ = di16.interleave_field(
+                    rng.integers(1, 1 << 16, npairs),
+                    rng.integers(1, 1 << 16, npairs), 2 * lpf, ei=True)
+                sub = sub[:lpf * 3]
+            else:
+                usable = (lpf * 3 // sp16.SI_TRUE_INTERLEAVE) \
+                    * sp16.SI_TRUE_INTERLEAVE
+                sub, _ = di16.interleave_field(
+                    rng.integers(1, 1 << 16, usable),
+                    rng.integers(1, 1 << 16, usable), lpf)
+            sub = sub[3 * crop:].copy()
+            crcs = np.asarray(pcm16x0.calc_crc(sub, xp=np))
+            flip = rng.random(len(sub)) < bad
+            crcs[flip] ^= 0x700
+            stores.append(sp16.PCM16X0LineStore.from_decoded(
+                sub, crcs, np.full(len(sub), 1),
+                parity_base + 2 * (crop + np.arange(len(sub)) // 3),
+                np.arange(len(sub)) % 3,
+                control_bit=rng.random(len(sub)) < 0.5))
+        import sdvpcmdecoder_tpu.ops.stitch_native as mod
+        saved = mod._LIB, mod._TRIED
+        if not use_native:
+            mod._LIB, mod._TRIED = None, True
+        try:
+            s = sp16.PCM16X0Stitcher(
+                fmt=sp16.FORMAT_EI if ei else sp16.FORMAT_SI)
+            s.push_frame(sp16.PCM16X0LineStore.concat(stores))
+            chunks = s.pop_sample_chunks()
+            arrs = sp16.SampleChunk  # noqa: anchor
+            from sdvpcmdecoder_tpu.pipeline.stitcher_stc007 import \
+                chunks_to_arrays
+            out = chunks_to_arrays(chunks)
+            log = [dataclasses.asdict(f) for f in s.frame_log]
+            return out, log
+        finally:
+            mod._LIB, mod._TRIED = saved
+
+    a, loga = run(True)
+    b, logb = run(False)
+    assert (a is None) == (b is None)
+    if a is not None:
+        for x, y in zip(a[:3], b[:3]):
+            np.testing.assert_array_equal(x, y)
+        assert a[3] == b[3]
+    assert loga == logb

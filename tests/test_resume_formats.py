@@ -148,3 +148,50 @@ def test_batch_driver_kill_resume(tmp_path):
     dec2.run()
     assert ref.read_bytes() == out.read_bytes()
     assert not os.path.exists(str(out) + ".ckpt.json")  # cleaned up
+
+
+def _pcm16x0_capture(tmp_path, n_frames=4, W=1600, seed=66):
+    from sdvpcmdecoder_tpu.formats import pcm16x0
+    from sdvpcmdecoder_tpu.ops import pcm16x0_deint as di16
+    from sdvpcmdecoder_tpu.pipeline import stitcher_pcm16x0 as sp16
+    rng = np.random.default_rng(seed)
+    LPF = sp16.LINES_PF
+    usable = (LPF * 3 // sp16.SI_TRUE_INTERLEAVE) * sp16.SI_TRUE_INTERLEAVE
+    vids = []
+    for f in range(n_frames):
+        imgs = []
+        for parity in range(2):
+            left = rng.integers(1, 1 << 16, usable)
+            right = rng.integers(1, 1 << 16, usable)
+            sub, _ = di16.interleave_field(left, right, LPF)
+            crcs = np.asarray(pcm16x0.calc_crc(sub, xp=np))
+            bits = np.stack([
+                np.asarray(pcm16x0.line_bits(sub[i * 3:(i + 1) * 3],
+                                             crcs[i * 3:(i + 1) * 3],
+                                             xp=np)).ravel()
+                for i in range(LPF)])
+            px, _ = enc.render_bits(bits, width=W, ppb=8.0)
+            imgs.append(px)
+        img = np.zeros((2 * LPF, W), np.uint8)
+        img[0::2] = imgs[0]
+        img[1::2] = imgs[1]
+        vids.append(img)
+    cap = tmp_path / "cap16.y4m"
+    ingest.write_y4m(cap, np.stack(vids), chroma="mono")
+    return cap
+
+
+def test_cli_pcm16x0_kill_resume_byte_identical(tmp_path):
+    cap = _pcm16x0_capture(tmp_path)
+    ref = tmp_path / "ref16.wav"
+    assert main([str(cap), "-o", str(ref), "--format", "pcm16x0",
+                 "--quality", "fast", "--batch", "2"]) == 0
+    out = tmp_path / "out16.wav"
+    ck = str(tmp_path / "ck16")
+    assert main([str(cap), "-o", str(out), "--format", "pcm16x0",
+                 "--quality", "fast", "--batch", "2", "--frames", "2",
+                 "--checkpoint", ck]) == 0
+    assert main([str(cap), "-o", str(out), "--format", "pcm16x0",
+                 "--quality", "fast", "--batch", "2",
+                 "--checkpoint", ck]) == 0
+    assert ref.read_bytes() == out.read_bytes()
