@@ -210,6 +210,11 @@ def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
     w = np.ascontiguousarray(sub_words, np.int32)
     c = np.ascontiguousarray(sub_crc, np.uint8)
     sh = np.ascontiguousarray(shifts, np.int64)
+    if B and (int(sh.min()) < 0
+              or int(sh.max()) + 2 * int(ofs) >= w.shape[0]):
+        # Keep the numpy path's loud failure instead of native UB reads.
+        raise IndexError(
+            f"block shifts out of range for {w.shape[0]} sublines")
     eo = np.ascontiguousarray(even_order, np.uint8)
     words = np.empty((B, 3, 3), np.int32)
     valid = np.empty((B, 3, 3), np.uint8)

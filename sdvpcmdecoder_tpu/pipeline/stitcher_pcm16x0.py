@@ -243,12 +243,12 @@ class PCM16X0Stitcher:
         return PCM16X0LineStore.concat([pad, field])
 
     def try_si_padding(self, field: PCM16X0LineStore, padding: int):
-        """Score one padding: returns (ok, StitchStats, ctrl dict)."""
+        """Score one padding: returns (ok, StitchStats)."""
         q = self._padded_field(field, padding)
         S = len(q)
         n_groups = S // SI_TRUE_INTERLEAVE
         if n_groups == 0:
-            return False, StitchStats(index=padding), {}
+            return False, StitchStats(index=padding)
         shifts = []
         orders = []
         for g in range(n_groups):
@@ -369,7 +369,6 @@ class PCM16X0Stitcher:
             stats = [st for _, st
                      in self.batched_si_padding_stats(field,
                                                       MAX_PADDING_SI)]
-            stats[0] = st0
         order = sorted(stats, key=StitchStats.sort_key)
         best = order[0]
         if best.silent >= MAX_BURST_SILENCE_SI:
@@ -679,11 +678,13 @@ def _si_seam_flags(res):
     return valid_b, silent, unch, broken
 
 
-def _burst_stats16(valid_b, silent, unch, broken):
-    """Vectorized SI burst counters — same cumsum formulation as the
-    STC-007 _burst_stats, with the 16x0 thresholds (silence run >=
-    MAX_BURST_SILENCE_SI, unchecked run > MAX_BURST_UNCH_SI, every
-    BROKEN block resets)."""
+def _burst_core(valid_b, silent, unch, broken, max_silence, max_unch,
+                broken_as_run):
+    """Shared 16x0 burst-counter core (cumsum formulation, verified
+    against the serial transcriptions in tests/test_stitcher_vec.py):
+    valid-run resets on silence run >= max_silence, unchecked run >
+    max_unch, and every BROKEN block; `broken` scores as a total (SI,
+    trySIPadding) or as its max run (EI, tryEIPadding)."""
     n = len(valid_b)
     if n == 0:
         return 0, 0, 0, 0
@@ -695,8 +696,8 @@ def _burst_stats16(valid_b, silent, unch, broken):
 
     sil_run = runs(silent)
     unch_run = runs(unch)
-    reset = ((silent & (sil_run >= MAX_BURST_SILENCE_SI))
-             | (unch & (unch_run > MAX_BURST_UNCH_SI)) | broken)
+    reset = ((silent & (sil_run >= max_silence))
+             | (unch & (unch_run > max_unch)) | broken)
     cumv = np.cumsum(valid_b.astype(np.int64))
     last_reset = np.maximum.accumulate(np.where(reset, idx, -1))
     base = np.where(last_reset >= 0, cumv[np.maximum(last_reset, 0)], 0)
@@ -704,33 +705,15 @@ def _burst_stats16(valid_b, silent, unch, broken):
     prev_run = np.concatenate([[0], run_after[:-1]])
     cand = prev_run[~valid_b]
     vmax = int(max(cand.max() if len(cand) else 0, run_after[-1]))
-    return (vmax, int(sil_run.max()), int(unch_run.max()),
-            int(broken.sum()))
+    brk = int(runs(broken).max()) if broken_as_run else int(broken.sum())
+    return vmax, int(sil_run.max()), int(unch_run.max()), brk
+
+
+def _burst_stats16(valid_b, silent, unch, broken):
+    return _burst_core(valid_b, silent, unch, broken,
+                       MAX_BURST_SILENCE_SI, MAX_BURST_UNCH_SI, False)
 
 
 def _burst_stats_ei(valid_b, silent, unch, broken):
-    """Vectorized EI burst counters (tryEIPadding :2420-2610): like the
-    SI counters but `broken` is scored as its MAX RUN, not a total."""
-    n = len(valid_b)
-    if n == 0:
-        return 0, 0, 0, 0
-    idx = np.arange(n)
-
-    def runs(mask):
-        last_false = np.maximum.accumulate(np.where(~mask, idx, -1))
-        return np.where(mask, idx - last_false, 0)
-
-    sil_run = runs(silent)
-    unch_run = runs(unch)
-    brk_run = runs(broken)
-    reset = ((silent & (sil_run >= MAX_BURST_SILENCE_EI))
-             | (unch & (unch_run > MAX_BURST_UNCH_EI)) | broken)
-    cumv = np.cumsum(valid_b.astype(np.int64))
-    last_reset = np.maximum.accumulate(np.where(reset, idx, -1))
-    base = np.where(last_reset >= 0, cumv[np.maximum(last_reset, 0)], 0)
-    run_after = cumv - base
-    prev_run = np.concatenate([[0], run_after[:-1]])
-    cand = prev_run[~valid_b]
-    vmax = int(max(cand.max() if len(cand) else 0, run_after[-1]))
-    return (vmax, int(sil_run.max()), int(unch_run.max()),
-            int(brk_run.max()))
+    return _burst_core(valid_b, silent, unch, broken,
+                       MAX_BURST_SILENCE_EI, MAX_BURST_UNCH_EI, True)

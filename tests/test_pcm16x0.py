@@ -245,3 +245,15 @@ def test_batched_si_padding_matches_serial():
         serial = [s.try_si_padding(store, p)
                   for p in range(sp16.MAX_PADDING_SI)]
         assert batched == serial, (crop, bad)
+
+
+def test_find_si_padding_short_field_no_crash():
+    """A field shorter than one super-block must not crash the sweep
+    (review regression: 3-tuple/2-tuple mismatch)."""
+    s = sp16.PCM16X0Stitcher()
+    ok, pad = s.find_si_padding(sp16.PCM16X0LineStore(30))
+    assert pad == 0
+    batched = s.batched_si_padding_stats(sp16.PCM16X0LineStore(30), 8)
+    serial = [s.try_si_padding(sp16.PCM16X0LineStore(30), p)
+              for p in range(8)]
+    assert [b[1] for b in batched] == [x[1] for x in serial]

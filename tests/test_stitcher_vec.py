@@ -233,3 +233,45 @@ def test_burst_stats_ei_matches_serial():
             u = rng.random(n) < p / 2
             b = rng.random(n) < p / 6
             assert sp16._burst_stats_ei(v, s, u, b) == serial(v, s, u, b)
+
+
+def test_burst_stats16_matches_serial():
+    from sdvpcmdecoder_tpu.pipeline import stitcher_pcm16x0 as sp16
+
+    def serial(valid_b, silent, unch, broken):
+        vmax = smax = umax = 0
+        vrun = srun = urun = 0
+        brk_total = 0
+        for k in range(len(valid_b)):
+            if valid_b[k]:
+                vrun += 1
+            else:
+                vmax = max(vmax, vrun)
+            if silent[k]:
+                srun += 1
+                if srun >= sp16.MAX_BURST_SILENCE_SI:
+                    vrun = 0
+            else:
+                smax = max(smax, srun)
+                srun = 0
+            if unch[k]:
+                urun += 1
+                if urun > sp16.MAX_BURST_UNCH_SI:
+                    vrun = 0
+            else:
+                umax = max(umax, urun)
+                urun = 0
+            if broken[k]:
+                brk_total += 1
+                vrun = 0
+        return (max(vmax, vrun), max(smax, srun), max(umax, urun),
+                brk_total)
+
+    rng = np.random.default_rng(2)
+    for n in (1, 40, 500):
+        for p in (0.05, 0.4, 0.9):
+            v = rng.random(n) < (1 - p)
+            s = rng.random(n) < p
+            u = rng.random(n) < p / 2
+            b = rng.random(n) < p / 6
+            assert sp16._burst_stats16(v, s, u, b) == serial(v, s, u, b)
