@@ -112,10 +112,15 @@ class BatchDecoder:
             job.writer.sample_rate if job.writer else 44100)
 
     def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
+        import time
+        t0 = time.perf_counter()
         for store in stores:
             job.stitcher.push_frame(store)
         if finish:
             job.stitcher.finish()
+        if stores:
+            job.stats.add_di_time(
+                int((time.perf_counter() - t0) * 1e6), len(stores))
         for fr in job.stitcher.frame_log[job.logged:]:
             job.stats.add_frame(fr)
         job.logged = len(job.stitcher.frame_log)

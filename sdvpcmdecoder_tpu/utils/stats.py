@@ -29,6 +29,12 @@ class DecodeStats:
     lines_dup: int = 0           # stat_dup_err_cnt: head-switch copies
     frames_bad_stitch: int = 0   # stat_bad_stitch_cnt: padding not found
     frames_dropped: int = 0      # stat_drop_frame_cnt: capture drops
+    # Reassembly loop time telemetry (stat_min/max_di_time,
+    # mainwindow.h:448-450; loopTime signals).
+    di_time_min_us: int = 0
+    di_time_max_us: int = 0
+    di_time_total_us: int = 0
+    di_time_frames: int = 0
 
     def add_frame(self, frasm, lines_total=0, lines_valid=0):
         self.frames_total += 1
@@ -58,6 +64,18 @@ class DecodeStats:
                                  or getattr(frasm, "silence", False)):
                 self.frames_bad_stitch += 1
 
+    def add_di_time(self, us: int, frames: int = 1):
+        """Record one reassembly pass's wall time (microseconds)."""
+        if frames <= 0:
+            return
+        per = us // frames
+        if self.di_time_frames == 0 or per < self.di_time_min_us:
+            self.di_time_min_us = per
+        if per > self.di_time_max_us:
+            self.di_time_max_us = per
+        self.di_time_total_us += us
+        self.di_time_frames += frames
+
     def add_audio(self, samples, masked):
         import numpy as np
         self.samples_out += len(samples)
@@ -82,7 +100,10 @@ class DecodeStats:
             f"dup lines: {self.lines_dup}\n"
             f"samples: {self.samples_out} out, "
             f"{self.samples_drop} damaged, {self.samples_masked} masked, "
-            f"peak {self.peak_level} ({self.peak_dbfs():+.1f} dBFS)")
+            f"peak {self.peak_level} ({self.peak_dbfs():+.1f} dBFS)\n"
+            f"DI time/frame: min {self.di_time_min_us} us, "
+            f"max {self.di_time_max_us} us, avg "
+            f"{self.di_time_total_us // max(self.di_time_frames, 1)} us")
 
     def peak_dbfs(self) -> float:
         """Peak level in dBFS (the VU meter analog; sample2vu lookup.h:30

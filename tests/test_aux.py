@@ -109,3 +109,14 @@ def test_arvid_read_line_roundtrip():
     for i in range(5):
         got = ld.arvid_read_line(px[i], ds, de, 110)
         np.testing.assert_array_equal(got, words[i])
+
+
+def test_di_time_telemetry():
+    from sdvpcmdecoder_tpu.utils.stats import DecodeStats
+    s = DecodeStats()
+    s.add_di_time(10_000, 2)   # 5 ms/frame
+    s.add_di_time(2_000, 1)    # 2 ms/frame
+    assert s.di_time_min_us == 2_000
+    assert s.di_time_max_us == 5_000
+    assert s.di_time_frames == 3
+    assert "DI time/frame" in s.summary()
