@@ -83,7 +83,108 @@ def mask_channel(values: np.ndarray, valid: np.ndarray, mask_mode: int,
 
     values int array (mutated), valid bool array (mutated: everything
     becomes valid after masking). Returns MaskStats.
+
+    All regions mask in one vectorized pass (a dropout-heavy tape has
+    tens of thousands of regions; the per-region form below,
+    _mask_channel_serial, stays as the tested reference).
     """
+    n = len(values)
+    if n == 0 or mask_mode == DROP_IGNORE:
+        valid[:] = True
+        return MaskStats()
+    stats = MaskStats()
+    inv_runs = _runs(~valid)
+    if not inv_runs:
+        return stats
+    s = np.array([r[0] for r in inv_runs], dtype=np.int64)
+    e = np.array([r[1] for r in inv_runs], dtype=np.int64)
+
+    # Leading run: mute (no valid anchor before it).
+    if s[0] == 0:
+        values[0:e[0] + 1] = 0
+        valid[0:e[0] + 1] = True
+        stats.masked_samples += int(e[0]) + 1
+        s, e = s[1:], e[1:]
+    # Trailing run at EOF.
+    tail_region = None
+    if len(s) and e[-1] == n - 1:
+        if file_end:
+            values[n - 1] = 0
+            valid[n - 1] = True
+            tail_region = (int(s[-1]) - 1, n - 1)
+        s, e = s[:-1], e[:-1]
+
+    # Middle runs -> regions (good anchor on both sides); long dropouts
+    # split into ramp-down / mute / ramp-up with muted pivots.
+    ga = s - 1            # good_end
+    gb = e + 1            # good_after
+    leftover = gb - ga - 1
+    is_long = leftover > (max_ramp_down + max_ramp_up)
+    if is_long.any():
+        la, lb = ga[is_long], gb[is_long]
+        rd_stop = la + max_ramp_down + 1
+        ru_start = lb - max_ramp_up - 1
+        values[rd_stop] = 0
+        valid[rd_stop] = True
+        values[ru_start] = 0
+        valid[ru_start] = True
+        mid_ok = ru_start > rd_stop
+        a = np.concatenate([ga[~is_long], la, rd_stop[mid_ok], ru_start])
+        b = np.concatenate([gb[~is_long], rd_stop, ru_start[mid_ok], lb])
+    else:
+        a, b = ga.copy(), gb.copy()
+    if tail_region is not None:
+        a = np.concatenate([a, [tail_region[0]]])
+        b = np.concatenate([b, [tail_region[1]]])
+
+    # Small regions (interior < 1): just revalidate.
+    small = b - a < 2
+    for aa, bb in zip(a[small], b[small]):
+        valid[aa:bb + 1] = True
+    a, b = a[~small], b[~small]
+    if len(a) == 0:
+        return stats
+    stats.regions += len(a)
+
+    lens = (b - a - 1).astype(np.int64)        # interior lengths
+    total = int(lens.sum())
+    rid = np.repeat(np.arange(len(a)), lens)
+    within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    idx = a[rid] + 1 + within                   # interior sample indices
+    cur = values[idx].astype(np.int64)
+    if mask_mode in (DROP_MUTE_BLOCK, DROP_MUTE_WORD):
+        new = np.zeros(total, dtype=np.int64)
+    elif mask_mode in (DROP_HOLD_BLOCK, DROP_HOLD_WORD):
+        new = values[a].astype(np.int64)[rid]
+    else:  # linear interpolation in x16 fixed point (:635-737)
+        lvl_a = values[a].astype(np.int64)
+        lvl_b = values[b].astype(np.int64)
+        cnt = b - a
+        mult_begin = lvl_a * CALC_MULT
+        delta = lvl_b * CALC_MULT - mult_begin
+        step = np.where(delta >= 0, (delta + cnt // 2) // cnt,
+                        -((-delta + cnt // 2) // cnt))
+        k = within + 1
+        lv = step[rid] * k + mult_begin[rid]
+        new = np.where(lv >= 0, (lv + CALC_MULT // 2) // CALC_MULT,
+                       -((-lv + CALC_MULT // 2) // CALC_MULT))
+        # exact-equal anchors hold the level exactly (serial fast path)
+        eq = (lvl_a == lvl_b)[rid]
+        new = np.where(eq, lvl_a[rid], new)
+    stats.masked_samples += int(np.sum(cur != new))
+    values[idx] = new
+    # revalidate whole regions via coverage cumsum
+    ev = np.zeros(n + 1, np.int64)
+    np.add.at(ev, a, 1)
+    np.add.at(ev, b + 1, -1)
+    valid[np.cumsum(ev[:-1]) > 0] = True
+    return stats
+
+
+def _mask_channel_serial(values: np.ndarray, valid: np.ndarray,
+                         mask_mode: int, max_ramp_down=MAX_RAMP_DOWN,
+                         max_ramp_up=MAX_RAMP_UP, file_end=True):
+    """Reference per-region implementation (kept for equivalence tests)."""
     stats = MaskStats()
     n = len(values)
     if n == 0 or mask_mode == DROP_IGNORE:

@@ -94,3 +94,28 @@ def test_eof_ramp_down():
     # Monotone-ish ramp from last valid to zero.
     seg = out[549:, 0].astype(int)
     assert abs(seg[-1]) <= abs(seg[0]) or seg[0] == 0
+
+
+def test_mask_channel_vectorized_matches_serial():
+    """The one-pass masker == the per-region reference implementation
+    over randomized dropout patterns, modes and ramps."""
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(1, 300))
+        values = rng.integers(-32768, 32768, size=n)
+        valid = rng.random(n) > rng.choice([0.05, 0.3, 0.9])
+        mode = int(rng.choice([ap.DROP_MUTE_WORD, ap.DROP_HOLD_WORD,
+                               ap.DROP_INTER_LIN_WORD]))
+        fe = bool(rng.integers(0, 2))
+        rd = int(rng.choice([4, 192]))
+        ru = int(rng.choice([2, 32]))
+        v1, g1 = values.copy(), valid.copy()
+        v2, g2 = values.copy(), valid.copy()
+        s1 = ap.mask_channel(v1, g1, mode, max_ramp_down=rd,
+                             max_ramp_up=ru, file_end=fe)
+        s2 = ap._mask_channel_serial(v2, g2, mode, max_ramp_down=rd,
+                                     max_ramp_up=ru, file_end=fe)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(g1, g2)
+        assert (s1.masked_samples, s1.regions) \
+            == (s2.masked_samples, s2.regions)
