@@ -31,17 +31,17 @@ CALC_MULT = 16            # :79-83
 
 
 def _runs(mask: np.ndarray):
-    """Maximal True runs as (start, stop_inclusive) pairs."""
+    """Maximal True runs as (starts, stops_inclusive) index arrays."""
     if len(mask) == 0:
-        return []
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     d = np.diff(mask.astype(np.int8))
-    starts = list(np.nonzero(d == 1)[0] + 1)
-    stops = list(np.nonzero(d == -1)[0])
+    starts = np.nonzero(d == 1)[0] + 1
+    stops = np.nonzero(d == -1)[0]
     if mask[0]:
-        starts = [0] + starts
+        starts = np.concatenate([[0], starts])
     if mask[-1]:
-        stops = stops + [len(mask) - 1]
-    return list(zip(starts, stops))
+        stops = np.concatenate([stops, [len(mask) - 1]])
+    return starts.astype(np.int64), stops.astype(np.int64)
 
 
 def invalidate_stray_samples(valid: np.ndarray):
@@ -53,20 +53,24 @@ def invalidate_stray_samples(valid: np.ndarray):
     # Long invalid regions; scan starts at index 1 (first sample is kept).
     inv = ~valid.copy()
     inv[0] = False
-    longs = []
-    for s, e in _runs(inv):
-        length = e - s + 1
-        tail = e == n - 1
-        # Reference counts `(queue_idx-start_idx) > 16` with queue_idx the
-        # first valid AFTER the run; tail regions use size-start-1.
-        if (length if not tail else length - 1) > MIN_LONG_INVALID:
-            longs.append((s, e, tail))
-    # Valid islands between consecutive long regions.
-    for (s1, e1, t1), (s2, e2, t2) in zip(longs, longs[1:]):
-        gap_start = 1 if t1 else e1  # not_sure: start from index 1
-        delta = s2 - gap_start
-        if 0 < delta < (MAX_STRAY_LEN + 4):
-            valid[gap_start:s2 + 1] = False
+    rs, re = _runs(inv)
+    length = re - rs + 1
+    tail = re == n - 1
+    # Reference counts `(queue_idx-start_idx) > 16` with queue_idx the
+    # first valid AFTER the run; tail regions use size-start-1.
+    is_long = np.where(tail, length - 1, length) > MIN_LONG_INVALID
+    ls, le = rs[is_long], re[is_long]
+    if len(ls) > 1:
+        # Valid islands between consecutive long regions (a tail run can
+        # only be last, so the gap start is always the earlier run's end).
+        e1, s2 = le[:-1], ls[1:]
+        delta = s2 - e1
+        hit = (delta > 0) & (delta < MAX_STRAY_LEN + 4)
+        if hit.any():
+            ev = np.zeros(n + 1, np.int64)
+            np.add.at(ev, e1[hit], 1)
+            np.add.at(ev, s2[hit] + 1, -1)
+            valid[np.cumsum(ev[:-1]) > 0] = False
     return valid
 
 
@@ -93,11 +97,9 @@ def mask_channel(values: np.ndarray, valid: np.ndarray, mask_mode: int,
         valid[:] = True
         return MaskStats()
     stats = MaskStats()
-    inv_runs = _runs(~valid)
-    if not inv_runs:
+    s, e = _runs(~valid)
+    if len(s) == 0:
         return stats
-    s = np.array([r[0] for r in inv_runs], dtype=np.int64)
-    e = np.array([r[1] for r in inv_runs], dtype=np.int64)
 
     # Leading run: mute (no valid anchor before it).
     if s[0] == 0:
@@ -197,8 +199,7 @@ def _mask_channel_serial(values: np.ndarray, valid: np.ndarray,
         values[idx] = 0
         valid[idx] = True
 
-    inv_runs = _runs(~valid)
-    for s, e in inv_runs:
+    for s, e in zip(*_runs(~valid)):
         if s == 0:
             # Leading invalid run: no valid anchor before; mute it
             # (the reference keeps MIN_VALID_BEFORE valid points at the

@@ -119,3 +119,40 @@ def test_mask_channel_vectorized_matches_serial():
         np.testing.assert_array_equal(g1, g2)
         assert (s1.masked_samples, s1.regions) \
             == (s2.masked_samples, s2.regions)
+
+
+def test_invalidate_stray_matches_serial():
+    def serial(valid):
+        n = len(valid)
+        if n == 0:
+            return valid
+        inv = ~valid.copy()
+        inv[0] = False
+        longs = []
+        rs, re = ap._runs(inv)
+        for s, e in zip(rs, re):
+            length = e - s + 1
+            tail = e == n - 1
+            if (length if not tail else length - 1) > ap.MIN_LONG_INVALID:
+                longs.append((s, e, tail))
+        for (s1, e1, t1), (s2, e2, t2) in zip(longs, longs[1:]):
+            gap_start = 1 if t1 else e1
+            delta = s2 - gap_start
+            if 0 < delta < (ap.MAX_STRAY_LEN + 4):
+                valid[gap_start:s2 + 1] = False
+        return valid
+
+    rng = np.random.default_rng(3)
+    for trial in range(80):
+        n = int(rng.integers(1, 600))
+        # blocky validity patterns to hit island cases
+        v = np.ones(n, bool)
+        pos = 0
+        while pos < n:
+            run = int(rng.integers(1, 60))
+            if rng.random() < 0.5:
+                v[pos:pos + run] = False
+            pos += run
+        a = ap.invalidate_stray_samples(v.copy())
+        b = serial(v.copy())
+        np.testing.assert_array_equal(a, b, err_msg=str(trial))
