@@ -697,6 +697,24 @@ void pcm16x0_decode_blocks(
     }
 }
 
+// CRC-16/CCITT-FALSE over one line's 8x14-bit words (MSB-first,
+// init 0xFFFF, poly 0x1021, non-augmented) — the single-row re-CRC of
+// the CWD write-back (patchBrokenLines stc007datastitcher.cpp:5459).
+// Verified against formats/stc007.calc_crc and an independent
+// transcription (tests/test_external_anchor.py).
+uint16_t stc007_crc_row(const int32_t* w8) {
+    uint32_t reg = 0xFFFF;
+    for (int i = 0; i < 8; ++i) {
+        for (int b = 13; b >= 0; --b) {
+            const uint32_t inbit = ((uint32_t)w8[i] >> b) & 1u;
+            const uint32_t top = ((reg >> 15) ^ inbit) & 1u;
+            reg = (reg << 1) & 0xFFFFu;
+            if (top) reg ^= 0x1021u;
+        }
+    }
+    return (uint16_t)reg;
+}
+
 // tryPadding burst counters over packed eval flags (:1623-1720).
 // out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
 void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,

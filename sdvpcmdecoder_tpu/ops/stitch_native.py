@@ -91,6 +91,8 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.stc007_crc_row.restype = ctypes.c_uint16
+        L.stc007_crc_row.argtypes = [ctypes.c_void_p]
         L.agc_peak_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -232,6 +234,13 @@ def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
     return (words.astype(np.int64), valid.astype(bool),
             wcrc.astype(bool), state.astype(np.int64),
             stage.astype(np.int64), samples, bval.astype(bool))
+
+
+def crc_row(words8) -> int:
+    """Native CRC-16 of one line's 8 data words."""
+    L = _load()
+    w = np.ascontiguousarray(words8[:8], np.int32)
+    return int(L.stc007_crc_row(w.ctypes.data))
 
 
 def field_res_counts(line_words, line_crc, test_size, m2):

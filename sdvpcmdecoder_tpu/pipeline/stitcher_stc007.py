@@ -1898,11 +1898,18 @@ class STC007Stitcher:
         crc_valid_if = conv.crc_valid_ignore_forced().copy()
         wrote = False
 
-        def row_crc(row):
-            # Single-row CRC: incremental write-back must not recompute
-            # the whole buffer per word write (reference patchBrokenLines
-            # re-CRCs only the touched line, stc007datastitcher.cpp:5459).
-            return int(stc007.calc_crc(conv.words[row:row + 1], xp=np)[0])
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            def row_crc(row):
+                return _sn.crc_row(conv.words[row])
+        else:
+            def row_crc(row):
+                # Single-row CRC: incremental write-back must not
+                # recompute the whole buffer per word write (reference
+                # patchBrokenLines re-CRCs only the touched line,
+                # stc007datastitcher.cpp:5459).
+                return int(stc007.calc_crc(conv.words[row:row + 1],
+                                           xp=np)[0])
 
         for b in candidates:
             max_fix = 6 if (not self.en_q or is16[b]) else 7

@@ -152,3 +152,11 @@ def test_pcm16x0_decode_native_matches_numpy():
                 np.testing.assert_array_equal(
                     np.asarray(a[k]), np.asarray(b[k]),
                     err_msg=f"{k} ei={ei} en_p={en_p} force={force}")
+
+
+def test_crc_row_matches_calc_crc():
+    rng = np.random.default_rng(4)
+    w = rng.integers(0, 1 << 14, size=(200, 8)).astype(np.int64)
+    ref = np.asarray(stc007.calc_crc(w, xp=np))
+    got = np.array([sn.crc_row(w[i]) for i in range(200)])
+    np.testing.assert_array_equal(ref, got)
