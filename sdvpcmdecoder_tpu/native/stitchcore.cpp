@@ -697,6 +697,132 @@ void pcm16x0_decode_blocks(
     }
 }
 
+// PCM-1 / PCM-16x0 coordinate-sweep fallback (the binarizer's
+// findPCM1Coordinates :5601 / findPCM16X0Coordinates :5819 search for
+// lines the shared frame coordinates cannot decode) — native twin of
+// ops/line_decode_np.py: integer-PPB bit coordinates (pcmline.cpp:
+// 249-311, :504-519), Schmitt hysteresis read, per-format CRC, the
+// readPCMdata (hyst x shift) grid with ref clipping, swept over a
+// (left-delta x right-delta) coordinate grid in the caller's order.
+namespace {
+
+constexpr int PIX_SH[5] = {0, 1, -1, 2, -2};
+
+inline uint32_t crc16_feed(uint32_t reg, uint32_t word, int nbits,
+                           bool invert_in) {
+    for (int b = nbits - 1; b >= 0; --b) {
+        uint32_t inbit = ((word >> b) & 1u) ^ (invert_in ? 1u : 0u);
+        const uint32_t top = ((reg >> 15) ^ inbit) & 1u;
+        reg = (reg << 1) & 0xFFFFu;
+        if (top) reg ^= 0x1021u;
+    }
+    return reg;
+}
+
+// One trial: read + pack words + CRC. fmt 0 = pcm1 (6x13b + 16b CRC),
+// fmt 1 = pcm16x0 part (3x16b + 16b CRC at part_start in a 193-bit line).
+inline bool linegrid_trial(const uint8_t* px, int64_t width, int64_t start,
+                           int64_t stop, int ref, int depth, int shift,
+                           int fmt, int part, int32_t* words_out,
+                           int32_t* crc_read, int32_t* calc) {
+    int n_words, word_bits, bits_between, bits_per_line, part_start;
+    bool inv;
+    if (fmt == 0) {
+        n_words = 6; word_bits = 13; bits_between = 94;
+        bits_per_line = 94; part_start = 0; inv = true;
+    } else {
+        n_words = 3; word_bits = 16; bits_between = 193;
+        bits_per_line = 193;
+        part_start = part == 0 ? 0 : (part == 1 ? 64 : 129); inv = false;
+    }
+    const int n_bits = n_words * word_bits + 16;
+    const int64_t pixels = stop - start;
+    const int64_t psm = (pixels * 128 + bits_between / 2) / bits_between;
+    const int64_t half = (psm + 1) / 2;
+    int rl = ref - depth; if (rl < 1) rl = 1;
+    int rh = ref + depth; if (rh > 254) rh = 254;
+    const int sh = PIX_SH[shift];
+    bool prev = false;
+    uint32_t crc_data = 0xFFFF;
+    int32_t acc = 0;
+    int in_word = 0, wi = 0;
+    int32_t read_crc = 0;
+    for (int i = 0; i < n_bits; ++i) {
+        int bit = i + part_start;
+        if (bit > bits_per_line - 1) bit = bits_per_line - 1;
+        int64_t p = (bit * psm + half) / 128 + start + sh;
+        if (p < 0) p = 0;
+        if (p >= width) p = width - 1;
+        const int v = px[p];
+        const bool b = prev ? (v >= rh) : (v > rl);
+        prev = b;
+        acc = (acc << 1) | (b ? 1 : 0);
+        if (wi < n_words) {
+            if (++in_word == word_bits) {
+                words_out[wi++] = acc;
+                crc_data = crc16_feed(crc_data, (uint32_t)acc, word_bits,
+                                      inv);
+                acc = 0;
+                in_word = 0;
+            }
+        } else if (++in_word == 16) {
+            read_crc = acc;
+        }
+    }
+    words_out[n_words] = read_crc;
+    uint32_t c = inv ? ((~crc_data) & 0xFFFFu) : crc_data;
+    *calc = (int32_t)c;
+    *crc_read = read_crc;
+    return (int32_t)c == read_crc;
+}
+
+}  // namespace
+
+// Sweep (d1, d2) coordinate deltas in caller order, each through the
+// (hyst x shift) grid of read_pcm_grid; returns 1 + fills words/sel on
+// the first valid trial, else 0 (outputs undefined).
+int linegrid_coord_sweep(
+    const uint8_t* px, int64_t width, int64_t ds, int64_t de,
+    int32_t ref, int32_t black, int32_t white, int32_t fmt, int32_t part,
+    const int32_t* d1s, int32_t n1, const int32_t* d2s, int32_t n2,
+    int32_t hyst_limit, int32_t shift_limit,
+    int32_t* words_out, int32_t* sel_out) {
+    int32_t crc_read, calc;
+    for (int32_t i1 = 0; i1 < n1; ++i1) {
+        for (int32_t i2 = 0; i2 < n2; ++i2) {
+            const int64_t s = ds + d1s[i1], e = de + d2s[i2];
+            for (int depth = 0; depth <= hyst_limit; ++depth) {
+                const int rl = ref - depth < 1 ? 1 : ref - depth;
+                const int rh = ref + depth > 254 ? 254 : ref + depth;
+                if (rl <= black || rh >= white) break;
+                for (int shift = 0; shift <= shift_limit; ++shift) {
+                    if (linegrid_trial(px, width, s, e, ref, depth, shift,
+                                       fmt, part, words_out, &crc_read,
+                                       &calc)) {
+                        sel_out[0] = d1s[i1];
+                        sel_out[1] = d2s[i2];
+                        sel_out[2] = depth;
+                        sel_out[3] = shift;
+                        return 1;
+                    }
+                }
+            }
+            // read_pcm_grid fallback trial (0,0): can only validate when
+            // the grid was skipped by ref clipping.
+            if (linegrid_trial(px, width, s, e, ref, 0, 0, fmt, part,
+                               words_out, &crc_read, &calc)
+                && (ref - 0 <= black || ref + 0 >= white)) {
+                sel_out[0] = d1s[i1];
+                sel_out[1] = d2s[i2];
+                sel_out[2] = 0;
+                sel_out[3] = 0;
+                return 1;
+            }
+        }
+    }
+    return 0;
+}
+
 // CRC-16/CCITT-FALSE over one line's 8x14-bit words (MSB-first,
 // init 0xFFFF, poly 0x1021, non-augmented) — the single-row re-CRC of
 // the CWD write-back (patchBrokenLines stc007datastitcher.cpp:5459).

@@ -383,21 +383,46 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
             return idx[:max_lines]
         return idx
 
+    from . import stitch_native as _nat
+    use_native = _nat.available()
+    if use_native and max_lines == 256:
+        # The default cap exists to bound the serial-Python fallback
+        # (~225 ms/line on pure noise); the native sweep is ~0.4 ms/line,
+        # so the cap is effectively lifted when the C++ core is loaded.
+        max_lines = 8192
+
+    def sweep(px, part):
+        # Native C++ twin of the d1 x d2 x read_pcm_grid scan below
+        # (~81 trials/line); bit-identical by randomized equivalence
+        # test (tests/test_linegrid_native.py).
+        if use_native:
+            got = _nat.linegrid_coord_sweep(
+                px, ds, de, ref, black, white, fmt, part,
+                deltas, deltas, 0, shift_limit)
+            if got is None:
+                return None
+            words, _sel = got
+            return tuple(words[:-1]), words[-1]
+        for d1 in deltas:
+            for d2 in deltas:
+                if fmt == "pcm1":
+                    w, cr, calc, ok, d, s = read_pcm_grid(
+                        decode_trial_pcm1, px, ds + d1, de + d2,
+                        ref, black, white, W, 0, shift_limit)
+                else:
+                    w, cr, calc, ok, d, s = read_pcm_grid(
+                        decode_trial_pcm16x0, px, ds + d1, de + d2,
+                        ref, black, white, W, 0, shift_limit, part=part)
+                if ok:
+                    return tuple(int(x) for x in w), int(cr)
+        return None
+
     if fmt == "pcm1":
         bad = cap(np.nonzero(~valid)[0], "pcm1 failed lines")
         for li in bad:
-            done = False
-            for d1 in deltas:
-                for d2 in deltas:
-                    w, cr, calc, ok, d, s = read_pcm_grid(
-                        decode_trial_pcm1, lines[li], ds + d1, de + d2,
-                        ref, black, white, W, 0, shift_limit)
-                    if ok:
-                        out[int(li)] = (w, cr)
-                        done = True
-                        break
-                if done:
-                    break
+            got = sweep(lines[li], 0)
+            if got is not None:
+                out[int(li)] = got
     else:
         bad_rows = cap(np.nonzero(~valid.all(axis=-1))[0],
                        "pcm16x0 failed lines")
@@ -405,19 +430,9 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
             for part in range(3):
                 if valid[li, part]:
                     continue
-                done = False
-                for d1 in deltas:
-                    for d2 in deltas:
-                        w, cr, calc, ok, d, s = read_pcm_grid(
-                            decode_trial_pcm16x0, lines[li], ds + d1,
-                            de + d2, ref, black, white, W, 0,
-                            shift_limit, part=part)
-                        if ok:
-                            out[(int(li), part)] = (w, cr)
-                            done = True
-                            break
-                    if done:
-                        break
+                got = sweep(lines[li], part)
+                if got is not None:
+                    out[(int(li), part)] = got
     return out
 
 

@@ -93,6 +93,14 @@ def _load():
             ctypes.c_void_p]
         L.stc007_crc_row.restype = ctypes.c_uint16
         L.stc007_crc_row.argtypes = [ctypes.c_void_p]
+        L.linegrid_coord_sweep.restype = ctypes.c_int
+        L.linegrid_coord_sweep.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.agc_peak_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -234,6 +242,30 @@ def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
     return (words.astype(np.int64), valid.astype(bool),
             wcrc.astype(bool), state.astype(np.int64),
             stage.astype(np.int64), samples, bval.astype(bool))
+
+
+def linegrid_coord_sweep(pixels_line, ds, de, ref, black, white, fmt,
+                         part, d1s, d2s, hyst_limit, shift_limit):
+    """Native coordinate-delta sweep through the readPCMdata grid.
+
+    fmt: "pcm1" or "pcm16x0" (with part 0..2). Returns None or
+    (words list incl. read CRC, (d1, d2, depth, shift))."""
+    L = _load()
+    px = np.ascontiguousarray(pixels_line, np.uint8)
+    a1 = np.ascontiguousarray(d1s, np.int32)
+    a2 = np.ascontiguousarray(d2s, np.int32)
+    words = np.zeros(8, np.int32)
+    sel = np.zeros(4, np.int32)
+    found = L.linegrid_coord_sweep(
+        px.ctypes.data, len(px), int(ds), int(de), int(ref), int(black),
+        int(white), 0 if fmt == "pcm1" else 1, int(part),
+        a1.ctypes.data, len(a1), a2.ctypes.data, len(a2),
+        int(hyst_limit), int(shift_limit), words.ctypes.data,
+        sel.ctypes.data)
+    if not found:
+        return None
+    n = 7 if fmt == "pcm1" else 4
+    return [int(w) for w in words[:n]], tuple(int(x) for x in sel)
 
 
 def crc_row(words8) -> int:
