@@ -841,6 +841,13 @@ uint16_t stc007_crc_row(const int32_t* w8) {
     return (uint16_t)reg;
 }
 
+// Batch row CRC: N lines of 8x14-bit words -> N CRCs. Host stitcher
+// CRC-validity priming (LineStore.calc_crc); same bitloop as
+// stc007_crc_row.
+void stc007_crc_rows(const int32_t* words, int64_t n, uint16_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = stc007_crc_row(words + 8 * i);
+}
+
 // tryPadding burst counters over packed eval flags (:1623-1720).
 // out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
 void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,

@@ -93,6 +93,8 @@ def _load():
             ctypes.c_void_p]
         L.stc007_crc_row.restype = ctypes.c_uint16
         L.stc007_crc_row.argtypes = [ctypes.c_void_p]
+        L.stc007_crc_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         L.linegrid_coord_sweep.restype = ctypes.c_int
         L.linegrid_coord_sweep.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -273,6 +275,15 @@ def crc_row(words8) -> int:
     L = _load()
     w = np.ascontiguousarray(words8[:8], np.int32)
     return int(L.stc007_crc_row(w.ctypes.data))
+
+
+def crc_rows(words):
+    """Native CRC-16 of [N, 8] data words -> uint16 [N]."""
+    L = _load()
+    w = np.ascontiguousarray(words, np.int32)
+    out = np.empty(w.shape[0], np.uint16)
+    L.stc007_crc_rows(w.ctypes.data, w.shape[0], out.ctypes.data)
+    return out
 
 
 def field_res_counts(line_words, line_crc, test_size, m2):

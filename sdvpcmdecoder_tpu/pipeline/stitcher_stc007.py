@@ -123,8 +123,9 @@ class LineStore:
         """Filler/padding lines: silent words, invalid CRC, no coords."""
         out = LineStore(n)
         out.words[:] = stc007.silent_words(m2=m2, xp=np)[None, :]
-        calc = stc007.calc_crc(out.words, xp=np)
-        out.source_crc = (~calc) & 0xFFFF
+        # All rows are the identical silent word pattern: CRC once.
+        calc = int(stc007.calc_crc(out.words[:1], xp=np)[0]) if n else 0
+        out.source_crc = np.full(n, (~calc) & 0xFFFF, np.int64)
         out.frame_number[:] = frame_number
         if line_numbers is not None:
             out.line_number[:] = line_numbers
@@ -133,6 +134,9 @@ class LineStore:
 
     # -- derived per-line quantities --------------------------------------
     def calc_crc(self):
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            return _sn.crc_rows(self.words).astype(np.int64)
         return stc007.calc_crc(self.words, xp=np)
 
     def crc_valid_ignore_forced(self):

@@ -160,3 +160,23 @@ def test_crc_row_matches_calc_crc():
     ref = np.asarray(stc007.calc_crc(w, xp=np))
     got = np.array([sn.crc_row(w[i]) for i in range(200)])
     np.testing.assert_array_equal(ref, got)
+
+
+def test_crc_rows_matches_formats():
+    if not sn.available():
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(5)
+    w = rng.integers(0, 1 << 14, size=(301, 8))
+    np.testing.assert_array_equal(
+        sn.crc_rows(w), np.asarray(stc007.calc_crc(w, xp=np)))
+    assert sn.crc_rows(np.zeros((0, 8), np.int64)).shape == (0,)
+
+
+def test_empty_lines_single_crc_broadcast():
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    for m2 in (False, True):
+        ls = st.LineStore.empty_lines(7, m2=m2)
+        calc = np.asarray(stc007.calc_crc(ls.words, xp=np))
+        np.testing.assert_array_equal(ls.source_crc, (~calc) & 0xFFFF)
+        assert not ls.crc_valid_ignore_forced().any()
+    assert st.LineStore.empty_lines(0).source_crc.shape == (0,)
