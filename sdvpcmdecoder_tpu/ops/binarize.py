@@ -205,6 +205,8 @@ def _selection_matrix(px_coords, width):
     return (px_coords[..., None] == iota).astype(jnp.bfloat16)
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6),
+                   static_argnames=("hyst_limit", "shift_limit"))
 def stc007_frame_decode(pixels, coords, ref_level, black, white,
                         hyst_limit=HYST_DEPTH_MAX,
                         shift_limit=SHIFT_STAGES_MAX):
@@ -530,6 +532,8 @@ def generic_frame_decode(pixels, coords, ref_level, black, white, fmt,
     return chosen, any_valid, pick // n_s, pick % n_s
 
 
+@functools.partial(jax.jit, static_argnums=(5,),
+                   static_argnames=("shift_limit",))
 def pcm1_frame_decode(pixels, coords, ref_level, black, white,
                       shift_limit=2):
     """PCM-1 frame decode -> (words [F,L,6], crc_read [F,L], valid)."""
@@ -541,6 +545,8 @@ def pcm1_frame_decode(pixels, coords, ref_level, black, white,
     return words, crc_read, valid
 
 
+@functools.partial(jax.jit, static_argnums=(5,),
+                   static_argnames=("shift_limit",))
 def pcm16x0_frame_decode(pixels, coords, ref_level, black, white,
                          shift_limit=2):
     """PCM-16x0 frame decode: 3 sublines per line + control bit.
