@@ -829,14 +829,29 @@ int linegrid_coord_sweep(
 // Verified against formats/stc007.calc_crc and an independent
 // transcription (tests/test_external_anchor.py).
 uint16_t stc007_crc_row(const int32_t* w8) {
+    // 128-entry table: 7 bits per step (14-bit words = 2 steps each);
+    // built once from the bit-serial recurrence, which remains the
+    // documented reference form (tests pin both against hand-computed
+    // vectors, tests/test_external_anchor.py).
+    static uint16_t tbl[128];
+    static bool init = false;
+    if (!init) {
+        for (uint32_t v = 0; v < 128; ++v) {
+            uint32_t reg = v << 9;
+            for (int b = 0; b < 7; ++b) {
+                const uint32_t top = reg & 0x8000u;
+                reg = (reg << 1) & 0xFFFFu;
+                if (top) reg ^= 0x1021u;
+            }
+            tbl[v] = (uint16_t)reg;
+        }
+        init = true;
+    }
     uint32_t reg = 0xFFFF;
     for (int i = 0; i < 8; ++i) {
-        for (int b = 13; b >= 0; --b) {
-            const uint32_t inbit = ((uint32_t)w8[i] >> b) & 1u;
-            const uint32_t top = ((reg >> 15) ^ inbit) & 1u;
-            reg = (reg << 1) & 0xFFFFu;
-            if (top) reg ^= 0x1021u;
-        }
+        const uint32_t w = (uint32_t)w8[i] & 0x3FFFu;
+        reg = ((reg << 7) & 0xFFFFu) ^ tbl[((reg >> 9) ^ (w >> 7)) & 0x7Fu];
+        reg = ((reg << 7) & 0xFFFFu) ^ tbl[((reg >> 9) ^ w) & 0x7Fu];
     }
     return (uint16_t)reg;
 }
@@ -886,6 +901,122 @@ void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,
     out[1] = sil_max;
     out[2] = unch_max;
     out[3] = broken_count;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// STC-007 trial-grid frame binarizer — host twin of
+// ops/binarize.py::stc007_frame_decode (the readPCMdata trial grid,
+// binarizer.cpp:7695-8090).  Semantics are bit-identical to the XLA path
+// (tests assert equality): integer-PPB bit coordinates (pcmline.cpp:
+// 249-311, INT_CALC_MULT=128), Schmitt hysteresis read (fillSTC007
+// :7365-7395), CRC-16/CCITT-FALSE over 8x14-bit words, lexicographic
+// (hyst, shift) first-valid selection with the (0,0) read as fallback.
+//
+// The device trial grid evaluates everything at once and argmin-selects;
+// this serial twin early-exits like the reference, so a clean line costs
+// ONE 128-bit read — which is why it exists: on hosts whose TPU link is a
+// narrow tunnel, shipping raw video to the chip costs more than decoding
+// clean lines in place (the batch driver picks the backend per policy).
+
+namespace {
+
+// One (depth, shift) trial of a 128-data-bit STC-007 line.
+// Returns true when the CRC matches; fills words[8] + crc_read.
+inline bool stc007_trial(const uint8_t* px, int64_t W, int64_t start,
+                         int64_t psm, int64_t half, int rl, int rh,
+                         int shift, int32_t* words, int32_t* crc_read) {
+    const int sh = PIX_SH[shift];
+    bool prev = false;
+    uint32_t reg = 0xFFFF;
+    int32_t acc = 0;
+    int in_word = 0, wi = 0;
+    for (int i = 0; i < 128; ++i) {
+        const int bit = i + 3;  // COORD_BIT_OFS (stc007line.cpp:219-223)
+        int64_t p = (bit * psm + half) / 128 + start + sh;
+        if (p < 0) p = 0;
+        if (p >= W) p = W - 1;
+        const int v = px[p];
+        const bool b = prev ? (v >= rh) : (v > rl);
+        prev = b;
+        acc = (acc << 1) | (b ? 1 : 0);
+        if (wi < 8) {
+            if (++in_word == 14) {
+                words[wi++] = acc;
+                reg = crc16_feed(reg, (uint32_t)acc, 14, false);
+                acc = 0;
+                in_word = 0;
+            }
+        } else if (++in_word == 16) {
+            *crc_read = acc;
+        }
+    }
+    return (int32_t)(reg & 0xFFFFu) == *crc_read;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Frame-batch trial-grid decode.  pixels is a strided [F, L, W] view
+// (stride_f/stride_l in BYTES — zero-copy straight off the mmap'd
+// capture).  coords [F,2]; ref/black/white are [F] (ref_per_line=0) or
+// [F*L] (per-line AGC, findSTC007BW).  Outputs are [F*L] row-major:
+// words i16 [F*L,8], crc u16, valid u8, hyst/shift i8.
+void stc007_binarize_frames(
+    const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
+    int64_t stride_f, int64_t stride_l,
+    const int32_t* coords, const int32_t* ref, int32_t ref_per_line,
+    const int32_t* black, const int32_t* white,
+    int32_t hyst_limit, int32_t shift_limit,
+    int16_t* words_out, uint16_t* crc_out, uint8_t* valid_out,
+    int8_t* hyst_out, int8_t* shift_out) {
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
+        const int64_t pixels_n = de - ds;
+        // BITS_BETWEEN_COORDS = 132 (stc007line.cpp:504-519)
+        const int64_t psm = (pixels_n * 128 + 132 / 2) / 132;
+        const int64_t half = (psm + 1) / 2;
+        for (int64_t l = 0; l < L; ++l) {
+            const uint8_t* px = pixels + f * stride_f + l * stride_l;
+            const int64_t row = f * L + l;
+            const int64_t pr = ref_per_line ? row : f;
+            const int rf = ref[pr], bk = black[pr], wt = white[pr];
+            int32_t w[8], crc_read = 0;
+            int pick_h = -1, pick_s = -1;
+            for (int h = 0; h <= hyst_limit && pick_h < 0; ++h) {
+                const int rl = rf - h < 1 ? 1 : rf - h;
+                const int rh = rf + h > 254 ? 254 : rf + h;
+                // read_ok gate (fillDataWords binarizer.cpp:7590-7625):
+                // clipped hysteresis refs force the trial invalid.
+                if (!(rl > bk && rh < wt)) continue;
+                for (int s = 0; s <= shift_limit; ++s) {
+                    if (stc007_trial(px, W, ds, psm, half, rl, rh, s, w,
+                                     &crc_read)) {
+                        pick_h = h;
+                        pick_s = s;
+                        break;
+                    }
+                }
+            }
+            bool ok = pick_h >= 0;
+            if (!ok) {
+                // Fallback: the (0,0) read (readPCMdata :7957-8010).
+                const int rl = rf < 1 ? 1 : rf;
+                const int rh = rf > 254 ? 254 : rf;
+                stc007_trial(px, W, ds, psm, half, rl, rh, 0, w, &crc_read);
+                pick_h = 0;
+                pick_s = 0;
+            }
+            for (int i = 0; i < 8; ++i)
+                words_out[row * 8 + i] = (int16_t)w[i];
+            crc_out[row] = (uint16_t)crc_read;
+            valid_out[row] = ok;
+            hyst_out[row] = (int8_t)pick_h;
+            shift_out[row] = (int8_t)pick_s;
+        }
+    }
 }
 
 }  // extern "C"

@@ -108,6 +108,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_binarize_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -313,6 +321,41 @@ def peak_scan(hist, start, stop_limit, min_count, delta, upward):
                     args[3].ctypes.data, int(bool(upward)),
                     best.ctypes.data, found.ctypes.data)
     return best, found.astype(bool)
+
+
+def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
+                    shift_limit):
+    """Native STC-007 trial-grid frame decode (host twin of
+    binarize.stc007_frame_decode; bit-identical, early-exit serial).
+
+    pixels: [F, L, W] uint8 — ANY strides accepted (zero-copy views off
+    the capture mmap are the point).  coords [F,2]; ref/black/white [F]
+    or [F,L] for per-line AGC.  Returns (words [F,L,8] i64, crc [F,L]
+    i64, valid [F,L] bool, hyst [F,L] i8, shift [F,L] i8).
+    """
+    L = _load()
+    F, Ln, W = pixels.shape
+    if pixels.strides[2] != 1:
+        pixels = np.ascontiguousarray(pixels)
+    cds = np.ascontiguousarray(coords, np.int32)
+    per_line = np.asarray(ref).ndim == 2
+    rf = np.ascontiguousarray(ref, np.int32)
+    bk = np.ascontiguousarray(np.broadcast_to(black, rf.shape), np.int32)
+    wt = np.ascontiguousarray(np.broadcast_to(white, rf.shape), np.int32)
+    words = np.empty((F, Ln, 8), np.int16)
+    crc = np.empty((F, Ln), np.uint16)
+    valid = np.empty((F, Ln), np.uint8)
+    hyst = np.empty((F, Ln), np.int8)
+    shift = np.empty((F, Ln), np.int8)
+    L.stc007_binarize_frames(
+        pixels.ctypes.data, F, Ln, W,
+        pixels.strides[0], pixels.strides[1],
+        cds.ctypes.data, rf.ctypes.data, int(per_line),
+        bk.ctypes.data, wt.ctypes.data, int(hyst_limit), int(shift_limit),
+        words.ctypes.data, crc.ctypes.data, valid.ctypes.data,
+        hyst.ctypes.data, shift.ctypes.data)
+    return (words.astype(np.int64), crc.astype(np.int64),
+            valid.astype(bool), hyst, shift)
 
 
 def marker_search(pixels, bin_low, bin_high, mark_start_max, mark_end_min,

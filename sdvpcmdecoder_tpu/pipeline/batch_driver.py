@@ -8,10 +8,23 @@ Design: the device decodes interleaved frame batches from all captures
 idles while hosts stitch); each capture owns its stitcher + audio chain +
 WAV writer, run on a thread pool since the host stitcher is the per-core
 bottleneck.
+
+Backends (transport-aware): "tpu" ships pixel batches to the chip for
+the all-trials grid decode; "native" decodes in place on the host with
+the bit-identical early-exit C++ grid, touching pixels straight off the
+capture mmap (zero copies, zero link traffic).  "auto" picks native when
+the C++ core is available — on hosts whose accelerator sits behind a
+narrow tunnel, moving raw video costs more than decoding clean lines
+locally, while level sweeps / noisy captures still belong on the TPU
+(V2DDriver.ref_sweep uses the device either way).  Per-stage wall time
+is accumulated in `stage_t` and surfaced by bench.py.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
+from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -62,10 +75,19 @@ class BatchDecoder:
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
                  frames_per_round=4, workers=None, ref_sweep=False,
-                 ref_sweep_fallback=False, checkpoint=False):
+                 ref_sweep_fallback=False, checkpoint=False,
+                 backend="auto"):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
+        if backend == "auto":
+            import os
+            backend = os.environ.get("SDV_BACKEND", "auto")
+        if backend == "auto":
+            from ..ops import stitch_native as sn
+            backend = "native" if sn.available() else "tpu"
+        self.backend = backend
+        self.stage_t = defaultdict(float)
         preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
             else st.VID_NTSC
         for j in self.jobs:
@@ -87,6 +109,14 @@ class BatchDecoder:
             self.pool = _InlineExecutor()
         else:
             self.pool = ThreadPoolExecutor(n_workers)
+
+    @contextlib.contextmanager
+    def _stage(self, name):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stage_t[name] += time.perf_counter() - t0
 
     @staticmethod
     def _ckpt_path(job):
@@ -112,32 +142,118 @@ class BatchDecoder:
             job.writer.sample_rate if job.writer else 44100)
 
     def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
-        import time
         t0 = time.perf_counter()
         for store in stores:
             job.stitcher.push_frame(store)
         if finish:
             job.stitcher.finish()
+        t1 = time.perf_counter()
+        self.stage_t["stitch"] += t1 - t0
         if stores:
-            job.stats.add_di_time(
-                int((time.perf_counter() - t0) * 1e6), len(stores))
+            job.stats.add_di_time(int((t1 - t0) * 1e6), len(stores))
         for fr in job.stitcher.frame_log[job.logged:]:
             job.stats.add_frame(fr)
         job.logged = len(job.stitcher.frame_log)
         arrs = st.chunks_to_arrays(job.stitcher.pop_sample_chunks())
         if arrs is None:
             return
-        samples, valid, blk, rate = arrs
-        out = job.audio.process(samples, valid, blk, file_end=False)
-        job.stats.add_audio(out, job.audio.total_masked)
-        if job.writer is None:
-            job.writer = wav.WavWriter(job.out_path, rate)
-        job.writer.write(out)
-        job.writer.flush()
+        with self._stage("audio"):
+            samples, valid, blk, rate = arrs
+            out = job.audio.process(samples, valid, blk, file_end=False)
+            job.stats.add_audio(out, job.audio.total_masked)
+        with self._stage("wav"):
+            if job.writer is None:
+                job.writer = wav.WavWriter(job.out_path, rate)
+            job.writer.write(out)
+            job.writer.flush()
         if self.checkpoint:
-            self._save_checkpoint(job)
+            with self._stage("ckpt"):
+                self._save_checkpoint(job)
+
+    def _build_stores(self, j: CaptureJob, results, nums):
+        """FrameDecodeResults (or Nones) -> per-frame LineStores."""
+        stores = []
+        for res in results:
+            j.frame_no += 1
+            if res is None:
+                # Dropped/no-PCM frame: all-invalid dummy frame keeps
+                # interleave timing (the reference inserts dummies for
+                # drops, ffmpegwrapper.cpp:898-907).
+                j.stats.frames_no_pcm += 1
+                store = st.LineStore(len(nums))
+                store.frame_number[:] = j.frame_no
+                store.line_number = np.asarray(nums, np.int64).copy()
+                j.stats.lines_total += len(nums)
+            else:
+                store = st.LineStore.from_decoded(
+                    res.words, res.crc_read, res.valid,
+                    np.full(len(nums), j.frame_no), nums,
+                    ref_level=np.full(len(nums), res.ref_level),
+                    forced_bad=res.forced_bad)
+                j.stats.lines_total += len(nums)
+                j.stats.lines_valid += int(res.valid.sum())
+                j.stats.lines_dup += int(res.duplicates.sum())
+            if j.first:
+                tag = st.LineStore(1)
+                tag.service[0] = st.SRV_NEW_FILE
+                tag.frame_number[0] = j.frame_no
+                store = st.LineStore.concat([tag, store])
+                j.first = False
+            stores.append(store)
+        return stores
 
     def run(self):
+        if self.backend == "native":
+            return self.run_native()
+        return self.run_tpu()
+
+    def run_native(self):
+        """Host-backend loop: zero-copy mmap views through the native
+        early-exit trial grid; no device round-trips on the fast path.
+        Captures still interleave round-robin so streaming WAV output
+        advances evenly across jobs."""
+        while True:
+            progressed = False
+            for j in self.jobs:
+                if j.done:
+                    continue
+                if not j.eof:
+                    with self._stage("read"):
+                        batch = j.reader.read_frames_view(
+                            j.frames_read, self.frames_per_round)
+                        if batch.shape[0] and batch.shape[2] < \
+                                ingest.MIN_WIDTH_FOR_SINGLE:
+                            # narrow capture: width-doubling needs the
+                            # copying field splitter
+                            lines_b, nums = ingest.split_fields_batch(
+                                np.ascontiguousarray(batch))
+                            perm = None
+                        else:
+                            perm, nums = ingest.field_perm(batch.shape[1])
+                            lines_b = batch
+                    if batch.shape[0] == 0:
+                        j.eof = True
+                    else:
+                        progressed = True
+                        j.frames_read += batch.shape[0]
+                        with self._stage("prescan"):
+                            prep = j.driver.prepare_frames(lines_b,
+                                                           perm=perm)
+                        with self._stage("binarize"):
+                            results = j.driver.decode_prepared_host(
+                                lines_b, prep, perm=perm)
+                        with self._stage("assemble"):
+                            stores = self._build_stores(j, results, nums)
+                        self._stitch_and_write(j, stores)
+                if j.eof and not j.done:
+                    self._stitch_and_write(j, [], finish=True)
+                    self._drain_final(j)
+                    j.done = True
+            if not progressed and all(j.done for j in self.jobs):
+                break
+        return {j.path: j.stats for j in self.jobs}
+
+    def run_tpu(self):
         """Round-robin with one round in flight: while the device chews
         on round k+1's fused dispatch, the host stitches round k (the
         software-pipelined analog of the reference's VIN/V2D queue pair,
@@ -170,16 +286,18 @@ class BatchDecoder:
         for j in self.jobs:
             if j.done or j.eof:
                 continue
-            batch = j.reader.read_frames(j.frames_read,
-                                         self.frames_per_round)
-            if batch.shape[0] == 0:
-                j.eof = True
-                continue
-            j.frames_read += batch.shape[0]
-            lines_b, nums = ingest.split_fields_batch(batch)
+            with self._stage("read"):
+                batch = j.reader.read_frames(j.frames_read,
+                                             self.frames_per_round)
+                if batch.shape[0] == 0:
+                    j.eof = True
+                    continue
+                j.frames_read += batch.shape[0]
+                lines_b, nums = ingest.split_fields_batch(batch)
             split = [(lines_b[f], nums) for f in range(batch.shape[0])]
-            round_work.append((j, split, lines_b,
-                               j.driver.prepare_frames(lines_b)))
+            with self._stage("prescan"):
+                prep = j.driver.prepare_frames(lines_b)
+            round_work.append((j, split, lines_b, prep))
         return round_work
 
     def _dispatch_round(self, round_work):
@@ -187,6 +305,13 @@ class BatchDecoder:
         _complete_round (non-blocking)."""
         if not round_work:
             return None
+        t0 = time.perf_counter()
+        try:
+            return self._dispatch_round_inner(round_work)
+        finally:
+            self.stage_t["dispatch"] += time.perf_counter() - t0
+
+    def _dispatch_round_inner(self, round_work):
         fused = len(round_work) > 1 and len(
             {w[2].shape[1:] for w in round_work}) == 1
         if fused:
@@ -211,58 +336,36 @@ class BatchDecoder:
         if ctx[0] == "fused":
             _, px, prep, dev = ctx
             drv0 = round_work[0][0].driver
-            dw, dc, dv, df = drv0.materialize_frames(px, prep, dev)
+            with self._stage("materialize"):
+                dw, dc, dv, df = drv0.materialize_frames(px, prep, dev)
             ofs = 0
             per_job = []
-            for (j, split, lines_b, jprep) in round_work:
-                n = lines_b.shape[0]
-                per_job.append(j.driver.finalize_frames(
-                    lines_b, jprep, dw[ofs:ofs + n], dc[ofs:ofs + n],
-                    dv[ofs:ofs + n], df[ofs:ofs + n]))
-                ofs += n
+            with self._stage("finalize"):
+                for (j, split, lines_b, jprep) in round_work:
+                    n = lines_b.shape[0]
+                    per_job.append(j.driver.finalize_frames(
+                        lines_b, jprep, dw[ofs:ofs + n], dc[ofs:ofs + n],
+                        dv[ofs:ofs + n], df[ofs:ofs + n]))
+                    ofs += n
         else:
             per_job = []
             for (j, split, lines_b, jprep), dev in zip(round_work, ctx[1]):
                 if dev is None:
                     per_job.append([None] * lines_b.shape[0])
                     continue
-                w_, c_, v_, f_ = j.driver.materialize_frames(lines_b,
-                                                             jprep, dev)
-                per_job.append(j.driver.finalize_frames(
-                    lines_b, jprep, w_, c_, v_, f_))
+                with self._stage("materialize"):
+                    w_, c_, v_, f_ = j.driver.materialize_frames(
+                        lines_b, jprep, dev)
+                with self._stage("finalize"):
+                    per_job.append(j.driver.finalize_frames(
+                        lines_b, jprep, w_, c_, v_, f_))
         futures = []
         for (j, split, lines_b, _), results in zip(round_work, per_job):
-                stores = []
-                for (lines, nums), res in zip(split, results):
-                    j.frame_no += 1
-                    if res is None:
-                        # Dropped/no-PCM frame: all-invalid dummy frame
-                        # keeps interleave timing (the reference inserts
-                        # dummies for drops, ffmpegwrapper.cpp:898-907).
-                        j.stats.frames_no_pcm += 1
-                        store = st.LineStore(len(nums))
-                        store.frame_number[:] = j.frame_no
-                        store.line_number = np.asarray(nums,
-                                                       np.int64).copy()
-                        j.stats.lines_total += len(nums)
-                    else:
-                        store = st.LineStore.from_decoded(
-                            res.words, res.crc_read, res.valid,
-                            np.full(len(nums), j.frame_no), nums,
-                            ref_level=np.full(len(nums), res.ref_level),
-                            forced_bad=res.forced_bad)
-                        j.stats.lines_total += len(nums)
-                        j.stats.lines_valid += int(res.valid.sum())
-                        j.stats.lines_dup += int(res.duplicates.sum())
-                    if j.first:
-                        tag = st.LineStore(1)
-                        tag.service[0] = st.SRV_NEW_FILE
-                        tag.frame_number[0] = j.frame_no
-                        store = st.LineStore.concat([tag, store])
-                        j.first = False
-                    stores.append(store)
-                futures.append(self.pool.submit(self._stitch_and_write, j,
-                                                stores))
+            nums = split[0][1]
+            with self._stage("assemble"):
+                stores = self._build_stores(j, results, nums)
+            futures.append(self.pool.submit(self._stitch_and_write, j,
+                                            stores))
         for f in futures:
             f.result()
 

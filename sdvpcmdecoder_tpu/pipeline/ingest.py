@@ -81,6 +81,7 @@ class VideoReader:
         if fmt is None:
             fmt = "y4m" if self.path.endswith((".y4m", ".Y4M")) else "raw"
         self.fmt = fmt
+        self._raw_size = raw_size
         self._h = None
         self._lib = _native_lib() if use_native else None
         if self._lib is not None:
@@ -191,6 +192,32 @@ class VideoReader:
             out[k:j + 1] = self._read_stored(int(stored[k]), j - k + 1)
             k = j + 1
         return out
+
+    def read_frames_view(self, first, count):
+        """Zero-copy [count, H, W] strided view straight off the capture
+        mmap when possible, else a copy via read_frames.
+
+        The host-backend decode path never materializes pixel batches:
+        the native binarizer walks the view in place (this box copies
+        memory at ~130 MB/s — one avoided 43 MB round copy is ~0.3 s).
+        View rows include the Y4M FRAME marker stride; the last axis is
+        contiguous, which is all stitch_native.binarize_frames needs.
+        """
+        if self._timeline_map is not None:
+            return self.read_frames(first, count)
+        count = max(0, min(count, self.n_frames - first))
+        if count == 0:
+            return np.zeros((0, self.height, self.width), np.uint8)
+        if not hasattr(self, "_mm"):
+            try:  # native prefetch loader open: mmap + header alongside
+                self._open_python(self._raw_size)
+            except Exception:
+                return self.read_frames(first, count)
+        base = np.frombuffer(self._mm, np.uint8)
+        off = self._data_start + first * self._stride + self._y_offset
+        return np.lib.stride_tricks.as_strided(
+            base[off:], shape=(count, self.height, self.width),
+            strides=(self._stride, self.width, 1), writeable=False)
 
     def _read_stored(self, first, count):
         count = max(0, min(count, self._stored_frames - first))
@@ -304,6 +331,20 @@ def split_fields_batch(frames: np.ndarray, double_narrow=True):
     nums = np.concatenate([1 + 2 * np.arange((H + 1) // 2),
                            2 + 2 * np.arange(H // 2)])
     return lines, nums
+
+
+def field_perm(H: int):
+    """Field-sequential order as a ROW PERMUTATION of a raw frame.
+
+    split_fields_batch materializes lines[F, H, W] = frames[:, perm, :];
+    the host decode path instead keeps the raw mmap view and reorders the
+    (small) decoded outputs with this map.  Returns (perm [H], display
+    line numbers [H]) matching split_fields exactly.
+    """
+    perm = np.concatenate([np.arange(0, H, 2), np.arange(1, H, 2)])
+    nums = np.concatenate([1 + 2 * np.arange((H + 1) // 2),
+                           2 + 2 * np.arange(H // 2)])
+    return perm, nums
 
 
 def write_y4m(path, frames: np.ndarray, chroma="mono"):

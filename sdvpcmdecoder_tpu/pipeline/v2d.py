@@ -56,14 +56,9 @@ def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
             continue
         a, b = vi[:-1], vi[1:]
         x = (words[a] ^ words[b]).astype(np.uint64)
-        diff = np.zeros(len(a), np.int64)
-        while x.any():
-            diff += (x & 1).sum(axis=-1).astype(np.int64)
-            x >>= 1
         c = (crc_read[a] ^ crc_read[b]).astype(np.uint64)
-        while c.any():
-            diff += (c & 1).astype(np.int64)
-            c >>= 1
+        diff = np.bitwise_count(x).sum(axis=-1).astype(np.int64) \
+            + np.bitwise_count(c).astype(np.int64)
         dup[b] = (diff <= thres) & ~almost_silent[b]
     return dup
 
@@ -177,20 +172,54 @@ class V2DDriver:
         return (start, stop), ref
 
     # -- batched frame decode (production path) ---------------------------
-    def prepare_frames(self, pixels: np.ndarray):
-        """Host phase: per-frame prescan + damping -> decode parameters.
+    def prepare_frames(self, pixels: np.ndarray, perm=None):
+        """Host phase: batched prescan + per-frame damping -> parameters.
 
-        Returns dict(coords [F,2], refs/blacks/whites [F], usable [F]).
+        The AGC + marker prescan for ALL frames' sample lines runs as one
+        batched call (the per-frame loop only does medians and the
+        sequential history damping).  `perm` maps field-sequential line
+        index -> row of `pixels` (None = identity); with it, `pixels` can
+        be the RAW frame-row view straight off the capture mmap — the
+        prescan gathers just COORD_CHECK_LINES rows per frame instead of
+        forcing a field-ordered copy of the whole batch.
+
+        Returns dict(coords [F,2], refs/blacks/whites [F] (or [F,L] with
+        per-line AGC, in `pixels` row order), usable [F]).
         """
-        F = pixels.shape[0]
+        F, L, W = pixels.shape
         coords = np.zeros((F, 2), np.int64)
         refs = np.zeros(F, np.int64)
         blacks = np.zeros(F, np.int64)
         whites = np.full(F, 255, np.int64)
         usable = np.zeros(F, bool)
+        n_chk = COORD_CHECK_LINES
+        if L > COORD_CHECK_PARTS:
+            gap = L // COORD_CHECK_PARTS
+            idx = np.array([(i + 1) * gap for i in range(n_chk)])
+            if perm is not None:
+                idx = np.asarray(perm)[idx]
+            sample = np.ascontiguousarray(pixels[:, idx, :]) \
+                .reshape(F * n_chk, W)
+            black, white, ok = agc.find_black_white(sample, self.preset)
+            ref, cok = bz.pick_center_ref_level(black, white,
+                                                self.preset.min_contrast,
+                                                xp=np)
+            res = markers.search_markers(sample, ref, preset=self.preset)
+            ds, de, mok = markers.coords_from_markers(res)
+            good = ok & np.asarray(cok) & mok
+            if self.forced_coords is not None:
+                good = ok & np.asarray(cok)
+            good = good.reshape(F, n_chk)
+            ds = ds.reshape(F, n_chk)
+            de = de.reshape(F, n_chk)
+            ref = np.asarray(ref).reshape(F, n_chk)
+            black = black.reshape(F, n_chk)
+            white = white.reshape(F, n_chk)
+        else:
+            good = np.zeros((F, n_chk), bool)
         for f in range(F):
-            pre = self.prescan(pixels[f])
-            if pre is None:
+            g = good[f]
+            if not g.any():
                 if self.forced_coords is not None:
                     coords[f] = self.forced_coords
                     refs[f] = 127
@@ -203,10 +232,11 @@ class V2DDriver:
                     blacks[f], whites[f] = 0, 255
                     usable[f] = True
                 continue
-            (c, r, b, w) = pre
-            c, r = self._damped_coords((c, r))
+            med = lambda a: int(np.median(a[f][g]))
+            c, r = self._damped_coords(((med(ds), med(de)), med(ref)))
             coords[f] = c
-            refs[f], blacks[f], whites[f] = r, b, w
+            refs[f] = r
+            blacks[f], whites[f] = med(black), med(white)
             usable[f] = True
         if self.forced_coords is not None:
             coords[:] = self.forced_coords
@@ -298,9 +328,63 @@ class V2DDriver:
         return self.materialize_frames(
             pixels, prep, self.dispatch_frames_async(pixels, prep))
 
+    # -- host (native) backend --------------------------------------------
+    def decode_frames_host(self, pixels: np.ndarray, perm=None):
+        """Decode a frame batch on the HOST via the native early-exit
+        trial grid (stitch_native.binarize_frames — bit-identical to the
+        XLA grid, tests/test_native_binarize.py).
+
+        `pixels` may be ANY strided uint8 view [F, L, W] — with `perm`
+        (field-sequential index -> pixel row) it is the raw frame-row
+        mmap view and no full-frame copy ever happens; results come back
+        in field-sequential line order.  Exists because shipping raw
+        video over a narrow host<->TPU link can cost more than decoding
+        clean lines in place; the TPU path stays the engine for level
+        sweeps and noisy captures (see BatchDecoder backend policy).
+        """
+        F = pixels.shape[0]
+        prep = self.prepare_frames(pixels, perm=perm)
+        return self.decode_prepared_host(pixels, prep, perm=perm)
+
+    def decode_prepared_host(self, pixels, prep, perm=None):
+        """Native grid decode + fallbacks for an already-prepared batch
+        (prepare/decode split so drivers can time and interleave the
+        phases)."""
+        from ..ops import stitch_native as sn
+        F = pixels.shape[0]
+        if not prep["usable"].any():
+            return [None] * F
+        words, crc_read, valid, hyst, shift = sn.binarize_frames(
+            pixels, prep["coords"], np.maximum(prep["refs"], 1),
+            np.clip(prep["blacks"], 0, 254), np.clip(prep["whites"], 1, 255),
+            self.hyst_limit, self.shift_limit)
+        if perm is not None:
+            words = words[:, perm]
+            crc_read = crc_read[:, perm]
+            valid = valid[:, perm]
+        forced = np.zeros(valid.shape, bool)
+        if self.ref_sweep:
+            # INSANE sweep stays on the TPU (the full level sweep is the
+            # search the device is for); gather a field-ordered copy.
+            px_seq = np.ascontiguousarray(
+                pixels[:, perm, :]) if perm is not None else pixels
+            blacks, whites = prep["blacks"], prep["whites"]
+            if np.asarray(blacks).ndim == 2:
+                blacks = np.median(blacks, axis=1).astype(np.int64)
+                whites = np.median(whites, axis=1).astype(np.int64)
+            words, crc_read, valid, forced = self._ref_sweep_merge(
+                px_seq, prep["coords"], blacks, whites,
+                words, crc_read, valid)
+        return self.finalize_frames(pixels, prep, words, crc_read, valid,
+                                    forced, perm=perm, native=True)
+
     def finalize_frames(self, pixels, prep, words, crc_read, valid,
-                        forced):
-        """Host phase: per-line marker fallback + result assembly."""
+                        forced, perm=None, native=False):
+        """Host phase: per-line marker fallback + result assembly.
+
+        `perm` maps field-sequential line index -> `pixels` row (the raw
+        mmap-view layout of decode_frames_host); words/crc/valid arrive
+        in field-sequential order either way."""
         F, L, W = pixels.shape
         coords, refs = prep["coords"], prep["refs"]
         blacks, whites, usable = prep["blacks"], prep["whites"], \
@@ -317,13 +401,14 @@ class V2DDriver:
             bf = int(np.median(blacks[f])) if per_line else int(blacks[f])
             wh = int(np.median(whites[f])) if per_line else int(whites[f])
             wf, cf, vf = self._marker_fallback(
-                pixels[f], words[f], crc_read[f], valid[f], rf, bf, wh)
+                pixels[f], words[f], crc_read[f], valid[f], rf, bf, wh,
+                perm=perm, native=native)
             ff = forced[f]
             if self.ref_sweep_fallback and not self.ref_sweep \
                     and not vf.all():
                 wf, cf, vf, ff = self._sweep_failed_lines(
                     pixels[f], (int(coords[f, 0]), int(coords[f, 1])),
-                    bf, wh, wf, cf, vf, ff)
+                    bf, wh, wf, cf, vf, ff, perm=perm)
             dup = np.zeros(L, bool)
             if self.dup_detect:
                 # Lines arrive field-sequentially; the duplicate tracker
@@ -340,13 +425,15 @@ class V2DDriver:
         return out
 
     def _sweep_failed_lines(self, pixels, coords, black, white, words,
-                            crc_read, valid, forced):
+                            crc_read, valid, forced, perm=None):
         """Per-line ref-level sweep for lines the fast path and marker
         fallback could not decode (NORMAL-mode sweep parity, bucketed
         to a fixed shape so only one sweep shape ever compiles)."""
         bad = np.nonzero(~valid)[0]
         if len(bad) == 0:
             return words, crc_read, valid, forced
+        rows_of = (lambda r: np.asarray(perm)[r]) if perm is not None \
+            else (lambda r: r)
         B = self.FALLBACK_BUCKET
         levels = np.arange(254, 1, -self.sweep_step, dtype=np.int32)
         R = len(levels)
@@ -358,7 +445,7 @@ class V2DDriver:
             grp = bad[base:base + B]
             n = len(grp)
             px = np.zeros((B, 1, pixels.shape[1]), np.uint8)
-            px[:n, 0] = pixels[grp]
+            px[:n, 0] = pixels[rows_of(grp)]
             sw = bz.stc007_ref_sweep_decode(
                 jnp.asarray(px),
                 jnp.asarray(np.tile(np.asarray(coords)[None], (B, 1)),
@@ -437,11 +524,12 @@ class V2DDriver:
     FALLBACK_BUCKET = 64  # fixed shape so the retry path compiles once
 
     def _marker_fallback(self, pixels, words, crc_read, valid, ref, black,
-                         white):
+                         white, perm=None, native=False):
         """Per-line marker coordinates for failed lines (the reference's
         STG_INPUT_LEVEL re-find). Lines are re-decoded through the same
         frame-grouped matmul path as batches of single-line frames,
-        padded to a fixed bucket so only one shape ever compiles."""
+        padded to a fixed bucket so only one shape ever compiles; the
+        native backend re-decodes exactly the retry set in one call."""
         if self.forced_coords is not None:
             # Coordinates are forced: no marker re-search (sweepRefLevel
             # :3714-3720 "Data coordinates are forced, don't perform
@@ -456,11 +544,29 @@ class V2DDriver:
         words = np.array(words)
         crc_read = np.array(crc_read)
         valid = np.array(valid)
-        sub = pixels[bad]
+        sub = pixels[bad] if perm is None \
+            else np.ascontiguousarray(pixels[np.asarray(perm)[bad]])
         res = markers.search_markers(sub, np.full(len(bad), ref),
                                      preset=self.preset)
         ds, de, mok = markers.coords_from_markers(res)
         retry = np.nonzero(mok)[0]
+        if native:
+            from ..ops import stitch_native as sn
+            if len(retry):
+                n = len(retry)
+                cds = np.stack([ds[retry], de[retry]], axis=1)
+                w2, c2, v2, _, _ = sn.binarize_frames(
+                    sub[retry][:, None, :], cds,
+                    np.full(n, ref, np.int32),
+                    np.full(n, max(black, 0), np.int32),
+                    np.full(n, min(white, 255), np.int32),
+                    self.hyst_limit, self.shift_limit)
+                ok2 = v2[:, 0]
+                rows = bad[retry[ok2]]
+                words[rows] = w2[ok2, 0]
+                crc_read[rows] = c2[ok2, 0]
+                valid[rows] = True
+            return words, crc_read, valid
         B = self.FALLBACK_BUCKET
         for base in range(0, len(retry), B):
             grp = retry[base:base + B]
