@@ -153,7 +153,7 @@ def main(argv=None):
             import os as _os
             if _os.path.exists(args.checkpoint + ".json"):
                 frame_no, audio_out, ck_rate = ckpt.load_checkpoint(
-                    args.checkpoint, stitcher)
+                    args.checkpoint, stitcher, audio=proc, driver=driver)
                 start_base = frame_no
                 first = False
                 writer = wav.WavWriter(out_path, ck_rate,
@@ -242,7 +242,8 @@ def main(argv=None):
                 from .utils import resume as ckpt
                 ckpt.save_checkpoint(
                     args.checkpoint, frame_no, stitcher, audio_out,
-                    writer.sample_rate if writer else 44100)
+                    writer.sample_rate if writer else 44100,
+                    audio=proc, driver=driver)
 
         from concurrent.futures import ThreadPoolExecutor
         stitch_pool = ThreadPoolExecutor(1)
@@ -278,9 +279,11 @@ def main(argv=None):
         if arrs is not None:
             samples, valid, blk, rate = arrs
             out = proc.process(samples, valid, blk, file_end=True)
+        else:
+            out, rate = proc.flush(), 44100
+        if len(out):
             audio_out += len(out)
-            if len(out):
-                audio_peak = max(audio_peak, int(np.abs(out).max()))
+            audio_peak = max(audio_peak, int(np.abs(out).max()))
             if writer is None:
                 writer = wav.WavWriter(out_path, rate)
             writer.write(out)
@@ -337,7 +340,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
         import os as _os
         if _os.path.exists(args.checkpoint + ".json"):
             frame_no, audio_out, ck_rate = ckpt.load_checkpoint(
-                args.checkpoint, stitcher)
+                args.checkpoint, stitcher, audio=proc)
             start_base = frame_no
             writer = wav.WavWriter(out_path, ck_rate, resume_at=audio_out)
             print(f"resuming at frame {frame_no}, "
@@ -496,12 +499,15 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 ckpt.save_checkpoint(
                     args.checkpoint, frame_no, stitcher,
                     writer.samples_written if writer else 0,
-                    writer.sample_rate if writer else 44100)
+                    writer.sample_rate if writer else 44100, audio=proc)
     stitcher.finish()
     arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
     if arrs is not None:
         samples, valid2, blk2, rate = arrs
         out = proc.process(samples, valid2, blk2, file_end=True)
+    else:
+        out, rate = proc.flush(), 44100
+    if len(out):
         if writer is None:
             writer = wav.WavWriter(out_path, rate)
         writer.write(out)

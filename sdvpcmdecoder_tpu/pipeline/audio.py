@@ -267,7 +267,19 @@ def _mask_channel_serial(values: np.ndarray, valid: np.ndarray,
 
 
 class AudioProcessor:
-    """Batch audio finishing: flags -> masking -> interleaved int16."""
+    """Batch audio finishing: flags -> masking -> interleaved int16.
+
+    Drain-boundary continuity: a dropout is NEVER split by the drain
+    size.  The reference's 512-pair sliding buffer keeps a dropout whole
+    by construction (audioprocessor.h:69, fixBadSamples :740); here each
+    `process()` call withholds the trailing UNCERTAIN suffix — any
+    sample whose classification or masking could still change with more
+    input (a trailing invalid run, a short valid island that a future
+    long dropout could stray-invalidate, plus their left anchor) — and
+    prepends it to the next call.  Output bytes are therefore invariant
+    to the drain/batch size (tests/test_audio_carry.py); the emitted
+    length per call differs from the input length accordingly.
+    """
 
     def __init__(self, mask_mode=DROP_INTER_LIN_WORD, remove_stray=True,
                  max_ramp_down=MAX_RAMP_DOWN, max_ramp_up=MAX_RAMP_UP):
@@ -276,26 +288,84 @@ class AudioProcessor:
         self.max_ramp_down = max_ramp_down
         self.max_ramp_up = max_ramp_up
         self.total_masked = 0
+        # (samples int16 [K,2], merged valid [K,2]) withheld from the
+        # previous drain; block-validity merge already applied.
+        self._carry = None
+
+    @staticmethod
+    def _uncertain_start(valid: np.ndarray) -> int:
+        """First index of the trailing suffix whose masking could still
+        change with more input: walk runs backward past invalid runs and
+        short valid islands (stray-invalidation candidates,
+        fixStraySamples window MAX_STRAY_LEN+4) until a valid run long
+        enough to be immune; conservative (never too small)."""
+        safe_len = MAX_STRAY_LEN + 4
+        starts, stops = _runs(valid)
+        long_enough = np.nonzero(stops - starts + 1 >= safe_len)[0]
+        if len(long_enough) == 0:
+            return 0
+        return int(stops[long_enough[-1]]) + 1
+
+    def carry_state(self):
+        """Withheld-suffix state for checkpoint/resume."""
+        if self._carry is None:
+            return None
+        return (self._carry[0].copy(), self._carry[1].copy())
+
+    def set_carry_state(self, state):
+        self._carry = None if state is None else \
+            (np.asarray(state[0], np.int16), np.asarray(state[1], bool))
+
+    def flush(self):
+        """EOF drain of the withheld carry (when the final chunk_to
+        arrays round delivered nothing new)."""
+        return self.process(np.zeros((0, 2), np.int16),
+                            np.zeros((0, 2), bool), file_end=True)
 
     def process(self, samples: np.ndarray, word_valid: np.ndarray,
                 block_ok: np.ndarray | None = None, file_end=True):
         """samples [N,2] int16, word_valid [N,2] bool, block_ok [N,2] bool.
 
-        Returns masked stereo int16 [N,2]. *_BLOCK modes force sample
-        validity from the block flag (fillUntilBufferFull
-        audioprocessor.cpp:166, PCMSamplePair::setValidityByBlock).
+        Returns the masked stereo int16 rows READY for output — with
+        file_end=False that is the certain prefix of (carry + input);
+        the uncertain tail is withheld until the next call (or EOF).
+        *_BLOCK modes force sample validity from the block flag
+        (fillUntilBufferFull audioprocessor.cpp:166).
         """
-        out = samples.astype(np.int64).copy()
         valid = word_valid.copy()
         if self.mask_mode in (DROP_MUTE_BLOCK, DROP_HOLD_BLOCK,
                               DROP_INTER_LIN_BLOCK) and block_ok is not None:
             valid = valid & block_ok
-        for ch in range(out.shape[1]):
+        samples = np.asarray(samples, np.int16)
+        if self._carry is not None:
+            samples = np.concatenate([self._carry[0], samples])
+            valid = np.concatenate([self._carry[1], valid])
+            self._carry = None
+        out = samples.astype(np.int64)
+        n, n_ch = out.shape
+        bounds = np.full(n_ch, n, np.int64)
+        vs = []
+        for ch in range(n_ch):
             v = valid[:, ch]
             if self.mask_mode != DROP_IGNORE and self.remove_stray:
                 v = invalidate_stray_samples(v)
-            st = mask_channel(out[:, ch], v, self.mask_mode,
+            vs.append(v)
+            if not file_end:
+                bounds[ch] = self._uncertain_start(v)
+        for ch in range(n_ch):
+            u = int(bounds[ch])
+            st = mask_channel(out[:u, ch], vs[ch][:u], self.mask_mode,
                               self.max_ramp_down, self.max_ramp_up,
                               file_end=file_end)
             self.total_masked += st.masked_samples
-        return np.clip(out, -32768, 32767).astype(np.int16)
+        emitted = np.clip(out, -32768, 32767).astype(np.int16)
+        if file_end:
+            return emitted
+        # Withhold [cut, n): everything any channel is unsure about,
+        # plus one emitted anchor row so the next buffer never opens on
+        # an invalid run (leading runs mute, :1115 — wrong mid-dropout).
+        cut = max(int(bounds.min()) - 1, 0)
+        keep_valid = np.stack(
+            [vs[ch] for ch in range(n_ch)], axis=1)
+        self._carry = (emitted[cut:].copy(), keep_valid[cut:].copy())
+        return emitted[:cut]

@@ -128,7 +128,8 @@ class BatchDecoder:
         p = self._ckpt_path(job)
         if not os.path.exists(p + ".json"):
             return
-        frame_no, audio_out, rate = ckpt.load_checkpoint(p, job.stitcher)
+        frame_no, audio_out, rate = ckpt.load_checkpoint(
+            p, job.stitcher, audio=job.audio, driver=job.driver)
         job.frame_no = job.frames_read = frame_no
         job.first = False
         job.logged = len(job.stitcher.frame_log)
@@ -139,7 +140,8 @@ class BatchDecoder:
         ckpt.save_checkpoint(
             self._ckpt_path(job), job.frame_no, job.stitcher,
             job.writer.samples_written if job.writer else 0,
-            job.writer.sample_rate if job.writer else 44100)
+            job.writer.sample_rate if job.writer else 44100,
+            audio=job.audio, driver=job.driver)
 
     def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
         t0 = time.perf_counter()
@@ -207,50 +209,54 @@ class BatchDecoder:
             return self.run_native()
         return self.run_tpu()
 
+    def step_native(self):
+        """One host-backend round over all live jobs; returns True while
+        any job made progress (separate from run_native so tests can
+        kill between rounds)."""
+        progressed = False
+        for j in self.jobs:
+            if j.done:
+                continue
+            if not j.eof:
+                with self._stage("read"):
+                    batch = j.reader.read_frames_view(
+                        j.frames_read, self.frames_per_round)
+                    if batch.shape[0] and batch.shape[2] < \
+                            ingest.MIN_WIDTH_FOR_SINGLE:
+                        # narrow capture: width-doubling needs the
+                        # copying field splitter
+                        lines_b, nums = ingest.split_fields_batch(
+                            np.ascontiguousarray(batch))
+                        perm = None
+                    else:
+                        perm, nums = ingest.field_perm(batch.shape[1])
+                        lines_b = batch
+                if batch.shape[0] == 0:
+                    j.eof = True
+                else:
+                    progressed = True
+                    j.frames_read += batch.shape[0]
+                    with self._stage("prescan"):
+                        prep = j.driver.prepare_frames(lines_b, perm=perm)
+                    with self._stage("binarize"):
+                        results = j.driver.decode_prepared_host(
+                            lines_b, prep, perm=perm)
+                    with self._stage("assemble"):
+                        stores = self._build_stores(j, results, nums)
+                    self._stitch_and_write(j, stores)
+            if j.eof and not j.done:
+                self._stitch_and_write(j, [], finish=True)
+                self._drain_final(j)
+                j.done = True
+        return progressed or not all(j.done for j in self.jobs)
+
     def run_native(self):
         """Host-backend loop: zero-copy mmap views through the native
         early-exit trial grid; no device round-trips on the fast path.
         Captures still interleave round-robin so streaming WAV output
         advances evenly across jobs."""
-        while True:
-            progressed = False
-            for j in self.jobs:
-                if j.done:
-                    continue
-                if not j.eof:
-                    with self._stage("read"):
-                        batch = j.reader.read_frames_view(
-                            j.frames_read, self.frames_per_round)
-                        if batch.shape[0] and batch.shape[2] < \
-                                ingest.MIN_WIDTH_FOR_SINGLE:
-                            # narrow capture: width-doubling needs the
-                            # copying field splitter
-                            lines_b, nums = ingest.split_fields_batch(
-                                np.ascontiguousarray(batch))
-                            perm = None
-                        else:
-                            perm, nums = ingest.field_perm(batch.shape[1])
-                            lines_b = batch
-                    if batch.shape[0] == 0:
-                        j.eof = True
-                    else:
-                        progressed = True
-                        j.frames_read += batch.shape[0]
-                        with self._stage("prescan"):
-                            prep = j.driver.prepare_frames(lines_b,
-                                                           perm=perm)
-                        with self._stage("binarize"):
-                            results = j.driver.decode_prepared_host(
-                                lines_b, prep, perm=perm)
-                        with self._stage("assemble"):
-                            stores = self._build_stores(j, results, nums)
-                        self._stitch_and_write(j, stores)
-                if j.eof and not j.done:
-                    self._stitch_and_write(j, [], finish=True)
-                    self._drain_final(j)
-                    j.done = True
-            if not progressed and all(j.done for j in self.jobs):
-                break
+        while self.step_native():
+            pass
         return {j.path: j.stats for j in self.jobs}
 
     def run_tpu(self):
@@ -374,6 +380,9 @@ class BatchDecoder:
         if arrs is not None:
             samples, valid, blk, rate = arrs
             out = job.audio.process(samples, valid, blk, file_end=True)
+        else:
+            out, rate = job.audio.flush(), 44100
+        if len(out):
             job.stats.add_audio(out, job.audio.total_masked)
             if job.writer is None:
                 job.writer = wav.WavWriter(job.out_path, rate)

@@ -92,6 +92,10 @@ class FullDecoder:
         """
         arrs = st.chunks_to_arrays(self.stitcher.pop_sample_chunks())
         if arrs is None:
+            if file_end:
+                out = self.audio.flush()
+                if len(out):
+                    return out, 44100
             return None, None
         samples, word_valid, block_ok, rate = arrs
         out = self.audio.process(samples, word_valid, block_ok,

@@ -20,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def _kind(stitcher):
@@ -28,7 +28,12 @@ def _kind(stitcher):
 
 
 def save_checkpoint(path, frame_index: int, stitcher,
-                    samples_written: int, sample_rate: int = 44100):
+                    samples_written: int, sample_rate: int = 44100,
+                    audio=None, driver=None):
+    """`audio`: AudioProcessor whose withheld drain-boundary carry must
+    survive the restart (a dropout spanning the kill point would
+    otherwise re-emit differently); `driver`: V2DDriver whose coordinate
+    /reference damping histories feed the next frame's prescan."""
     from ..pipeline import stitcher_stc007 as st
     path = Path(path)
     kind = _kind(stitcher)
@@ -40,6 +45,18 @@ def save_checkpoint(path, frame_index: int, stitcher,
         sample_rate=sample_rate,
     )
     arrays = {}
+    if audio is not None:
+        carry = audio.carry_state()
+        meta["audio_carry"] = carry is not None
+        meta["audio_total_masked"] = int(audio.total_masked)
+        if carry is not None:
+            arrays["audio_carry_samples"] = carry[0]
+            arrays["audio_carry_valid"] = carry[1]
+    if driver is not None:
+        meta["v2d_coord_history"] = \
+            [[int(a), int(b)] for a, b in driver.state.coord_history]
+        meta["v2d_ref_history"] = \
+            [int(r) for r in driver.state.ref_history]
     if kind == "STC007Stitcher":
         meta.update(
             frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
@@ -51,7 +68,7 @@ def save_checkpoint(path, frame_index: int, stitcher,
             pending_nos=[fno for fno, _ in stitcher.pending_frames],
         )
         conv = stitcher.conv_queue
-        arrays = {f: getattr(conv, f) for f in st.LineStore.FIELDS}
+        arrays.update({f: getattr(conv, f) for f in st.LineStore.FIELDS})
         # The sliding window's unpaired frames must survive the restart
         # or the first resumed frame would never be seam-stitched.
         for i, (_, store) in enumerate(stitcher.pending_frames):
@@ -76,13 +93,26 @@ def save_checkpoint(path, frame_index: int, stitcher,
     np.savez_compressed(Path(str(path) + ".npz"), **arrays)
 
 
-def load_checkpoint(path, stitcher):
-    """Restore stitcher state; returns (frame_index, samples_written,
-    sample_rate)."""
+def load_checkpoint(path, stitcher, audio=None, driver=None):
+    """Restore stitcher (+ audio carry + V2D history) state; returns
+    (frame_index, samples_written, sample_rate)."""
     from ..pipeline import stitcher_stc007 as st
     path = Path(path)
     meta = json.loads(Path(str(path) + ".json").read_text())
-    assert meta["version"] in (2, FORMAT_VERSION)
+    assert meta["version"] in (2, 3, FORMAT_VERSION)
+    if audio is not None and "audio_carry" in meta:
+        audio.total_masked = int(meta.get("audio_total_masked", 0))
+        if meta["audio_carry"]:
+            data = np.load(Path(str(path) + ".npz"))
+            audio.set_carry_state((data["audio_carry_samples"],
+                                   data["audio_carry_valid"]))
+        else:
+            audio.set_carry_state(None)
+    if driver is not None and "v2d_coord_history" in meta:
+        driver.state.coord_history = \
+            [(int(a), int(b)) for a, b in meta["v2d_coord_history"]]
+        driver.state.ref_history = \
+            [int(r) for r in meta["v2d_ref_history"]]
     kind = meta.get("kind", "STC007Stitcher")
     assert kind == _kind(stitcher), \
         f"checkpoint is for {kind}, not {_kind(stitcher)}"

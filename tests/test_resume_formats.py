@@ -195,3 +195,57 @@ def test_cli_pcm16x0_kill_resume_byte_identical(tmp_path):
                  "--quality", "fast", "--batch", "2",
                  "--checkpoint", ck]) == 0
     assert ref.read_bytes() == out.read_bytes()
+
+
+def _stc_capture_dropout(path, n_frames=6, seed=7):
+    """STC-007 capture with a dropout (zeroed lines) spanning frames 2-4
+    so the audio masker's carry is live at any early kill point."""
+    rng = np.random.default_rng(seed)
+    lpf = 294
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                               rng.integers(1, 1 << 14, n), n_frames,
+                               lines_pf=lpf)
+    vids = []
+    for k, fr in enumerate(frames):
+        pixels, _ = enc.render_lines(fr["line_words"], fr["crcs"],
+                                     width=1152, ppb=8.0)
+        L = pixels.shape[0]
+        img = np.zeros((L, 1152), np.uint8)
+        img[0::2] = pixels[:L // 2]
+        img[1::2] = pixels[L // 2:]
+        if 2 <= k <= 4:
+            img[40:L - 40] = 0          # long mid-frame dropout
+        vids.append(img)
+    ingest.write_y4m(path, np.stack(vids))
+
+
+def test_native_kill_resume_mid_dropout(tmp_path):
+    """Host-backend driver killed while a multi-frame dropout is in
+    flight (audio carry non-empty, V2D damping history live) resumes to
+    a byte-identical WAV — the full checkpoint-state contract."""
+    cap = tmp_path / "cn.y4m"
+    _stc_capture_dropout(cap)
+    ref = tmp_path / "refn.wav"
+    dec = batch_driver.BatchDecoder([(str(cap), str(ref))], hyst_limit=1,
+                                    shift_limit=1, frames_per_round=2,
+                                    backend="native")
+    dec.run()
+
+    out = tmp_path / "outn.wav"
+    dec1 = batch_driver.BatchDecoder([(str(cap), str(out))], hyst_limit=1,
+                                     shift_limit=1, frames_per_round=2,
+                                     checkpoint=True, backend="native")
+    dec1.step_native()
+    dec1.step_native()      # kill after round 2: frames 0-3 consumed
+    assert dec1.jobs[0].audio.carry_state() is not None  # dropout live
+    import os
+    assert os.path.exists(str(out) + ".ckpt.json")
+
+    dec2 = batch_driver.BatchDecoder([(str(cap), str(out))], hyst_limit=1,
+                                     shift_limit=1, frames_per_round=2,
+                                     checkpoint=True, backend="native")
+    assert dec2.jobs[0].frame_no > 0                     # resumed
+    assert dec2.jobs[0].driver.state.coord_history       # V2D history back
+    dec2.run()
+    assert ref.read_bytes() == out.read_bytes()
