@@ -63,7 +63,49 @@ def build_parser():
                    help="frames per device batch")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame work log")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "native", "tpu"],
+                   help="binarizer backend: the in-place native trial "
+                        "grid, the TPU batch grid, or transport-aware "
+                        "auto (default)")
+    p.add_argument("--per-line-agc", action="store_true",
+                   help="per-LINE black/white/reference via the "
+                        "format-aware histogram AGC (findSTC007BW) "
+                        "instead of one frame-level AGC from 4 sampled "
+                        "lines; tracks brightness drift (head switching, "
+                        "AGC pumping)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas VMEM kernel for the TPU "
+                        "trial grid (TPU backend only; wins at large "
+                        "batch sizes)")
     return p
+
+
+def _ensure_decodable_input(args):
+    """Auto-transcode non-Y4M/raw containers through FFmpeg (the
+    reference opens any FFmpeg-decodable input, ffmpegwrapper.cpp:543
+    slotOpenInput) with the `.pts` drop sidecar harvested from container
+    timestamps.  Returns the path to decode or None on failure."""
+    src = args.input
+    if src.lower().endswith(".y4m") or args.raw_size:
+        return src
+    import os
+    import tempfile
+    from .pipeline import ingest
+    dst = os.path.join(tempfile.mkdtemp(prefix="sdvpcm_"),
+                       os.path.basename(src).rsplit(".", 1)[0] + ".y4m")
+    try:
+        drops = ingest.transcode_with_ffmpeg(src, dst)
+    except FileNotFoundError as e:
+        print(f"error: cannot open {src!r}: {e}", file=sys.stderr)
+        return None
+    except Exception as e:
+        print(f"error: FFmpeg transcode of {src!r} failed: {e}",
+              file=sys.stderr)
+        return None
+    print(f"transcoded {src} -> {dst} ({drops} dropped frames "
+          f"re-inserted via .pts sidecar)")
+    return dst
 
 
 QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
@@ -103,6 +145,10 @@ def main(argv=None):
     hyst, shift = QUALITY_LIMITS[args.quality]
 
     out_path = args.output or (args.input.rsplit(".", 1)[0] + ".wav")
+    decodable = _ensure_decodable_input(args)
+    if decodable is None:
+        return 2
+    args.input = decodable
 
     if args.format in ("pcm1", "pcm16x0", "pcm1630"):
         return _decode_other_format(args, raw_size, mask_map, hyst, shift,
@@ -137,7 +183,14 @@ def main(argv=None):
                                ref_sweep=args.quality == "insane",
                                ref_sweep_fallback=args.quality == "normal",
                                forced_coords=fcoords,
+                               per_line_agc=args.per_line_agc,
+                               use_pallas=args.pallas,
                                m2=args.format == "m2")
+        backend = args.backend
+        if backend == "auto":
+            from .ops import stitch_native as _sn
+            backend = ("native" if _sn.available() and not args.pallas
+                       else "tpu")
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None
@@ -266,7 +319,10 @@ def main(argv=None):
                 lines_b = np.concatenate(
                     [lines_b, np.zeros((pad_frames,) + lines_b.shape[1:],
                                        np.uint8)])
-            results = driver.decode_frames(lines_b)
+            if backend == "native":
+                results = driver.decode_frames_host(lines_b)
+            else:
+                results = driver.decode_frames(lines_b)
             if pad_frames:
                 results = results[:-pad_frames]
             stage_t["decode"] += time.perf_counter() - t_dc
@@ -329,9 +385,19 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
         # EI auto-detects field order through the padding sweep.
         order16 = ORDER_UNK if (args.field_order == "auto"
                                 and fmt16 == sp16.FORMAT_EI) else order
+        # --format pcm16x0 auto-switches SI->EI from the control-bit
+        # stream (BIT_FORMAT_OFS, collectCtrlBitStats :4745); pcm1630
+        # pins EI explicitly.
         stitcher = sp16.PCM16X0Stitcher(field_order=order16, fmt=fmt16,
                                         en_p=not args.no_ecc,
-                                        preset_sample_rate=args.sample_rate)
+                                        preset_sample_rate=args.sample_rate,
+                                        auto_fmt=args.format == "pcm16x0")
+    fmt_drv = "pcm1" if args.format == "pcm1" else "pcm16x0"
+    from .pipeline import v2d_other
+    driver = v2d_other.PCMFrameDriver(
+        fmt_drv, shift_limit=shift,
+        refine=args.quality in ("normal", "insane"),
+        backend="tpu" if args.backend == "tpu" else "auto")
     writer = None
     frame_no = 0
     start_base = 0
@@ -340,71 +406,32 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
         import os as _os
         if _os.path.exists(args.checkpoint + ".json"):
             frame_no, audio_out, ck_rate = ckpt.load_checkpoint(
-                args.checkpoint, stitcher, audio=proc)
+                args.checkpoint, stitcher, audio=proc, driver=driver)
             start_base = frame_no
             writer = wav.WavWriter(out_path, ck_rate, resume_at=audio_out)
             print(f"resuming at frame {frame_no}, "
                   f"{audio_out} samples written")
-    coord_hist = None  # frame-level coordinate damping (V2D analog)
     with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
         n_frames = rd.n_frames if args.frames is None \
             else min(args.frames, rd.n_frames)
         for base in range(start_base, n_frames, args.batch):
             batch = rd.read_frames(base, min(args.batch, n_frames - base))
-            for f in range(batch.shape[0]):
-                lines, nums = ingest.split_fields(batch[f])
+            if batch.shape[0] == 0:
+                continue
+            lines_b, nums = ingest.split_fields_batch(batch)
+            L = lines_b.shape[1]
+            results = driver.decode_frames(lines_b)
+            for f, res in enumerate(results):
                 frame_no += 1
-                L, W = lines.shape
-                blk, wht, okbw = agc.find_black_white(lines[:4])
-                black = int(np.median(blk))
-                white = int(np.median(wht))
-                ref = (black + white) // 2
-                # Frame coordinates: sweep on spread sample lines
-                # (prescanCoordinates analog), seeded by prior frames.
-                from .ops import line_decode_np as ld
-                gap = L // 5
-                hits = []
-                for k in range(1, 5):
-                    sw = ld.search_coordinates(
-                        lines[k * gap], ref, black, white, W,
-                        fmt="pcm16x0" if args.format == "pcm1630"
-                        else args.format, history=coord_hist)
-                    if sw is not None:
-                        hits.append((sw["start"], sw["stop"]))
-                        if coord_hist is None and len(hits) == 1:
-                            # Seed further sample lines with the first
-                            # hit so their sweeps stay narrow.
-                            coord_hist = hits[0]
-                if hits:
-                    # Median over the sampled lines: one jittered line
-                    # must not poison the frame coordinates
-                    # (medianCoordinates analog).
-                    hs = np.array(hits)
-                    coord_hist = (int(np.median(hs[:, 0])),
-                                  int(np.median(hs[:, 1])))
-                if coord_hist is None:
+                if res is None:
                     continue
-                coords = jnp.asarray([list(coord_hist)], jnp.int32)
+                wl1 = res.words
+                cl1 = res.crc_read
                 if args.format == "pcm1":
-                    w, cr, valid = bz.pcm1_frame_decode(
-                        jnp.asarray(lines[None]), coords,
-                        jnp.asarray([ref], jnp.int32),
-                        jnp.asarray([black], jnp.int32),
-                        jnp.asarray([white], jnp.int32),
-                        shift_limit=shift)
-                    wl1 = np.asarray(w[0]).copy()
-                    cl1 = np.asarray(cr[0]).copy()
-                    if args.quality in ("normal", "insane"):
-                        fixed = ld.refine_failed_lines(
-                            lines, np.asarray(valid[0]), coord_hist, ref,
-                            black, white, "pcm1", shift_limit=shift)
-                        for li, (fw, fc) in fixed.items():
-                            wl1[li] = fw
-                            cl1[li] = fc
                     store = sp1.PCM1LineStore.from_decoded(
                         wl1, cl1, np.full(L, frame_no), nums,
-                        ref_level=np.full(L, ref))
+                        ref_level=np.full(L, res.ref_level))
                     if args.render_dir:
                         from .pipeline import render as rn
                         import os as _os
@@ -416,7 +443,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         rn.write_ppm(_os.path.join(
                             args.render_dir,
                             f"source_{frame_no:05d}.ppm"),
-                            rn.render_source_lines(lines))
+                            rn.render_source_lines(lines_b[f]))
                     if frame_no == 1:
                         tag = sp1.PCM1LineStore(1)
                         tag.service[0] = sp1.SRV_NEW_FILE
@@ -424,25 +451,10 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         store = sp1.PCM1LineStore.concat([tag, store])
                     stitcher.push_frame(store)
                 else:
-                    w, cr, valid, cb = bz.pcm16x0_frame_decode(
-                        jnp.asarray(lines[None]), coords,
-                        jnp.asarray([ref], jnp.int32),
-                        jnp.asarray([black], jnp.int32),
-                        jnp.asarray([white], jnp.int32),
-                        shift_limit=shift)
-                    wl = np.asarray(w[0]).reshape(L * 3, 3).copy()
-                    cl = np.asarray(cr[0]).reshape(L * 3).copy()
-                    if args.quality in ("normal", "insane"):
-                        fixed = ld.refine_failed_lines(
-                            lines, np.asarray(valid[0]), coord_hist, ref,
-                            black, white, "pcm16x0", shift_limit=shift)
-                        for (li, part), (fw, fc) in fixed.items():
-                            wl[3 * li + part] = fw
-                            cl[3 * li + part] = fc
                     store = sp16.PCM16X0LineStore.from_decoded(
-                        wl, cl, np.full(L * 3, frame_no),
+                        wl1, cl1, np.full(L * 3, frame_no),
                         np.repeat(nums, 3), np.tile(np.arange(3), L),
-                        control_bit=np.repeat(np.asarray(cb[0]), 3))
+                        control_bit=np.repeat(res.ctrl, 3))
                     if args.render_dir:
                         from .pipeline import render as rn
                         import os as _os
@@ -450,12 +462,12 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         rn.write_ppm(_os.path.join(
                             args.render_dir, f"frame_{frame_no:05d}.ppm"),
                             rn.render_pcm16x0_sublines(
-                                wl, cl, store.crc_valid(),
+                                wl1, cl1, store.crc_valid(),
                                 control_bit=store.control_bit))
                         rn.write_ppm(_os.path.join(
                             args.render_dir,
                             f"source_{frame_no:05d}.ppm"),
-                            rn.render_source_lines(lines))
+                            rn.render_source_lines(lines_b[f]))
                     if frame_no == 1:
                         tag = sp16.PCM16X0LineStore(1)
                         tag.service[0] = sp16.SRV_NEW_FILE
@@ -499,7 +511,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 ckpt.save_checkpoint(
                     args.checkpoint, frame_no, stitcher,
                     writer.samples_written if writer else 0,
-                    writer.sample_rate if writer else 44100, audio=proc)
+                    writer.sample_rate if writer else 44100, audio=proc,
+                    driver=driver)
     stitcher.finish()
     arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
     if arrs is not None:

@@ -618,15 +618,17 @@ inline int line_of_word(bool even, int blk, int word) {
 }
 }  // namespace
 
-void pcm16x0_decode_blocks(
+// Core of the PCM-16x0 block decode: rows[b*3 + line] gives the source
+// subline of each of the block's 3 lines (explicit maps let one call
+// cover EVERY padding of the EI sweep, batched_ei_padding_stats).
+static void pcm16x0_decode_core(
     const int32_t* sub_words, const uint8_t* sub_crc,
-    const int64_t* shifts, const uint8_t* even_order, int64_t B,
-    int32_t ofs, int32_t en_p, int32_t force_ecc,
+    const int64_t* rows, const uint8_t* even_order, int64_t B,
+    int32_t en_p, int32_t force_ecc,
     int32_t* words_out, uint8_t* valid_out, uint8_t* wcrc_out,
     int32_t* state_out, int32_t* stage_out, int16_t* samples_out,
     uint8_t* bval_out) {
     for (int64_t b = 0; b < B; ++b) {
-        const int64_t r0 = shifts[b];
         const bool even = even_order[b];
         bool bval = true;
         for (int blk = 0; blk < 3; ++blk) {
@@ -634,7 +636,7 @@ void pcm16x0_decode_blocks(
             uint8_t c[3];
             for (int word = 0; word < 3; ++word) {
                 const int line = line_of_word(even, blk, word);
-                const int64_t row = r0 + (int64_t)line * ofs;
+                const int64_t row = rows[b * 3 + line];
                 w[word] = sub_words[row * 3 + blk];
                 c[word] = sub_crc[row];
             }
@@ -695,6 +697,36 @@ void pcm16x0_decode_blocks(
         }
         bval_out[b] = bval;
     }
+}
+
+void pcm16x0_decode_blocks(
+    const int32_t* sub_words, const uint8_t* sub_crc,
+    const int64_t* shifts, const uint8_t* even_order, int64_t B,
+    int32_t ofs, int32_t en_p, int32_t force_ecc,
+    int32_t* words_out, uint8_t* valid_out, uint8_t* wcrc_out,
+    int32_t* state_out, int32_t* stage_out, int16_t* samples_out,
+    uint8_t* bval_out) {
+    int64_t* rows = new int64_t[B * 3];
+    for (int64_t b = 0; b < B; ++b)
+        for (int line = 0; line < 3; ++line)
+            rows[b * 3 + line] = shifts[b] + (int64_t)line * ofs;
+    pcm16x0_decode_core(sub_words, sub_crc, rows, even_order, B, en_p,
+                        force_ecc, words_out, valid_out, wcrc_out,
+                        state_out, stage_out, samples_out, bval_out);
+    delete[] rows;
+}
+
+// Row-mapped variant: rows [B, 3] explicit subline indices per block.
+void pcm16x0_decode_blocks_rows(
+    const int32_t* sub_words, const uint8_t* sub_crc,
+    const int64_t* rows, const uint8_t* even_order, int64_t B,
+    int32_t en_p, int32_t force_ecc,
+    int32_t* words_out, uint8_t* valid_out, uint8_t* wcrc_out,
+    int32_t* state_out, int32_t* stage_out, int16_t* samples_out,
+    uint8_t* bval_out) {
+    pcm16x0_decode_core(sub_words, sub_crc, rows, even_order, B, en_p,
+                        force_ecc, words_out, valid_out, wcrc_out,
+                        state_out, stage_out, samples_out, bval_out);
 }
 
 // PCM-1 / PCM-16x0 coordinate-sweep fallback (the binarizer's
@@ -776,6 +808,415 @@ inline bool linegrid_trial(const uint8_t* px, int64_t width, int64_t start,
     return (int32_t)c == read_crc;
 }
 
+// --- PCM-1 / PCM-16x0 coordinate SEARCH (searchPCM1Data binarizer.cpp
+// :4123 / searchPCM16X0Data :4514) — the native twin of
+// ops/line_decode_np.search_coordinates: left x right offset grid, per-
+// left CRC-collision filtering + pickLevelByCRCStats on the right axis,
+// then the same filter + pick on the left axis.  Includes the Bit
+// Picker (pickCutBitsUpPCM1 :6116 / ...PCM16X0 :6599) for lines whose
+// edge bits are cut off-frame.  Bit-identical to the Python reference
+// (tests/test_search_native.py).
+
+// Integer-PPB pixel coordinate of line bit `bit` at shift stage 0.
+inline int64_t bit_px(int64_t start, int64_t psm, int64_t half,
+                      int bit, int64_t width) {
+    int64_t p = (bit * psm + half) / 128 + start;
+    if (p < 0) p = 0;
+    if (p >= width) p = width - 1;
+    return p;
+}
+
+// count_cut_bits: how many edge bits collapse onto the line boundary.
+inline void count_cut(int64_t start, int64_t stop, int64_t width,
+                      int bits_between, int max_left, int max_right,
+                      int* left_out, int* right_out) {
+    const int64_t psm = ((stop - start) * 128 + bits_between / 2)
+        / bits_between;
+    const int64_t half = (psm + 1) / 2;
+    const int64_t ippb = psm / 128;
+    const int64_t h = (ippb + 1) / 2;
+    int left = 0;
+    int64_t first = 0;
+    for (int i = 0; i < max_left; ++i) {
+        const int64_t cur = bit_px(start, psm, half, i, width);
+        if ((cur - first) >= h) break;
+        if (i == 0) first = cur;
+        left = i + 1;
+    }
+    int right = 0;
+    first = width - 1;
+    for (int i = 0; i < max_right; ++i) {
+        const int64_t cur = bit_px(start, psm, half,
+                                   bits_between - 1 - i, width);
+        if ((first - cur) >= h) break;
+        if (i == 0) first = cur;
+        right = i + 1;
+    }
+    *left_out = left;
+    *right_out = right;
+}
+
+inline int32_t crc_pcm1_words(const int32_t* w6) {
+    uint32_t reg = 0xFFFF;
+    for (int i = 0; i < 6; ++i)
+        reg = crc16_feed(reg, (uint32_t)w6[i], 13, true);
+    return (int32_t)((~reg) & 0xFFFFu);
+}
+
+inline int32_t crc_pcm16x0_words(const int32_t* w3) {
+    uint32_t reg = 0xFFFF;
+    for (int i = 0; i < 3; ++i)
+        reg = crc16_feed(reg, (uint32_t)w3[i], 16, false);
+    return (int32_t)(reg & 0xFFFFu);
+}
+
+// One grid-sweep trial entry.
+struct SweepEntry {
+    bool result;
+    int32_t crc;
+    int32_t hyst;
+    int32_t shift;
+    int64_t start, stop;
+    int32_t words[8];
+    int32_t picked_l, picked_r;
+};
+
+// pickCutBitsUpPCM1 (:6116): brute-force the cut edge bits; two valid
+// patches = collision = stay invalid.
+inline void pick_cut_pcm1(SweepEntry* e, int64_t width, int left_pick,
+                          int right_pick) {
+    int left_n, right_n;
+    count_cut(e->start, e->stop, width, 94, left_pick, right_pick,
+              &left_n, &right_n);
+    if (left_n == 0 && right_n == 0) return;
+    const int32_t lw_clean = e->words[0] & ((1 << (13 - left_n)) - 1);
+    const int32_t rc_clean =
+        right_n ? (e->words[6] & ~((1 << right_n) - 1) & 0xFFFF)
+                : e->words[6];
+    int32_t found_w = -1, found_c = -1;
+    bool collision = false;
+    for (int li = 0; li < (1 << left_n) && !collision; ++li) {
+        int32_t test[6];
+        for (int k = 0; k < 6; ++k) test[k] = e->words[k];
+        test[0] = lw_clean | (li << (13 - left_n));
+        const int32_t calc = crc_pcm1_words(test);
+        for (int ri = 0; ri < (1 << right_n); ++ri) {
+            if (calc == (rc_clean | ri)) {
+                if (found_w >= 0) { collision = true; break; }
+                found_w = test[0];
+                found_c = rc_clean | ri;
+            }
+        }
+        if (right_n == 0 && calc == rc_clean) {
+            // covered by the ri==0 iteration above
+        }
+    }
+    if (collision || found_w < 0) return;
+    e->words[0] = found_w;
+    e->words[6] = found_c;
+    e->crc = found_c;
+    e->result = true;
+    e->picked_l = left_n;
+    e->picked_r = right_n;
+    e->hyst = (left_n && right_n) ? 0x0E : (right_n ? 0x0D : 0x0C);
+}
+
+// pickCutBitsUpPCM16X0 (:6599): PART_LEFT patches word 0 MSBs (unique-
+// solution rule); PART_RIGHT re-derives the CRC's cut LSBs.
+inline void pick_cut_pcm16x0(SweepEntry* e, int64_t width, int part,
+                             int left_pick, int right_pick) {
+    int left_n, right_n;
+    count_cut(e->start, e->stop, width, 193, left_pick, right_pick,
+              &left_n, &right_n);
+    if (part == 0 && left_n) {
+        const int32_t clean = e->words[0] & ((1 << (16 - left_n)) - 1);
+        int32_t found = -1;
+        for (int li = 0; li < (1 << left_n); ++li) {
+            int32_t test[3] = {clean | (li << (16 - left_n)),
+                               e->words[1], e->words[2]};
+            if (crc_pcm16x0_words(test) == e->words[3]) {
+                if (found >= 0) return;  // collision
+                found = test[0];
+            }
+        }
+        if (found < 0) return;
+        e->words[0] = found;
+        e->result = true;
+        e->picked_l = left_n;
+        e->hyst = 0x0C;
+    } else if (part == 2 && right_n) {
+        const int32_t mask = ~((1 << right_n) - 1) & 0xFFFF;
+        const int32_t calc = crc_pcm16x0_words(e->words);
+        if ((calc & mask) == (e->words[3] & mask)) {
+            e->words[3] = calc;
+            e->crc = calc;
+            e->result = true;
+            e->picked_r = right_n;
+            e->hyst = 0x0D;
+        }
+    }
+}
+
+// read_pcm_grid at hysteresis depth 0 (the search sweeps use
+// SHIFT_STAGES_SAFE shifts only) + Bit Picker on failure.
+inline void sweep_trial(const uint8_t* px, int64_t width, int64_t start,
+                        int64_t stop, int ref, int black, int white,
+                        int fmt, int part, int shift_limit,
+                        int left_pick, int right_pick, SweepEntry* e) {
+    e->result = false;
+    e->start = start;
+    e->stop = stop;
+    e->picked_l = e->picked_r = 0;
+    int32_t crc_read, calc;
+    const int rl = ref < 1 ? 1 : ref;
+    const int rh = ref > 254 ? 254 : ref;
+    int d = 0, s = 0;
+    bool valid = false;
+    if (rl > black && rh < white) {
+        for (int shift = 0; shift <= shift_limit; ++shift) {
+            if (linegrid_trial(px, width, start, stop, ref, 0, shift,
+                               fmt, part, e->words, &crc_read, &calc)) {
+                valid = true;
+                s = shift;
+                break;
+            }
+        }
+    }
+    if (!valid) {
+        valid = linegrid_trial(px, width, start, stop, ref, 0, 0, fmt,
+                               part, e->words, &crc_read, &calc);
+        d = s = 0;
+    }
+    const int n_words = fmt == 0 ? 6 : 3;
+    e->crc = e->words[n_words];
+    e->hyst = d;
+    e->shift = s;
+    e->result = valid;
+    if (!valid) {
+        if (fmt == 0) pick_cut_pcm1(e, width, left_pick, right_pick);
+        else pick_cut_pcm16x0(e, width, part, left_pick, right_pick);
+    }
+}
+
+// _crc_stats_filter: most frequent CRC (first-seen tiebreak); a rival
+// with best <= 2*cnt kills everything; survivors share the modal CRC.
+inline int crc_stats_filter(SweepEntry* es, int n) {
+    int32_t crcs[64];
+    int counts[64];
+    int n_crc = 0;
+    for (int i = 0; i < n; ++i) {
+        if (!es[i].result) continue;
+        int j = 0;
+        for (; j < n_crc; ++j)
+            if (crcs[j] == es[i].crc) { ++counts[j]; break; }
+        if (j == n_crc && n_crc < 64) {
+            crcs[n_crc] = es[i].crc;
+            counts[n_crc++] = 1;
+        }
+    }
+    if (n_crc == 0) return 0;
+    int best = 0;
+    for (int j = 1; j < n_crc; ++j)
+        if (counts[j] > counts[best]) best = j;
+    for (int j = 0; j < n_crc; ++j) {
+        if (j != best && counts[best] <= 2 * counts[j]) {
+            for (int i = 0; i < n; ++i) es[i].result = false;
+            return 0;
+        }
+    }
+    int alive = 0;
+    for (int i = 0; i < n; ++i) {
+        if (es[i].result && es[i].crc != crcs[best]) es[i].result = false;
+        else if (es[i].result) ++alive;
+    }
+    return alive;
+}
+
+// pickLevelByCRCStats (:1985-2143) over the entry axis.
+inline int pick_by_stats(const SweepEntry* es, int n) {
+    int lowd = 0xFF, lows = 0xFF, high_idx = -1;
+    for (int i = 0; i < n; ++i) {
+        if (!es[i].result || es[i].hyst > 0x0F) continue;
+        if (es[i].hyst < lowd
+            || (es[i].hyst == lowd && es[i].shift < lows)) {
+            lowd = es[i].hyst;
+            lows = es[i].shift;
+            high_idx = i;
+        }
+    }
+    if (high_idx < 0) return -1;
+    int best_lo = high_idx, best_hi = high_idx;
+    bool run_open = false;
+    int cur_lo = high_idx, cur_hi = high_idx;
+    for (int i = high_idx; i < n; ++i) {
+        const bool match = es[i].result && es[i].hyst == lowd
+            && es[i].shift == lows;
+        if (match) {
+            if (!run_open) { cur_hi = i; run_open = true; }
+            cur_lo = i;
+        } else {
+            if (run_open && (cur_lo - cur_hi) >= (best_lo - best_hi)) {
+                best_lo = cur_lo;
+                best_hi = cur_hi;
+            }
+            run_open = false;
+        }
+    }
+    if (run_open && (cur_lo - cur_hi) >= (best_lo - best_hi)) {
+        best_lo = cur_lo;
+        best_hi = cur_hi;
+    }
+    return best_hi + (best_lo - best_hi) / 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// PCM-1 frame-batch decode — host twin of binarize.pcm1_frame_decode
+// (generic_frame_decode at hysteresis 0, lex-first valid shift, (0,0)
+// fallback).  pixels strided [F, L, W]; coords/ref/black/white [F].
+// words_out i32 [F*L, 6], crc_out i32 [F*L], valid_out u8 [F*L].
+void pcm1_binarize_frames(
+    const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
+    int64_t stride_f, int64_t stride_l, const int32_t* coords,
+    const int32_t* ref, const int32_t* black, const int32_t* white,
+    int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
+    uint8_t* valid_out) {
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
+        const int rf = ref[f], bk = black[f], wt = white[f];
+        const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
+        const bool read_ok = rl > bk && rh < wt;
+        for (int64_t l = 0; l < L; ++l) {
+            const uint8_t* px = pixels + f * stride_f + l * stride_l;
+            const int64_t row = f * L + l;
+            int32_t w[8], crc_read, calc;
+            bool ok = false;
+            if (read_ok) {
+                for (int s = 0; s <= shift_limit; ++s) {
+                    if (linegrid_trial(px, W, ds, de, rf, 0, s, 0, 0, w,
+                                       &crc_read, &calc)) {
+                        ok = true;
+                        break;
+                    }
+                }
+            }
+            if (!ok)
+                linegrid_trial(px, W, ds, de, rf, 0, 0, 0, 0, w,
+                               &crc_read, &calc);
+            for (int k = 0; k < 6; ++k) words_out[row * 6 + k] = w[k];
+            crc_out[row] = w[6];
+            valid_out[row] = ok;
+        }
+    }
+}
+
+// PCM-16x0 frame-batch decode — twin of binarize.pcm16x0_frame_decode:
+// 3 sublines per video line + the 129th control bit (plain threshold,
+// strictly > ref, shift stage 0).  words_out i32 [F*L, 3, 3],
+// crc_out i32 [F*L, 3], valid_out u8 [F*L, 3], ctrl_out u8 [F*L].
+void pcm16x0_binarize_frames(
+    const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
+    int64_t stride_f, int64_t stride_l, const int32_t* coords,
+    const int32_t* ref, const int32_t* black, const int32_t* white,
+    int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
+    uint8_t* valid_out, uint8_t* ctrl_out) {
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
+        const int rf = ref[f], bk = black[f], wt = white[f];
+        const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
+        const bool read_ok = rl > bk && rh < wt;
+        // control-bit pixel: line bit 128 of the 193-bit layout
+        const int64_t psm = ((de - ds) * 128 + 193 / 2) / 193;
+        const int64_t half = (psm + 1) / 2;
+        const int64_t cpx = bit_px(ds, psm, half, 128, W);
+        for (int64_t l = 0; l < L; ++l) {
+            const uint8_t* px = pixels + f * stride_f + l * stride_l;
+            const int64_t row = f * L + l;
+            for (int part = 0; part < 3; ++part) {
+                int32_t w[8], crc_read, calc;
+                bool ok = false;
+                if (read_ok) {
+                    for (int s = 0; s <= shift_limit; ++s) {
+                        if (linegrid_trial(px, W, ds, de, rf, 0, s, 1,
+                                           part, w, &crc_read, &calc)) {
+                            ok = true;
+                            break;
+                        }
+                    }
+                }
+                if (!ok)
+                    linegrid_trial(px, W, ds, de, rf, 0, 0, 1, part, w,
+                                   &crc_read, &calc);
+                for (int k = 0; k < 3; ++k)
+                    words_out[(row * 3 + part) * 3 + k] = w[k];
+                crc_out[row * 3 + part] = w[3];
+                valid_out[row * 3 + part] = ok;
+            }
+            ctrl_out[row] = px[cpx] > rf;
+        }
+    }
+}
+
+// Full coordinate search for one line.  fmt 0 = pcm1, 1 = pcm16x0 (with
+// part 0..2).  out (int64[16]): found, start, stop, crc, hyst, shift,
+// picked_l, picked_r, words[0..7].
+int pcm_search_coordinates(
+    const uint8_t* px, int64_t width, int64_t ds, int64_t de,
+    int32_t ref, int32_t black, int32_t white, int32_t fmt, int32_t part,
+    int32_t step, int32_t max_ofs, int32_t shift_limit,
+    int32_t left_pick, int32_t right_pick, int64_t* out) {
+    const int n = 2 * max_ofs + 1;
+    const int64_t span = (int64_t)step * max_ofs;
+    SweepEntry* rights = new SweepEntry[n];
+    SweepEntry* lefts = new SweepEntry[n];
+    int nl = 0;
+    for (int64_t so = ds - span; so <= ds + span; so += step) {
+        int nr = 0;
+        for (int64_t eo = de + span; eo >= de - span; eo -= step) {
+            sweep_trial(px, width, so, eo, ref, black, white, fmt, part,
+                        shift_limit, left_pick, right_pick,
+                        &rights[nr++]);
+        }
+        SweepEntry& L = lefts[nl++];
+        if (crc_stats_filter(rights, nr)) {
+            const int ridx = pick_by_stats(rights, nr);
+            L = rights[ridx];
+            L.result = true;
+        } else {
+            L.result = false;
+            L.crc = 0;
+            L.hyst = 10;  // HYST_DEPTH_MAX dead-entry marker
+            L.shift = 4;
+        }
+    }
+    int found = 0;
+    if (crc_stats_filter(lefts, nl)) {
+        const int lidx = pick_by_stats(lefts, nl);
+        if (lidx >= 0 && lefts[lidx].result) {
+            const SweepEntry& e = lefts[lidx];
+            out[0] = 1;
+            out[1] = e.start;
+            out[2] = e.stop;
+            out[3] = e.crc;
+            out[4] = e.hyst;
+            out[5] = e.shift;
+            out[6] = e.picked_l;
+            out[7] = e.picked_r;
+            for (int k = 0; k < 8; ++k) out[8 + k] = e.words[k];
+            found = 1;
+        }
+    }
+    if (!found) out[0] = 0;
+    delete[] rights;
+    delete[] lefts;
+    return found;
+}
+
+}  // extern "C"
+
+namespace {
 }  // namespace
 
 // Sweep (d1, d2) coordinate deltas in caller order, each through the

@@ -475,6 +475,14 @@ def search_coordinates(pixels_line, ref, black, white, width, fmt="pcm1",
                // bz.INT_CALC_MULT, 1)
     step = max(ppb0 // step_div, 1)
     span = step * max_ofs
+    from . import stitch_native as _nat
+    if _nat.available():
+        # Native grid (~100x the Python loops below, which remain the
+        # bit-identical reference — tests/test_search_native.py).
+        return _nat.pcm_search_coordinates(
+            pixels_line, ds, de, ref, black, white, fmt, part,
+            step, max_ofs, bin_mode_shifts, preset.left_bit_pick,
+            preset.right_bit_pick)
     left_entries = []
     for start_ofs in range(ds - span, ds + span + 1, step):
         right_trials = []

@@ -38,11 +38,14 @@ def _line_of_word(order_even, blk, word):
 
 
 def decode_blocks(sub_words, sub_crc_ok, shifts, even_order, ei=False,
-                  en_p=True, force_ecc=True):
+                  en_p=True, force_ecc=True, rows=None):
     """Vectorized block decode.
 
     sub_words [S, 3] int words per subline, sub_crc_ok [S] bool,
     shifts [B] int block start sublines, even_order [B] bool.
+    rows [B, 3] overrides the contiguous shift+k*ofs line map with
+    explicit subline indices (one call covers every padding of an EI
+    sweep, batched_ei_padding_stats).
 
     Returns dict of:
       samples [B, 3, 2] int16 (sub-block x L/R)
@@ -57,12 +60,23 @@ def decode_blocks(sub_words, sub_crc_ok, shifts, even_order, ei=False,
     if _sn.available():
         # Native twin (~20x): the numpy path below stays the tested
         # reference implementation.
-        w, v, wc, state, stage, samples, bval = \
-            _sn.pcm16x0_decode_blocks(sub_words, sub_crc_ok, shifts,
-                                      even_order, ofs, en_p, force_ecc)
+        if rows is not None:
+            w, v, wc, state, stage, samples, bval = \
+                _sn.pcm16x0_decode_blocks_rows(
+                    sub_words, sub_crc_ok, rows, even_order, en_p,
+                    force_ecc)
+        else:
+            w, v, wc, state, stage, samples, bval = \
+                _sn.pcm16x0_decode_blocks(sub_words, sub_crc_ok, shifts,
+                                          even_order, ofs, en_p,
+                                          force_ecc)
         return dict(samples=samples, word_valid=v, word_crc=wc,
                     state=state, stage=stage, block_valid=bval, words=w)
-    rows = shifts[:, None] + np.arange(LINE_CNT) * ofs      # [B, 3]
+    if rows is None:
+        rows = shifts[:, None] + np.arange(LINE_CNT) * ofs  # [B, 3]
+    else:
+        rows = np.asarray(rows)
+        shifts = rows[:, 0]
     lw = sub_words[rows]                                    # [B, 3, 3]
     lok = sub_crc_ok[rows]                                  # [B, 3] per line
     B = len(shifts)

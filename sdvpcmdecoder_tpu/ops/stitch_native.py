@@ -91,6 +91,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.pcm16x0_decode_blocks_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.stc007_crc_row.restype = ctypes.c_uint16
         L.stc007_crc_row.argtypes = [ctypes.c_void_p]
         L.stc007_crc_rows.argtypes = [
@@ -108,6 +115,22 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        _frame_dec = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L.pcm1_binarize_frames.argtypes = list(_frame_dec)
+        L.pcm16x0_binarize_frames.argtypes = list(_frame_dec) + \
+            [ctypes.c_void_p]
+        L.pcm_search_coordinates.restype = ctypes.c_int
+        L.pcm_search_coordinates.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         L.stc007_binarize_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -254,6 +277,37 @@ def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
             stage.astype(np.int64), samples, bval.astype(bool))
 
 
+def pcm16x0_decode_blocks_rows(sub_words, sub_crc, rows, even_order,
+                               en_p, force_ecc):
+    """Row-mapped native PCM-16x0 block decode: rows [B, 3] explicit
+    subline indices (one call covers every padding of an EI sweep)."""
+    L = _load()
+    B = len(rows)
+    w = np.ascontiguousarray(sub_words, np.int32)
+    c = np.ascontiguousarray(sub_crc, np.uint8)
+    r = np.ascontiguousarray(rows, np.int64)
+    if B and (int(r.min()) < 0 or int(r.max()) >= w.shape[0]):
+        raise IndexError(
+            f"block rows out of range for {w.shape[0]} sublines")
+    eo = np.ascontiguousarray(even_order, np.uint8)
+    words = np.empty((B, 3, 3), np.int32)
+    valid = np.empty((B, 3, 3), np.uint8)
+    wcrc = np.empty((B, 3, 3), np.uint8)
+    state = np.empty((B, 3), np.int32)
+    stage = np.empty((B, 3), np.int32)
+    samples = np.empty((B, 3, 2), np.int16)
+    bval = np.empty(B, np.uint8)
+    L.pcm16x0_decode_blocks_rows(
+        w.ctypes.data, c.ctypes.data, r.ctypes.data, eo.ctypes.data, B,
+        int(bool(en_p)), int(bool(force_ecc)),
+        words.ctypes.data, valid.ctypes.data, wcrc.ctypes.data,
+        state.ctypes.data, stage.ctypes.data, samples.ctypes.data,
+        bval.ctypes.data)
+    return (words.astype(np.int64), valid.astype(bool),
+            wcrc.astype(bool), state.astype(np.int64),
+            stage.astype(np.int64), samples, bval.astype(bool))
+
+
 def linegrid_coord_sweep(pixels_line, ds, de, ref, black, white, fmt,
                          part, d1s, d2s, hyst_limit, shift_limit):
     """Native coordinate-delta sweep through the readPCMdata grid.
@@ -323,6 +377,29 @@ def peak_scan(hist, start, stop_limit, min_count, delta, upward):
     return best, found.astype(bool)
 
 
+def pcm_search_coordinates(pixels_line, ds, de, ref, black, white, fmt,
+                           part, step, max_ofs, shift_limit, left_pick,
+                           right_pick):
+    """Native coordinate SEARCH (searchPCM1Data :4123 twin of
+    line_decode_np.search_coordinates's grid): returns the picked entry
+    dict (result/crc/hyst/shift/start/stop/words/picked) or None."""
+    L = _load()
+    px = np.ascontiguousarray(pixels_line, np.uint8)
+    out = np.zeros(16, np.int64)
+    found = L.pcm_search_coordinates(
+        px.ctypes.data, len(px), int(ds), int(de), int(ref), int(black),
+        int(white), 0 if fmt == "pcm1" else 1, int(part), int(step),
+        int(max_ofs), int(shift_limit), int(left_pick), int(right_pick),
+        out.ctypes.data)
+    if not found:
+        return None
+    n = 6 if fmt == "pcm1" else 3
+    return dict(result=True, crc=int(out[3]), hyst=int(out[4]),
+                shift=int(out[5]), start=int(out[1]), stop=int(out[2]),
+                words=[int(w) for w in out[8:8 + n]],
+                picked=(int(out[6]), int(out[7])))
+
+
 def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
                     shift_limit):
     """Native STC-007 trial-grid frame decode (host twin of
@@ -356,6 +433,59 @@ def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
         hyst.ctypes.data, shift.ctypes.data)
     return (words.astype(np.int64), crc.astype(np.int64),
             valid.astype(bool), hyst, shift)
+
+
+def pcm1_binarize_frames(pixels, coords, ref, black, white, shift_limit):
+    """Native PCM-1 frame decode (twin of binarize.pcm1_frame_decode).
+
+    pixels [F, L, W] uint8 (any strides, contiguous rows); coords [F,2];
+    ref/black/white [F].  Returns (words [F,L,6] i64, crc [F,L] i64,
+    valid [F,L] bool)."""
+    L = _load()
+    F, Ln, W = pixels.shape
+    if pixels.strides[2] != 1:
+        pixels = np.ascontiguousarray(pixels)
+    cds = np.ascontiguousarray(coords, np.int32)
+    rf = np.ascontiguousarray(np.broadcast_to(ref, (F,)), np.int32)
+    bk = np.ascontiguousarray(np.broadcast_to(black, (F,)), np.int32)
+    wt = np.ascontiguousarray(np.broadcast_to(white, (F,)), np.int32)
+    words = np.empty((F, Ln, 6), np.int32)
+    crc = np.empty((F, Ln), np.int32)
+    valid = np.empty((F, Ln), np.uint8)
+    L.pcm1_binarize_frames(
+        pixels.ctypes.data, F, Ln, W, pixels.strides[0],
+        pixels.strides[1], cds.ctypes.data, rf.ctypes.data,
+        bk.ctypes.data, wt.ctypes.data, int(shift_limit),
+        words.ctypes.data, crc.ctypes.data, valid.ctypes.data)
+    return (words.astype(np.int64), crc.astype(np.int64),
+            valid.astype(bool))
+
+
+def pcm16x0_binarize_frames(pixels, coords, ref, black, white,
+                            shift_limit):
+    """Native PCM-16x0 frame decode (twin of
+    binarize.pcm16x0_frame_decode).  Returns (words [F,L,3,3] i64,
+    crc [F,L,3] i64, valid [F,L,3] bool, ctrl [F,L] bool)."""
+    L = _load()
+    F, Ln, W = pixels.shape
+    if pixels.strides[2] != 1:
+        pixels = np.ascontiguousarray(pixels)
+    cds = np.ascontiguousarray(coords, np.int32)
+    rf = np.ascontiguousarray(np.broadcast_to(ref, (F,)), np.int32)
+    bk = np.ascontiguousarray(np.broadcast_to(black, (F,)), np.int32)
+    wt = np.ascontiguousarray(np.broadcast_to(white, (F,)), np.int32)
+    words = np.empty((F, Ln, 3, 3), np.int32)
+    crc = np.empty((F, Ln, 3), np.int32)
+    valid = np.empty((F, Ln, 3), np.uint8)
+    ctrl = np.empty((F, Ln), np.uint8)
+    L.pcm16x0_binarize_frames(
+        pixels.ctypes.data, F, Ln, W, pixels.strides[0],
+        pixels.strides[1], cds.ctypes.data, rf.ctypes.data,
+        bk.ctypes.data, wt.ctypes.data, int(shift_limit),
+        words.ctypes.data, crc.ctypes.data, valid.ctypes.data,
+        ctrl.ctypes.data)
+    return (words.astype(np.int64), crc.astype(np.int64),
+            valid.astype(bool), ctrl.astype(bool))
 
 
 def marker_search(pixels, bin_low, bin_high, mark_start_max, mark_end_min,

@@ -70,22 +70,30 @@ class CaptureJob:
 
 
 class BatchDecoder:
-    """Decode several captures concurrently (STC-007 family)."""
+    """Decode several captures concurrently.
+
+    fmt selects the decode family per run ("stc007", "pcm1", "pcm16x0",
+    "pcm1630") — the reference routes one user-set pcm_type the same way
+    (videotodigital.h:125-126); PCM-1/16x0 jobs run on the host backend
+    (the PCMFrameDriver handles its own TPU/native split internally)."""
 
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
                  frames_per_round=4, workers=None, ref_sweep=False,
                  ref_sweep_fallback=False, checkpoint=False,
-                 backend="auto"):
+                 backend="auto", per_line_agc=False, fmt="stc007"):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
+        self.fmt = fmt
         if backend == "auto":
             import os
             backend = os.environ.get("SDV_BACKEND", "auto")
         if backend == "auto":
             from ..ops import stitch_native as sn
             backend = "native" if sn.available() else "tpu"
+        if fmt != "stc007":
+            backend = "native"  # round loop; the driver splits internally
         self.backend = backend
         self.stage_t = defaultdict(float)
         preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
@@ -93,12 +101,31 @@ class BatchDecoder:
         for j in self.jobs:
             j.reader = ingest.VideoReader(j.path)
             j.stats.frames_dropped = getattr(j.reader, "dropped_frames", 0)
-            j.driver = v2d.V2DDriver(hyst_limit=hyst_limit,
-                                     shift_limit=shift_limit,
-                                     ref_sweep=ref_sweep,
-                                     ref_sweep_fallback=ref_sweep_fallback)
-            j.stitcher = st.STC007Stitcher(preset_video=preset_video,
-                                           auto_m2=True)
+            if fmt == "stc007":
+                j.driver = v2d.V2DDriver(
+                    hyst_limit=hyst_limit, shift_limit=shift_limit,
+                    ref_sweep=ref_sweep,
+                    ref_sweep_fallback=ref_sweep_fallback,
+                    per_line_agc=per_line_agc)
+                j.stitcher = st.STC007Stitcher(preset_video=preset_video,
+                                               auto_m2=True)
+            elif fmt == "pcm1":
+                from . import stitcher_pcm1 as sp1
+                from . import v2d_other
+                j.driver = v2d_other.PCMFrameDriver(
+                    "pcm1", shift_limit=shift_limit)
+                j.stitcher = sp1.PCM1Stitcher()
+            elif fmt in ("pcm16x0", "pcm1630"):
+                from . import stitcher_pcm16x0 as sp16
+                from . import v2d_other
+                j.driver = v2d_other.PCMFrameDriver(
+                    "pcm16x0", shift_limit=shift_limit)
+                j.stitcher = sp16.PCM16X0Stitcher(
+                    fmt=sp16.FORMAT_EI if fmt == "pcm1630"
+                    else sp16.FORMAT_SI,
+                    auto_fmt=fmt == "pcm16x0")
+            else:
+                raise ValueError(f"unknown fmt {fmt!r}")
             j.audio = ap.AudioProcessor(mask_mode=mask_mode)
             if checkpoint:
                 self._try_resume(j)
@@ -173,6 +200,48 @@ class BatchDecoder:
                 self._save_checkpoint(job)
 
     def _build_stores(self, j: CaptureJob, results, nums):
+        if self.fmt != "stc007":
+            return self._build_stores_other(j, results, nums)
+        return self._build_stores_stc007(j, results, nums)
+
+    def _build_stores_other(self, j: CaptureJob, results, nums):
+        """PCM-1 / PCM-16x0 stores (None frames are skipped — the
+        single-frame stitchers carry no cross-frame interleave, matching
+        the CLI path)."""
+        stores = []
+        L = len(nums)
+        for res in results:
+            j.frame_no += 1
+            if res is None:
+                j.stats.frames_no_pcm += 1
+                continue
+            if self.fmt == "pcm1":
+                from . import stitcher_pcm1 as sp1
+                store = sp1.PCM1LineStore.from_decoded(
+                    res.words, res.crc_read, np.full(L, j.frame_no),
+                    nums, ref_level=np.full(L, res.ref_level))
+                tag_cls = sp1.PCM1LineStore
+                srv_new = sp1.SRV_NEW_FILE
+            else:
+                from . import stitcher_pcm16x0 as sp16
+                store = sp16.PCM16X0LineStore.from_decoded(
+                    res.words, res.crc_read, np.full(L * 3, j.frame_no),
+                    np.repeat(nums, 3), np.tile(np.arange(3), L),
+                    control_bit=np.repeat(res.ctrl, 3))
+                tag_cls = sp16.PCM16X0LineStore
+                srv_new = sp16.SRV_NEW_FILE
+            j.stats.lines_total += len(res.valid)
+            j.stats.lines_valid += int(np.asarray(res.valid).sum())
+            if j.first:
+                tag = tag_cls(1)
+                tag.service[0] = srv_new
+                tag.frame_number[0] = j.frame_no
+                store = tag_cls.concat([tag, store])
+                j.first = False
+            stores.append(store)
+        return stores
+
+    def _build_stores_stc007(self, j: CaptureJob, results, nums):
         """FrameDecodeResults (or Nones) -> per-frame LineStores."""
         stores = []
         for res in results:
@@ -239,8 +308,14 @@ class BatchDecoder:
                     with self._stage("prescan"):
                         prep = j.driver.prepare_frames(lines_b, perm=perm)
                     with self._stage("binarize"):
-                        results = j.driver.decode_prepared_host(
-                            lines_b, prep, perm=perm)
+                        if self.fmt == "stc007":
+                            results = j.driver.decode_prepared_host(
+                                lines_b, prep, perm=perm)
+                        elif prep["usable"].any():
+                            results = j.driver.decode_prepared(
+                                lines_b, prep, perm=perm)
+                        else:
+                            results = [None] * lines_b.shape[0]
                     with self._stage("assemble"):
                         stores = self._build_stores(j, results, nums)
                     self._stitch_and_write(j, stores)

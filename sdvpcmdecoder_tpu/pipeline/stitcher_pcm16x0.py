@@ -551,14 +551,80 @@ class PCM16X0Stitcher:
         return StitchStats(index=padding, valid=vmax, silent=smax,
                            unchecked=umax, broken=bmax)
 
-    def find_ei_padding(self, f1, f2):
+    def batched_ei_padding_stats(self, f1, f2, paddings):
+        """ALL inter-field paddings through ONE row-mapped decode call
+        (the batching trick of batched_si_padding_stats applied to the
+        EI sweep): each padding's blocks read the shared master buffer
+        f1 + MAX empties + f2 via explicit row indices, so nothing is
+        re-concatenated or re-CRC'd per padding.  Bit-identical to the
+        serial try_ei_padding loop (tests/test_pcm16x0.py)."""
+        paddings = list(paddings)
+        if not paddings:
+            return []
+        maxpad = max(paddings)
+        n1 = len(f1)
+        master = PCM16X0LineStore.concat(
+            [f1, PCM16X0LineStore(3 * maxpad), f2])
+        crc = master.crc_valid()
+        base = np.arange(3) * di16.EI_OFS
+        row_chunks, eo_chunks, counts = [], [], []
+        for pad in paddings:
+            S = n1 + 3 * pad + len(f2)
+            n = S - 2 * di16.EI_OFS - 1
+            counts.append(max(n, 0))
+            if n <= 0:
+                continue
+            qrows = np.arange(n)[:, None] + base[None, :]
+            row_chunks.append(np.where(qrows < n1 + 3 * pad, qrows,
+                                       qrows + 3 * (maxpad - pad)))
+            eo_chunks.append((np.arange(n) % 2) == 1)
+        if not row_chunks:
+            return [StitchStats(index=p) for p in paddings]
+        rows = np.concatenate(row_chunks)
+        eo = np.concatenate(eo_chunks)
+        res = di16.decode_blocks(master.words, crc, None, eo, ei=True,
+                                 en_p=self.en_p, force_ecc=True,
+                                 rows=rows)
+        flags = _si_seam_flags(res)
+        out = []
+        ofs = 0
+        for pad, n in zip(paddings, counts):
+            if n == 0:
+                out.append(StitchStats(index=pad))
+                continue
+            sl = slice(ofs, ofs + n)
+            vmax, smax, umax, bmax = _burst_stats_ei(
+                *(f[sl] for f in flags))
+            out.append(StitchStats(index=pad, valid=vmax, silent=smax,
+                                   unchecked=umax, broken=bmax))
+            ofs += n
+        return out
+
+    @staticmethod
+    def _ei_accept(st):
+        """findEIPadding accept rule for one padding's stats."""
+        if st.unchecked > MAX_BURST_UNCH_EI \
+                or st.silent >= MAX_BURST_SILENCE_EI:
+            return False
+        return st.broken == 0 and st.valid > MIN_VALID_EI
+
+    def find_ei_padding(self, f1, f2, try_previous=True):
         """Sweep inter-field paddings; min-broken filter, then the stats
-        sort and accept rules of findEIPadding :2793-2920.
+        sort and accept rules of findEIPadding :2793-2920.  A padding
+        that already worked is re-tried FIRST and accepted without the
+        81-wide sweep (STG_TRY_PREVIOUS of findEIFrameStitching :3610).
         Returns (ok, padding, stats)."""
         if not self.en_p:
             return False, 0, StitchStats()
-        stats = [self.try_ei_padding(f1, f2, pad)
-                 for pad in range(MAX_PADDING_EI)]
+        if try_previous and self.stats_padding:
+            prev = max(set(self.stats_padding),
+                       key=self.stats_padding.count)
+            if 0 <= prev < MAX_PADDING_EI:
+                st = self.try_ei_padding(f1, f2, prev)
+                if self._ei_accept(st):
+                    return True, prev, st
+        stats = self.batched_ei_padding_stats(f1, f2,
+                                              range(MAX_PADDING_EI))
         min_broken = min(st.broken for st in stats)
         cand = [st for st in stats
                 if st.broken == min_broken and st.valid > 0]

@@ -1,0 +1,207 @@
+"""V2D-analog frame driver for PCM-1 / PCM-16x0.
+
+The reference drives these formats through the same VideoToDigital loop
+as STC-007, with per-line brute-force coordinate sweeps instead of
+marker search (findPCM1Coordinates binarizer.cpp:5601,
+findPCM16X0Coordinates :5819, searchPCM1Data :4123).  Batch design here
+mirrors V2DDriver:
+
+  * prescan: format-aware histogram AGC (findPCM1BW :2560 /
+    findPCM16X0BW :2602) + the native coordinate SEARCH on
+    COORD_CHECK_LINES spread sample lines, damped by a frame-level
+    median history (prescanCoordinates / medianCoordinates analog);
+  * decode: the whole frame batch through ONE native early-exit trial
+    grid call (host backend) or one XLA dispatch (TPU backend);
+  * fallback: per-line native coordinate refinement for lines the
+    shared frame coordinates cannot decode (refine_failed_lines).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import agc, line_decode_np as ld
+
+COORD_CHECK_LINES = 4      # videotodigital.h:98-105
+COORD_CHECK_PARTS = COORD_CHECK_LINES + 1
+COORD_LONG_HISTORY = 16
+
+
+@dataclass
+class OtherFrameResult:
+    words: np.ndarray        # pcm1 [L, 6] / pcm16x0 [L*3, 3]
+    crc_read: np.ndarray     # pcm1 [L]    / pcm16x0 [L*3]
+    valid: np.ndarray        # same leading shape as crc_read
+    ctrl: np.ndarray | None  # pcm16x0 [L] control bits
+    ref_level: int
+    coords: tuple
+
+
+class PCMFrameDriver:
+    """Batched PCM-1/16x0 frame decoder with prescan + damping +
+    per-line refinement (V2DDriver counterpart)."""
+
+    def __init__(self, fmt: str, shift_limit=2, refine=True,
+                 preset: agc.BinPreset | None = None, backend="auto"):
+        assert fmt in ("pcm1", "pcm16x0")
+        self.fmt = fmt
+        self.shift_limit = shift_limit
+        self.refine = refine            # normal/insane per-line sweep
+        self.preset = preset or agc.BinPreset()
+        if backend == "auto":
+            from ..ops import stitch_native as sn
+            backend = "native" if sn.available() else "tpu"
+        self.backend = backend
+        self.coord_history: list[tuple[int, int]] = []
+
+    # -- prescan ----------------------------------------------------------
+    def _hist_coords(self):
+        if not self.coord_history:
+            return None
+        hs = np.array(self.coord_history)
+        return (int(np.median(hs[:, 0])), int(np.median(hs[:, 1])))
+
+    def prepare_frames(self, pixels: np.ndarray, perm=None):
+        """Batched AGC + per-frame sample-line coordinate search.
+
+        pixels [F, L, W] (any strides); perm: field-seq -> row map.
+        Returns dict(coords [F,2], refs/blacks/whites [F], usable [F]).
+        """
+        F, L, W = pixels.shape
+        coords = np.zeros((F, 2), np.int64)
+        refs = np.zeros(F, np.int64)
+        blacks = np.zeros(F, np.int64)
+        whites = np.full(F, 255, np.int64)
+        usable = np.zeros(F, bool)
+        n_chk = COORD_CHECK_LINES
+        if L <= COORD_CHECK_PARTS:
+            return dict(coords=coords, refs=refs, blacks=blacks,
+                        whites=whites, usable=usable)
+        gap = L // COORD_CHECK_PARTS
+        idx = np.array([(i + 1) * gap for i in range(n_chk)])
+        if perm is not None:
+            idx = np.asarray(perm)[idx]
+        sample = np.ascontiguousarray(pixels[:, idx, :])
+        blk, wht, ok = agc.find_black_white(
+            sample.reshape(F * n_chk, W), self.preset, fmt=self.fmt)
+        blk = blk.reshape(F, n_chk)
+        wht = wht.reshape(F, n_chk)
+        ok = ok.reshape(F, n_chk)
+        for f in range(F):
+            sel = ok[f] if ok[f].any() else np.ones(n_chk, bool)
+            black = int(np.median(blk[f][sel]))
+            white = int(np.median(wht[f][sel]))
+            ref = (black + white) // 2
+            hist = self._hist_coords()
+            hits = []
+            for k in range(n_chk):
+                sw = ld.search_coordinates(
+                    sample[f, k], ref, black, white, W, fmt=self.fmt,
+                    history=hist, preset=self.preset,
+                    bin_mode_shifts=self.shift_limit)
+                if sw is not None:
+                    hits.append((sw["start"], sw["stop"]))
+                    if hist is None and len(hits) == 1:
+                        # Seed further sample lines with the first hit
+                        # so their sweeps stay narrow.
+                        hist = hits[0]
+            if hits:
+                hs = np.array(hits)
+                c = (int(np.median(hs[:, 0])), int(np.median(hs[:, 1])))
+                self.coord_history.append(c)
+                self.coord_history = \
+                    self.coord_history[-COORD_LONG_HISTORY:]
+            c = self._hist_coords()
+            if c is None:
+                continue
+            coords[f] = c
+            refs[f], blacks[f], whites[f] = ref, black, white
+            usable[f] = True
+        return dict(coords=coords, refs=refs, blacks=blacks,
+                    whites=whites, usable=usable)
+
+    # -- decode -----------------------------------------------------------
+    def _decode_batch(self, pixels, prep):
+        coords = prep["coords"].astype(np.int32)
+        refs = np.maximum(prep["refs"], 1).astype(np.int32)
+        blacks = np.clip(prep["blacks"], 0, 254).astype(np.int32)
+        whites = np.clip(prep["whites"], 1, 255).astype(np.int32)
+        if self.backend == "native":
+            from ..ops import stitch_native as sn
+            if self.fmt == "pcm1":
+                w, c, v = sn.pcm1_binarize_frames(
+                    pixels, coords, refs, blacks, whites,
+                    self.shift_limit)
+                return w, c, v, None
+            return sn.pcm16x0_binarize_frames(
+                pixels, coords, refs, blacks, whites, self.shift_limit)
+        import jax.numpy as jnp
+        from ..ops import binarize as bz
+        px = jnp.asarray(np.ascontiguousarray(pixels))
+        args = (px, jnp.asarray(coords), jnp.asarray(refs),
+                jnp.asarray(blacks), jnp.asarray(whites))
+        if self.fmt == "pcm1":
+            w, c, v = bz.pcm1_frame_decode(*args,
+                                           shift_limit=self.shift_limit)
+            return (np.asarray(w), np.asarray(c), np.asarray(v), None)
+        w, c, v, cb = bz.pcm16x0_frame_decode(
+            *args, shift_limit=self.shift_limit)
+        return (np.asarray(w), np.asarray(c), np.asarray(v),
+                np.asarray(cb))
+
+    def decode_prepared(self, pixels, prep, perm=None):
+        """-> list of OtherFrameResult (None for unusable frames).
+
+        Outputs are in field-sequential line order; `pixels` may be the
+        raw-row view with `perm` mapping (decode is row-independent, so
+        only the small output arrays reorder)."""
+        F, L, W = pixels.shape
+        words, crc, valid, ctrl = self._decode_batch(pixels, prep)
+        if perm is not None:
+            p = np.asarray(perm)
+            words, crc, valid = words[:, p], crc[:, p], valid[:, p]
+            if ctrl is not None:
+                ctrl = ctrl[:, p]
+        out = []
+        for f in range(F):
+            if not prep["usable"][f]:
+                out.append(None)
+                continue
+            cds = (int(prep["coords"][f, 0]), int(prep["coords"][f, 1]))
+            ref = int(prep["refs"][f])
+            black, white = int(prep["blacks"][f]), int(prep["whites"][f])
+            if self.fmt == "pcm1":
+                wl = words[f].copy()
+                cl = crc[f].copy()
+                vl = valid[f].copy()
+                cb = None
+            else:
+                wl = words[f].reshape(L * 3, 3).copy()
+                cl = crc[f].reshape(L * 3).copy()
+                vl = valid[f].copy()         # [L, 3] for refine
+                cb = ctrl[f].copy()
+            if self.refine and not np.asarray(valid[f]).all():
+                rows = pixels[f] if perm is None \
+                    else np.ascontiguousarray(pixels[f][np.asarray(perm)])
+                fixed = ld.refine_failed_lines(
+                    rows, valid[f], cds, ref, black, white, self.fmt,
+                    shift_limit=self.shift_limit)
+                if self.fmt == "pcm1":
+                    for li, (fw, fc) in fixed.items():
+                        wl[li] = fw
+                        cl[li] = fc
+                else:
+                    for (li, part), (fw, fc) in fixed.items():
+                        wl[3 * li + part] = fw
+                        cl[3 * li + part] = fc
+            if self.fmt == "pcm16x0":
+                vl = vl.reshape(L * 3)
+            out.append(OtherFrameResult(wl, cl, vl, cb, ref, cds))
+        return out
+
+    def decode_frames(self, pixels, perm=None):
+        prep = self.prepare_frames(pixels, perm=perm)
+        if not prep["usable"].any():
+            return [None] * pixels.shape[0]
+        return self.decode_prepared(pixels, prep, perm=perm)

@@ -53,10 +53,11 @@ def save_checkpoint(path, frame_index: int, stitcher,
             arrays["audio_carry_samples"] = carry[0]
             arrays["audio_carry_valid"] = carry[1]
     if driver is not None:
+        hist = getattr(driver, "state", driver)
         meta["v2d_coord_history"] = \
-            [[int(a), int(b)] for a, b in driver.state.coord_history]
+            [[int(a), int(b)] for a, b in hist.coord_history]
         meta["v2d_ref_history"] = \
-            [int(r) for r in driver.state.ref_history]
+            [int(r) for r in getattr(hist, "ref_history", [])]
     if kind == "STC007Stitcher":
         meta.update(
             frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
@@ -109,10 +110,11 @@ def load_checkpoint(path, stitcher, audio=None, driver=None):
         else:
             audio.set_carry_state(None)
     if driver is not None and "v2d_coord_history" in meta:
-        driver.state.coord_history = \
+        hist = getattr(driver, "state", driver)
+        hist.coord_history = \
             [(int(a), int(b)) for a, b in meta["v2d_coord_history"]]
-        driver.state.ref_history = \
-            [int(r) for r in meta["v2d_ref_history"]]
+        if hasattr(hist, "ref_history"):
+            hist.ref_history = [int(r) for r in meta["v2d_ref_history"]]
     kind = meta.get("kind", "STC007Stitcher")
     assert kind == _kind(stitcher), \
         f"checkpoint is for {kind}, not {_kind(stitcher)}"

@@ -93,8 +93,11 @@ def test_cli_pcm16x0_si(tmp_path):
             lefts.append(left)
             sub, _ = di16.interleave_field(left, right, LPF)
             crcs = pcm16x0.calc_crc(sub, xp=np)
+            # ctrl bit 1 = SI at BIT_MODE_OFS (control_bit==false
+            # means EI, pcm16x0datastitcher.cpp:1356-1365): a real SI
+            # tape must not trip the --format pcm16x0 auto EI switch.
             bits = pcm16x0.line_bits(sub.reshape(LPF, 3, 3),
-                                     crcs.reshape(LPF, 3), 0, xp=np)
+                                     crcs.reshape(LPF, 3), 1, xp=np)
             px, _ = enc.render_bits(bits, width=W, ppb=7.0)
             img[half::2] = px
         vids.append(img)

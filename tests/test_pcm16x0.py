@@ -257,3 +257,50 @@ def test_find_si_padding_short_field_no_crash():
     serial = [s.try_si_padding(sp16.PCM16X0LineStore(30), p)
               for p in range(8)]
     assert [b[1] for b in batched] == [x[1] for x in serial]
+
+
+def test_batched_ei_padding_matches_serial():
+    """batched_ei_padding_stats (one row-mapped decode call) must be
+    bit-identical to the serial try_ei_padding loop over all paddings."""
+    lpf = sp16.LINES_PF
+    usable = di16.EI_OFS * 3
+    lo, ro = _field_samples(usable, seed=33)
+    sub, _ = di16.interleave_field(lo, ro, 2 * lpf, ei=True)
+    half = sp16.SUBLINES_PF
+    crop = 9
+    f1 = _mk_store(sub[:half - 3 * crop], lpf - crop, parity_base=1)
+    f2 = _mk_store(sub[half:], lpf, parity_base=2)
+    s = sp16.PCM16X0Stitcher(fmt=sp16.FORMAT_EI)
+    serial = [s.try_ei_padding(f1, f2, pad)
+              for pad in range(sp16.MAX_PADDING_EI)]
+    batched = s.batched_ei_padding_stats(f1, f2,
+                                         range(sp16.MAX_PADDING_EI))
+    assert len(serial) == len(batched)
+    for a, b in zip(serial, batched):
+        assert (a.index, a.valid, a.silent, a.unchecked, a.broken) == \
+            (b.index, b.valid, b.silent, b.unchecked, b.broken)
+
+
+def test_ei_try_previous_fast_path():
+    """With a padding already in the history, find_ei_padding accepts it
+    without the 81-wide sweep (STG_TRY_PREVIOUS,
+    findEIFrameStitching :3610) — and yields the same answer."""
+    lpf = sp16.LINES_PF
+    usable = di16.EI_OFS * 3
+    lo, ro = _field_samples(usable, seed=34)
+    sub, _ = di16.interleave_field(lo, ro, 2 * lpf, ei=True)
+    half = sp16.SUBLINES_PF
+    crop = 4
+    f1 = _mk_store(sub[:half - 3 * crop], lpf - crop, parity_base=1)
+    f2 = _mk_store(sub[half:], lpf, parity_base=2)
+    s = sp16.PCM16X0Stitcher(fmt=sp16.FORMAT_EI)
+    ok, pad, _ = s.find_ei_padding(f1, f2)
+    assert ok and pad == crop
+    s.stats_padding = [crop, crop]
+    calls = []
+    orig = s.batched_ei_padding_stats
+    s.batched_ei_padding_stats = \
+        lambda *a, **k: calls.append(1) or orig(*a, **k)
+    ok2, pad2, _ = s.find_ei_padding(f1, f2)
+    assert ok2 and pad2 == crop
+    assert calls == []                  # sweep skipped entirely

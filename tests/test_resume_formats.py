@@ -168,7 +168,7 @@ def _pcm16x0_capture(tmp_path, n_frames=4, W=1600, seed=66):
             bits = np.stack([
                 np.asarray(pcm16x0.line_bits(sub[i * 3:(i + 1) * 3],
                                              crcs[i * 3:(i + 1) * 3],
-                                             xp=np)).ravel()
+                                             ctrl_bit=1, xp=np)).ravel()
                 for i in range(LPF)])
             px, _ = enc.render_bits(bits, width=W, ppb=8.0)
             imgs.append(px)
