@@ -167,6 +167,7 @@ def main(argv=None):
                 st.VID_NTSC
         stitcher = st.STC007Stitcher(
             en_p=not args.no_ecc, en_q=not args.no_ecc, en_cwd=args.cwd,
+            record_views=bool(args.render_dir),
             mode_m2=args.format == "m2",
             auto_m2=args.format == "stc007",  # CB format-ID auto-detect
             preset_video=preset_video,
@@ -182,6 +183,8 @@ def main(argv=None):
         driver = v2d.V2DDriver(hyst_limit=hyst, shift_limit=shift,
                                ref_sweep=args.quality == "insane",
                                ref_sweep_fallback=args.quality == "normal",
+                               normal_sweep_prescan=args.quality
+                               in ("normal", "insane"),
                                forced_coords=fcoords,
                                per_line_agc=args.per_line_agc,
                                use_pallas=args.pallas,
@@ -265,6 +268,27 @@ def main(argv=None):
                     rn.write_ppm(os.path.join(
                         args.render_dir, f"source_{frame_no:05d}.ppm"),
                         rn.render_source_lines(lines))
+                    # Reassembled-frame + data-block views (frame_vis
+                    # windows 3 and 4, mainwindow.h:393-396).
+                    if stitcher.last_assembled is not None:
+                        asm = stitcher.last_assembled
+                        rn.write_ppm(os.path.join(
+                            args.render_dir,
+                            f"assembled_{frame_no:05d}.ppm"),
+                            rn.render_stc007_lines(
+                                asm.words, asm.source_crc,
+                                asm.crc_valid()))
+                        stitcher.last_assembled = None
+                    if stitcher.last_blocks is not None:
+                        lb = stitcher.last_blocks
+                        rn.write_ppm(os.path.join(
+                            args.render_dir,
+                            f"blocks_{frame_no:05d}.ppm"),
+                            rn.render_stc007_blocks(
+                                lb["words"], lb["valid"], lb["line_crc"],
+                                lb["fixed_p"], lb["fixed_q"],
+                                lb["broken"], lb["masked"]))
+                        stitcher.last_blocks = None
                 if args.stats and stitcher.frame_log:
                     fr = stitcher.frame_log[-1]
                     print(f"F[{fr.frame_number:04d}] "
@@ -312,9 +336,9 @@ def main(argv=None):
             stage_t["read"] += time.perf_counter() - t_rd
             t_dc = time.perf_counter()
             # Pad the tail batch to the full batch size so the device
-            # sees one compiled shape.
+            # sees one compiled shape (the native grid takes any shape).
             pad_frames = 0
-            if lines_b.shape[0] < args.batch:
+            if backend != "native" and lines_b.shape[0] < args.batch:
                 pad_frames = args.batch - lines_b.shape[0]
                 lines_b = np.concatenate(
                     [lines_b, np.zeros((pad_frames,) + lines_b.shape[1:],
@@ -454,7 +478,9 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                     store = sp16.PCM16X0LineStore.from_decoded(
                         wl1, cl1, np.full(L * 3, frame_no),
                         np.repeat(nums, 3), np.tile(np.arange(3), L),
-                        control_bit=np.repeat(res.ctrl, 3))
+                        control_bit=np.repeat(res.ctrl, 3),
+                        picked_left=res.picked_left,
+                        picked_right=res.picked_right)
                     if args.render_dir:
                         from .pipeline import render as rn
                         import os as _os

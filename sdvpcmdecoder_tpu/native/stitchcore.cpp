@@ -1159,6 +1159,31 @@ void pcm16x0_binarize_frames(
     }
 }
 
+// Bit Picker for one already-read line (pickCutBitsUpPCM1 :6116 /
+// ...PCM16X0 :6599 as the binarizer applies them after a failed CRC
+// read): words_in holds the read words + read CRC at index n_words.
+// Returns 1 when a unique edge-bit patch validates the line; fills
+// words_out (incl. CRC) and picked[2] = (left_n, right_n).
+int pcm_pick_cut_line(
+    const int32_t* words_in, int64_t width, int64_t start, int64_t stop,
+    int32_t fmt, int32_t part, int32_t left_pick, int32_t right_pick,
+    int32_t* words_out, int32_t* picked) {
+    SweepEntry e;
+    e.result = false;
+    e.start = start;
+    e.stop = stop;
+    e.picked_l = e.picked_r = 0;
+    const int n_words = fmt == 0 ? 6 : 3;
+    for (int k = 0; k <= n_words; ++k) e.words[k] = words_in[k];
+    e.crc = words_in[n_words];
+    if (fmt == 0) pick_cut_pcm1(&e, width, left_pick, right_pick);
+    else pick_cut_pcm16x0(&e, width, part, left_pick, right_pick);
+    for (int k = 0; k <= n_words; ++k) words_out[k] = e.words[k];
+    picked[0] = e.picked_l;
+    picked[1] = e.picked_r;
+    return e.result ? 1 : 0;
+}
+
 // Full coordinate search for one line.  fmt 0 = pcm1, 1 = pcm16x0 (with
 // part 0..2).  out (int64[16]): found, start, stop, crc, hyst, shift,
 // picked_l, picked_r, words[0..7].
@@ -1399,6 +1424,61 @@ inline bool stc007_trial(const uint8_t* px, int64_t W, int64_t start,
 }  // namespace
 
 extern "C" {
+
+// Reference-level sweep over a batch of lines — host twin of
+// binarize.stc007_ref_sweep_decode (sweepRefLevel binarizer.cpp:3551 /
+// calcRefLevelBySweep :3821): per level, the (hyst x shift) grid with
+// lex-first-valid selection and the (0,0) read as fallback.  Outputs
+// are [R, N] level-major so pick_ref_sweep consumes them unchanged.
+void stc007_ref_sweep_lines(
+    const uint8_t* pixels, int64_t N, int64_t W, int64_t stride_l,
+    const int32_t* coords, const int32_t* black, const int32_t* white,
+    const int32_t* levels, int64_t R,
+    int32_t hyst_limit, int32_t shift_limit,
+    uint8_t* valid_out, int32_t* crc_out, int8_t* hyst_out,
+    int8_t* shift_out, int16_t* words_out) {
+    for (int64_t n = 0; n < N; ++n) {
+        const uint8_t* px = pixels + n * stride_l;
+        const int64_t ds = coords[2 * n], de = coords[2 * n + 1];
+        const int64_t psm = ((de - ds) * 128 + 132 / 2) / 132;
+        const int64_t half = (psm + 1) / 2;
+        const int bk = black[n], wt = white[n];
+        for (int64_t r = 0; r < R; ++r) {
+            const int ref = levels[r];
+            int32_t w[8], crc_read = 0;
+            int pick_h = -1, pick_s = -1;
+            for (int h = 0; h <= hyst_limit && pick_h < 0; ++h) {
+                const int rl = ref - h < 1 ? 1 : ref - h;
+                const int rh = ref + h > 254 ? 254 : ref + h;
+                if (!(rl > bk && rh < wt)) continue;
+                for (int s = 0; s <= shift_limit; ++s) {
+                    if (stc007_trial(px, W, ds, psm, half, rl, rh, s, w,
+                                     &crc_read)) {
+                        pick_h = h;
+                        pick_s = s;
+                        break;
+                    }
+                }
+            }
+            const bool ok = pick_h >= 0;
+            if (!ok) {
+                const int rl = ref < 1 ? 1 : ref;
+                const int rh = ref > 254 ? 254 : ref;
+                stc007_trial(px, W, ds, psm, half, rl, rh, 0, w,
+                             &crc_read);
+                pick_h = 0;
+                pick_s = 0;
+            }
+            const int64_t o = r * N + n;
+            valid_out[o] = ok;
+            crc_out[o] = crc_read;
+            hyst_out[o] = (int8_t)pick_h;
+            shift_out[o] = (int8_t)pick_s;
+            for (int k = 0; k < 8; ++k)
+                words_out[o * 8 + k] = (int16_t)w[k];
+        }
+    }
+}
 
 // Frame-batch trial-grid decode.  pixels is a strided [F, L, W] view
 // (stride_f/stride_l in BYTES — zero-copy straight off the mmap'd

@@ -124,6 +124,12 @@ def _load():
         L.pcm1_binarize_frames.argtypes = list(_frame_dec)
         L.pcm16x0_binarize_frames.argtypes = list(_frame_dec) + \
             [ctypes.c_void_p]
+        L.pcm_pick_cut_line.restype = ctypes.c_int
+        L.pcm_pick_cut_line.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.pcm_search_coordinates.restype = ctypes.c_int
         L.pcm_search_coordinates.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -131,6 +137,13 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.stc007_ref_sweep_lines.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_binarize_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -377,6 +390,27 @@ def peak_scan(hist, start, stop_limit, min_count, delta, upward):
     return best, found.astype(bool)
 
 
+def pcm_pick_cut_line(words, crc_read, start, stop, width, fmt, part,
+                      left_pick, right_pick):
+    """Native Bit Picker on one read line.  Returns None or
+    (words, crc, (picked_l, picked_r))."""
+    L = _load()
+    n = 6 if fmt == "pcm1" else 3
+    w_in = np.zeros(8, np.int32)
+    w_in[:n] = np.asarray(words[:n], np.int32)
+    w_in[n] = int(crc_read)
+    w_out = np.zeros(8, np.int32)
+    picked = np.zeros(2, np.int32)
+    ok = L.pcm_pick_cut_line(
+        w_in.ctypes.data, int(width), int(start), int(stop),
+        0 if fmt == "pcm1" else 1, int(part), int(left_pick),
+        int(right_pick), w_out.ctypes.data, picked.ctypes.data)
+    if not ok:
+        return None
+    return ([int(x) for x in w_out[:n]], int(w_out[n]),
+            (int(picked[0]), int(picked[1])))
+
+
 def pcm_search_coordinates(pixels_line, ds, de, ref, black, white, fmt,
                            part, step, max_ofs, shift_limit, left_pick,
                            right_pick):
@@ -398,6 +432,41 @@ def pcm_search_coordinates(pixels_line, ds, de, ref, black, white, fmt,
                 shift=int(out[5]), start=int(out[1]), stop=int(out[2]),
                 words=[int(w) for w in out[8:8 + n]],
                 picked=(int(out[6]), int(out[7])))
+
+
+def ref_sweep_lines(pixels, coords, black, white, levels, hyst_limit,
+                    shift_limit):
+    """Native per-line reference-level sweep (twin of
+    binarize.stc007_ref_sweep_decode for a flat line batch).
+
+    pixels [N, W] uint8 (contiguous rows); coords [N,2];
+    black/white [N]; levels [R].  Returns dict(valid [R,N], crc [R,N],
+    hyst, shift, words [R,N,8]) ready for binarize.pick_ref_sweep."""
+    L = _load()
+    N, W = pixels.shape
+    if pixels.strides[1] != 1:
+        pixels = np.ascontiguousarray(pixels)
+    cds = np.ascontiguousarray(coords, np.int32)
+    bk = np.ascontiguousarray(np.broadcast_to(black, (N,)), np.int32)
+    wt = np.ascontiguousarray(np.broadcast_to(white, (N,)), np.int32)
+    lv = np.ascontiguousarray(levels, np.int32)
+    R = len(lv)
+    valid = np.empty((R, N), np.uint8)
+    crc = np.empty((R, N), np.int32)
+    hyst = np.empty((R, N), np.int8)
+    shift = np.empty((R, N), np.int8)
+    words = np.empty((R, N, 8), np.int16)
+    L.stc007_ref_sweep_lines(
+        pixels.ctypes.data, N, W, pixels.strides[0], cds.ctypes.data,
+        bk.ctypes.data, wt.ctypes.data, lv.ctypes.data, R,
+        int(hyst_limit), int(shift_limit), valid.ctypes.data,
+        crc.ctypes.data, hyst.ctypes.data, shift.ctypes.data,
+        words.ctypes.data)
+    # int64 up-casts: pick_ref_sweep compares against wide sentinels
+    # (0x7FFF), which int8 outputs would wrap.
+    return dict(valid=valid.astype(bool), crc=crc.astype(np.int64),
+                hyst=hyst.astype(np.int64), shift=shift.astype(np.int64),
+                words=words)
 
 
 def binarize_frames(pixels, coords, ref, black, white, hyst_limit,

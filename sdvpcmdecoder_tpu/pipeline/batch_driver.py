@@ -81,7 +81,8 @@ class BatchDecoder:
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
                  frames_per_round=4, workers=None, ref_sweep=False,
                  ref_sweep_fallback=False, checkpoint=False,
-                 backend="auto", per_line_agc=False, fmt="stc007"):
+                 backend="auto", per_line_agc=False, fmt="stc007",
+                 normal_sweep_prescan=False):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
@@ -106,6 +107,7 @@ class BatchDecoder:
                     hyst_limit=hyst_limit, shift_limit=shift_limit,
                     ref_sweep=ref_sweep,
                     ref_sweep_fallback=ref_sweep_fallback,
+                    normal_sweep_prescan=normal_sweep_prescan,
                     per_line_agc=per_line_agc)
                 j.stitcher = st.STC007Stitcher(preset_video=preset_video,
                                                auto_m2=True)
@@ -227,7 +229,9 @@ class BatchDecoder:
                 store = sp16.PCM16X0LineStore.from_decoded(
                     res.words, res.crc_read, np.full(L * 3, j.frame_no),
                     np.repeat(nums, 3), np.tile(np.arange(3), L),
-                    control_bit=np.repeat(res.ctrl, 3))
+                    control_bit=np.repeat(res.ctrl, 3),
+                    picked_left=res.picked_left,
+                    picked_right=res.picked_right)
                 tag_cls = sp16.PCM16X0LineStore
                 srv_new = sp16.SRV_NEW_FILE
             j.stats.lines_total += len(res.valid)

@@ -137,6 +137,54 @@ def render_source_lines(pixels, max_width=None):
     return np.repeat(px[..., None], 3, axis=-1).astype(np.uint8)
 
 
+def render_stc007_blocks(words, valid, line_crc, fixed_p=None,
+                         fixed_q=None, broken=None, masked=None, ppb=2):
+    """Data-block view (renderNewBlock(STC007DataBlock),
+    renderpcm.h:123-150): one row per block, 8 x 14-bit words with white
+    boundary columns; per-WORD coloring — valid gray, P-corrected green,
+    Q-corrected blue, invalid red; BROKEN blocks magenta; seam/post-
+    BROKEN masked boundaries in the VIS_LIM_MARK pink.
+
+    words [B, 8], valid/line_crc [B, >=8] bool; fixed_p/q/broken/masked
+    [B] bool.
+    """
+    words = np.asarray(words)[:, :8]
+    valid = np.asarray(valid, bool)[:, :8]
+    line_crc = np.asarray(line_crc, bool)[:, :8]
+    B = words.shape[0]
+    nb = stc007.BITS_PER_WORD
+    # word bits [B, 8, 14]
+    shifts = np.arange(nb - 1, -1, -1)
+    bits = (words[..., None] >> shifts) & 1
+    pal0 = np.zeros((B, 8, 3), np.uint8)
+    pal1 = np.zeros((B, 8, 3), np.uint8)
+
+    def apply(mask, pal):
+        pal0[mask] = pal[0]
+        pal1[mask] = pal[1]
+
+    apply(~valid, PAL_RED)
+    apply(valid, PAL_GRAY)
+    # Corrected words: valid now but the source line CRC was bad.
+    fix = valid & ~line_crc
+    if fixed_p is not None:
+        apply(fix & np.asarray(fixed_p, bool)[:, None], PAL_GREEN)
+    if fixed_q is not None:
+        apply(fix & np.asarray(fixed_q, bool)[:, None], PAL_BLUE)
+    if broken is not None:
+        b = np.asarray(broken, bool)[:, None] & np.ones((1, 8), bool)
+        apply(b, PAL_MAGENTA)
+    cells = np.where(bits[..., None].astype(bool), pal1[:, :, None, :],
+                     pal0[:, :, None, :])          # [B, 8, 14, 3]
+    # Boundary column per word (VIS_LIM_OK white / VIS_LIM_MARK pink).
+    lim = np.full((B, 8, 1, 3), 255, np.uint8)
+    if masked is not None:
+        lim[np.asarray(masked, bool)] = (224, 170, 170)
+    cells = np.concatenate([lim, cells], axis=2)   # [B, 8, 15, 3]
+    img = cells.reshape(B, 8 * (nb + 1), 3)
+    return np.repeat(img, ppb, axis=1)
+
+
 def render_block_states(audio_state, ppb=6, height=4):
     """Render per-block audio state [B] as a strip [height, B*ppb, 3]."""
     colors = np.array([PAL_GRAY[1], PAL_GREEN[1], PAL_BLUE[1],

@@ -56,7 +56,7 @@ class PCM16X0LineStore:
 
     FIELDS = ("words", "source_crc", "frame_number", "line_number",
               "line_part", "control_bit", "ref_level", "service", "bw_set",
-              "forced_bad")
+              "forced_bad", "picked_left", "picked_right")
 
     def __init__(self, n):
         self.words = np.zeros((n, 3), dtype=np.int64)
@@ -69,6 +69,10 @@ class PCM16X0LineStore:
         self.service = np.zeros(n, dtype=np.int8)
         self.bw_set = np.zeros(n, dtype=bool)
         self.forced_bad = np.zeros(n, dtype=bool)
+        # Bit Picker edge-bit counts (hasPickedLeft/Right,
+        # pcm16x0subline.h): the false-positive prescan's evidence.
+        self.picked_left = np.zeros(n, dtype=np.int8)
+        self.picked_right = np.zeros(n, dtype=np.int8)
         self.source_crc[:] = (~pcm16x0.CRC_SILENT) & 0xFFFF
 
     def __len__(self):
@@ -95,7 +99,8 @@ class PCM16X0LineStore:
 
     @staticmethod
     def from_decoded(words, crc_read, frame_number, line_number, line_part,
-                     control_bit=None):
+                     control_bit=None, picked_left=None,
+                     picked_right=None):
         n = len(crc_read)
         out = PCM16X0LineStore(n)
         out.words = np.asarray(words, np.int64).copy()
@@ -105,6 +110,10 @@ class PCM16X0LineStore:
         out.line_part = np.asarray(line_part, np.int8).copy()
         if control_bit is not None:
             out.control_bit = np.asarray(control_bit, bool).copy()
+        if picked_left is not None:
+            out.picked_left = np.asarray(picked_left, np.int8).copy()
+        if picked_right is not None:
+            out.picked_right = np.asarray(picked_right, np.int8).copy()
         out.bw_set[:] = True
         return out
 
@@ -218,22 +227,35 @@ class PCM16X0Stitcher:
 
     # -- false-positive CRC prescan (:753-836) ----------------------------
     def prescan_false_pos(self, field: PCM16X0LineStore):
-        """Sublines whose CRC validates but equal the silent pattern with
-        zero control bit in noise regions are false positives; the
-        reference statistically invalidates those. Here: a valid subline
-        with all-zero words amid majority-invalid neighbors is forced bad.
-        """
-        if len(field) < 9:
+        """Faithful port of prescanForFalsePosCRCs
+        (pcm16x0datastitcher.cpp:753-836): a video line whose ONLY valid
+        subline is the LEFT part with picked-left bits (or only the
+        RIGHT part with picked-right bits) probably read at wrong data
+        coordinates with a false-positive CRC from the Bit Picker — the
+        whole line is forced bad."""
+        n = len(field)
+        if n < 3:
             return field
         valid = field.crc_valid()
-        zero = (field.words == 0).all(axis=-1)
-        n = len(field)
-        bad_near = np.zeros(n, dtype=np.int32)
-        w = 6
-        inv = (~valid).astype(np.int32)
-        c = np.convolve(inv, np.ones(2 * w + 1, dtype=np.int32), "same")
-        suspects = valid & zero & (c > w)
-        field.forced_bad |= suspects
+        # Part-triples sharing frame and line number, walked in part
+        # sequence exactly like the reference (buffer integrity check).
+        i0 = np.nonzero((field.line_part[:-2] == 0)
+                        & (field.line_part[1:-1] == 1)
+                        & (field.line_part[2:] == 2))[0]
+        if len(i0) == 0:
+            return field
+        same = ((field.frame_number[i0] == field.frame_number[i0 + 1])
+                & (field.frame_number[i0] == field.frame_number[i0 + 2])
+                & (field.line_number[i0] == field.line_number[i0 + 1])
+                & (field.line_number[i0] == field.line_number[i0 + 2]))
+        i0 = i0[same]
+        left_only = (valid[i0] & ~valid[i0 + 1] & ~valid[i0 + 2]
+                     & (field.picked_left[i0] > 0))
+        right_only = (~valid[i0] & ~valid[i0 + 1] & valid[i0 + 2]
+                      & (field.picked_right[i0 + 2] > 0))
+        hit = i0[left_only | right_only]
+        for d in range(3):
+            field.forced_bad[hit + d] = True
         return field
 
     # -- SI padding sweep (trySIPadding / findSIPadding) ------------------

@@ -608,7 +608,7 @@ class STC007Stitcher:
                  broken_mask_dur=UNCH_MASK_DURATION // 2,
                  max_unch_14=MAX_BURST_UNCH_14BIT,
                  max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False,
-                 auto_m2=False):
+                 auto_m2=False, record_views=False):
         self.en_p, self.en_q, self.en_cwd = en_p, en_q, en_cwd
         self.ignore_crc = ignore_crc
         self.mode_m2 = mode_m2
@@ -622,6 +622,11 @@ class STC007Stitcher:
         self.max_unch_14 = max_unch_14
         self.max_unch_16 = max_unch_16
         self.fix_cut_above = fix_cut_above
+        # Diagnostic captures for the reassembled/data-block render
+        # views (RenderPCM windows 3 and 4, renderpcm.h:123-150).
+        self.record_views = record_views
+        self.last_blocks = None
+        self.last_assembled = None
         self.reset_state()
 
     def reset_state(self):
@@ -722,6 +727,8 @@ class STC007Stitcher:
             self.out_chunks.append(
                 SampleChunk.tag(SRV_NEW_FILE, self.file_name))
         frame_lines = self.fill_frame_for_output()
+        if self.record_views:
+            self.last_assembled = frame_lines.copy()
         self.conv_queue = LineStore.concat([self.conv_queue, frame_lines])
         self.conv_queue = self.prescan_frame(self.conv_queue)
         consumed = self.perform_deinterleave(self.conv_queue)
@@ -2038,6 +2045,14 @@ class STC007Stitcher:
         out_valid = np.where(mask_blocks[:, None] & ~broken[:, None],
                              batch.line_crc, batch.valid)
         block_valid = out_valid[:, :6].all(axis=-1)
+        if self.record_views:
+            self.last_blocks = dict(
+                words=np.asarray(batch.words).copy(),
+                valid=out_valid.copy(),
+                line_crc=np.asarray(batch.line_crc).copy(),
+                fixed_p=np.asarray(aux["fixed_p"]).copy(),
+                fixed_q=np.asarray(aux["fixed_q"]).copy(),
+                broken=broken.copy(), masked=mask_blocks.copy())
         # Frame stats.
         no_report = ((self.file_start & (sf == f0.frame_number))
                      | (self.file_end & (spf == fb.frame_number)))

@@ -99,7 +99,7 @@ class V2DDriver:
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
                  forced_coords=None, ref_sweep_fallback=False,
                  per_line_agc=False, dup_detect=True, use_pallas=False,
-                 m2=False):
+                 m2=False, normal_sweep_prescan=False):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
@@ -120,6 +120,17 @@ class V2DDriver:
         # only lines still invalid after the marker fallback re-run the
         # full level sweep, bucketed to a fixed shape.
         self.ref_sweep_fallback = ref_sweep_fallback
+        # NORMAL-mode sweep fidelity for the FAST PATH: the reference
+        # derives the working reference level from a full sweep with
+        # CRC-collision statistics whenever params are (re)found at
+        # NORMAL/INSANE (processLine binarizer.cpp:1121-1133 always
+        # routes STC-007 to STG_REF_SWEEP_RUN), and the swept level then
+        # propagates through the previous-good fast path.  Here the
+        # sweep runs on the prescan's sample lines and its CRC-stats
+        # pick replaces the naive center-reference level, so a
+        # wrong-but-CRC-colliding read at the center level cannot poison
+        # the frame (tests/test_normal_sweep.py crafts exactly that).
+        self.normal_sweep_prescan = normal_sweep_prescan
         self.sweep_step = sweep_step
         self.min_valid_crcs = min_valid_crcs
         # bin_preset_t.en_force_coords/horiz_coords (binarizer.h:175-176):
@@ -240,11 +251,63 @@ class V2DDriver:
             usable[f] = True
         if self.forced_coords is not None:
             coords[:] = self.forced_coords
+        if self.normal_sweep_prescan and usable.any() \
+                and L > COORD_CHECK_PARTS:
+            refs = self._sweep_sample_refs(sample, coords, refs, blacks,
+                                           whites, usable)
         if self.per_line_agc and usable.any():
             refs, blacks, whites = self._per_line_levels(
                 pixels, coords, refs, blacks, whites, usable)
         return dict(coords=coords, refs=refs, blacks=blacks,
                     whites=whites, usable=usable)
+
+    def _sweep_sample_refs(self, sample, coords, refs, blacks, whites,
+                           usable):
+        """NORMAL-mode reference-level derivation: full sweep + CRC
+        statistics on the prescan sample lines; the per-frame working
+        level is the median of the per-line picks (the reference's
+        swept level propagated through good-params, here through the
+        frame-level parameter flow).  Lines whose sweep finds nothing
+        keep the center-reference level."""
+        F = len(refs)
+        n_chk = COORD_CHECK_LINES
+        rows = np.nonzero(np.repeat(usable, n_chk))[0]
+        if len(rows) == 0:
+            return refs
+        px = np.ascontiguousarray(sample[rows])
+        cds = np.repeat(coords, n_chk, axis=0)[rows]
+        bk = np.clip(np.repeat(blacks, n_chk)[rows], 0, 254)
+        wt = np.clip(np.repeat(whites, n_chk)[rows], 1, 255)
+        levels = np.arange(254, 1, -self.sweep_step, dtype=np.int32)
+        from ..ops import stitch_native as sn
+        if sn.available():
+            sw = sn.ref_sweep_lines(px, cds, bk, wt, levels,
+                                    self.hyst_limit, self.shift_limit)
+            sv, sc = sw["valid"], sw["crc"]
+            sh, ss = sw["hyst"], sw["shift"]
+        else:
+            out = bz.stc007_ref_sweep_decode(
+                jnp.asarray(px[:, None, :]), jnp.asarray(cds, jnp.int32),
+                jnp.asarray(bk, jnp.int32), jnp.asarray(wt, jnp.int32),
+                jnp.asarray(levels), hyst_limit=self.hyst_limit,
+                shift_limit=self.shift_limit)
+            R, Nn = len(levels), len(rows)
+            sv = np.asarray(out["valid"]).reshape(R, Nn)
+            sc = np.asarray(out["crc"]).reshape(R, Nn)
+            sh = np.asarray(out["hyst"]).reshape(R, Nn)
+            ss = np.asarray(out["shift"]).reshape(R, Nn)
+        pick, good, fbad = bz.pick_ref_sweep(
+            sv, sc, sh, ss, min_valid_crcs=self.min_valid_crcs)
+        pick_ref = np.where(pick >= 0, levels[np.maximum(pick, 0)], -1)
+        per_frame = np.full(F * n_chk, -1, np.int64)
+        per_frame[rows] = pick_ref
+        per_frame = per_frame.reshape(F, n_chk)
+        refs = refs.copy()
+        for f in range(F):
+            sel = per_frame[f][per_frame[f] >= 0]
+            if len(sel):
+                refs[f] = int(np.median(sel))
+        return refs
 
     def _per_line_levels(self, pixels, coords, refs, blacks, whites,
                          usable):
@@ -434,6 +497,15 @@ class V2DDriver:
             return words, crc_read, valid, forced
         rows_of = (lambda r: np.asarray(perm)[r]) if perm is not None \
             else (lambda r: r)
+        # AGC gate (processLine binarizer.cpp:1090-1101): lines whose
+        # histogram finds no valid black/white contrast never reach the
+        # sweep — dropped/blank lines must not burn 64-level sweeps.
+        _, _, agc_ok = agc.find_black_white(
+            np.ascontiguousarray(pixels[rows_of(bad)]), self.preset,
+            fmt="stc007")
+        bad = bad[agc_ok]
+        if len(bad) == 0:
+            return words, crc_read, valid, forced
         B = self.FALLBACK_BUCKET
         levels = np.arange(254, 1, -self.sweep_step, dtype=np.int32)
         R = len(levels)

@@ -36,6 +36,8 @@ class OtherFrameResult:
     ctrl: np.ndarray | None  # pcm16x0 [L] control bits
     ref_level: int
     coords: tuple
+    picked_left: np.ndarray | None = None   # Bit Picker edge-bit counts
+    picked_right: np.ndarray | None = None
 
 
 class PCMFrameDriver:
@@ -197,8 +199,51 @@ class PCMFrameDriver:
                         cl[3 * li + part] = fc
             if self.fmt == "pcm16x0":
                 vl = vl.reshape(L * 3)
-            out.append(OtherFrameResult(wl, cl, vl, cb, ref, cds))
+            pl, pr = self._pick_edge_bits(wl, cl, cds, W)
+            vl = vl | self._crc_ok(wl, cl)  # refined/picked lines count
+            out.append(OtherFrameResult(wl, cl, vl, cb, ref, cds,
+                                        picked_left=pl, picked_right=pr))
         return out
+
+    def _crc_ok(self, wl, cl):
+        from ..formats import pcm1, pcm16x0
+        mod = pcm1 if self.fmt == "pcm1" else pcm16x0
+        return np.asarray(mod.calc_crc(wl, xp=np)) == cl
+
+    def _pick_edge_bits(self, wl, cl, cds, W):
+        """Bit Picker pass for edge-cut lines (pickCutBitsUpPCM1
+        binarizer.cpp:6116 / pickCutBitsUpPCM16X0 :6599): lines whose
+        coordinates place edge bits off-frame brute-force those bits
+        after a failed CRC read.  Mutates wl/cl in place; returns the
+        picked-bit count arrays (the false-positive prescan's inputs,
+        prescanForFalsePosCRCs :753-836)."""
+        n_rows = len(cl)
+        pl = np.zeros(n_rows, np.int8)
+        pr = np.zeros(n_rows, np.int8)
+        from ..ops import stitch_native as sn
+        if not sn.available():
+            return pl, pr
+        spec = ld.SPEC_PCM1 if self.fmt == "pcm1" \
+            else ld.SPEC_PCM16X0_FULL
+        lcut, rcut = ld.count_cut_bits(
+            spec, cds[0], cds[1], W, self.preset.left_bit_pick,
+            self.preset.right_bit_pick)
+        if lcut == 0 and rcut == 0:
+            return pl, pr
+        bad = np.nonzero(~self._crc_ok(wl, cl))[0]
+        for row in bad:
+            part = 0 if self.fmt == "pcm1" else int(row % 3)
+            if self.fmt == "pcm16x0" and part == 1:
+                continue        # middle part owns no frame edge
+            got = sn.pcm_pick_cut_line(
+                wl[row], cl[row], cds[0], cds[1], W, self.fmt, part,
+                self.preset.left_bit_pick, self.preset.right_bit_pick)
+            if got is None:
+                continue
+            wl[row] = got[0]
+            cl[row] = got[1]
+            pl[row], pr[row] = got[2]
+        return pl, pr
 
     def decode_frames(self, pixels, perm=None):
         prep = self.prepare_frames(pixels, perm=perm)

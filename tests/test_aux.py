@@ -120,3 +120,47 @@ def test_di_time_telemetry():
     assert s.di_time_max_us == 5_000
     assert s.di_time_frames == 3
     assert "DI time/frame" in s.summary()
+
+
+def test_render_dir_emits_all_four_views(tmp_path):
+    """--render-dir produces the reference's four frame_vis windows:
+    source, binarized lines, reassembled frame, data blocks
+    (mainwindow.h:393-396, renderpcm.h:123-150)."""
+    import numpy as np
+    from sdvpcmdecoder_tpu.__main__ import main
+    from sdvpcmdecoder_tpu.pipeline import ingest, render as rn
+    from sdvpcmdecoder_tpu.synth import encoder as enc
+    rng = np.random.default_rng(8)
+    lpf = 294
+    n_frames = 3
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                               rng.integers(1, 1 << 14, n), n_frames,
+                               lines_pf=lpf)
+    vids = []
+    for fr in frames:
+        px, _ = enc.render_lines(fr["line_words"], fr["crcs"],
+                                 width=1152, ppb=8.0)
+        L = px.shape[0]
+        img = np.zeros((L, 1152), np.uint8)
+        img[0::2] = px[:L // 2]
+        img[1::2] = px[L // 2:]
+        vids.append(img)
+    cap = tmp_path / "c.y4m"
+    ingest.write_y4m(cap, np.stack(vids))
+    rdir = tmp_path / "views"
+    rc = main([str(cap), "-o", str(tmp_path / "o.wav"),
+               "--quality", "fast", "--render-dir", str(rdir)])
+    assert rc == 0
+    import os
+    names = sorted(os.listdir(rdir))
+    for kind in ("source_", "frame_", "assembled_", "blocks_"):
+        hits = [x for x in names if x.startswith(kind)]
+        assert hits, f"missing {kind} views: {names}"
+        img = rn.read_ppm(rdir / hits[0])
+        assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
+    # Block view of a clean capture: gray/white palette only, no red.
+    blocks = rn.read_ppm(rdir / [x for x in names
+                                 if x.startswith("blocks_")][-1])
+    red = (blocks[..., 0] > 200) & (blocks[..., 1] < 100)
+    assert not red.any()

@@ -304,3 +304,48 @@ def test_ei_try_previous_fast_path():
     ok2, pad2, _ = s.find_ei_padding(f1, f2)
     assert ok2 and pad2 == crop
     assert calls == []                  # sweep skipped entirely
+
+
+def test_prescan_false_pos_reference_rule():
+    """prescanForFalsePosCRCs (pcm16x0datastitcher.cpp:753-836) pinned:
+    a line whose ONLY valid subline is the LEFT part with picked bits
+    (or only the RIGHT with picked-right) is forced bad — and, unlike
+    the round-2 stand-in heuristic, a valid all-zero subline amid
+    invalid neighbors is NOT touched (the two rules disagree here)."""
+    rng = np.random.default_rng(50)
+    n_lines = 8
+    store = sp16.PCM16X0LineStore(n_lines * 3)
+    store.line_part = np.tile(np.arange(3, dtype=np.int8), n_lines)
+    store.line_number = 1 + 2 * np.repeat(np.arange(n_lines), 3)
+    store.frame_number[:] = 1
+    # all sublines invalid by default (source_crc mismatches zero words)
+    w = rng.integers(1, 1 << 16, (n_lines * 3, 3)).astype(np.int64)
+    store.words = w
+    store.source_crc = np.asarray(pcm16x0.calc_crc(w, xp=np)).copy()
+    # line 2: only LEFT part valid, with picked-left bits -> forced bad
+    store.source_crc[2 * 3 + 1] ^= 1
+    store.source_crc[2 * 3 + 2] ^= 1
+    store.picked_left[2 * 3] = 3
+    # line 3: only LEFT part valid but NO picked bits -> kept
+    store.source_crc[3 * 3 + 1] ^= 1
+    store.source_crc[3 * 3 + 2] ^= 1
+    # line 4: only RIGHT part valid with picked-right -> forced bad
+    store.source_crc[4 * 3 + 0] ^= 1
+    store.source_crc[4 * 3 + 1] ^= 1
+    store.picked_right[4 * 3 + 2] = 2
+    # line 5: a valid all-zero subline amid invalid neighbors — the old
+    # heuristic would invalidate it; the reference rule must NOT
+    store.words[5 * 3 + 1] = 0
+    store.source_crc[5 * 3 + 1] = pcm16x0.CRC_SILENT
+    store.source_crc[5 * 3 + 0] ^= 1
+    store.source_crc[5 * 3 + 2] ^= 1
+    store.source_crc[6 * 3 + 0] ^= 1
+    store.source_crc[6 * 3 + 1] ^= 1
+    store.source_crc[6 * 3 + 2] ^= 1
+
+    s = sp16.PCM16X0Stitcher()
+    out = s.prescan_false_pos(store)
+    assert out.forced_bad[2 * 3:2 * 3 + 3].all()      # left+picked
+    assert not out.forced_bad[3 * 3:3 * 3 + 3].any()  # no picked bits
+    assert out.forced_bad[4 * 3:4 * 3 + 3].all()      # right+picked
+    assert not out.forced_bad[5 * 3 + 1]              # silent kept

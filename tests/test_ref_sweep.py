@@ -3,6 +3,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from sdvpcmdecoder_tpu.ops import binarize as bz
+from sdvpcmdecoder_tpu.ops import agc
 from sdvpcmdecoder_tpu.pipeline import v2d
 from sdvpcmdecoder_tpu.synth import encoder as enc
 
@@ -126,13 +127,24 @@ def test_sweep_fallback_recovers_dim_lines():
     pxd = px.astype(np.float64)
     pxd[dim] = 5 + (pxd[dim] - 20) * (60 - 5) / (200 - 20)
     pxd = np.clip(pxd, 0, 255).astype(np.uint8)
+    # The sweep is AGC-gated like the reference (processLine
+    # binarizer.cpp:1090-1101 only sweeps lines with valid black/white):
+    # dim lines (white ~60 < min_white_lvl 132) need the user preset
+    # loosened, exactly as the reference's fine_bin_set would.
+    dim_preset = agc.BinPreset(min_white_lvl=40, max_black_lvl=30)
     drv = v2d.V2DDriver(hyst_limit=2, shift_limit=1,
-                        ref_sweep_fallback=True)
+                        ref_sweep_fallback=True, preset=dim_preset)
     res = drv.decode_frame(pxd)
     assert res is not None
     assert res.valid.all(), np.nonzero(~res.valid)[0]
     np.testing.assert_array_equal(res.words, words)
+    # With the DEFAULT preset the dim lines fail AGC and the sweep is
+    # skipped (no 64-level burn on hopeless lines).
+    drv1 = v2d.V2DDriver(hyst_limit=2, shift_limit=1,
+                         ref_sweep_fallback=True)
+    res1 = drv1.decode_frame(pxd)
+    assert not res1.valid[dim].any()
     # Without the fallback the dim lines stay invalid.
-    drv2 = v2d.V2DDriver(hyst_limit=2, shift_limit=1)
+    drv2 = v2d.V2DDriver(hyst_limit=2, shift_limit=1, preset=dim_preset)
     res2 = drv2.decode_frame(pxd)
     assert not res2.valid[dim].any()
