@@ -808,6 +808,62 @@ inline bool linegrid_trial(const uint8_t* px, int64_t width, int64_t start,
     return (int32_t)c == read_crc;
 }
 
+// Precomputed bit-sampling pixel positions for one (coords, shift)
+// pair: the integer-PPB coordinate math is per FRAME, not per line —
+// hoisting it out of the line loop roughly halves the per-line cost.
+// n_bits = n_words*word_bits + 16 (all three formats share the
+// words+CRC stream shape).
+inline void build_pos(int64_t ds, int64_t de, int64_t W, int bits_between,
+                      int bits_per_line, int bit_ofs, int part_start,
+                      int n_bits, int shift, int32_t* pos) {
+    const int64_t psm = ((de - ds) * 128 + bits_between / 2)
+        / bits_between;
+    const int64_t half = (psm + 1) / 2;
+    const int sh = PIX_SH[shift];
+    for (int i = 0; i < n_bits; ++i) {
+        int bit = i + bit_ofs + part_start;
+        if (bit > bits_per_line - 1) bit = bits_per_line - 1;
+        int64_t p = (bit * psm + half) / 128 + ds + sh;
+        if (p < 0) p = 0;
+        if (p >= W) p = W - 1;
+        pos[i] = (int32_t)p;
+    }
+}
+
+// Generic hysteresis word reader over precomputed positions.
+// Returns true when the CRC matches; fills words[n_words] and the read
+// CRC at words[n_words].
+inline bool read_words_pos(const uint8_t* px, const int32_t* pos,
+                           int n_words, int word_bits, bool inv,
+                           int rl, int rh, int32_t* words) {
+    const int n_bits = n_words * word_bits + 16;
+    bool prev = false;
+    uint32_t reg = 0xFFFF;
+    int32_t acc = 0;
+    int in_word = 0, wi = 0;
+    int32_t crc_read = 0;
+    for (int i = 0; i < n_bits; ++i) {
+        const int v = px[pos[i]];
+        const bool b = prev ? (v >= rh) : (v > rl);
+        prev = b;
+        acc = (acc << 1) | (b ? 1 : 0);
+        if (wi < n_words) {
+            if (++in_word == word_bits) {
+                words[wi++] = acc;
+                reg = crc16_feed(reg, (uint32_t)acc, word_bits, inv);
+                acc = 0;
+                in_word = 0;
+            }
+        } else if (++in_word == 16) {
+            crc_read = acc;
+        }
+    }
+    words[n_words] = crc_read;
+    const uint32_t c = inv ? ((~reg) & 0xFFFFu) : (reg & 0xFFFFu);
+    return (int32_t)c == crc_read;
+}
+
+
 // --- PCM-1 / PCM-16x0 coordinate SEARCH (searchPCM1Data binarizer.cpp
 // :4123 / searchPCM16X0Data :4514) — the native twin of
 // ops/line_decode_np.search_coordinates: left x right offset grid, per-
@@ -1083,28 +1139,30 @@ void pcm1_binarize_frames(
     const int32_t* ref, const int32_t* black, const int32_t* white,
     int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
     uint8_t* valid_out) {
+    int32_t pos[5][110];
     for (int64_t f = 0; f < F; ++f) {
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
+        for (int s = 0; s <= shift_limit; ++s)
+            build_pos(ds, de, W, 94, 94, 0, 0, 94, s, pos[s]);
         const int rf = ref[f], bk = black[f], wt = white[f];
         const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
         const bool read_ok = rl > bk && rh < wt;
         for (int64_t l = 0; l < L; ++l) {
             const uint8_t* px = pixels + f * stride_f + l * stride_l;
             const int64_t row = f * L + l;
-            int32_t w[8], crc_read, calc;
+            int32_t w[7];
             bool ok = false;
             if (read_ok) {
                 for (int s = 0; s <= shift_limit; ++s) {
-                    if (linegrid_trial(px, W, ds, de, rf, 0, s, 0, 0, w,
-                                       &crc_read, &calc)) {
+                    if (read_words_pos(px, pos[s], 6, 13, true, rl, rh,
+                                       w)) {
                         ok = true;
                         break;
                     }
                 }
             }
             if (!ok)
-                linegrid_trial(px, W, ds, de, rf, 0, 0, 0, 0, w,
-                               &crc_read, &calc);
+                read_words_pos(px, pos[0], 6, 13, true, rl, rh, w);
             for (int k = 0; k < 6; ++k) words_out[row * 6 + k] = w[k];
             crc_out[row] = w[6];
             valid_out[row] = ok;
@@ -1122,8 +1180,14 @@ void pcm16x0_binarize_frames(
     const int32_t* ref, const int32_t* black, const int32_t* white,
     int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
     uint8_t* valid_out, uint8_t* ctrl_out) {
+    static const int PART_START[3] = {0, 64, 129};
+    int32_t pos[3][5][64];
     for (int64_t f = 0; f < F; ++f) {
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
+        for (int part = 0; part < 3; ++part)
+            for (int s = 0; s <= shift_limit; ++s)
+                build_pos(ds, de, W, 193, 193, 0, PART_START[part], 64,
+                          s, pos[part][s]);
         const int rf = ref[f], bk = black[f], wt = white[f];
         const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
         const bool read_ok = rl > bk && rh < wt;
@@ -1135,20 +1199,20 @@ void pcm16x0_binarize_frames(
             const uint8_t* px = pixels + f * stride_f + l * stride_l;
             const int64_t row = f * L + l;
             for (int part = 0; part < 3; ++part) {
-                int32_t w[8], crc_read, calc;
+                int32_t w[4];
                 bool ok = false;
                 if (read_ok) {
                     for (int s = 0; s <= shift_limit; ++s) {
-                        if (linegrid_trial(px, W, ds, de, rf, 0, s, 1,
-                                           part, w, &crc_read, &calc)) {
+                        if (read_words_pos(px, pos[part][s], 3, 16,
+                                           false, rl, rh, w)) {
                             ok = true;
                             break;
                         }
                     }
                 }
                 if (!ok)
-                    linegrid_trial(px, W, ds, de, rf, 0, 0, 1, part, w,
-                                   &crc_read, &calc);
+                    read_words_pos(px, pos[part][0], 3, 16, false, rl,
+                                   rh, w);
                 for (int k = 0; k < 3; ++k)
                     words_out[(row * 3 + part) * 3 + k] = w[k];
                 crc_out[row * 3 + part] = w[3];
@@ -1437,23 +1501,24 @@ void stc007_ref_sweep_lines(
     int32_t hyst_limit, int32_t shift_limit,
     uint8_t* valid_out, int32_t* crc_out, int8_t* hyst_out,
     int8_t* shift_out, int16_t* words_out) {
+    int32_t pos[5][128];
     for (int64_t n = 0; n < N; ++n) {
         const uint8_t* px = pixels + n * stride_l;
         const int64_t ds = coords[2 * n], de = coords[2 * n + 1];
-        const int64_t psm = ((de - ds) * 128 + 132 / 2) / 132;
-        const int64_t half = (psm + 1) / 2;
+        for (int s = 0; s <= shift_limit; ++s)
+            build_pos(ds, de, W, 132, 137, 3, 0, 128, s, pos[s]);
         const int bk = black[n], wt = white[n];
         for (int64_t r = 0; r < R; ++r) {
             const int ref = levels[r];
-            int32_t w[8], crc_read = 0;
+            int32_t w[9];
             int pick_h = -1, pick_s = -1;
             for (int h = 0; h <= hyst_limit && pick_h < 0; ++h) {
                 const int rl = ref - h < 1 ? 1 : ref - h;
                 const int rh = ref + h > 254 ? 254 : ref + h;
                 if (!(rl > bk && rh < wt)) continue;
                 for (int s = 0; s <= shift_limit; ++s) {
-                    if (stc007_trial(px, W, ds, psm, half, rl, rh, s, w,
-                                     &crc_read)) {
+                    if (read_words_pos(px, pos[s], 8, 14, false, rl, rh,
+                                       w)) {
                         pick_h = h;
                         pick_s = s;
                         break;
@@ -1464,14 +1529,13 @@ void stc007_ref_sweep_lines(
             if (!ok) {
                 const int rl = ref < 1 ? 1 : ref;
                 const int rh = ref > 254 ? 254 : ref;
-                stc007_trial(px, W, ds, psm, half, rl, rh, 0, w,
-                             &crc_read);
+                read_words_pos(px, pos[0], 8, 14, false, rl, rh, w);
                 pick_h = 0;
                 pick_s = 0;
             }
             const int64_t o = r * N + n;
             valid_out[o] = ok;
-            crc_out[o] = crc_read;
+            crc_out[o] = w[8];
             hyst_out[o] = (int8_t)pick_h;
             shift_out[o] = (int8_t)pick_s;
             for (int k = 0; k < 8; ++k)
@@ -1493,18 +1557,17 @@ void stc007_binarize_frames(
     int32_t hyst_limit, int32_t shift_limit,
     int16_t* words_out, uint16_t* crc_out, uint8_t* valid_out,
     int8_t* hyst_out, int8_t* shift_out) {
+    int32_t pos[5][128];
     for (int64_t f = 0; f < F; ++f) {
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
-        const int64_t pixels_n = de - ds;
-        // BITS_BETWEEN_COORDS = 132 (stc007line.cpp:504-519)
-        const int64_t psm = (pixels_n * 128 + 132 / 2) / 132;
-        const int64_t half = (psm + 1) / 2;
+        for (int s = 0; s <= shift_limit; ++s)
+            build_pos(ds, de, W, 132, 137, 3, 0, 128, s, pos[s]);
         for (int64_t l = 0; l < L; ++l) {
             const uint8_t* px = pixels + f * stride_f + l * stride_l;
             const int64_t row = f * L + l;
             const int64_t pr = ref_per_line ? row : f;
             const int rf = ref[pr], bk = black[pr], wt = white[pr];
-            int32_t w[8], crc_read = 0;
+            int32_t w[9];
             int pick_h = -1, pick_s = -1;
             for (int h = 0; h <= hyst_limit && pick_h < 0; ++h) {
                 const int rl = rf - h < 1 ? 1 : rf - h;
@@ -1513,8 +1576,8 @@ void stc007_binarize_frames(
                 // clipped hysteresis refs force the trial invalid.
                 if (!(rl > bk && rh < wt)) continue;
                 for (int s = 0; s <= shift_limit; ++s) {
-                    if (stc007_trial(px, W, ds, psm, half, rl, rh, s, w,
-                                     &crc_read)) {
+                    if (read_words_pos(px, pos[s], 8, 14, false, rl, rh,
+                                       w)) {
                         pick_h = h;
                         pick_s = s;
                         break;
@@ -1526,13 +1589,13 @@ void stc007_binarize_frames(
                 // Fallback: the (0,0) read (readPCMdata :7957-8010).
                 const int rl = rf < 1 ? 1 : rf;
                 const int rh = rf > 254 ? 254 : rf;
-                stc007_trial(px, W, ds, psm, half, rl, rh, 0, w, &crc_read);
+                read_words_pos(px, pos[0], 8, 14, false, rl, rh, w);
                 pick_h = 0;
                 pick_s = 0;
             }
             for (int i = 0; i < 8; ++i)
                 words_out[row * 8 + i] = (int16_t)w[i];
-            crc_out[row] = (uint16_t)crc_read;
+            crc_out[row] = (uint16_t)w[8];
             valid_out[row] = ok;
             hyst_out[row] = (int8_t)pick_h;
             shift_out[row] = (int8_t)pick_s;
