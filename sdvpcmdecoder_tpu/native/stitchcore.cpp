@@ -1393,6 +1393,21 @@ void stc007_crc_rows(const int32_t* words, int64_t n, uint16_t* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = stc007_crc_row(words + 8 * i);
 }
 
+// Batch row CRC for the PCM-1 (6x13-bit, inverted scheme) and PCM-16x0
+// (3x16-bit plain) stores — the stitchers' validity priming, like
+// stc007_crc_rows.
+void pcm_crc_rows(const int32_t* words, int64_t n, int32_t n_words,
+                  int32_t word_bits, int32_t invert, uint16_t* out) {
+    const bool inv = invert != 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t reg = 0xFFFF;
+        const int32_t* w = words + i * n_words;
+        for (int k = 0; k < n_words; ++k)
+            reg = crc16_feed(reg, (uint32_t)w[k], word_bits, inv);
+        out[i] = (uint16_t)(inv ? ((~reg) & 0xFFFFu) : (reg & 0xFFFFu));
+    }
+}
+
 // tryPadding burst counters over packed eval flags (:1623-1720).
 // out[0..3] = valid_max, silent_max, unchecked_max, broken_count.
 void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,

@@ -102,6 +102,9 @@ def _load():
         L.stc007_crc_row.argtypes = [ctypes.c_void_p]
         L.stc007_crc_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        L.pcm_crc_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         L.linegrid_coord_sweep.restype = ctypes.c_int
         L.linegrid_coord_sweep.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -358,6 +361,17 @@ def crc_rows(words):
     w = np.ascontiguousarray(words, np.int32)
     out = np.empty(w.shape[0], np.uint16)
     L.stc007_crc_rows(w.ctypes.data, w.shape[0], out.ctypes.data)
+    return out
+
+
+def pcm_crc_rows(words, fmt):
+    """Native batch row CRC for PCM-1 / PCM-16x0 stores -> uint16 [N]."""
+    L = _load()
+    n_words, word_bits, inv = (6, 13, 1) if fmt == "pcm1" else (3, 16, 0)
+    w = np.ascontiguousarray(words, np.int32)
+    out = np.empty(w.shape[0], np.uint16)
+    L.pcm_crc_rows(w.ctypes.data, w.shape[0], n_words, word_bits, inv,
+                   out.ctypes.data)
     return out
 
 

@@ -62,7 +62,19 @@ class PCM1LineStore:
         return out
 
     def crc_valid_ignore_forced(self):
-        return pcm1.calc_crc(self.words, xp=np) == self.source_crc
+        cached = getattr(self, "_crcv", None)
+        if cached is None:
+            from ..ops import stitch_native as _sn
+            if _sn.available():
+                calc = _sn.pcm_crc_rows(self.words, "pcm1").astype(np.int64)
+            else:
+                calc = np.asarray(pcm1.calc_crc(self.words, xp=np))
+            cached = calc == self.source_crc
+            self._crcv = cached
+        return cached
+
+    def invalidate_crc(self):
+        self._crcv = None
 
     def crc_valid(self):
         return ~self.forced_bad & self.crc_valid_ignore_forced()

@@ -92,7 +92,21 @@ class PCM16X0LineStore:
         return out
 
     def crc_valid_ignore_forced(self):
-        return pcm16x0.calc_crc(self.words, xp=np) == self.source_crc
+        # The trim/split/padding machinery asks many times per frame;
+        # native batch CRC + cache (the LineStore pattern).
+        cached = getattr(self, "_crcv", None)
+        if cached is None:
+            from ..ops import stitch_native as _sn
+            if _sn.available():
+                calc = _sn.pcm_crc_rows(self.words, "pcm16x0").astype(np.int64)
+            else:
+                calc = np.asarray(pcm16x0.calc_crc(self.words, xp=np))
+            cached = calc == self.source_crc
+            self._crcv = cached
+        return cached
+
+    def invalidate_crc(self):
+        self._crcv = None
 
     def crc_valid(self):
         return ~self.forced_bad & self.crc_valid_ignore_forced()
@@ -721,13 +735,10 @@ class PCM16X0Stitcher:
         ofs = di16.EI_OFS if ei else di16.SI_OFS
         group = 3 * ofs
         n_groups = max(1, len(q) // group) if not ei else 1
-        shifts, orders = [], []
-        for g in range(n_groups):
-            for i in range(ofs):
-                shifts.append(g * group + i)
-                orders.append(i % 2 == 1)
-        shifts = np.asarray(shifts)
-        orders = np.asarray(orders)
+        i = np.arange(ofs)
+        shifts = (np.arange(n_groups)[:, None] * group
+                  + i[None, :]).reshape(-1)
+        orders = np.tile((i % 2) == 1, n_groups)
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=ei, en_p=self.en_p, force_ecc=True)
         B = len(shifts)

@@ -26,6 +26,13 @@ from ..ops import agc, line_decode_np as ld
 COORD_CHECK_LINES = 4      # videotodigital.h:98-105
 COORD_CHECK_PARTS = COORD_CHECK_LINES + 1
 COORD_LONG_HISTORY = 16
+# Good-params fast path: while decodes stay this clean, reuse the damped
+# coordinate history instead of re-sweeping sample lines every frame
+# (the binarizer's "good parameters from the previous line" skip,
+# binarizer.cpp:1105-1141, lifted to frame scope).  A periodic refresh
+# keeps tracking slow geometry drift.
+GOOD_SKIP_VALID = 0.98
+SEARCH_REFRESH = 8
 
 
 @dataclass
@@ -56,6 +63,8 @@ class PCMFrameDriver:
             backend = "native" if sn.available() else "tpu"
         self.backend = backend
         self.coord_history: list[tuple[int, int]] = []
+        self._frames_since_search = 0
+        self._last_good = False
 
     # -- prescan ----------------------------------------------------------
     def _hist_coords(self):
@@ -95,6 +104,14 @@ class PCMFrameDriver:
             black = int(np.median(blk[f][sel]))
             white = int(np.median(wht[f][sel]))
             ref = (black + white) // 2
+            if (self._last_good and self.coord_history
+                    and self._frames_since_search < SEARCH_REFRESH):
+                self._frames_since_search += 1
+                coords[f] = self._hist_coords()
+                refs[f], blacks[f], whites[f] = ref, black, white
+                usable[f] = True
+                continue
+            self._frames_since_search = 0
             hist = self._hist_coords()
             hits = []
             for k in range(n_chk):
@@ -160,6 +177,14 @@ class PCMFrameDriver:
         only the small output arrays reorder)."""
         F, L, W = pixels.shape
         words, crc, valid, ctrl = self._decode_batch(pixels, prep)
+        use = np.asarray(prep["usable"])
+        if use.any():
+            # Pre-refine validity gates the good-params skip: drop back
+            # to the full sweep as soon as shared coordinates degrade.
+            frac = float(np.asarray(valid)[use].mean())
+            self._last_good = frac >= GOOD_SKIP_VALID
+        else:
+            self._last_good = False
         if perm is not None:
             p = np.asarray(perm)
             words, crc, valid = words[:, p], crc[:, p], valid[:, p]

@@ -58,6 +58,11 @@ def save_checkpoint(path, frame_index: int, stitcher,
             [[int(a), int(b)] for a, b in hist.coord_history]
         meta["v2d_ref_history"] = \
             [int(r) for r in getattr(hist, "ref_history", [])]
+        if hasattr(driver, "_frames_since_search"):
+            # PCMFrameDriver good-params skip: a resumed run must make
+            # the same search-vs-reuse decision as an uninterrupted one.
+            meta["v2d_search_state"] = [int(driver._frames_since_search),
+                                        bool(driver._last_good)]
     if kind == "STC007Stitcher":
         meta.update(
             frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
@@ -115,6 +120,10 @@ def load_checkpoint(path, stitcher, audio=None, driver=None):
             [(int(a), int(b)) for a, b in meta["v2d_coord_history"]]
         if hasattr(hist, "ref_history"):
             hist.ref_history = [int(r) for r in meta["v2d_ref_history"]]
+        if hasattr(driver, "_frames_since_search") \
+                and "v2d_search_state" in meta:
+            driver._frames_since_search = int(meta["v2d_search_state"][0])
+            driver._last_good = bool(meta["v2d_search_state"][1])
     kind = meta.get("kind", "STC007Stitcher")
     assert kind == _kind(stitcher), \
         f"checkpoint is for {kind}, not {_kind(stitcher)}"
