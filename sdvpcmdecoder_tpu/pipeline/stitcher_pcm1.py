@@ -52,6 +52,11 @@ class PCM1LineStore:
         out = PCM1LineStore(0)
         for f in self.FIELDS:
             setattr(out, f, getattr(self, f)[idx].copy())
+        # words/source_crc are copied unchanged -> the cached CRC
+        # validity slices along with them.
+        cv = getattr(self, "_crcv", None)
+        if cv is not None:
+            out._crcv = cv[idx].copy()
         return out
 
     @staticmethod
@@ -59,6 +64,9 @@ class PCM1LineStore:
         out = PCM1LineStore(0)
         for f in PCM1LineStore.FIELDS:
             setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        cvs = [getattr(s, "_crcv", None) for s in stores]
+        if all(c is not None for c in cvs):
+            out._crcv = np.concatenate(cvs)
         return out
 
     def crc_valid_ignore_forced(self):

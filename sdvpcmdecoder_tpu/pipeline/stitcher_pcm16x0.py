@@ -78,10 +78,24 @@ class PCM16X0LineStore:
     def __len__(self):
         return len(self.source_crc)
 
+    @classmethod
+    def silent_filler(cls, n):
+        """Padding store whose rows read CRC-invalid by construction
+        (source CRC is the deliberately mismatching ~CRC_SILENT), so the
+        validity cache is primed without a native sweep."""
+        out = cls(n)
+        out._crcv = np.zeros(n, bool)
+        return out
+
     def take(self, idx):
         out = PCM16X0LineStore(0)
         for f in self.FIELDS:
             setattr(out, f, getattr(self, f)[idx].copy())
+        # words/source_crc are copied unchanged -> the cached CRC
+        # validity slices along with them.
+        cv = getattr(self, "_crcv", None)
+        if cv is not None:
+            out._crcv = cv[idx].copy()
         return out
 
     @staticmethod
@@ -89,6 +103,9 @@ class PCM16X0LineStore:
         out = PCM16X0LineStore(0)
         for f in PCM16X0LineStore.FIELDS:
             setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
+        cvs = [getattr(s, "_crcv", None) for s in stores]
+        if all(c is not None for c in cvs):
+            out._crcv = np.concatenate(cvs)
         return out
 
     def crc_valid_ignore_forced(self):
@@ -274,7 +291,9 @@ class PCM16X0Stitcher:
 
     # -- SI padding sweep (trySIPadding / findSIPadding) ------------------
     def _padded_field(self, field: PCM16X0LineStore, padding: int):
-        pad = PCM16X0LineStore(3 * padding)
+        if padding == 0:
+            return field
+        pad = PCM16X0LineStore.silent_filler(3 * padding)
         pad.frame_number[:] = field.frame_number[0] if len(field) else 0
         return PCM16X0LineStore.concat([pad, field])
 
@@ -285,14 +304,10 @@ class PCM16X0Stitcher:
         n_groups = S // SI_TRUE_INTERLEAVE
         if n_groups == 0:
             return False, StitchStats(index=padding)
-        shifts = []
-        orders = []
-        for g in range(n_groups):
-            for i in range(di16.SI_OFS):
-                shifts.append(g * SI_TRUE_INTERLEAVE + i)
-                orders.append(i % 2 == 1)
-        shifts = np.asarray(shifts)
-        orders = np.asarray(orders)
+        i = np.arange(di16.SI_OFS)
+        shifts = (np.arange(n_groups)[:, None] * SI_TRUE_INTERLEAVE
+                  + i[None, :]).reshape(-1)
+        orders = np.tile((i % 2) == 1, n_groups)
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=False, en_p=self.en_p, force_ecc=True)
         vmax, smax, umax, brk_total = _burst_stats16(
@@ -310,7 +325,7 @@ class PCM16X0Stitcher:
         different start offset (the STC-007 batched_padding_stats trick,
         trySIPadding :1129/findSIPadding :1557).  Bit-identical to
         calling try_si_padding per pad."""
-        pre = PCM16X0LineStore(3 * max_padding)
+        pre = PCM16X0LineStore.silent_filler(3 * max_padding)
         if len(field):
             pre.frame_number[:] = field.frame_number[0]
         master = PCM16X0LineStore.concat([pre, field])
@@ -559,13 +574,14 @@ class PCM16X0Stitcher:
         target = max(SUBLINES_PF, S + ((-S) % SI_TRUE_INTERLEAVE))
         target += (-target) % SI_TRUE_INTERLEAVE
         if target > S:
-            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(target - S)])
+            q = PCM16X0LineStore.concat(
+                [q, PCM16X0LineStore.silent_filler(target - S)])
         return q
 
     # -- EI inter-field padding (tryEIPadding :2379 / findEIPadding :2649)
     def _ei_queue(self, f1, f2, padding):
         """field1 + `padding` empty lines + field2, as padding_queue."""
-        pad = PCM16X0LineStore(3 * padding)
+        pad = PCM16X0LineStore.silent_filler(3 * padding)
         if len(f1):
             pad.frame_number[:] = f1.frame_number[-1] if len(f1) else 0
         return PCM16X0LineStore.concat([f1, pad, f2])
@@ -600,7 +616,7 @@ class PCM16X0Stitcher:
         maxpad = max(paddings)
         n1 = len(f1)
         master = PCM16X0LineStore.concat(
-            [f1, PCM16X0LineStore(3 * maxpad), f2])
+            [f1, PCM16X0LineStore.silent_filler(3 * maxpad), f2])
         crc = master.crc_valid()
         base = np.arange(3) * di16.EI_OFS
         row_chunks, eo_chunks, counts = [], [], []
@@ -728,7 +744,8 @@ class PCM16X0Stitcher:
         S = len(q)
         need = EI_TRUE_INTERLEAVE * 3
         if S < need:
-            q = PCM16X0LineStore.concat([q, PCM16X0LineStore(need - S)])
+            q = PCM16X0LineStore.concat(
+                [q, PCM16X0LineStore.silent_filler(need - S)])
         self._stream_blocks(q, fr, ei=True)
 
     def _stream_blocks(self, q, fr, ei):

@@ -65,6 +65,7 @@ class PCMFrameDriver:
         self.coord_history: list[tuple[int, int]] = []
         self._frames_since_search = 0
         self._last_good = False
+        self._force_search = False
 
     # -- prescan ----------------------------------------------------------
     def _hist_coords(self):
@@ -72,6 +73,15 @@ class PCMFrameDriver:
             return None
         hs = np.array(self.coord_history)
         return (int(np.median(hs[:, 0])), int(np.median(hs[:, 1])))
+
+    def _coords_stable(self):
+        """Two consecutive agreeing CRC-validated search results lock the
+        coordinates without waiting for decode feedback (the searches only
+        report hits on CRC-valid reads, so agreement is strong evidence)."""
+        if len(self.coord_history) < 2:
+            return False
+        (a0, a1), (b0, b1) = self.coord_history[-1], self.coord_history[-2]
+        return abs(a0 - b0) <= 1 and abs(a1 - b1) <= 1
 
     def prepare_frames(self, pixels: np.ndarray, perm=None):
         """Batched AGC + per-frame sample-line coordinate search.
@@ -104,7 +114,8 @@ class PCMFrameDriver:
             black = int(np.median(blk[f][sel]))
             white = int(np.median(wht[f][sel]))
             ref = (black + white) // 2
-            if (self._last_good and self.coord_history
+            if (not self._force_search and self.coord_history
+                    and (self._last_good or self._coords_stable())
                     and self._frames_since_search < SEARCH_REFRESH):
                 self._frames_since_search += 1
                 coords[f] = self._hist_coords()
@@ -185,6 +196,9 @@ class PCMFrameDriver:
             self._last_good = frac >= GOOD_SKIP_VALID
         else:
             self._last_good = False
+        # Degraded decodes force the full per-frame sweep until quality
+        # recovers — stable-but-wrong history must not keep skipping.
+        self._force_search = not self._last_good
         if perm is not None:
             p = np.asarray(perm)
             words, crc, valid = words[:, p], crc[:, p], valid[:, p]

@@ -62,7 +62,8 @@ def save_checkpoint(path, frame_index: int, stitcher,
             # PCMFrameDriver good-params skip: a resumed run must make
             # the same search-vs-reuse decision as an uninterrupted one.
             meta["v2d_search_state"] = [int(driver._frames_since_search),
-                                        bool(driver._last_good)]
+                                        bool(driver._last_good),
+                                        bool(driver._force_search)]
     if kind == "STC007Stitcher":
         meta.update(
             frasm_f0=dataclasses.asdict(stitcher.frasm_f0),
@@ -122,8 +123,11 @@ def load_checkpoint(path, stitcher, audio=None, driver=None):
             hist.ref_history = [int(r) for r in meta["v2d_ref_history"]]
         if hasattr(driver, "_frames_since_search") \
                 and "v2d_search_state" in meta:
-            driver._frames_since_search = int(meta["v2d_search_state"][0])
-            driver._last_good = bool(meta["v2d_search_state"][1])
+            st = meta["v2d_search_state"]
+            driver._frames_since_search = int(st[0])
+            driver._last_good = bool(st[1])
+            driver._force_search = bool(st[2]) if len(st) > 2 \
+                else not driver._last_good
     kind = meta.get("kind", "STC007Stitcher")
     assert kind == _kind(stitcher), \
         f"checkpoint is for {kind}, not {_kind(stitcher)}"
