@@ -51,12 +51,15 @@ class PCM1LineStore:
     def take(self, idx):
         out = PCM1LineStore(0)
         for f in self.FIELDS:
-            setattr(out, f, getattr(self, f)[idx].copy())
+            a = getattr(self, f)[idx]
+            # Fancy indexing already copied; only slices are views.
+            setattr(out, f, a.copy() if a.base is not None else a)
         # words/source_crc are copied unchanged -> the cached CRC
         # validity slices along with them.
         cv = getattr(self, "_crcv", None)
         if cv is not None:
-            out._crcv = cv[idx].copy()
+            c = cv[idx]
+            out._crcv = c.copy() if c.base is not None else c
         return out
 
     @staticmethod

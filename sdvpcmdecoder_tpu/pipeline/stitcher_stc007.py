@@ -100,10 +100,13 @@ class LineStore:
     def take(self, idx) -> "LineStore":
         out = LineStore(0)
         for f in self.FIELDS:
-            setattr(out, f, getattr(self, f)[idx].copy())
+            a = getattr(self, f)[idx]
+            # Fancy indexing already copied; only slices are views.
+            setattr(out, f, a.copy() if a.base is not None else a)
         cached = getattr(self, "_crcv", None)
         if cached is not None:
-            out._crcv = cached[idx].copy()
+            c = cached[idx]
+            out._crcv = c.copy() if c.base is not None else c
         return out
 
     @staticmethod
