@@ -89,6 +89,20 @@ def _ensure_decodable_input(args):
     src = args.input
     if src.lower().endswith(".y4m") or args.raw_size:
         return src
+    if src.lower().endswith(".avi"):
+        # AVI decodes in-process (pipeline/avi.py) unless the codec is
+        # outside the built-in set, in which case fall through to the
+        # FFmpeg transcode path.
+        from .pipeline import avi
+        try:
+            with avi.AVIReader(src) as rd:
+                if rd.dropped_frames:
+                    print(f"AVI capture: {rd.dropped_frames} dropped "
+                          "frames re-inserted from idx1")
+            return src
+        except avi.AVIError as e:
+            print(f"in-process AVI decode unavailable ({e}); trying "
+                  "FFmpeg transcode", file=sys.stderr)
     import os
     import tempfile
     from .pipeline import ingest
@@ -155,7 +169,7 @@ def main(argv=None):
                                     out_path)
 
     t0 = time.perf_counter()
-    with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
+    with ingest.open_capture(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
         n_frames = rd.n_frames if args.frames is None \
             else min(args.frames, rd.n_frames)
@@ -435,7 +449,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
             writer = wav.WavWriter(out_path, ck_rate, resume_at=audio_out)
             print(f"resuming at frame {frame_no}, "
                   f"{audio_out} samples written")
-    with ingest.VideoReader(args.input, raw_size=raw_size) as rd:
+    with ingest.open_capture(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
         n_frames = rd.n_frames if args.frames is None \
             else min(args.frames, rd.n_frames)

@@ -100,7 +100,7 @@ class BatchDecoder:
         preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
             else st.VID_NTSC
         for j in self.jobs:
-            j.reader = ingest.VideoReader(j.path)
+            j.reader = ingest.open_capture(j.path)
             j.stats.frames_dropped = getattr(j.reader, "dropped_frames", 0)
             if fmt == "stc007":
                 j.driver = v2d.V2DDriver(

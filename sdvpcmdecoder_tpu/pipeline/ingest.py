@@ -252,6 +252,17 @@ class VideoReader:
         self.close()
 
 
+def open_capture(path, raw_size=None, **kw):
+    """Reader factory: AVI containers decode in-process (pipeline/avi.py,
+    no FFmpeg needed), everything else goes through VideoReader
+    (Y4M / raw gray8 + `.pts` sidecar)."""
+    p = str(path)
+    if p.lower().endswith(".avi"):
+        from .avi import AVIReader
+        return AVIReader(p, raw_size=raw_size, **kw)
+    return VideoReader(p, raw_size=raw_size, **kw)
+
+
 def split_fields(frame: np.ndarray, double_narrow=True):
     """One frame [H, W] -> field-sequential lines + display line numbers.
 

@@ -1,0 +1,143 @@
+"""In-process AVI container ingest (pipeline/avi.py).
+
+The reference opens captures through libav (ffmpegwrapper.cpp:543);
+here VirtualDub-style AVIs decode in-process, with zero-length idx1
+entries (the dropped-frame convention) mapping to all-black timeline
+slots exactly like the `.pts` sidecar path.
+"""
+import numpy as np
+import pytest
+
+from sdvpcmdecoder_tpu.pipeline import avi, ingest
+
+
+def _frames(F=5, H=32, W=48, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(F, H, W)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("codec", ["Y800", "YUY2", "UYVY", "DIB"])
+def test_roundtrip_lossless(tmp_path, codec):
+    frames = _frames()
+    p = tmp_path / f"cap_{codec}.avi"
+    avi.write_avi(p, frames, codec=codec)
+    with avi.AVIReader(p) as rd:
+        assert (rd.width, rd.height) == (48, 32)
+        assert rd.n_frames == 5
+        assert rd.dropped_frames == 0
+        got = rd.read_frames(0, 5)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_roundtrip_mjpeg(tmp_path):
+    pytest.importorskip("PIL")
+    # Flat fields survive JPEG closely; verify approximate luma.
+    frames = np.full((3, 32, 48), 0, np.uint8)
+    frames[0] += 30
+    frames[1] += 128
+    frames[2] += 220
+    p = tmp_path / "cap_mjpg.avi"
+    avi.write_avi(p, frames, codec="MJPG", quality=95)
+    with avi.AVIReader(p) as rd:
+        got = rd.read_frames(0, 3)
+    assert np.abs(got.astype(int) - frames.astype(int)).max() <= 4
+
+
+def test_dropped_frames_from_idx1(tmp_path):
+    frames = _frames(F=4)
+    p = tmp_path / "drops.avi"
+    # timeline: s0 _ s1 s2 _ s3  (slots 1 and 4 dropped)
+    avi.write_avi(p, frames, codec="Y800", drops=[1, 4])
+    with avi.AVIReader(p) as rd:
+        assert rd.n_frames == 6
+        assert rd.dropped_frames == 2
+        got = rd.read_frames(0, 6)
+    np.testing.assert_array_equal(got[0], frames[0])
+    assert not got[1].any()
+    np.testing.assert_array_equal(got[2], frames[1])
+    np.testing.assert_array_equal(got[3], frames[2])
+    assert not got[4].any()
+    np.testing.assert_array_equal(got[5], frames[3])
+
+
+def test_partial_reads_and_view(tmp_path):
+    frames = _frames(F=6)
+    p = tmp_path / "part.avi"
+    avi.write_avi(p, frames, codec="Y800")
+    with avi.AVIReader(p) as rd:
+        np.testing.assert_array_equal(rd.read_frames(2, 3), frames[2:5])
+        np.testing.assert_array_equal(rd.read_frames_view(4, 10),
+                                      frames[4:6])
+        assert rd.read_frames(6, 4).shape == (0, 32, 48)
+
+
+def test_open_capture_routes_avi(tmp_path):
+    frames = _frames(F=2)
+    p = tmp_path / "route.avi"
+    avi.write_avi(p, frames, codec="Y800")
+    with ingest.open_capture(p) as rd:
+        assert isinstance(rd, avi.AVIReader)
+        np.testing.assert_array_equal(rd.read_frames(0, 2), frames)
+
+
+def test_unsupported_codec_raises(tmp_path):
+    frames = _frames(F=2)
+    p = tmp_path / "x.avi"
+    avi.write_avi(p, frames, codec="Y800")
+    raw = bytearray(p.read_bytes())
+    i = raw.find(b"Y800")          # strh fccHandler
+    j = raw.find(b"Y800", i + 1)   # strf biCompression
+    raw[i:i + 4] = b"HFYU"
+    raw[j:j + 4] = b"HFYU"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(avi.AVIError, match="HFYU"):
+        avi.AVIReader(p)
+
+
+def test_not_an_avi(tmp_path):
+    p = tmp_path / "bogus.avi"
+    p.write_bytes(b"not a riff file at all")
+    with pytest.raises(avi.AVIError):
+        avi.AVIReader(p)
+
+
+def test_cli_decodes_pcm1_from_avi(tmp_path):
+    """Full pipeline over an AVI capture: PCM-1 in a Y800 AVI with one
+    dropped frame slot -> decoded WAV (drop handled as a dummy frame)."""
+    from sdvpcmdecoder_tpu.__main__ import main
+    from sdvpcmdecoder_tpu.formats import pcm1
+    from sdvpcmdecoder_tpu.ops import pcm1_deint as di1
+    from sdvpcmdecoder_tpu.pipeline import stitcher_pcm1 as sp1, wav
+    from sdvpcmdecoder_tpu.synth import encoder as enc
+
+    rng = np.random.default_rng(77)
+    W = 1024
+    n_frames = 3
+    n = n_frames * 2 * di1.FIELD_SUBLINES
+    left = rng.integers(0, 1 << 13, size=n)
+    right = rng.integers(0, 1 << 13, size=n)
+    vids = []
+    for f in range(n_frames):
+        img = np.zeros((2 * sp1.LINES_PF, W), np.uint8) + 20
+        for half in range(2):
+            base = (f * 2 + half) * di1.FIELD_SUBLINES
+            sl, sr = di1.interleave_field(
+                left[base:base + di1.FIELD_SUBLINES],
+                right[base:base + di1.FIELD_SUBLINES])
+            words = np.zeros((sp1.LINES_PF, 6), np.int64)
+            words[:, 0::2] = np.stack([sl[0::3], sl[1::3], sl[2::3]], 1)
+            words[:, 1::2] = np.stack([sr[0::3], sr[1::3], sr[2::3]], 1)
+            crcs = pcm1.calc_crc(words, xp=np)
+            bits = pcm1.words_to_data_bits(words, crcs, xp=np)
+            px, _ = enc.render_bits(bits, width=W, ppb=10.0)
+            img[half::2] = px
+        vids.append(img)
+    cap = tmp_path / "p1.avi"
+    out = tmp_path / "p1.wav"
+    avi.write_avi(cap, np.stack(vids), codec="Y800")
+    rc = main([str(cap), "-o", str(out), "--format", "pcm1",
+               "--quality", "fast"])
+    assert rc == 0
+    data, rate = wav.read_wav(out)
+    el = np.asarray(pcm1.expand_sample(left, xp=np)).astype(np.int64)
+    np.testing.assert_array_equal(data[:, 0].astype(np.int64), el)
