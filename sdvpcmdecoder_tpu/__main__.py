@@ -74,6 +74,10 @@ def build_parser():
                         "instead of one frame-level AGC from 4 sampled "
                         "lines; tracks brightness drift (head switching, "
                         "AGC pumping)")
+    p.add_argument("--live-audio", default=None, metavar="SINK",
+                   help="also stream decoded audio live (SamplesToAudio "
+                        "analog): 'alsa[:device]', '-' for raw s16le on "
+                        "stdout, or a path/FIFO (pipe to `aplay -f cd`)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas VMEM kernel for the TPU "
                         "trial grid (TPU backend only; wins at large "
@@ -125,6 +129,20 @@ def _ensure_decodable_input(args):
 QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
     "draft": (0, 0), "fast": (2, 1), "normal": (4, 2), "insane": (10, 4),
 }
+
+
+def _make_live(spec, rate):
+    """Start the live-audio pump for --live-audio, or None."""
+    if not spec:
+        return None
+    from .pipeline import live_audio as la
+    try:
+        pump = la.SamplesToAudio(la.make_sink(spec), rate=rate)
+        pump.start()
+        return pump
+    except OSError as e:
+        print(f"live audio disabled: {e}", file=sys.stderr)
+        return None
 
 
 def _enable_compile_cache():
@@ -211,6 +229,7 @@ def main(argv=None):
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None
+        live = None
         frame_no = 0
         first = True
         audio_out = 0
@@ -240,7 +259,7 @@ def main(argv=None):
             # Runs on the single stitch worker: the host reassembly for
             # batch N overlaps the device decode of batch N+1.
             nonlocal frame_no, first, audio_out, audio_peak, \
-                frames_no_pcm, writer
+                frames_no_pcm, writer, live
             t_st = time.perf_counter()
             for (lines, nums), res in zip(split, results):
                 frame_no += 1
@@ -326,8 +345,11 @@ def main(argv=None):
                     audio_peak = max(audio_peak, int(np.abs(out).max()))
                 if writer is None:
                     writer = wav.WavWriter(out_path, rate)
+                    live = _make_live(args.live_audio, rate)
                 writer.write(out)
                 writer.flush()
+                if live is not None and len(out):
+                    live.save_audio(out)
             stage_t["audio"] += time.perf_counter() - t_au
             if args.checkpoint:
                 from .utils import resume as ckpt
@@ -380,9 +402,14 @@ def main(argv=None):
             audio_peak = max(audio_peak, int(np.abs(out).max()))
             if writer is None:
                 writer = wav.WavWriter(out_path, rate)
+                live = _make_live(args.live_audio, rate)
             writer.write(out)
+            if live is not None:
+                live.save_audio(out)
         if writer is not None:
             writer.close()
+        if live is not None:
+            live.stop_output()
     dt = time.perf_counter() - t0
     from .utils.stats import DecodeStats
     agg = DecodeStats()
@@ -437,6 +464,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
         refine=args.quality in ("normal", "insane"),
         backend="tpu" if args.backend == "tpu" else "auto")
     writer = None
+    live = None
     frame_no = 0
     start_base = 0
     if args.checkpoint:
@@ -544,8 +572,11 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 out = proc.process(samples, valid2, blk2, file_end=False)
                 if writer is None:
                     writer = wav.WavWriter(out_path, rate)
+                    live = _make_live(args.live_audio, rate)
                 writer.write(out)
                 writer.flush()
+                if live is not None and len(out):
+                    live.save_audio(out)
             if args.checkpoint:
                 from .utils import resume as ckpt
                 ckpt.save_checkpoint(
@@ -563,11 +594,16 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
     if len(out):
         if writer is None:
             writer = wav.WavWriter(out_path, rate)
+            live = _make_live(args.live_audio, rate)
         writer.write(out)
+        if live is not None:
+            live.save_audio(out)
     if writer is not None:
         writer.close()
     else:
         print("warning: no decodable PCM found", file=sys.stderr)
+    if live is not None:
+        live.stop_output()
     print(f"decoded {frame_no} frames -> {out_path}")
     return 0
 
