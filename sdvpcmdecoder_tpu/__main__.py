@@ -24,8 +24,10 @@ def build_parser():
     p.add_argument("-o", "--output", default=None, help="output WAV path")
     p.add_argument("--format", default="stc007",
                    choices=["stc007", "m2", "pcm1", "pcm16x0",
-                            "pcm1630"],
-                   help="PCM format (default stc007)")
+                            "pcm1630", "arvid"],
+                   help="PCM format (default stc007; arvid is the "
+                        "prototype word-dump path, no audio out — "
+                        "matching the reference's debug-only support)")
     p.add_argument("--raw-size", default=None,
                    help="WxH for raw input, e.g. 1152x588")
     p.add_argument("--standard", default="auto",
@@ -131,6 +133,37 @@ QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
 }
 
 
+def _decode_arvid(args, raw_size):
+    """ArVid prototype path: binarize frames, dump words (no audio —
+    the reference's debug-only ArVid surface, videotodigital.cpp:857)."""
+    from .pipeline import arvid_pipe, ingest
+    out_path = args.output or (args.input.rsplit(".", 1)[0]
+                               + ".arvid.txt")
+    bin_path = out_path.rsplit(".", 1)[0] + ".bin"
+    open(out_path, "w").close()
+    open(bin_path, "wb").close()
+    fcoords = None
+    if args.force_coords:
+        a, b = args.force_coords.split(":")
+        fcoords = (int(a), int(b))
+    done = 0
+    with ingest.open_capture(args.input, raw_size=raw_size) as rd:
+        print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
+        n_frames = rd.n_frames if args.frames is None \
+            else min(args.frames, rd.n_frames)
+        for base in range(0, n_frames, args.batch):
+            batch = rd.read_frames(base, min(args.batch,
+                                             n_frames - base))
+            if batch.shape[0] == 0:
+                continue
+            lines_b, _nums = ingest.split_fields_batch(batch)
+            done += arvid_pipe.decode_to_dump(
+                lines_b, out_path, first_frame_number=base + 1,
+                coords=fcoords, bin_path=bin_path)
+    print(f"dumped {done} ArVid frames -> {out_path}")
+    return 0
+
+
 def _make_live(spec, rate):
     """Start the live-audio pump for --live-audio, or None."""
     if not spec:
@@ -181,6 +214,9 @@ def main(argv=None):
     if decodable is None:
         return 2
     args.input = decodable
+
+    if args.format == "arvid":
+        return _decode_arvid(args, raw_size)
 
     if args.format in ("pcm1", "pcm16x0", "pcm1630"):
         return _decode_other_format(args, raw_size, mask_map, hyst, shift,
