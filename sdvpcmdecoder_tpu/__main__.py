@@ -24,8 +24,9 @@ def build_parser():
     p.add_argument("-o", "--output", default=None, help="output WAV path")
     p.add_argument("--format", default="stc007",
                    choices=["stc007", "m2", "pcm1", "pcm16x0",
-                            "pcm1630", "arvid"],
-                   help="PCM format (default stc007; arvid is the "
+                            "pcm1630", "arvid", "auto"],
+                   help="PCM format (default stc007; auto probes the "
+                        "capture's format signature; arvid is the "
                         "prototype word-dump path, no audio out — "
                         "matching the reference's debug-only support)")
     p.add_argument("--raw-size", default=None,
@@ -214,6 +215,18 @@ def main(argv=None):
     if decodable is None:
         return 2
     args.input = decodable
+
+    if args.format == "auto":
+        from .pipeline import probe
+        fmt, scores = probe.probe_capture(args.input, raw_size=raw_size)
+        if fmt is None:
+            print(f"error: cannot detect PCM format of {args.input!r} "
+                  f"(scores {scores}); pass --format explicitly",
+                  file=sys.stderr)
+            return 2
+        print(f"format probe: {fmt} "
+              f"({', '.join(f'{k}={v:.2f}' for k, v in scores.items())})")
+        args.format = fmt
 
     if args.format == "arvid":
         return _decode_arvid(args, raw_size)

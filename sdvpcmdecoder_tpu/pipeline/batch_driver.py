@@ -74,8 +74,11 @@ class BatchDecoder:
 
     fmt selects the decode family per run ("stc007", "pcm1", "pcm16x0",
     "pcm1630") — the reference routes one user-set pcm_type the same way
-    (videotodigital.h:125-126); PCM-1/16x0 jobs run on the host backend
-    (the PCMFrameDriver handles its own TPU/native split internally)."""
+    (videotodigital.h:125-126).  fmt="auto" probes every capture's format
+    signature (pipeline/probe.py, BASELINE config 5 "auto format
+    search") and requires consensus, since one run drives one decode
+    family.  PCM-1/16x0 jobs run on the host backend (the
+    PCMFrameDriver handles its own TPU/native split internally)."""
 
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, mask_mode=ap.DROP_INTER_LIN_WORD,
@@ -86,6 +89,16 @@ class BatchDecoder:
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
+        if fmt == "auto":
+            from . import probe
+            guesses = {j.path: probe.probe_capture(j.path)[0]
+                       for j in self.jobs}
+            kinds = set(guesses.values())
+            if len(kinds) != 1 or None in kinds:
+                raise ValueError(
+                    f"format probe disagrees across captures: {guesses}; "
+                    "pass fmt explicitly or split the batch")
+            fmt = kinds.pop()
         self.fmt = fmt
         if backend == "auto":
             import os
