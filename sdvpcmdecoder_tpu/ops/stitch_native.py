@@ -25,6 +25,15 @@ _LIB = None
 _TRIED = False
 
 
+def _as_u8(a):
+    """Bool/uint8 array as contiguous uint8 without copying when the
+    input is already a contiguous bool/uint8 buffer (ctypes hot path)."""
+    if isinstance(a, np.ndarray) and a.flags.c_contiguous \
+            and a.dtype in (np.bool_, np.uint8):
+        return a.view(np.uint8)
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
 def _matrix_to_rows(m: np.ndarray) -> list[int]:
     """bool [14,14] matrix -> 14 row masks (row r: bit c set iff M[r,c])."""
     return [int(sum(int(m[r, c]) << c for c in range(gf2.BITS)))
@@ -226,11 +235,11 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
     L = _load()
     B = int(n_blocks)
     w_in = np.ascontiguousarray(line_words, dtype=np.int32)
-    c_in = np.ascontiguousarray(line_crc, dtype=np.uint8)
+    c_in = _as_u8(line_crc)
     cwd_ptr = 0
     cwd_arr = None
     if cwd_line is not None:
-        cwd_arr = np.ascontiguousarray(cwd_line, dtype=np.uint8)
+        cwd_arr = _as_u8(cwd_line)
         cwd_ptr = cwd_arr.ctypes.data
     rows_ptr = 0
     rows_arr = None

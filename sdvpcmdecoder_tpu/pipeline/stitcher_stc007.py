@@ -153,6 +153,17 @@ class LineStore:
 
     def invalidate_crc(self):
         self._crcv = None
+        self._w32 = None
+
+    def words_i32(self):
+        """Cached int32 copy of words for the native core (the eval
+        sweeps ask ~10x per frame; invalidate_crc() clears it alongside
+        the CRC cache on CWD write-back)."""
+        w = getattr(self, "_w32", None)
+        if w is None:
+            w = np.ascontiguousarray(self.words, np.int32)
+            self._w32 = w
+        return w
 
     def crc_valid(self):
         return (~self.forced_bad) & self.crc_valid_ignore_forced()
@@ -510,9 +521,11 @@ def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
     are seam/resolution probes that read the packed flags alone)."""
     from ..ops import stitch_native as _sn
     B = rows.shape[0]
+    w_src = store.words_i32() if hasattr(store, "words_i32") \
+        else store.words  # _SlimQueue has no cache slot
     w, v, lc, state, stage, res, flags, samples = _sn.eval_rows_arrays(
-        store.words, crc_ok, cwd_line if en_cwd else None, rows, 0, B,
-        res_mode, en_p, en_q, force_ecc, en_cwd, m2)
+        w_src, crc_ok, cwd_line if en_cwd else None, rows,
+        0, B, res_mode, en_p, en_q, force_ecc, en_cwd, m2)
     batch = di.BlockBatch(w, v, lc, state, stage, res)
     cwd_app = (flags & _sn.FLAG_CWD_APP) != 0
     aux = dict(rows=rows, broken=(flags & _sn.FLAG_BROKEN) != 0,
