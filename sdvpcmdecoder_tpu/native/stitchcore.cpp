@@ -9,7 +9,13 @@
 // NOT duplicated here — Python passes the row masks from formats/gf2.py
 // via stc007_set_q_tables, keeping one source of truth.
 //
-// Build: g++ -O3 -shared -fPIC -o libsdvstitch.so stitchcore.cpp
+// Build: g++ -O3 -fopenmp -shared -fPIC -o libsdvstitch.so stitchcore.cpp
+// (the loader falls back to a serial build when -fopenmp is missing).
+//
+// Multicore: the frame-batch binarizers and the block eval sweep carry
+// `omp parallel for` over their outer loops — every iteration writes a
+// disjoint output row with purely local state, so results are
+// bit-identical for any thread count (OMP_NUM_THREADS; 1 core -> serial).
 
 #include <cstdint>
 #include <cstring>
@@ -324,6 +330,7 @@ int stc007_eval_rows(
     uint8_t* flags_out, int16_t* samples_out) {
     if (!g_tables_set) return -1;
 
+    #pragma omp parallel for schedule(static) if (B > 512)
     for (int64_t b = 0; b < B; ++b) {
         int64_t rb[8];
         if (rows) {
@@ -1139,8 +1146,9 @@ void pcm1_binarize_frames(
     const int32_t* ref, const int32_t* black, const int32_t* white,
     int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
     uint8_t* valid_out) {
-    int32_t pos[5][110];
+    #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t f = 0; f < F; ++f) {
+        int32_t pos[5][110];
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
         for (int s = 0; s <= shift_limit; ++s)
             build_pos(ds, de, W, 94, 94, 0, 0, 94, s, pos[s]);
@@ -1181,8 +1189,9 @@ void pcm16x0_binarize_frames(
     int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
     uint8_t* valid_out, uint8_t* ctrl_out) {
     static const int PART_START[3] = {0, 64, 129};
-    int32_t pos[3][5][64];
+    #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t f = 0; f < F; ++f) {
+        int32_t pos[3][5][64];
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
         for (int part = 0; part < 3; ++part)
             for (int s = 0; s <= shift_limit; ++s)
@@ -1516,8 +1525,9 @@ void stc007_ref_sweep_lines(
     int32_t hyst_limit, int32_t shift_limit,
     uint8_t* valid_out, int32_t* crc_out, int8_t* hyst_out,
     int8_t* shift_out, int16_t* words_out) {
-    int32_t pos[5][128];
+    #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t n = 0; n < N; ++n) {
+        int32_t pos[5][128];
         const uint8_t* px = pixels + n * stride_l;
         const int64_t ds = coords[2 * n], de = coords[2 * n + 1];
         for (int s = 0; s <= shift_limit; ++s)
@@ -1572,8 +1582,9 @@ void stc007_binarize_frames(
     int32_t hyst_limit, int32_t shift_limit,
     int16_t* words_out, uint16_t* crc_out, uint8_t* valid_out,
     int8_t* hyst_out, int8_t* shift_out) {
-    int32_t pos[5][128];
+    #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t f = 0; f < F; ++f) {
+        int32_t pos[5][128];
         const int64_t ds = coords[2 * f], de = coords[2 * f + 1];
         for (int s = 0; s <= shift_limit; ++s)
             build_pos(ds, de, W, 132, 137, 3, 0, 128, s, pos[s]);

@@ -55,10 +55,18 @@ def _load():
             # processes must not clobber each other's .so mid-load.
             tmp = lib.with_name(f".libsdvstitch.{os.getpid()}.so")
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp),
-                     str(src)],
-                    check=True, capture_output=True)
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
+                         "-o", str(tmp), str(src)],
+                        check=True, capture_output=True)
+                except Exception:
+                    # Toolchains without libgomp: serial build (the
+                    # pragmas are no-ops without -fopenmp).
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-o",
+                         str(tmp), str(src)],
+                        check=True, capture_output=True)
                 os.replace(tmp, lib)
             except Exception:
                 # No compiler (or a failed build): fall back to a shipped
