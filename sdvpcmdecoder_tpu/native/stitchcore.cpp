@@ -1372,20 +1372,25 @@ uint16_t stc007_crc_row(const int32_t* w8) {
     // built once from the bit-serial recurrence, which remains the
     // documented reference form (tests pin both against hand-computed
     // vectors, tests/test_external_anchor.py).
-    static uint16_t tbl[128];
-    static bool init = false;
-    if (!init) {
-        for (uint32_t v = 0; v < 128; ++v) {
-            uint32_t reg = v << 9;
-            for (int b = 0; b < 7; ++b) {
-                const uint32_t top = reg & 0x8000u;
-                reg = (reg << 1) & 0xFFFFu;
-                if (top) reg ^= 0x1021u;
+    // C++11 magic static: thread-safe one-time build (the batch
+    // driver's stitcher pool calls this concurrently with the GIL
+    // released; a plain static-bool guard would be a data race).
+    struct Crc7Table {
+        uint16_t t[128];
+        Crc7Table() {
+            for (uint32_t v = 0; v < 128; ++v) {
+                uint32_t reg = v << 9;
+                for (int b = 0; b < 7; ++b) {
+                    const uint32_t top = reg & 0x8000u;
+                    reg = (reg << 1) & 0xFFFFu;
+                    if (top) reg ^= 0x1021u;
+                }
+                t[v] = (uint16_t)reg;
             }
-            tbl[v] = (uint16_t)reg;
         }
-        init = true;
-    }
+    };
+    static const Crc7Table table;
+    const uint16_t* tbl = table.t;
     uint32_t reg = 0xFFFF;
     for (int i = 0; i < 8; ++i) {
         const uint32_t w = (uint32_t)w8[i] & 0x3FFFu;

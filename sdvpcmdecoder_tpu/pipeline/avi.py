@@ -161,6 +161,11 @@ class AVIReader:
             off += 8 + size + (size & 1)
 
     def _on_idx1(self, body, size):
+        if getattr(self, "_have_indx", False):
+            # OpenDML files carry BOTH: the indx covers every segment,
+            # the legacy idx1 only the first RIFF — it must not clobber
+            # the full index (frames in AVIX segments would vanish).
+            return
         mm = self._mm
         tag = self._stream_tag()
         # Offsets are relative to the 'movi' list fourcc in spec, but
@@ -217,9 +222,17 @@ class AVIReader:
                 timeline.append(len(entries))
                 entries.append((base + ofs, sz))
             if entries:
+                if not getattr(self, "_have_indx", False):
+                    # First indx chunk: discard whatever the movi scan
+                    # or a legacy idx1 collected — indx is authoritative.
+                    self._entries = []
+                    self._timeline = []
                 self._have_idx = True
-                self._entries += entries
-                self._timeline += timeline
+                self._have_indx = True
+                off = len(self._entries)
+                self._entries = self._entries + entries
+                self._timeline = self._timeline + \
+                    [t if t < 0 else t + off for t in timeline]
         elif idx_type == 0x00:  # AVI_INDEX_OF_INDEXES: walk sub-indexes
             for k in range(n_in_use):
                 e = body + 24 + max(longs_per_entry, 4) * 4 * k

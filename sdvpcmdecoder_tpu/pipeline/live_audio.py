@@ -216,10 +216,17 @@ class SamplesToAudio:
             if acc < len(data):   # sink backpressure: requeue the rest
                 rest = np.frombuffer(data[acc:], "<i2").reshape(-1, 2)
                 with self._lock:
-                    self.head = (self.head - len(rest)) % cap
-                    self.buf[(self.head + np.arange(len(rest))) % cap] = \
-                        rest
-                    self.count += len(rest)
+                    # The producer may have filled the freed slots while
+                    # the sink call ran; rewind only into genuinely free
+                    # space and drop the (oldest) overflow as overrun —
+                    # never overwrite unread samples.
+                    rq = min(len(rest), cap - self.count)
+                    if rq:
+                        self.head = (self.head - rq) % cap
+                        self.buf[(self.head + np.arange(rq)) % cap] = \
+                            rest[-rq:]
+                        self.count += rq
+                    self.overrun_pairs += len(rest) - rq
                 return wrote
         short = due - wrote
         if short > 0 and chunk is not None and wrote == len(chunk) \

@@ -33,6 +33,15 @@ COORD_LONG_HISTORY = 16
 BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 
 
+if hasattr(np, "bitwise_count"):
+    _popcount = np.bitwise_count
+else:  # numpy < 2.0
+    def _popcount(x):
+        return np.unpackbits(
+            np.ascontiguousarray(x).view(np.uint8), axis=-1) \
+            .reshape(x.shape + (8 * x.dtype.itemsize,)).sum(-1)
+
+
 def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
                          m2=False):
     """Head-switch duplicate detection (doBinarize :1210-1260): a VALID
@@ -57,8 +66,8 @@ def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
         a, b = vi[:-1], vi[1:]
         x = (words[a] ^ words[b]).astype(np.uint64)
         c = (crc_read[a] ^ crc_read[b]).astype(np.uint64)
-        diff = np.bitwise_count(x).sum(axis=-1).astype(np.int64) \
-            + np.bitwise_count(c).astype(np.int64)
+        diff = _popcount(x).sum(axis=-1).astype(np.int64) \
+            + _popcount(c).astype(np.int64)
         dup[b] = (diff <= thres) & ~almost_silent[b]
     return dup
 

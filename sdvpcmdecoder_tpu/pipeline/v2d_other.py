@@ -260,8 +260,7 @@ class PCMFrameDriver:
         pl = np.zeros(n_rows, np.int8)
         pr = np.zeros(n_rows, np.int8)
         from ..ops import stitch_native as sn
-        if not sn.available():
-            return pl, pr
+        use_native = sn.available()
         spec = ld.SPEC_PCM1 if self.fmt == "pcm1" \
             else ld.SPEC_PCM16X0_FULL
         lcut, rcut = ld.count_cut_bits(
@@ -274,14 +273,31 @@ class PCMFrameDriver:
             part = 0 if self.fmt == "pcm1" else int(row % 3)
             if self.fmt == "pcm16x0" and part == 1:
                 continue        # middle part owns no frame edge
-            got = sn.pcm_pick_cut_line(
-                wl[row], cl[row], cds[0], cds[1], W, self.fmt, part,
-                self.preset.left_bit_pick, self.preset.right_bit_pick)
-            if got is None:
+            if use_native:
+                got = sn.pcm_pick_cut_line(
+                    wl[row], cl[row], cds[0], cds[1], W, self.fmt, part,
+                    self.preset.left_bit_pick, self.preset.right_bit_pick)
+                if got is None:
+                    continue
+                wl[row] = got[0]
+                cl[row] = got[1]
+                pl[row], pr[row] = got[2]
                 continue
-            wl[row] = got[0]
-            cl[row] = got[1]
-            pl[row], pr[row] = got[2]
+            # Pure-Python twin (the false-positive prescan depends on
+            # these picked counts — they must exist without the C core).
+            if self.fmt == "pcm1":
+                nw, nc, ok, pln, prn, _fb = ld.pick_cut_bits_pcm1(
+                    list(wl[row]), int(cl[row]), cds[0], cds[1], W,
+                    preset=self.preset)
+            else:
+                nw, nc, ok, pln, prn, _fb = ld.pick_cut_bits_pcm16x0(
+                    list(wl[row]), int(cl[row]), cds[0], cds[1], W,
+                    part, preset=self.preset)
+            if not ok:
+                continue
+            wl[row] = nw
+            cl[row] = nc
+            pl[row], pr[row] = pln, prn
         return pl, pr
 
     def decode_frames(self, pixels, perm=None):

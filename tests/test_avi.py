@@ -101,6 +101,76 @@ def test_not_an_avi(tmp_path):
         avi.AVIReader(p)
 
 
+def test_opendml_avix_segments(tmp_path):
+    """OpenDML file: standard indx covering frames in BOTH the main
+    'AVI ' segment and an 'AVIX' extension segment, plus the legacy
+    idx1 that only covers segment 1.  The indx must win — frames in the
+    AVIX tail must not vanish (regression: idx1 used to clobber it)."""
+    import struct as st
+    H = W = 8
+    frames = _frames(F=4, H=H, W=W, seed=5)
+    payloads = [frames[i].tobytes() for i in range(4)]
+
+    def chunk(ckid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return ckid + st.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strh = (b"vids" + b"Y800" + b"\x00" * 12 + st.pack("<II", 1, 25)
+            + st.pack("<III", 0, 4, 0) + st.pack("<i", -1)
+            + st.pack("<I", 0) + st.pack("<4H", 0, 0, W, H))
+    strf = st.pack("<IiiHH4sIiiII", 40, W, H, 1, 8, b"Y800",
+                   W * H, 0, 0, 0, 0)
+    avih = st.pack("<14I", 40000, 0, 0, 0x10, 4, 0, 1, 0, W, H,
+                   0, 0, 0, 0)
+    indx_body_placeholder = (st.pack("<HBB", 2, 0, 0x01)
+                             + st.pack("<I", 4) + b"00dc"
+                             + st.pack("<Q", 0) + st.pack("<I", 0)
+                             + b"\x00" * (8 * 4))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)
+                     + chunk(b"indx", indx_body_placeholder)))
+    movi1 = b"movi" + chunk(b"00dc", payloads[0]) \
+        + chunk(b"00dc", payloads[1])
+    movi2 = b"movi" + chunk(b"00dc", payloads[2]) \
+        + chunk(b"00dc", payloads[3])
+    # legacy idx1: only segment-1 frames (offsets rel. to movi fourcc)
+    idx1 = (b"00dc" + st.pack("<III", 0x10, 4, len(payloads[0]))
+            + b"00dc" + st.pack("<III", 0x10,
+                                4 + 8 + len(payloads[0]),
+                                len(payloads[1])))
+    seg1_body = hdrl + lst(b"movi", movi1[4:]) + chunk(b"idx1", idx1)
+    seg2_body = lst(b"movi", movi2[4:])
+    raw = bytearray(b"RIFF" + st.pack("<I", 4 + len(seg1_body))
+                    + b"AVI " + seg1_body
+                    + b"RIFF" + st.pack("<I", 4 + len(seg2_body))
+                    + b"AVIX" + seg2_body)
+    # Patch absolute data offsets into the indx entries.
+    data_offsets = []
+    pos = 0
+    while True:
+        pos = raw.find(b"00dc", pos)
+        if pos < 0 or pos + 8 > len(raw):
+            break
+        size = st.unpack_from("<I", raw, pos + 4)[0]
+        if size == W * H:   # movi data chunks only (idx1 rows differ)
+            data_offsets.append(pos + 8)
+        pos += 4
+    assert len(data_offsets) == 4, data_offsets
+    indx_pos = raw.find(b"indx") + 8 + 24
+    for k, o in enumerate(data_offsets):
+        st.pack_into("<II", raw, indx_pos + 8 * k, o, W * H)
+    p = tmp_path / "odml.avi"
+    p.write_bytes(bytes(raw))
+    with avi.AVIReader(p) as rd:
+        assert rd.n_frames == 4, rd.n_frames
+        got = rd.read_frames(0, 4)
+    np.testing.assert_array_equal(got, frames)
+
+
 def test_cli_decodes_pcm1_from_avi(tmp_path):
     """Full pipeline over an AVI capture: PCM-1 in a Y800 AVI with one
     dropped frame slot -> decoded WAV (drop handled as a dummy frame)."""
