@@ -109,6 +109,17 @@ class LineStore:
             out._crcv = c.copy() if c.base is not None else c
         return out
 
+    def view_slice(self, a, b) -> "LineStore":
+        """Zero-copy row window [a, b) — for feeding LineStore.concat
+        (which copies); the view itself must not outlive the source."""
+        out = LineStore(0)
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f)[a:b])
+        cached = getattr(self, "_crcv", None)
+        if cached is not None:
+            out._crcv = cached[a:b]
+        return out
+
     @staticmethod
     def concat(stores) -> "LineStore":
         out = LineStore(0)
@@ -727,8 +738,7 @@ class STC007Stitcher:
         self.broken_countdown = 0
 
     def _process_pair(self, f1: LineStore, f2: LineStore):
-        trim = LineStore.concat([f1, f2])
-        self.find_frames_trim(trim)
+        self.find_frames_trim(f1, f2)
         if self.file_start:
             # resetState on new file (doFrameReassemble :7345-7349) but
             # keep current trim results.
@@ -736,7 +746,7 @@ class STC007Stitcher:
             self.stats_resolution = []
             self.broken_countdown = 0
             self.frasm_f0 = FrameAsm()
-        self.split_frames_to_fields(trim)
+        self.split_frames_to_fields(f1, f2)
         self.find_field_stitching()
         if self.file_start:
             self.conv_queue = LineStore(0)
@@ -750,34 +760,47 @@ class STC007Stitcher:
         consumed = self.perform_deinterleave(self.conv_queue)
         if consumed > 0:
             self.conv_queue = self.conv_queue.take(
-                np.arange(consumed, len(self.conv_queue)))
+                slice(consumed, len(self.conv_queue)))
         self.frame_log.append(dataclasses.replace(self.frasm_f1))
 
     # -- trimming (findFramesTrim :259-737) -------------------------------
-    def find_frames_trim(self, buf: LineStore):
+    def find_frames_trim(self, buf1: LineStore, buf2: LineStore):
+        """Operates on the two frame stores directly (no concat): each
+        frame's scan only ever touches its own rows, and the service/CB
+        scan result is cached on the store so the same frame is not
+        re-scanned when it rolls from frame 2 to frame 1 next pair."""
         fa, fb = self.frasm_f1, self.frasm_f2
         for fr in (fa, fb):
             if not fr.trim_ok:
                 fr.even_top_data = fr.even_bottom_data = 0
                 fr.odd_top_data = fr.odd_bottom_data = 0
 
-        svc = buf.service
-        is_data = svc == SRV_NO
-        crc_ok = buf.crc_valid()
-        odd = (buf.line_number % 2) != 0
-
-        # Service tags.
-        for fr in (fa, fb):
-            mask = buf.frame_number == fr.frame_number
-            if np.any((svc == SRV_NEW_FILE) & mask):
+        for fr, buf in ((fa, buf1), (fb, buf2)):
+            # Service tags + Control Block (cached across the roll).
+            scan = getattr(buf, "_svc_scan", None)
+            if scan is None or scan[0] != fr.frame_number:
+                svc = buf.service
+                mask = buf.frame_number == fr.frame_number
+                new_file = bool(np.any((svc == SRV_NEW_FILE) & mask))
+                end_file = bool(np.any((svc == SRV_END_FILE) & mask))
+                # Control Block at top of field (before any good data
+                # line).
+                cb = np.nonzero((svc == SRV_CTRL_BLOCK) & mask)[0]
+                fields = None
+                if len(cb):
+                    good = np.nonzero(mask & (svc == SRV_NO)
+                                      & buf.crc_valid())[0]
+                    if len(good) == 0 or cb[0] < good[0]:
+                        fields = stc007.control_block_fields(
+                            buf.words[cb[0]])
+                scan = (fr.frame_number, new_file, end_file, fields)
+                buf._svc_scan = scan
+            _, new_file, end_file, fields = scan
+            if new_file:
                 self.file_start = True
-            if np.any((svc == SRV_END_FILE) & mask):
+            if end_file:
                 self.file_end = True
-            # Control Block at top of field (before any good data line).
-            cb = np.nonzero((svc == SRV_CTRL_BLOCK) & mask)[0]
-            good = np.nonzero(mask & is_data & crc_ok)[0]
-            if len(cb) and (len(good) == 0 or cb[0] < good[0]):
-                fields = stc007.control_block_fields(buf.words[cb[0]])
+            if fields is not None:
                 fr.ctrl_index = fields["index"]
                 fr.ctrl_hour = fields["hour"]
                 fr.ctrl_minute = fields["minute"]
@@ -793,9 +816,13 @@ class STC007Stitcher:
                 if self.auto_m2 and fields["m2"] != self.mode_m2:
                     self.mode_m2 = fields["m2"]
 
-        for fr in (fa, fb):
+        for fr, buf in ((fa, buf1), (fb, buf2)):
             if fr.trim_ok:
                 continue
+            svc = buf.service
+            is_data = svc == SRV_NO
+            crc_ok = buf.crc_valid()
+            odd = (buf.line_number % 2) != 0
             mask = (buf.frame_number == fr.frame_number) & is_data
             found = {}
             for parity, is_odd in (("even", False), ("odd", True)):
@@ -818,19 +845,40 @@ class STC007Stitcher:
                 fr.trim_ok = True
 
     # -- field split (splitFramesToFields :737-996) -----------------------
-    def split_frames_to_fields(self, buf: LineStore):
+    def split_frames_to_fields(self, buf1: LineStore, buf2: LineStore):
+        """Split both frame stores into odd/even field buffers.
+
+        The split of a given store is pure in (frame_number, trim tops/
+        bottoms), and every frame is split twice — once as frame 2, once
+        as frame 1 of the next pair — so the result is cached on the
+        store and replayed after the roll (the field LineStores are
+        never mutated downstream; every consumer copies via take())."""
         fa, fb = self.frasm_f1, self.frasm_f2
-        svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
-        crc_ok = buf.crc_valid()
-        odd = (buf.line_number % 2) != 0
         self.fields = {}
         self.f1_max_line = 0
         self.f2_max_line = 0
-        for fr, tag in ((fa, "f1"), (fb, "f2")):
+        for fr, tag, buf in ((fa, "f1", buf1), (fb, "f2", buf2)):
+            key = (fr.frame_number,
+                   fr.even_top_data, fr.even_bottom_data,
+                   fr.odd_top_data, fr.odd_bottom_data)
+            cache = getattr(buf, "_split_cache", None)
+            if cache is not None and cache["key"] == key:
+                setattr(self, f"{tag}_max_line", cache["max_line"])
+                for parity in ("even", "odd"):
+                    self.fields[(tag, parity)] = cache[parity]
+                    setattr(fr, f"{parity}_data_lines",
+                            cache[parity + "_data"])
+                    setattr(fr, f"{parity}_valid_lines",
+                            cache[parity + "_valid"])
+                continue
+            svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
+            crc_ok = buf.crc_valid()
+            odd = (buf.line_number % 2) != 0
+            cache = {"key": key, "max_line": 0}
             mask = (buf.frame_number == fr.frame_number) & svc_keep
             if np.any(mask):
-                setattr(self, f"{tag}_max_line",
-                        int(buf.line_number[mask].max()))
+                cache["max_line"] = int(buf.line_number[mask].max())
+            setattr(self, f"{tag}_max_line", cache["max_line"])
             for parity, is_odd in (("even", False), ("odd", True)):
                 top = getattr(fr, f"{parity}_top_data")
                 bottom = getattr(fr, f"{parity}_bottom_data")
@@ -843,9 +891,13 @@ class STC007Stitcher:
                 idx = np.nonzero(pm)[0][:LINES_PF_PAL]
                 fld = buf.take(idx)
                 self.fields[(tag, parity)] = fld
+                valid = int(np.sum(crc_ok[idx]))
+                cache[parity] = fld
+                cache[parity + "_data"] = len(idx)
+                cache[parity + "_valid"] = valid
                 setattr(fr, f"{parity}_data_lines", len(idx))
-                setattr(fr, f"{parity}_valid_lines",
-                        int(np.sum(crc_ok[idx])))
+                setattr(fr, f"{parity}_valid_lines", valid)
+            buf._split_cache = cache
         # Average reference level for Frame A (splitFramesToFields tail).
         for parity in ("odd", "even"):
             fld = self.fields[("f1", parity)]
@@ -1026,7 +1078,7 @@ class STC007Stitcher:
         f1_size, f2_size = len(field1), len(field2)
         keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
         start1 = max(0, f1_size - (keep - padding))
-        part1 = field1.take(np.arange(start1, f1_size))
+        part1 = field1.take(slice(start1, f1_size))
         if f1_size:
             line_num = int(field1.line_number[f1_size - 1])
             frame_num = int(field1.frame_number[f1_size - 1])
@@ -1036,7 +1088,7 @@ class STC007Stitcher:
         pad = LineStore.empty_lines(padding, frame_num, pad_nums,
                                     m2=self.mode_m2)
         count2 = min(f2_size, keep)
-        part2 = field2.take(np.arange(count2))
+        part2 = field2.take(slice(0, count2))
         return LineStore.concat([part1, pad, part2])
 
     def _seam_flags(self, aux):
@@ -1109,10 +1161,10 @@ class STC007Stitcher:
             line_num, frame_num = 0, 0
         pad_nums = line_num + 2 * (np.arange(max_padding) + 1)
         master = LineStore.concat([
-            field1.take(np.arange(f1_size - f1s, f1_size)),
+            field1.take(slice(f1_size - f1s, f1_size)),
             LineStore.empty_lines(max_padding, frame_num, pad_nums,
                                   m2=self.mode_m2),
-            field2.take(np.arange(c2))])
+            field2.take(slice(0, c2))])
         unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
         taps = np.arange(8) * stc007.INTERLEAVE_OFS
 
@@ -1691,11 +1743,11 @@ class STC007Stitcher:
         f1_cnt = min(f1_cnt, target)
         f2_cnt = min(f2_cnt, target)
 
-        # The assembly is recorded as index specs and materialized with
-        # ONE gather at the end (a dozen per-part take/concat passes over
+        # Every assembled part is a CONTIGUOUS row run, so the frame is
+        # recorded as zero-copy view segments and materialized with ONE
+        # concat at the end (a dozen per-part take/concat passes over
         # 12 arrays otherwise dominate the steady-state frame cost).
-        f1_n, f2_n = len(field1), len(field2)
-        idx_parts = []      # index runs into [field1 | field2 | empty row]
+        segs = []           # LineStore views into field1/field2/pad master
         pad_spots = []      # (start position, nums, frame_number)
         pos = [0]
         added_inner = added_outer = 0
@@ -1703,8 +1755,7 @@ class STC007Stitcher:
 
         def add_field(fld, start, count):
             count = max(0, count)
-            base = 0 if fld is field1 else f1_n
-            idx_parts.append(base + np.arange(start, start + count))
+            segs.append(fld.view_slice(start, start + count))
             pos[0] += count
             if count:
                 last_line[0] = int(fld.line_number[start + count - 1]) + 2
@@ -1714,7 +1765,7 @@ class STC007Stitcher:
             count = max(0, count)
             nums = last_line[0] + 2 * np.arange(count)
             last_line[0] += 2 * count
-            idx_parts.append(np.full(count, f1_n + f2_n, dtype=np.int64))
+            segs.append(self._pad_view(count))
             pad_spots.append((pos[0], nums,
                               fa.frame_number if frame is None else frame))
             pos[0] += count
@@ -1875,16 +1926,26 @@ class STC007Stitcher:
 
         fa.inner_padding = added_inner
         fa.outer_padding = added_outer
-        if not idx_parts:
+        if not segs:
             return LineStore(0)
-        src = LineStore.concat(
-            [field1, field2,
-             LineStore.empty_lines(1, 0, None, m2=self.mode_m2)])
-        out = src.take(np.concatenate(idx_parts))
+        out = LineStore.concat(segs)
         for (p, nums, frame) in pad_spots:
             out.line_number[p:p + len(nums)] = nums
             out.frame_number[p:p + len(nums)] = frame
         return out
+
+    def _pad_view(self, count):
+        """View of `count` silent filler rows from a cached pad master
+        (rebuilt only when it grows or the M2 mode flips) — the caller
+        patches line/frame numbers after materialization."""
+        master = getattr(self, "_pad_master", None)
+        if master is None or len(master) < count \
+                or self._pad_master_m2 != self.mode_m2:
+            size = max(64, len(master or ()) * 2, count)
+            master = LineStore.empty_lines(size, 0, None, m2=self.mode_m2)
+            self._pad_master = master
+            self._pad_master_m2 = self.mode_m2
+        return master.view_slice(0, count)
 
     # -- CWD pre-scan (prescanFrame :6401-6455, performCWD :5905-6401) ----
     def prescan_frame(self, conv: LineStore) -> LineStore:
@@ -1896,14 +1957,14 @@ class STC007Stitcher:
             fld = self.fields[("f2", "odd")] if fa.is_order_tff() \
                 else self.fields[("f2", "even")]
             cnt = min(len(fld), stc007.MIN_DEINT_DATA)
-            conv = LineStore.concat([conv, fld.take(np.arange(cnt))])
+            conv = LineStore.concat([conv, fld.view_slice(0, cnt)])
             added = cnt
         for _ in range(16):  # fixpoint loop (prescanFrame do/while)
             fixes = self.perform_cwd(conv)
             if fixes == 0:
                 break
         if added:
-            conv = conv.take(np.arange(len(conv) - added))
+            conv = conv.take(slice(0, len(conv) - added))
         return conv
 
     def perform_cwd(self, conv: LineStore) -> int:
