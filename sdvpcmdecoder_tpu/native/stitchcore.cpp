@@ -316,7 +316,7 @@ int stc007_correct_blocks(
 //   cwd_line   [L] u8 or NULL,
 //   rows       [B*8] int64 or NULL (NULL -> contiguous shifts from `start`)
 // Outputs (all preallocated by the caller):
-//   words [B*8] i32, valid/lcrc [B*8] u8, state/stage/resolution [B] i32,
+//   words [B*8] i64, valid/lcrc [B*8] u8, state/stage/resolution [B] i32,
 //   flags [B] u8 (bit0 broken, 1 block_valid, 2 can_force, 3 silent,
 //                 4 fixed_p, 5 fixed_q, 6 cwd_applied),
 //   samples [B*6] i16.
@@ -325,7 +325,7 @@ int stc007_eval_rows(
     const uint8_t* cwd_line, const int64_t* rows, int64_t start, int64_t B,
     int32_t res_mode, int32_t en_p, int32_t en_q, int32_t force_ecc,
     int32_t en_cwd, int32_t m2,
-    int32_t* words_out, uint8_t* valid_out, uint8_t* lcrc_out,
+    int64_t* words_out, uint8_t* valid_out, uint8_t* lcrc_out,
     int32_t* state_out, int32_t* stage_out, int32_t* res_out,
     uint8_t* flags_out, int16_t* samples_out) {
     if (!g_tables_set) return -1;
@@ -1630,6 +1630,47 @@ void stc007_binarize_frames(
             valid_out[row] = ok;
             hyst_out[row] = (int8_t)pick_h;
             shift_out[row] = (int8_t)pick_s;
+        }
+    }
+}
+
+// Head-switch duplicate-line detection — host twin of
+// v2d.find_duplicate_lines (doBinarize videotodigital.cpp:1210-1260):
+// within each field range a VALID line whose data+CRC bits differ from
+// the previous valid line by <= thres bits and which is not
+// almost-silent (>= 2 of 6 expanded samples within +/-16,
+// stc007line.cpp:582-613) marks the LATER line as duplicate.
+// words [L,8] i64, crc_read [L] i64, valid [L] u8, bounds [nb,2] i64;
+// dup_out [L] u8 must be zeroed by the caller.
+void stc007_find_dup_lines(
+    const int64_t* words, const int64_t* crc_read, const uint8_t* valid,
+    const int64_t* bounds, int64_t nb, int64_t L, int32_t thres,
+    int32_t m2, uint8_t* dup_out) {
+    (void)L;
+    for (int64_t bi = 0; bi < nb; ++bi) {
+        const int64_t lo = bounds[2 * bi], hi = bounds[2 * bi + 1];
+        int64_t prev = -1;
+        for (int64_t r = lo; r < hi; ++r) {
+            if (!valid[r]) continue;
+            if (prev >= 0) {
+                int64_t diff = __builtin_popcountll(
+                    (unsigned long long)(crc_read[prev] ^ crc_read[r]));
+                for (int k = 0; k < 8; ++k)
+                    diff += __builtin_popcountll((unsigned long long)(
+                        words[prev * 8 + k] ^ words[r * 8 + k]));
+                if (diff <= thres) {
+                    int near_silent = 0;
+                    for (int i = 0; i < 6; ++i) {
+                        const int16_t s = expand14(
+                            (int32_t)words[r * 8 + i], m2 != 0);
+                        if (s > -16 && s < 16) ++near_silent;
+                    }
+                    dup_out[r] = near_silent < 2;
+                } else {
+                    dup_out[r] = 0;
+                }
+            }
+            prev = r;
         }
     }
 }

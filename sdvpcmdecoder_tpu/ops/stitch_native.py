@@ -172,6 +172,10 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_find_dup_lines.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -254,9 +258,11 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
     if rows is not None:
         rows_arr = np.ascontiguousarray(rows, dtype=np.int64)
         rows_ptr = rows_arr.ctypes.data
-    w_out = np.empty((B, 8), dtype=np.int32)
-    v_out = np.empty((B, 8), dtype=np.uint8)
-    l_out = np.empty((B, 8), dtype=np.uint8)
+    # Outputs are written in their final dtypes (i64 words, bool flags —
+    # bool shares uint8's layout), so no post-call astype copies.
+    w_out = np.empty((B, 8), dtype=np.int64)
+    v_out = np.empty((B, 8), dtype=bool)
+    l_out = np.empty((B, 8), dtype=bool)
     a_out = np.empty(B, dtype=np.int32)
     s_out = np.empty(B, dtype=np.int32)
     r_out = np.empty(B, dtype=np.int32)
@@ -271,8 +277,22 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
         f_out.ctypes.data, smp_out.ctypes.data)
     if rc != 0:
         raise RuntimeError("stc007_eval_rows failed")
-    return (w_out.astype(np.int64), v_out.astype(bool), l_out.astype(bool),
-            a_out, s_out, r_out, f_out, smp_out)
+    return (w_out, v_out, l_out, a_out, s_out, r_out, f_out, smp_out)
+
+
+def find_dup_lines(words, crc_read, valid, bounds, thres, m2):
+    """Native duplicate-line scan; bit-identical to the numpy twin in
+    pipeline.v2d.find_duplicate_lines (differential-tested)."""
+    L = _load()
+    w = np.ascontiguousarray(words, np.int64)
+    c = np.ascontiguousarray(crc_read, np.int64)
+    v = _as_u8(valid)
+    b = np.ascontiguousarray(bounds, np.int64).reshape(-1, 2)
+    out = np.zeros(len(v), bool)
+    L.stc007_find_dup_lines(
+        w.ctypes.data, c.ctypes.data, v.ctypes.data, b.ctypes.data,
+        len(b), len(v), int(thres), int(bool(m2)), out.ctypes.data)
+    return out
 
 
 def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,

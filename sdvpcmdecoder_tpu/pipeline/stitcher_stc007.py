@@ -1034,6 +1034,10 @@ class STC007Stitcher:
         def __len__(self):
             return len(self.words)
 
+        def words_i32(self):
+            # Built int32 directly from the fields' cached i32 arrays.
+            return self.words
+
         def is_fixed_by_cwd(self):  # pragma: no cover - en_cwd path
             raise NotImplementedError("slim queue has no CWD state")
 
@@ -1049,13 +1053,22 @@ class STC007Stitcher:
         else:
             line_num, frame_num = 0, 0
         q = self._SlimQueue()
-        sw = stc007.silent_words(m2=self.mode_m2, xp=np)
+        sw32 = getattr(self, "_sw32", None)
+        if sw32 is None or self._sw32_m2 != self.mode_m2:
+            sw32 = np.asarray(stc007.silent_words(m2=self.mode_m2, xp=np),
+                              np.int32)
+            self._sw32 = sw32
+            self._sw32_m2 = self.mode_m2
         p = padding
 
         def cat(a1, pad, a2):
             return np.concatenate([a1[start1:f1_size], pad, a2[:count2]])
 
-        q.words = cat(field1.words, np.tile(sw, (p, 1)), field2.words)
+        # The fields are immutable across the roll, so their int32 word
+        # cache (words_i32) is computed once per field and reused by
+        # every seam eval that includes them.
+        q.words = cat(field1.words_i32(), np.tile(sw32, (p, 1)),
+                      field2.words_i32())
         q.word_crc = cat(field1.word_crc, np.zeros((p, 9), bool),
                          field2.word_crc)
         q.forced_bad = cat(field1.forced_bad, np.zeros(p, bool),

@@ -57,6 +57,11 @@ def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
     L = len(valid)
     dup = np.zeros(L, bool)
     thres = stc007.BITS_PCM_DATA // BIT_DIFF_THRES_DIV
+    from ..ops import stitch_native as _sn
+    if _sn.available():
+        bounds = np.asarray(field_bounds or [(0, L)], np.int64)
+        return _sn.find_dup_lines(words, crc_read, valid, bounds,
+                                  thres, m2)
     samples = np.asarray(stc007.expand_sample(words[:, :6], m2=m2, xp=np))
     almost_silent = (np.abs(samples.astype(np.int32)) < 16).sum(-1) >= 2
     for lo, hi in (field_bounds or [(0, L)]):

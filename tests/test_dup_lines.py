@@ -110,3 +110,56 @@ def test_odd_height_field_boundary():
     dup = v2d.find_duplicate_lines(words, crc, np.ones(L, bool),
                                    [(0, half), (half, L)])
     assert not dup[5]
+
+
+def test_native_matches_numpy_twin():
+    """Differential fuzz: native stc007_find_dup_lines vs the numpy
+    reference path over randomized words/valid masks and field bounds
+    (incl. duplicate pairs, near-silent lines, both M2 modes)."""
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
+    from sdvpcmdecoder_tpu.pipeline import v2d
+    if not sn.available():
+        import pytest
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(11)
+    for m2 in (False, True):
+        for trial in range(20):
+            L = int(rng.integers(4, 300))
+            words = rng.integers(0, 1 << 14, (L, 8)).astype(np.int64)
+            crc_read = rng.integers(0, 1 << 16, L).astype(np.int64)
+            valid = rng.random(L) < 0.7
+            # Seed exact duplicates and near-silent lines.
+            for _ in range(4):
+                i = int(rng.integers(1, L))
+                words[i] = words[i - 1]
+                crc_read[i] = crc_read[i - 1]
+            words[rng.integers(0, L, 3)] = rng.integers(0, 4, (3, 8))
+            mid = L // 2
+            for bounds in (None, [(0, mid), (mid, L)], []):
+                exp = _numpy_dup(words, crc_read, valid, bounds, m2)
+                got = v2d.find_duplicate_lines(words, crc_read, valid,
+                                               bounds, m2=m2)
+                np.testing.assert_array_equal(got, exp)
+
+
+def _numpy_dup(words, crc_read, valid, field_bounds, m2):
+    """The pre-native numpy reference, kept verbatim for the fuzz."""
+    from sdvpcmdecoder_tpu.pipeline.v2d import _popcount, \
+        BIT_DIFF_THRES_DIV
+    from sdvpcmdecoder_tpu.formats import stc007
+    L = len(valid)
+    dup = np.zeros(L, bool)
+    thres = stc007.BITS_PCM_DATA // BIT_DIFF_THRES_DIV
+    samples = np.asarray(stc007.expand_sample(words[:, :6], m2=m2, xp=np))
+    almost_silent = (np.abs(samples.astype(np.int32)) < 16).sum(-1) >= 2
+    for lo, hi in (field_bounds or [(0, L)]):
+        vi = np.nonzero(valid[lo:hi])[0] + lo
+        if len(vi) < 2:
+            continue
+        a, b = vi[:-1], vi[1:]
+        x = (words[a] ^ words[b]).astype(np.uint64)
+        c = (crc_read[a] ^ crc_read[b]).astype(np.uint64)
+        diff = _popcount(x).sum(axis=-1).astype(np.int64) \
+            + _popcount(c).astype(np.int64)
+        dup[b] = (diff <= thres) & ~almost_silent[b]
+    return dup
