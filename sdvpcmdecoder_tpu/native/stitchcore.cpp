@@ -1634,6 +1634,93 @@ void stc007_binarize_frames(
     }
 }
 
+// Final-deinterleave block finalization — host twin of the tail of
+// stitcher_stc007.performDeinterleave (performDeinterleave
+// stc007datastitcher.cpp:6675-6888): seam masking, the post-BROKEN
+// countdown windows, markAsUnsafe valid rewrite and the frame stats
+// counters, in one pass over the evaluated blocks.
+//   flags [B] u8 (eval_rows packed flags), valid/lcrc [B,8] u8,
+//   resolution [B] i32 (0=14-bit, 1=16-bit), rows [B,8] i64,
+//   line_number/frame_number [L] i64.
+//   inner_gate/outer_gate: precomputed (mask_seams && !padding_ok &&
+//   !silence) for the inner and outer seam.
+// Outputs: out_valid [B,8] u8 (markAsUnsafe applied), wvalid/wfixed
+// [B,6] u8, bvalid [B] u8, mask [B] u8, counters [6] i64
+// (fix_p, fix_q, fix_cwd, drop, samples_drop, broken_field).
+// Returns the updated post-BROKEN countdown.
+int32_t stc007_finalize_blocks(
+    const uint8_t* flags, const uint8_t* valid, const uint8_t* lcrc,
+    const int32_t* resolution, const int64_t* rows,
+    const int64_t* line_number, const int64_t* frame_number, int64_t B,
+    int32_t inner_gate, int32_t outer_gate,
+    int64_t fa_frame, int64_t f0_frame, int64_t fb_frame,
+    int32_t broken_mask_dur, int32_t countdown_in,
+    int32_t file_start, int32_t file_end,
+    uint8_t* out_valid, uint8_t* wvalid, uint8_t* wfixed,
+    uint8_t* bvalid_out, uint8_t* mask_out, int64_t* counters) {
+    for (int i = 0; i < 6; ++i) counters[i] = 0;
+    int32_t countdown = countdown_in;
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t f = flags[b];
+        const bool broken = f & 1, silent = f & 8;
+        const bool fixp = f & 16, fixq = f & 32, cwd_app = f & 64;
+        const int last_tap = resolution[b] == 1 ? 6 : 7;
+        const int64_t r0 = rows[b * 8 + 0];
+        const int64_t rl = rows[b * 8 + last_tap];
+        const int64_t sf = frame_number[r0], spf = frame_number[rl];
+        const bool on_seam = line_number[r0] > line_number[rl];
+        bool unsafe = false;
+        if (inner_gate && !silent && on_seam && sf == fa_frame
+                && sf == spf)
+            unsafe = true;
+        if (outer_gate && !silent && sf != spf && sf == f0_frame
+                && spf == fa_frame)
+            unsafe = true;
+        const bool active = !silent && !unsafe;
+        // Serial form of the greedy countdown windows: a new window can
+        // only start once the previous has fully elapsed.
+        if (countdown == 0 && broken_mask_dur > 0 && active && broken)
+            countdown = broken_mask_dur;
+        bool post = false;
+        if (countdown > 0) {
+            post = active;
+            --countdown;
+        }
+        const bool mask = unsafe || post;
+        mask_out[b] = mask;
+        const bool use_lcrc = mask && !broken;
+        bool block_valid = true;
+        for (int i = 0; i < 8; ++i) {
+            const uint8_t v = use_lcrc ? lcrc[b * 8 + i]
+                                       : valid[b * 8 + i];
+            out_valid[b * 8 + i] = v;
+            if (i < 6 && !v) block_valid = false;
+        }
+        const bool bval = block_valid && !broken;
+        bvalid_out[b] = bval;
+        for (int i = 0; i < 6; ++i) {
+            wvalid[b * 6 + i] = out_valid[b * 8 + i] && !broken;
+            wfixed[b * 6 + i] = lcrc[b * 8 + i] && bval;
+        }
+        const bool rep = !((file_start && sf == f0_frame)
+                           || (file_end && spf == fb_frame));
+        if (rep) {
+            if (block_valid && !mask && fixp) ++counters[0];
+            if (block_valid && !mask && fixq) ++counters[1];
+            if (block_valid && cwd_app) ++counters[2];
+            if (!block_valid) {
+                ++counters[3];
+                int sd = 0;
+                for (int i = 0; i < 6; ++i)
+                    sd += !out_valid[b * 8 + i];
+                counters[4] += sd;
+                if (broken) ++counters[5];
+            }
+        }
+    }
+    return countdown;
+}
+
 // Head-switch duplicate-line detection — host twin of
 // v2d.find_duplicate_lines (doBinarize videotodigital.cpp:1210-1260):
 // within each field range a VALID line whose data+CRC bits differ from

@@ -172,6 +172,17 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_finalize_blocks.restype = ctypes.c_int32
+        L.stc007_finalize_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_find_dup_lines.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -278,6 +289,41 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
     if rc != 0:
         raise RuntimeError("stc007_eval_rows failed")
     return (w_out, v_out, l_out, a_out, s_out, r_out, f_out, smp_out)
+
+
+def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
+                    frame_number, inner_gate, outer_gate, fa_frame,
+                    f0_frame, fb_frame, broken_mask_dur, countdown,
+                    file_start, file_end):
+    """Native performDeinterleave finalization (seam mask + BROKEN
+    windows + markAsUnsafe + stats). Returns (out_valid [B,8] bool,
+    wvalid [B,6] bool, wfixed [B,6] bool, bvalid [B] bool,
+    mask [B] bool, counters [6] i64, new_countdown)."""
+    L = _load()
+    B = len(flags)
+    f = _as_u8(flags)
+    v = _as_u8(valid)
+    lc = _as_u8(lcrc)
+    res = np.ascontiguousarray(resolution, np.int32)
+    r = np.ascontiguousarray(rows, np.int64)
+    ln = np.ascontiguousarray(line_number, np.int64)
+    fn = np.ascontiguousarray(frame_number, np.int64)
+    out_valid = np.empty((B, 8), bool)
+    wvalid = np.empty((B, 6), bool)
+    wfixed = np.empty((B, 6), bool)
+    bvalid = np.empty(B, bool)
+    mask = np.empty(B, bool)
+    counters = np.empty(6, np.int64)
+    cd = L.stc007_finalize_blocks(
+        f.ctypes.data, v.ctypes.data, lc.ctypes.data, res.ctypes.data,
+        r.ctypes.data, ln.ctypes.data, fn.ctypes.data, B,
+        int(bool(inner_gate)), int(bool(outer_gate)),
+        int(fa_frame), int(f0_frame), int(fb_frame),
+        int(broken_mask_dur), int(countdown),
+        int(bool(file_start)), int(bool(file_end)),
+        out_valid.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
+        bvalid.ctypes.data, mask.ctypes.data, counters.ctypes.data)
+    return out_valid, wvalid, wfixed, bvalid, mask, counters, int(cd)
 
 
 def find_dup_lines(words, crc_read, valid, bounds, thres, m2):

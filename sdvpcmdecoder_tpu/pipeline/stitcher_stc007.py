@@ -2075,21 +2075,17 @@ class STC007Stitcher:
         n_blocks = len(conv) - stc007.MIN_DEINT_DATA
         if n_blocks <= 0:
             return 0
+        from ..ops import stitch_native as _sn
+        use_native_fin = _sn.available() and not self.record_views
         res_mode = self.get_data_block_resolution(conv, 0)
         batch, cwd_app, aux = eval_blocks(
             conv, res_mode, ignore_crc=self.ignore_crc,
             force_ecc=not self.ignore_crc, en_p=self.en_p, en_q=self.en_q,
-            en_cwd=self.en_cwd, m2=self.mode_m2)
-        # Sample rate (setBlockSampleRate :6455-6483).
-        if self.preset_sample_rate in (SAMPLE_RATE_44100, SAMPLE_RATE_44056):
-            rate = self.preset_sample_rate
-        elif fa.video_standard == VID_PAL:
-            rate = SAMPLE_RATE_44100
-        elif fa.video_standard == VID_NTSC:
-            rate = SAMPLE_RATE_44056
-        else:
-            rate = SAMPLE_RATE_44100
-        fa.odd_sample_rate = fa.even_sample_rate = rate
+            en_cwd=self.en_cwd, m2=self.mode_m2,
+            full_aux=not use_native_fin)
+        if use_native_fin and "flags" in aux:
+            return self._finalize_native(conv, batch, aux, n_blocks)
+        rate = self._block_sample_rate()
 
         silent = aux["silent"]
         on_seam = aux["start_line"] > aux["stop_line"]
@@ -2176,5 +2172,56 @@ class STC007Stitcher:
             else (f0.ctrl_emphasis if f0.ctrl_seen else False)
         self.out_chunks.append(SampleChunk(
             samples=s6, valid=v6, fixed=f6, block_ok=b3,
+            sample_rate=rate, emphasis=emphasis))
+        return n_blocks
+
+    def _block_sample_rate(self):
+        """setBlockSampleRate (:6455-6483)."""
+        fa = self.frasm_f1
+        if self.preset_sample_rate in (SAMPLE_RATE_44100,
+                                       SAMPLE_RATE_44056):
+            rate = self.preset_sample_rate
+        elif fa.video_standard == VID_PAL:
+            rate = SAMPLE_RATE_44100
+        elif fa.video_standard == VID_NTSC:
+            rate = SAMPLE_RATE_44056
+        else:
+            rate = SAMPLE_RATE_44100
+        fa.odd_sample_rate = fa.even_sample_rate = rate
+        return rate
+
+    def _finalize_native(self, conv, batch, aux, n_blocks):
+        """performDeinterleave tail via stc007_finalize_blocks (one C
+        pass for seam masking, BROKEN windows, markAsUnsafe and the
+        stats counters) — bit-identical to the numpy tail below."""
+        from ..ops import stitch_native as _sn
+        fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+        rate = self._block_sample_rate()
+        inner_gate = (self.mask_seams and not fa.inner_padding_ok
+                      and not fa.inner_silence)
+        outer_gate = (self.mask_seams and not f0.outer_padding_ok
+                      and not f0.outer_silence)
+        _, wvalid, wfixed, bvalid, _, counters, self.broken_countdown = \
+            _sn.finalize_blocks(
+                aux["flags"], batch.valid, batch.line_crc,
+                batch.resolution, aux["rows"], conv.line_number,
+                conv.frame_number, inner_gate, outer_gate,
+                fa.frame_number, f0.frame_number, fb.frame_number,
+                self.broken_mask_dur, self.broken_countdown,
+                self.file_start, self.file_end)
+        fa.blocks_total += n_blocks
+        fa.blocks_fix_p += int(counters[0])
+        fa.blocks_fix_q += int(counters[1])
+        fa.blocks_fix_cwd += int(counters[2])
+        fa.blocks_drop += int(counters[3])
+        fa.samples_drop += int(counters[4])
+        fa.blocks_broken_field += int(counters[5])
+        emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
+            else (f0.ctrl_emphasis if f0.ctrl_seen else False)
+        self.out_chunks.append(SampleChunk(
+            samples=aux["samples"].reshape(n_blocks * 3, 2),
+            valid=wvalid.reshape(n_blocks * 3, 2),
+            fixed=wfixed.reshape(n_blocks * 3, 2),
+            block_ok=np.repeat(bvalid, 3),
             sample_rate=rate, emphasis=emphasis))
         return n_blocks
