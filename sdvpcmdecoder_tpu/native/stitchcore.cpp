@@ -747,8 +747,8 @@ namespace {
 
 constexpr int PIX_SH[5] = {0, 1, -1, 2, -2};
 
-inline uint32_t crc16_feed(uint32_t reg, uint32_t word, int nbits,
-                           bool invert_in) {
+inline uint32_t crc16_feed_serial(uint32_t reg, uint32_t word, int nbits,
+                                  bool invert_in) {
     for (int b = nbits - 1; b >= 0; --b) {
         uint32_t inbit = ((word >> b) & 1u) ^ (invert_in ? 1u : 0u);
         const uint32_t top = ((reg >> 15) ^ inbit) & 1u;
@@ -756,6 +756,40 @@ inline uint32_t crc16_feed(uint32_t reg, uint32_t word, int nbits,
         if (top) reg ^= 0x1021u;
     }
     return reg;
+}
+
+// Table-driven CRC-16/CCITT feed: chunked lookups replace the
+// bit-serial recurrence (built from it once; the serial form above
+// stays as the documented reference and differential-fuzz twin).
+// Tk[k][v] = serial CRC of the k-bit value v placed at the top of a
+// zero register.
+struct CrcChunkTables {
+    uint16_t t[9][256];
+    CrcChunkTables() {
+        for (int k = 1; k <= 8; ++k)
+            for (uint32_t v = 0; v < (1u << k); ++v)
+                t[k][v] = (uint16_t)crc16_feed_serial(v << (16 - k), 0, k,
+                                                      false);
+    }
+};
+
+inline uint32_t crc16_feed_k(uint32_t reg, uint32_t chunk, int k,
+                             const uint16_t* tk) {
+    const uint32_t idx = ((reg >> (16 - k)) ^ chunk) & ((1u << k) - 1u);
+    return ((reg << k) ^ tk[idx]) & 0xFFFFu;
+}
+
+inline uint32_t crc16_feed(uint32_t reg, uint32_t word, int nbits,
+                           bool invert_in) {
+    static const CrcChunkTables tables;  // C++11 magic static
+    if (invert_in) word ^= (nbits >= 32 ? ~0u : ((1u << nbits) - 1u));
+    int hi = nbits - 8;
+    while (hi > 0) {
+        reg = crc16_feed_k(reg, (word >> hi) & 0xFFu, 8, tables.t[8]);
+        hi -= 8;
+    }
+    const int k = hi + 8;  // remaining low chunk, 1..8 bits
+    return crc16_feed_k(reg, word & ((1u << k) - 1u), k, tables.t[k]);
 }
 
 // One trial: read + pack words + CRC. fmt 0 = pcm1 (6x13b + 16b CRC),
@@ -793,7 +827,10 @@ inline bool linegrid_trial(const uint8_t* px, int64_t width, int64_t start,
         if (p < 0) p = 0;
         if (p >= width) p = width - 1;
         const int v = px[p];
-        const bool b = prev ? (v >= rh) : (v > rl);
+        // Branchless Schmitt select (the per-pixel data-dependent
+        // branch mispredicts ~50% otherwise): both comparisons are
+        // cheap setcc, the select compiles to bitwise ops.
+        const bool b = (prev & (v >= rh)) | ((!prev) & (v > rl));
         prev = b;
         acc = (acc << 1) | (b ? 1 : 0);
         if (wi < n_words) {
@@ -851,7 +888,10 @@ inline bool read_words_pos(const uint8_t* px, const int32_t* pos,
     int32_t crc_read = 0;
     for (int i = 0; i < n_bits; ++i) {
         const int v = px[pos[i]];
-        const bool b = prev ? (v >= rh) : (v > rl);
+        // Branchless Schmitt select (the per-pixel data-dependent
+        // branch mispredicts ~50% otherwise): both comparisons are
+        // cheap setcc, the select compiles to bitwise ops.
+        const bool b = (prev & (v >= rh)) | ((!prev) & (v > rl));
         prev = b;
         acc = (acc << 1) | (b ? 1 : 0);
         if (wi < n_words) {
@@ -1497,7 +1537,10 @@ inline bool stc007_trial(const uint8_t* px, int64_t W, int64_t start,
         if (p < 0) p = 0;
         if (p >= W) p = W - 1;
         const int v = px[p];
-        const bool b = prev ? (v >= rh) : (v > rl);
+        // Branchless Schmitt select (the per-pixel data-dependent
+        // branch mispredicts ~50% otherwise): both comparisons are
+        // cheap setcc, the select compiles to bitwise ops.
+        const bool b = (prev & (v >= rh)) | ((!prev) & (v > rl));
         prev = b;
         acc = (acc << 1) | (b ? 1 : 0);
         if (wi < 8) {

@@ -88,17 +88,23 @@ class LineStore:
         # Silent-line defaults: invalid CRC (clear() stc007line.cpp:69-98).
         self.source_crc[:] = (~stc007.CRC_SILENT) & 0xFFFF
 
+    @classmethod
+    def _blank(cls) -> "LineStore":
+        """Uninitialized instance for take/concat/view_slice, which
+        overwrite every field — skips 12 pointless np.zeros."""
+        return cls.__new__(cls)
+
     def __len__(self):
         return len(self.source_crc)
 
     def copy(self):
-        out = LineStore(0)
+        out = LineStore._blank()
         for f in self.FIELDS:
             setattr(out, f, getattr(self, f).copy())
         return out
 
     def take(self, idx) -> "LineStore":
-        out = LineStore(0)
+        out = LineStore._blank()
         for f in self.FIELDS:
             a = getattr(self, f)[idx]
             # Fancy indexing already copied; only slices are views.
@@ -112,7 +118,7 @@ class LineStore:
     def view_slice(self, a, b) -> "LineStore":
         """Zero-copy row window [a, b) — for feeding LineStore.concat
         (which copies); the view itself must not outlive the source."""
-        out = LineStore(0)
+        out = LineStore._blank()
         for f in self.FIELDS:
             setattr(out, f, getattr(self, f)[a:b])
         cached = getattr(self, "_crcv", None)
@@ -122,7 +128,7 @@ class LineStore:
 
     @staticmethod
     def concat(stores) -> "LineStore":
-        out = LineStore(0)
+        out = LineStore._blank()
         for f in LineStore.FIELDS:
             setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
         # The CRC-valid cache composes: avoids re-CRC'ing every frame pair
