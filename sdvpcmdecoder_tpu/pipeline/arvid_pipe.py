@@ -18,6 +18,7 @@ import numpy as np
 from ..formats import arvid
 from ..ops import agc, binarize as bz
 from ..ops import line_decode_np as ld
+from .v2d import _imed
 
 SAMPLE_LINES = 4  # AGC sample spread, the V2D prescan convention
 
@@ -46,8 +47,7 @@ def decode_frames(frames: np.ndarray, coords=None, depth=0,
     refs = np.empty(F, np.int64)
     for f in range(F):
         sel = ok[f] if ok[f].any() else np.ones(blk.shape[1], bool)
-        refs[f] = (int(np.median(blk[f][sel]))
-                   + int(np.median(wht[f][sel]))) // 2
+        refs[f] = (_imed(blk[f][sel]) + _imed(wht[f][sel])) // 2
     cpx, _ = ld.bit_coords(ld.SPEC_ARVID, start, stop, 0, W)
     px = frames[:, :, cpx].reshape(F * L, arvid.BITS_PCM_DATA)
     rl = np.maximum(refs - depth, 1).repeat(L)

@@ -33,6 +33,18 @@ COORD_LONG_HISTORY = 16
 BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 
 
+def _imed(a):
+    """int(np.median(a)) for small 1-D nonnegative int data without
+    np.median's ~20us dispatch overhead (for nonnegative values the
+    even-length floor-mean equals the truncated float mean)."""
+    a = np.sort(np.asarray(a, dtype=np.int64).ravel())
+    n = a.shape[0]
+    h = n >> 1
+    if n & 1:
+        return int(a[h])
+    return int(a[h - 1] + a[h]) >> 1
+
+
 if hasattr(np, "bitwise_count"):
     _popcount = np.bitwise_count
 else:  # numpy < 2.0
@@ -180,7 +192,7 @@ class V2DDriver:
             good = ok & cok
         if not good.any():
             return None
-        med = lambda a: int(np.median(a[good]))
+        med = lambda a: _imed(a[good])
         return ((med(ds), med(de)), med(ref), med(black), med(white))
 
     def _damped_coords(self, fresh):
@@ -191,9 +203,9 @@ class V2DDriver:
         self.state.ref_history.append(fresh[1])
         self.state.ref_history = self.state.ref_history[-COORD_LONG_HISTORY:]
         hs = np.array(self.state.coord_history)
-        start = int(np.median(hs[:, 0]))
-        stop = int(np.median(hs[:, 1]))
-        ref = int(np.median(self.state.ref_history))
+        start = _imed(hs[:, 0])
+        stop = _imed(hs[:, 1])
+        ref = _imed(self.state.ref_history)
         return (start, stop), ref
 
     # -- batched frame decode (production path) ---------------------------
@@ -251,13 +263,13 @@ class V2DDriver:
                     blacks[f], whites[f] = 0, 255
                     usable[f] = True
                 elif self.state.coord_history:
-                    coords[f] = np.median(
-                        np.array(self.state.coord_history), axis=0)
-                    refs[f] = int(np.median(self.state.ref_history))
+                    hs = np.array(self.state.coord_history)
+                    coords[f] = (_imed(hs[:, 0]), _imed(hs[:, 1]))
+                    refs[f] = _imed(self.state.ref_history)
                     blacks[f], whites[f] = 0, 255
                     usable[f] = True
                 continue
-            med = lambda a: int(np.median(a[f][g]))
+            med = lambda a: _imed(a[f][g])
             c, r = self._damped_coords(((med(ds), med(de)), med(ref)))
             coords[f] = c
             refs[f] = r
@@ -320,7 +332,7 @@ class V2DDriver:
         for f in range(F):
             sel = per_frame[f][per_frame[f] >= 0]
             if len(sel):
-                refs[f] = int(np.median(sel))
+                refs[f] = _imed(sel)
         return refs
 
     def _per_line_levels(self, pixels, coords, refs, blacks, whites,
@@ -329,7 +341,7 @@ class V2DDriver:
         (findSTC007BW); lines where AGC fails keep the frame medians."""
         F, L, W = pixels.shape
         spans = coords[usable, 1] - coords[usable, 0]
-        ppb = max(int(np.median(spans)) // stc007.BITS_BETWEEN_COORDS, 1)
+        ppb = max(_imed(spans) // stc007.BITS_BETWEEN_COORDS, 1)
         flat = pixels.reshape(F * L, W)
         blk, wht, ok = agc.find_black_white(flat, self.preset,
                                             fmt="stc007", ppb=ppb)
@@ -474,9 +486,9 @@ class V2DDriver:
                 continue
             # With per-line AGC the scalar fallback paths use the frame
             # median of the per-line levels.
-            rf = int(np.median(refs[f])) if per_line else int(refs[f])
-            bf = int(np.median(blacks[f])) if per_line else int(blacks[f])
-            wh = int(np.median(whites[f])) if per_line else int(whites[f])
+            rf = _imed(refs[f]) if per_line else int(refs[f])
+            bf = _imed(blacks[f]) if per_line else int(blacks[f])
+            wh = _imed(whites[f]) if per_line else int(whites[f])
             wf, cf, vf = self._marker_fallback(
                 pixels[f], words[f], crc_read[f], valid[f], rf, bf, wh,
                 perm=perm, native=native)
@@ -684,9 +696,9 @@ class V2DDriver:
             if self.forced_coords is not None:
                 coords, ref, black, white = self.forced_coords, 127, 0, 255
             elif self.state.coord_history:
-                coords = tuple(np.median(
-                    np.array(self.state.coord_history), axis=0).astype(int))
-                ref = int(np.median(self.state.ref_history))
+                hs = np.array(self.state.coord_history)
+                coords = (_imed(hs[:, 0]), _imed(hs[:, 1]))
+                ref = _imed(self.state.ref_history)
                 black, white = 0, 255
             else:
                 return None

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops import agc, line_decode_np as ld
+from .v2d import _imed
 
 COORD_CHECK_LINES = 4      # videotodigital.h:98-105
 COORD_CHECK_PARTS = COORD_CHECK_LINES + 1
@@ -72,7 +73,7 @@ class PCMFrameDriver:
         if not self.coord_history:
             return None
         hs = np.array(self.coord_history)
-        return (int(np.median(hs[:, 0])), int(np.median(hs[:, 1])))
+        return (_imed(hs[:, 0]), _imed(hs[:, 1]))
 
     def _coords_stable(self):
         """Two consecutive agreeing CRC-validated search results lock the
@@ -111,8 +112,8 @@ class PCMFrameDriver:
         ok = ok.reshape(F, n_chk)
         for f in range(F):
             sel = ok[f] if ok[f].any() else np.ones(n_chk, bool)
-            black = int(np.median(blk[f][sel]))
-            white = int(np.median(wht[f][sel]))
+            black = _imed(blk[f][sel])
+            white = _imed(wht[f][sel])
             ref = (black + white) // 2
             if (not self._force_search and self.coord_history
                     and (self._last_good or self._coords_stable())
@@ -138,7 +139,7 @@ class PCMFrameDriver:
                         hist = hits[0]
             if hits:
                 hs = np.array(hits)
-                c = (int(np.median(hs[:, 0])), int(np.median(hs[:, 1])))
+                c = (_imed(hs[:, 0]), _imed(hs[:, 1]))
                 self.coord_history.append(c)
                 self.coord_history = \
                     self.coord_history[-COORD_LONG_HISTORY:]

@@ -164,3 +164,18 @@ def test_render_dir_emits_all_four_views(tmp_path):
                                  if x.startswith("blocks_")][-1])
     red = (blocks[..., 0] > 200) & (blocks[..., 1] < 100)
     assert not red.any()
+
+
+def test_imed_matches_np_median():
+    """_imed is bit-identical to int(np.median(...)) on nonnegative ints
+    (both odd and even lengths, including duplicate values)."""
+    import numpy as np
+    from sdvpcmdecoder_tpu.pipeline.v2d import _imed
+    rng = np.random.default_rng(7)
+    for n in range(1, 33):
+        for _ in range(20):
+            a = rng.integers(0, 2000, size=n)
+            assert _imed(a) == int(np.median(a)), (n, a)
+    # list input (ref_history is a plain list)
+    assert _imed([5, 3, 9]) == 5
+    assert _imed([4, 10]) == 7
