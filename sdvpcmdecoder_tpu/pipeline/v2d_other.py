@@ -246,6 +246,9 @@ class PCMFrameDriver:
         return out
 
     def _crc_ok(self, wl, cl):
+        from ..ops import stitch_native as sn
+        if sn.available():
+            return sn.pcm_crc_rows(wl, self.fmt).astype(np.int64) == cl
         from ..formats import pcm1, pcm16x0
         mod = pcm1 if self.fmt == "pcm1" else pcm16x0
         return np.asarray(mod.calc_crc(wl, xp=np)) == cl
