@@ -1764,6 +1764,68 @@ int32_t stc007_finalize_blocks(
     return countdown;
 }
 
+// Frame trim + service scan — host twin of the numpy body of
+// find_frames_trim (findFramesTrim stc007datastitcher.cpp:259-737):
+// one pass over a frame store finds, per parity, the first/last line
+// number carrying PCM (CRC-valid line, or marker-bearing line when the
+// field has too few good lines), plus the service-tag facts the pair
+// loop needs (new-file/end-file tags, first Control Block line and
+// whether it precedes the first good data line).
+// The skip_bad threshold pick is left to the caller (it needs
+// MIN_GOOD_LINES_PF), so both candidate rules are reported as row
+// INDICES (-1 = no hit).  out [14] i64:
+// [0..3]  even: firstA, lastA, firstB, lastB
+// [4..7]  odd:  firstA, lastA, firstB, lastB
+// [8] new_file, [9] end_file, [10] first_cb_index, [11] first_good_index,
+// [12] good_even_count, [13] good_odd_count.
+void stc007_trim_scan(
+    const int64_t* line_number, const int64_t* frame_number,
+    const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,
+    const uint8_t* has_markers, int64_t L, int64_t frame_no,
+    int64_t* out) {
+    // service tags (stitcher_stc007.py SRV_*)
+    constexpr int8_t SRV_NO = 0, SRV_NEW_FILE = 1, SRV_END_FILE = 2,
+        SRV_CTRL_BLOCK = 7;
+    int64_t good_cnt[2] = {0, 0};
+    // rule A: CRC-valid (ignore forced); rule B: markers OR rule A.
+    int64_t firstA[2] = {-1, -1}, lastA[2] = {-1, -1};
+    int64_t firstB[2] = {-1, -1}, lastB[2] = {-1, -1};
+    int64_t new_file = 0, end_file = 0, first_cb = -1, first_good = -1;
+    for (int64_t i = 0; i < L; ++i) {
+        if (frame_number[i] != frame_no) continue;
+        const int8_t svc = service[i];
+        if (svc != SRV_NO) {
+            if (svc == SRV_NEW_FILE) new_file = 1;
+            else if (svc == SRV_END_FILE) end_file = 1;
+            else if (svc == SRV_CTRL_BLOCK && first_cb < 0) first_cb = i;
+            continue;
+        }
+        const int p = (int)(line_number[i] & 1);
+        const bool cv = crcv[i] != 0;
+        const bool good = cv && !forced_bad[i];
+        if (good) {
+            ++good_cnt[p];
+            if (first_good < 0) first_good = i;
+        }
+        if (cv) {
+            if (firstA[p] < 0) firstA[p] = i;
+            lastA[p] = i;
+        }
+        if (cv || has_markers[i]) {
+            if (firstB[p] < 0) firstB[p] = i;
+            lastB[p] = i;
+        }
+    }
+    out[0] = firstA[0];  out[1] = lastA[0];
+    out[2] = firstB[0];  out[3] = lastB[0];
+    out[4] = firstA[1];  out[5] = lastA[1];
+    out[6] = firstB[1];  out[7] = lastB[1];
+    out[8] = new_file;   out[9] = end_file;
+    out[10] = first_cb;  out[11] = first_good;
+    out[12] = good_cnt[0];
+    out[13] = good_cnt[1];
+}
+
 // Head-switch duplicate-line detection — host twin of
 // v2d.find_duplicate_lines (doBinarize videotodigital.cpp:1210-1260):
 // within each field range a VALID line whose data+CRC bits differ from

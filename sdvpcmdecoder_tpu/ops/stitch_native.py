@@ -187,6 +187,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.stc007_trim_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -324,6 +328,26 @@ def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
         out_valid.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
         bvalid.ctypes.data, mask.ctypes.data, counters.ctypes.data)
     return out_valid, wvalid, wfixed, bvalid, mask, counters, int(cd)
+
+
+def trim_scan(line_number, frame_number, service, crcv, forced_bad,
+              has_markers, frame_no):
+    """Native findFramesTrim scan over one frame store.
+
+    Returns the raw int64[14] output of stc007_trim_scan: per-parity
+    (first, last) row indices for the CRC-only and markers-or-CRC rules,
+    service facts and per-parity good-line counts (see stitchcore.cpp)."""
+    L = _load()
+    ln = np.ascontiguousarray(line_number, np.int64)
+    fn = np.ascontiguousarray(frame_number, np.int64)
+    sv = np.ascontiguousarray(service, np.int8)
+    out = np.empty(14, np.int64)
+    L.stc007_trim_scan(
+        ln.ctypes.data, fn.ctypes.data, sv.ctypes.data,
+        _as_u8(crcv).ctypes.data, _as_u8(forced_bad).ctypes.data,
+        _as_u8(has_markers).ctypes.data, len(ln), int(frame_no),
+        out.ctypes.data)
+    return out
 
 
 def find_dup_lines(words, crc_read, valid, bounds, thres, m2):

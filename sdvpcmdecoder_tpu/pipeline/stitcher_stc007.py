@@ -782,26 +782,13 @@ class STC007Stitcher:
                 fr.odd_top_data = fr.odd_bottom_data = 0
 
         for fr, buf in ((fa, buf1), (fb, buf2)):
-            # Service tags + Control Block (cached across the roll).
+            # Service tags + Control Block + per-parity trim candidates,
+            # in ONE pass (native) — cached across the f2 -> f1 roll.
             scan = getattr(buf, "_svc_scan", None)
             if scan is None or scan[0] != fr.frame_number:
-                svc = buf.service
-                mask = buf.frame_number == fr.frame_number
-                new_file = bool(np.any((svc == SRV_NEW_FILE) & mask))
-                end_file = bool(np.any((svc == SRV_END_FILE) & mask))
-                # Control Block at top of field (before any good data
-                # line).
-                cb = np.nonzero((svc == SRV_CTRL_BLOCK) & mask)[0]
-                fields = None
-                if len(cb):
-                    good = np.nonzero(mask & (svc == SRV_NO)
-                                      & buf.crc_valid())[0]
-                    if len(good) == 0 or cb[0] < good[0]:
-                        fields = stc007.control_block_fields(
-                            buf.words[cb[0]])
-                scan = (fr.frame_number, new_file, end_file, fields)
+                scan = self._scan_frame(fr.frame_number, buf)
                 buf._svc_scan = scan
-            _, new_file, end_file, fields = scan
+            _, new_file, end_file, fields, _ = scan
             if new_file:
                 self.file_start = True
             if end_file:
@@ -825,30 +812,72 @@ class STC007Stitcher:
         for fr, buf in ((fa, buf1), (fb, buf2)):
             if fr.trim_ok:
                 continue
-            svc = buf.service
-            is_data = svc == SRV_NO
-            crc_ok = buf.crc_valid()
-            odd = (buf.line_number % 2) != 0
-            mask = (buf.frame_number == fr.frame_number) & is_data
+            scan = buf._svc_scan
+            if scan[0] != fr.frame_number:  # pragma: no cover - safety
+                scan = self._scan_frame(fr.frame_number, buf)
+            trim = scan[4]
             found = {}
-            for parity, is_odd in (("even", False), ("odd", True)):
-                pm = mask & (odd == is_odd)
-                good_cnt = int(np.sum(pm & crc_ok))
-                skip_bad = good_cnt > MIN_GOOD_LINES_PF
-                if skip_bad:
-                    pcm = pm & buf.crc_valid_ignore_forced()
-                else:
-                    pcm = pm & (buf.has_markers
-                                | buf.crc_valid_ignore_forced())
-                hits = np.nonzero(pcm)[0]
-                found[parity] = len(hits) > 0
-                if len(hits):
-                    top = int(buf.line_number[hits[0]])
-                    bottom = int(buf.line_number[hits[-1]])
-                    setattr(fr, f"{parity}_top_data", top)
-                    setattr(fr, f"{parity}_bottom_data", bottom)
+            for parity in ("even", "odd"):
+                first, last = trim[parity]
+                found[parity] = first >= 0
+                if first >= 0:
+                    setattr(fr, f"{parity}_top_data",
+                            int(buf.line_number[first]))
+                    setattr(fr, f"{parity}_bottom_data",
+                            int(buf.line_number[last]))
             if found["odd"] and found["even"]:
                 fr.trim_ok = True
+
+    def _scan_frame(self, frame_no, buf):
+        """One pass over a frame store: service tags, Control Block
+        fields and per-parity trim candidate rows (findFramesTrim
+        :259-737).  Native when available; the numpy twin is the
+        reference semantics (differential-tested)."""
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            r = _sn.trim_scan(buf.line_number, buf.frame_number,
+                              buf.service, buf.crc_valid_ignore_forced(),
+                              buf.forced_bad, buf.has_markers, frame_no)
+            new_file, end_file = bool(r[8]), bool(r[9])
+            fields = None
+            if r[10] >= 0 and (r[11] < 0 or r[10] < r[11]):
+                fields = stc007.control_block_fields(buf.words[r[10]])
+            trim = {}
+            for parity, base, good in (("even", 0, 12), ("odd", 4, 13)):
+                skip_bad = int(r[good]) > MIN_GOOD_LINES_PF
+                o = base if skip_bad else base + 2
+                trim[parity] = (int(r[o]), int(r[o + 1]))
+            return (frame_no, new_file, end_file, fields, trim)
+        svc = buf.service
+        mask = buf.frame_number == frame_no
+        new_file = bool(np.any((svc == SRV_NEW_FILE) & mask))
+        end_file = bool(np.any((svc == SRV_END_FILE) & mask))
+        # Control Block at top of field (before any good data line).
+        cb = np.nonzero((svc == SRV_CTRL_BLOCK) & mask)[0]
+        fields = None
+        if len(cb):
+            good = np.nonzero(mask & (svc == SRV_NO)
+                              & buf.crc_valid())[0]
+            if len(good) == 0 or cb[0] < good[0]:
+                fields = stc007.control_block_fields(buf.words[cb[0]])
+        is_data = svc == SRV_NO
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        dmask = mask & is_data
+        trim = {}
+        for parity, is_odd in (("even", False), ("odd", True)):
+            pm = dmask & (odd == is_odd)
+            good_cnt = int(np.sum(pm & crc_ok))
+            skip_bad = good_cnt > MIN_GOOD_LINES_PF
+            if skip_bad:
+                pcm = pm & buf.crc_valid_ignore_forced()
+            else:
+                pcm = pm & (buf.has_markers
+                            | buf.crc_valid_ignore_forced())
+            hits = np.nonzero(pcm)[0]
+            trim[parity] = (int(hits[0]), int(hits[-1])) if len(hits) \
+                else (-1, -1)
+        return (frame_no, new_file, end_file, fields, trim)
 
     # -- field split (splitFramesToFields :737-996) -----------------------
     def split_frames_to_fields(self, buf1: LineStore, buf2: LineStore):
