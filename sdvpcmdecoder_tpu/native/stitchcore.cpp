@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -429,6 +430,60 @@ int stc007_eval_rows(
         stage_out[b] = r.stage;
         res_out[b] = is14_sel ? 0 : 1;
     }
+    return 0;
+}
+
+// Seam eval without queue assembly — the steady-state tryPadding path
+// (tryPadding stc007datastitcher.cpp:1417-1743).  The seam queue
+// [field1 tail | padding | field2 head] is gathered HERE from the two
+// field stores' cached int32/crc8 buffers plus an implicit silent pad,
+// instead of concatenating 5+ numpy arrays per call on the Python side.
+// Only the burst stats are exported (valid/silent/unchecked runs +
+// broken count): they are all tryPadding reads — the block words are
+// re-derived by the final deinterleave.  Returns 1 when the queue is
+// too short (DS_RET_NO_DATA), negative on table error.
+void stc007_burst_stats(const uint8_t* flags, int64_t B, int32_t unch_lim,
+                        int32_t en_q, int32_t max_burst_silence,
+                        int32_t max_burst_broken, int32_t* out);
+
+int stc007_eval_seam(
+    const int32_t* a_words, const uint8_t* a_crc, int64_t a_n,
+    int64_t pad_n, const int32_t* pad_words,
+    const int32_t* c_words, const uint8_t* c_crc, int64_t c_n,
+    int32_t res_mode, int32_t en_p, int32_t en_q, int32_t force_ecc,
+    int32_t m2, int32_t unch_lim, int32_t max_burst_silence,
+    int32_t max_burst_broken, int32_t* stats_out) {
+    const int64_t L = a_n + pad_n + c_n;
+    const int64_t B = L - 112;  // MIN_DEINT_DATA
+    if (B <= 0) return 1;
+    std::vector<int32_t> w((size_t)L * 8);
+    std::vector<uint8_t> c((size_t)L * 8);
+    if (a_n) {
+        memcpy(w.data(), a_words, (size_t)a_n * 8 * sizeof(int32_t));
+        memcpy(c.data(), a_crc, (size_t)a_n * 8);
+    }
+    for (int64_t i = 0; i < pad_n; ++i)
+        memcpy(&w[(size_t)(a_n + i) * 8], pad_words, 8 * sizeof(int32_t));
+    // pad rows: CRC all-invalid (LineStore.empty_lines semantics)
+    if (pad_n) memset(&c[(size_t)a_n * 8], 0, (size_t)pad_n * 8);
+    if (c_n) {
+        memcpy(&w[(size_t)(a_n + pad_n) * 8], c_words,
+               (size_t)c_n * 8 * sizeof(int32_t));
+        memcpy(&c[(size_t)(a_n + pad_n) * 8], c_crc, (size_t)c_n * 8);
+    }
+    std::vector<int64_t> wout((size_t)B * 8);
+    std::vector<uint8_t> vout((size_t)B * 8), lout((size_t)B * 8);
+    std::vector<int32_t> aout(B), sout(B), rout(B);
+    std::vector<int16_t> smp((size_t)B * 6);
+    std::vector<uint8_t> flags(B);
+    int rc = stc007_eval_rows(w.data(), c.data(), nullptr, nullptr, 0, B,
+                              res_mode, en_p, en_q, force_ecc, 0, m2,
+                              wout.data(), vout.data(), lout.data(),
+                              aout.data(), sout.data(), rout.data(),
+                              flags.data(), smp.data());
+    if (rc != 0) return rc;
+    stc007_burst_stats(flags.data(), B, unch_lim, en_q,
+                       max_burst_silence, max_burst_broken, stats_out);
     return 0;
 }
 

@@ -187,6 +187,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        L.stc007_eval_seam.restype = ctypes.c_int
+        L.stc007_eval_seam.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         L.stc007_trim_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -328,6 +336,30 @@ def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
         out_valid.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
         bvalid.ctypes.data, mask.ctypes.data, counters.ctypes.data)
     return out_valid, wvalid, wfixed, bvalid, mask, counters, int(cd)
+
+
+def eval_seam(a_words32, a_crc8, pad_n, pad_words32, c_words32, c_crc8,
+              res_mode, en_p, en_q, force_ecc, m2, unch_lim,
+              max_burst_silence, max_burst_broken):
+    """Single-call tryPadding seam eval: gathers [field1 tail | silent
+    pad | field2 head] natively and returns burst stats
+    (valid_max, silent_max, unch_max, broken_count), or None when the
+    queue is shorter than MIN_DEINT_DATA.  Inputs must be C-contiguous
+    int32 [n,8] words and uint8/bool [n,8] crc-ok arrays."""
+    L = _load()
+    out = np.empty(4, np.int32)
+    rc = L.stc007_eval_seam(
+        a_words32.ctypes.data, a_crc8.ctypes.data, a_words32.shape[0],
+        int(pad_n), pad_words32.ctypes.data,
+        c_words32.ctypes.data, c_crc8.ctypes.data, c_words32.shape[0],
+        int(res_mode), int(bool(en_p)), int(bool(en_q)),
+        int(bool(force_ecc)), int(bool(m2)), int(unch_lim),
+        int(max_burst_silence), int(max_burst_broken), out.ctypes.data)
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise RuntimeError("stc007_eval_seam failed")
+    return out
 
 
 def trim_scan(line_number, frame_number, service, crcv, forced_bad,

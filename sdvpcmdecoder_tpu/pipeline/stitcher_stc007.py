@@ -171,6 +171,7 @@ class LineStore:
     def invalidate_crc(self):
         self._crcv = None
         self._w32 = None
+        self._crc8 = None
 
     def words_i32(self):
         """Cached int32 copy of words for the native core (the eval
@@ -184,6 +185,16 @@ class LineStore:
 
     def crc_valid(self):
         return (~self.forced_bad) & self.crc_valid_ignore_forced()
+
+    def crc_ok8(self):
+        """Cached `word_crc[:, :8] & ~forced_bad` — the per-line CRC-ok
+        input of every seam/deinterleave eval (cleared by
+        invalidate_crc alongside the other derived caches)."""
+        c = getattr(self, "_crc8", None)
+        if c is None:
+            c = self.word_crc[:, :8] & ~self.forced_bad[:, None]
+            self._crc8 = c
+        return c
 
     def is_fixed_by_cwd(self):
         """isFixedByCWD (stc007line.cpp:629-642): CRC valid and some word
@@ -199,6 +210,7 @@ class LineStore:
         v = self.crc_valid()
         self.word_crc[:] = v[:, None]
         self.word_valid[:] = v[:, None]
+        self._crc8 = None
 
     @staticmethod
     def from_decoded(words, crc_read, valid, frame_number, line_number,
@@ -456,7 +468,9 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
     if ignore_crc:
         crc_ok = (store.coords_valid & store.bw_set)[:, None] \
             & np.ones((1, 8), bool)
-    else:
+    elif hasattr(store, "crc_ok8"):
+        crc_ok = store.crc_ok8()
+    else:  # _SlimQueue
         crc_ok = store.word_crc[:, :8] & ~store.forced_bad[:, None]
     cwd_line = store.is_fixed_by_cwd() if en_cwd else np.zeros(n, bool)
 
@@ -1088,12 +1102,7 @@ class STC007Stitcher:
         else:
             line_num, frame_num = 0, 0
         q = self._SlimQueue()
-        sw32 = getattr(self, "_sw32", None)
-        if sw32 is None or self._sw32_m2 != self.mode_m2:
-            sw32 = np.asarray(stc007.silent_words(m2=self.mode_m2, xp=np),
-                              np.int32)
-            self._sw32 = sw32
-            self._sw32_m2 = self.mode_m2
+        sw32 = self._silent_words32()
         p = padding
 
         def cat(a1, pad, a2):
@@ -1160,8 +1169,77 @@ class STC007Stitcher:
             return DS_RET_NO_PAD
         return DS_RET_OK
 
+    def _silent_words32(self):
+        sw32 = getattr(self, "_sw32", None)
+        if sw32 is None or self._sw32_m2 != self.mode_m2:
+            sw32 = np.asarray(stc007.silent_words(m2=self.mode_m2, xp=np),
+                              np.int32)
+            self._sw32 = sw32
+            self._sw32_m2 = self.mode_m2
+        return sw32
+
+    def _try_padding_native(self, field1, field2, padding):
+        """try_padding in ONE native call (stc007_eval_seam): the seam
+        queue is gathered from the fields' cached int32/crc8 buffers in
+        C and only the burst stats come back — no per-call numpy
+        concatenation (bit-identical to the queue path, tested)."""
+        from ..ops import stitch_native as _sn
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        f1_size, f2_size = len(field1), len(field2)
+        start1 = max(0, f1_size - (keep - padding))
+        count2 = min(f2_size, keep)
+        len1 = f1_size - start1
+        L = len1 + padding + count2
+        if L < stc007.MIN_DEINT_DATA:
+            return DS_RET_NO_DATA, None
+        if self.mode_m2:
+            res_mode = di.RES_MODE_14BIT
+        elif L <= stc007.MIN_DEINT_DATA:
+            res_mode = di.RES_MODE_14BIT_AUTO
+        else:
+            def res_of(r):
+                if r < len1:
+                    i = start1 + r
+                    fno = int(field1.frame_number[i])
+                    ln = int(field1.line_number[i])
+                elif r < len1 + padding:
+                    if f1_size:
+                        fno = int(field1.frame_number[f1_size - 1])
+                        ln = int(field1.line_number[f1_size - 1]) \
+                            + 2 * (r - len1 + 1)
+                    else:
+                        fno, ln = 0, 2 * (r - len1 + 1)
+                else:
+                    i = r - len1 - padding
+                    fno = int(field2.frame_number[i])
+                    ln = int(field2.line_number[i])
+                is_even = (ln % 2) == 0
+                for fr in (self.frasm_f2, self.frasm_f1, self.frasm_f0):
+                    if fno == fr.frame_number:
+                        return fr.even_resolution if is_even \
+                            else fr.odd_resolution
+                return di.RES_MODE_14BIT
+            res_mode = self.resolution_mode_for_seam(
+                res_of(0), res_of(stc007.LINE_OFFSETS[-1]))
+        unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+        st4 = _sn.eval_seam(
+            field1.words_i32()[start1:], field1.crc_ok8()[start1:],
+            padding, self._silent_words32(),
+            field2.words_i32()[:count2], field2.crc_ok8()[:count2],
+            res_mode, self.en_p, self.en_q, True, self.mode_m2,
+            unchecked_lim, MAX_BURST_SILENCE, MAX_BURST_BROKEN)
+        if st4 is None:
+            return DS_RET_NO_DATA, None
+        stats = StitchStats(index=padding, valid=int(st4[0]),
+                            silent=int(st4[1]), unchecked=int(st4[2]),
+                            broken=int(st4[3]))
+        return self._stats_verdict(stats, unchecked_lim), stats
+
     def try_padding(self, field1, field2, padding, want_stats=False):
         """tryPadding: deinterleave the seam buffer, collect burst stats."""
+        from ..ops import stitch_native as _sn
+        if _sn.available() and not self.ignore_crc:
+            return self._try_padding_native(field1, field2, padding)
         queue = self._slim_padding_queue(field1, field2, padding)
         if len(queue) < stc007.MIN_DEINT_DATA:
             return DS_RET_NO_DATA, None
