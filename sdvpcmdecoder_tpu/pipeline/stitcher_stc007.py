@@ -115,6 +115,23 @@ class LineStore:
             out._crcv = c.copy() if c.base is not None else c
         return out
 
+    def take_or_view(self, idx) -> "LineStore":
+        """take(), except an evenly-strided index set (the common case:
+        a parity split of interleaved frame rows) becomes a zero-copy
+        strided VIEW — callers must treat the result as immutable."""
+        if len(idx) > 1:
+            step = int(idx[1]) - int(idx[0])
+            if step > 0 and np.all(np.diff(idx) == step):
+                sl = slice(int(idx[0]), int(idx[-1]) + 1, step)
+                out = LineStore._blank()
+                for f in self.FIELDS:
+                    setattr(out, f, getattr(self, f)[sl])
+                cached = getattr(self, "_crcv", None)
+                if cached is not None:
+                    out._crcv = cached[sl]
+                return out
+        return self.take(idx)
+
     def view_slice(self, a, b) -> "LineStore":
         """Zero-copy row window [a, b) — for feeding LineStore.concat
         (which copies); the view itself must not outlive the source."""
@@ -772,11 +789,13 @@ class STC007Stitcher:
             self.conv_queue = LineStore(0)
             self.out_chunks.append(
                 SampleChunk.tag(SRV_NEW_FILE, self.file_name))
-        frame_lines = self.fill_frame_for_output()
+        carry_n = len(self.conv_queue)
+        # The carry rides into the frame assembly's single concat (one
+        # materialization of the conv queue per frame, not two).
+        conv = self.fill_frame_for_output(prefix=self.conv_queue)
         if self.record_views:
-            self.last_assembled = frame_lines.copy()
-        self.conv_queue = LineStore.concat([self.conv_queue, frame_lines])
-        self.conv_queue = self.prescan_frame(self.conv_queue)
+            self.last_assembled = conv.take(slice(carry_n, len(conv)))
+        self.conv_queue = self.prescan_frame(conv)
         consumed = self.perform_deinterleave(self.conv_queue)
         if consumed > 0:
             self.conv_queue = self.conv_queue.take(
@@ -938,7 +957,7 @@ class STC007Stitcher:
                     pm = pm & (buf.line_number >= top) \
                         & (buf.line_number <= bottom)
                 idx = np.nonzero(pm)[0][:LINES_PF_PAL]
-                fld = buf.take(idx)
+                fld = buf.take_or_view(idx)
                 self.fields[(tag, parity)] = fld
                 valid = int(np.sum(crc_ok[idx]))
                 cache[parity] = fld
@@ -1846,7 +1865,7 @@ class STC007Stitcher:
     def _second_line(self, order):
         return 2 if order == ORDER_TFF else 1
 
-    def fill_frame_for_output(self) -> LineStore:
+    def fill_frame_for_output(self, prefix=None) -> LineStore:
         fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
         order = self.get_assembly_field_order()
         if order == ORDER_TFF:
@@ -1878,6 +1897,9 @@ class STC007Stitcher:
         pos = [0]
         added_inner = added_outer = 0
         last_line = [0]
+        if prefix is not None and len(prefix):
+            segs.append(prefix)
+            pos[0] = len(prefix)
 
         def add_field(fld, start, count):
             count = max(0, count)
@@ -2054,6 +2076,8 @@ class STC007Stitcher:
         fa.outer_padding = added_outer
         if not segs:
             return LineStore(0)
+        if len(segs) == 1 and segs[0] is prefix:
+            return prefix  # empty frame: the conv queue is just the carry
         out = LineStore.concat(segs)
         for (p, nums, frame) in pad_spots:
             out.line_number[p:p + len(nums)] = nums
