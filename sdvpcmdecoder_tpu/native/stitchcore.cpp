@@ -1750,6 +1750,7 @@ int32_t stc007_finalize_blocks(
     const uint8_t* flags, const uint8_t* valid, const uint8_t* lcrc,
     const int32_t* resolution, const int64_t* rows,
     const int64_t* line_number, const int64_t* frame_number, int64_t B,
+    int64_t start,
     int32_t inner_gate, int32_t outer_gate,
     int64_t fa_frame, int64_t f0_frame, int64_t fb_frame,
     int32_t broken_mask_dur, int32_t countdown_in,
@@ -1763,8 +1764,11 @@ int32_t stc007_finalize_blocks(
         const bool broken = f & 1, silent = f & 8;
         const bool fixp = f & 16, fixq = f & 32, cwd_app = f & 64;
         const int last_tap = resolution[b] == 1 ? 6 : 7;
-        const int64_t r0 = rows[b * 8 + 0];
-        const int64_t rl = rows[b * 8 + last_tap];
+        // rows == NULL: contiguous shifts (block b reads lines
+        // start+b, start+b+16, ... start+b+16*7)
+        const int64_t r0 = rows ? rows[b * 8 + 0] : start + b;
+        const int64_t rl = rows ? rows[b * 8 + last_tap]
+                                : start + b + 16 * last_tap;
         const int64_t sf = frame_number[r0], spf = frame_number[rl];
         const bool on_seam = line_number[r0] > line_number[rl];
         bool unsafe = false;
@@ -1879,6 +1883,63 @@ void stc007_trim_scan(
     out[10] = first_cb;  out[11] = first_good;
     out[12] = good_cnt[0];
     out[13] = good_cnt[1];
+}
+
+// Field-split scan — host twin of the numpy body of
+// split_frames_to_fields (splitFramesToFields
+// stc007datastitcher.cpp:737-996): selects, per parity, the data+filler
+// rows of the frame inside the trim window [top, bottom], capped at
+// `cap` rows.  Most captures yield an evenly-strided row set (parity
+// split of interleaved rows), reported as (first, last, step,
+// regular=1) so Python can build zero-copy strided views; irregular
+// sets fall back to the numpy path.  out [13] i64:
+// [0] max_line; per parity p (even base 1, odd base 7):
+// first, last, count, step, regular, valid_count.
+void stc007_split_scan(
+    const int64_t* line_number, const int64_t* frame_number,
+    const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,
+    int64_t L, int64_t frame_no,
+    int64_t even_top, int64_t even_bottom, int64_t even_enable,
+    int64_t odd_top, int64_t odd_bottom, int64_t odd_enable,
+    int64_t cap, int64_t* out) {
+    constexpr int8_t SRV_NO = 0, SRV_FILLER = 3;
+    const int64_t top[2] = {even_top, odd_top};
+    const int64_t bot[2] = {even_bottom, odd_bottom};
+    const int64_t ena[2] = {even_enable, odd_enable};
+    int64_t first[2] = {-1, -1}, last[2] = {-1, -1}, count[2] = {0, 0};
+    int64_t step[2] = {0, 0}, regular[2] = {1, 1}, valid[2] = {0, 0};
+    int64_t max_line = 0;
+    bool any = false;
+    for (int64_t i = 0; i < L; ++i) {
+        if (frame_number[i] != frame_no) continue;
+        const int8_t svc = service[i];
+        if (svc != SRV_NO && svc != SRV_FILLER) continue;
+        const int64_t ln = line_number[i];
+        if (!any || ln > max_line) { max_line = ln; any = true; }
+        const int p = (int)(ln & 1);
+        if (!ena[p] || ln < top[p] || ln > bot[p]) continue;
+        if (count[p] >= cap) continue;
+        if (first[p] < 0) {
+            first[p] = i;
+        } else {
+            const int64_t gap = i - last[p];
+            if (step[p] == 0) step[p] = gap;
+            else if (gap != step[p]) regular[p] = 0;
+        }
+        last[p] = i;
+        ++count[p];
+        if (crcv[i] && !forced_bad[i]) ++valid[p];
+    }
+    out[0] = max_line;
+    for (int p = 0; p < 2; ++p) {
+        int64_t* o = out + 1 + p * 6;
+        o[0] = first[p];
+        o[1] = last[p];
+        o[2] = count[p];
+        o[3] = step[p] ? step[p] : 1;
+        o[4] = regular[p];
+        o[5] = valid[p];
+    }
 }
 
 // Head-switch duplicate-line detection — host twin of

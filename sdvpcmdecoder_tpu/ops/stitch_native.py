@@ -176,7 +176,7 @@ def _load():
         L.stc007_finalize_blocks.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
@@ -199,6 +199,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        L.stc007_split_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -306,18 +313,22 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
 def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
                     frame_number, inner_gate, outer_gate, fa_frame,
                     f0_frame, fb_frame, broken_mask_dur, countdown,
-                    file_start, file_end):
+                    file_start, file_end, start=0):
     """Native performDeinterleave finalization (seam mask + BROKEN
-    windows + markAsUnsafe + stats). Returns (out_valid [B,8] bool,
-    wvalid [B,6] bool, wfixed [B,6] bool, bvalid [B] bool,
-    mask [B] bool, counters [6] i64, new_countdown)."""
+    windows + markAsUnsafe + stats). rows=None means contiguous shifts
+    from `start`. Returns (out_valid [B,8] bool, wvalid [B,6] bool,
+    wfixed [B,6] bool, bvalid [B] bool, mask [B] bool,
+    counters [6] i64, new_countdown)."""
     L = _load()
     B = len(flags)
     f = _as_u8(flags)
     v = _as_u8(valid)
     lc = _as_u8(lcrc)
     res = np.ascontiguousarray(resolution, np.int32)
-    r = np.ascontiguousarray(rows, np.int64)
+    rows_ptr = 0
+    if rows is not None:
+        r = np.ascontiguousarray(rows, np.int64)
+        rows_ptr = r.ctypes.data
     ln = np.ascontiguousarray(line_number, np.int64)
     fn = np.ascontiguousarray(frame_number, np.int64)
     out_valid = np.empty((B, 8), bool)
@@ -328,7 +339,7 @@ def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
     counters = np.empty(6, np.int64)
     cd = L.stc007_finalize_blocks(
         f.ctypes.data, v.ctypes.data, lc.ctypes.data, res.ctypes.data,
-        r.ctypes.data, ln.ctypes.data, fn.ctypes.data, B,
+        rows_ptr, ln.ctypes.data, fn.ctypes.data, B, int(start),
         int(bool(inner_gate)), int(bool(outer_gate)),
         int(fa_frame), int(f0_frame), int(fb_frame),
         int(broken_mask_dur), int(countdown),
@@ -379,6 +390,26 @@ def trim_scan(line_number, frame_number, service, crcv, forced_bad,
         _as_u8(crcv).ctypes.data, _as_u8(forced_bad).ctypes.data,
         _as_u8(has_markers).ctypes.data, len(ln), int(frame_no),
         out.ctypes.data)
+    return out
+
+
+def split_scan(line_number, frame_number, service, crcv, forced_bad,
+               frame_no, even_top, even_bottom, even_enable,
+               odd_top, odd_bottom, odd_enable, cap):
+    """Native splitFramesToFields row scan -> int64[13]
+    (see stitchcore.cpp stc007_split_scan)."""
+    L = _load()
+    ln = np.ascontiguousarray(line_number, np.int64)
+    fn = np.ascontiguousarray(frame_number, np.int64)
+    sv = np.ascontiguousarray(service, np.int8)
+    out = np.empty(13, np.int64)
+    L.stc007_split_scan(
+        ln.ctypes.data, fn.ctypes.data, sv.ctypes.data,
+        _as_u8(crcv).ctypes.data, _as_u8(forced_bad).ctypes.data,
+        len(ln), int(frame_no),
+        int(even_top), int(even_bottom), int(bool(even_enable)),
+        int(odd_top), int(odd_bottom), int(bool(odd_enable)),
+        int(cap), out.ctypes.data)
     return out
 
 

@@ -122,15 +122,21 @@ class LineStore:
         if len(idx) > 1:
             step = int(idx[1]) - int(idx[0])
             if step > 0 and np.all(np.diff(idx) == step):
-                sl = slice(int(idx[0]), int(idx[-1]) + 1, step)
-                out = LineStore._blank()
-                for f in self.FIELDS:
-                    setattr(out, f, getattr(self, f)[sl])
-                cached = getattr(self, "_crcv", None)
-                if cached is not None:
-                    out._crcv = cached[sl]
-                return out
+                return self.view_rows(slice(int(idx[0]),
+                                            int(idx[-1]) + 1, step))
         return self.take(idx)
+
+    def view_rows(self, sl) -> "LineStore":
+        """Zero-copy row view through an arbitrary slice (the strided
+        sibling of view_slice) — the result must be treated as
+        immutable."""
+        out = LineStore._blank()
+        for f in self.FIELDS:
+            setattr(out, f, getattr(self, f)[sl])
+        cached = getattr(self, "_crcv", None)
+        if cached is not None:
+            out._crcv = cached[sl]
+        return out
 
     def view_slice(self, a, b) -> "LineStore":
         """Zero-copy row window [a, b) — for feeding LineStore.concat
@@ -460,20 +466,25 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
     if stop <= start:
         return None, None, None
     shifts = np.arange(start, stop, dtype=np.int64)
-    taps = np.arange(8) * stc007.INTERLEAVE_OFS
-    rows = shifts[:, None] + taps[None, :]
+    from ..ops import stitch_native as _sn
+    if _sn.available() and not full_aux and not en_cwd and not ignore_crc:
+        rows = None  # contiguous shifts resolved natively, no [B,8] build
+    else:
+        taps = np.arange(8) * stc007.INTERLEAVE_OFS
+        rows = shifts[:, None] + taps[None, :]
     batch, cwd_app, aux = eval_rows(store, rows, res_mode,
                                     ignore_crc=ignore_crc,
                                     force_ecc=force_ecc, en_p=en_p,
                                     en_q=en_q, en_cwd=en_cwd, m2=m2,
-                                    full_aux=full_aux)
+                                    full_aux=full_aux, start=start,
+                                    n_blocks=stop - start)
     aux["shifts"] = shifts
     return batch, cwd_app, aux
 
 
 def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
               force_ecc=True, en_p=True, en_q=True, en_cwd=False, m2=False,
-              full_aux=True):
+              full_aux=True, start=0, n_blocks=None):
     """eval_blocks core over explicit per-block line rows [B, 8].
 
     rows[b, w] is the absolute line index feeding interleave tap w of
@@ -495,7 +506,12 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
     if _sn.available():
         return _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode,
                                  force_ecc, en_p, en_q, en_cwd, m2,
-                                 full_aux=full_aux)
+                                 full_aux=full_aux, start=start,
+                                 n_blocks=n_blocks)
+    if rows is None:
+        taps = np.arange(8) * stc007.INTERLEAVE_OFS
+        rows = (np.arange(start, start + n_blocks, dtype=np.int64)[:, None]
+                + taps[None, :])
 
     def run(resolution):
         w, c = _assemble_rows(store.words, crc_ok, rows, resolution)
@@ -561,22 +577,30 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
 
 
 def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
-                      en_p, en_q, en_cwd, m2, full_aux=True):
+                      en_p, en_q, en_cwd, m2, full_aux=True, start=0,
+                      n_blocks=None):
     """eval_rows via the native core (one C call: gather + correction +
     flags + samples); output contract identical to the numpy path.
     full_aux=False skips the source frame/line gathers (only the final
     deinterleave's seam masking needs them — 10 of 11 evals per frame
-    are seam/resolution probes that read the packed flags alone)."""
+    are seam/resolution probes that read the packed flags alone).
+    rows=None means contiguous shifts from `start` (resolved in C, no
+    [B,8] index build)."""
     from ..ops import stitch_native as _sn
-    B = rows.shape[0]
+    if rows is None and full_aux:  # safety: the gathers below need rows
+        taps = np.arange(8) * stc007.INTERLEAVE_OFS
+        rows = (np.arange(start, start + n_blocks,
+                          dtype=np.int64)[:, None] + taps[None, :])
+    B = rows.shape[0] if rows is not None else int(n_blocks)
     w_src = store.words_i32() if hasattr(store, "words_i32") \
         else store.words  # _SlimQueue has no cache slot
     w, v, lc, state, stage, res, flags, samples = _sn.eval_rows_arrays(
         w_src, crc_ok, cwd_line if en_cwd else None, rows,
-        0, B, res_mode, en_p, en_q, force_ecc, en_cwd, m2)
+        start, B, res_mode, en_p, en_q, force_ecc, en_cwd, m2)
     batch = di.BlockBatch(w, v, lc, state, stage, res)
     cwd_app = (flags & _sn.FLAG_CWD_APP) != 0
-    aux = dict(rows=rows, broken=(flags & _sn.FLAG_BROKEN) != 0,
+    aux = dict(rows=rows, start=start,
+               broken=(flags & _sn.FLAG_BROKEN) != 0,
                block_valid=(flags & _sn.FLAG_BLOCK_VALID) != 0,
                can_force=(flags & _sn.FLAG_CAN_FORCE) != 0,
                silent=(flags & _sn.FLAG_SILENT) != 0,
@@ -939,32 +963,14 @@ class STC007Stitcher:
                     setattr(fr, f"{parity}_valid_lines",
                             cache[parity + "_valid"])
                 continue
-            svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
-            crc_ok = buf.crc_valid()
-            odd = (buf.line_number % 2) != 0
-            cache = {"key": key, "max_line": 0}
-            mask = (buf.frame_number == fr.frame_number) & svc_keep
-            if np.any(mask):
-                cache["max_line"] = int(buf.line_number[mask].max())
+            cache = self._split_one(fr, buf, key)
             setattr(self, f"{tag}_max_line", cache["max_line"])
-            for parity, is_odd in (("even", False), ("odd", True)):
-                top = getattr(fr, f"{parity}_top_data")
-                bottom = getattr(fr, f"{parity}_bottom_data")
-                pm = mask & (odd == is_odd)
-                if not is_odd and top == bottom and top == 0:
-                    pm = pm & False
-                else:
-                    pm = pm & (buf.line_number >= top) \
-                        & (buf.line_number <= bottom)
-                idx = np.nonzero(pm)[0][:LINES_PF_PAL]
-                fld = buf.take_or_view(idx)
-                self.fields[(tag, parity)] = fld
-                valid = int(np.sum(crc_ok[idx]))
-                cache[parity] = fld
-                cache[parity + "_data"] = len(idx)
-                cache[parity + "_valid"] = valid
-                setattr(fr, f"{parity}_data_lines", len(idx))
-                setattr(fr, f"{parity}_valid_lines", valid)
+            for parity in ("even", "odd"):
+                self.fields[(tag, parity)] = cache[parity]
+                setattr(fr, f"{parity}_data_lines",
+                        cache[parity + "_data"])
+                setattr(fr, f"{parity}_valid_lines",
+                        cache[parity + "_valid"])
             buf._split_cache = cache
         # Average reference level for Frame A (splitFramesToFields tail).
         for parity in ("odd", "even"):
@@ -977,6 +983,66 @@ class STC007Stitcher:
             else:
                 ref = 0
             setattr(fa, f"{parity}_ref", ref)
+
+    def _split_one(self, fr, buf, key):
+        """Field split of one frame store -> cache dict.  Native scan
+        (stc007_split_scan) with zero-copy strided views on the common
+        evenly-strided row sets; the numpy twin is the reference
+        semantics (differential-tested)."""
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            et, eb = fr.even_top_data, fr.even_bottom_data
+            ot, ob = fr.odd_top_data, fr.odd_bottom_data
+            r = _sn.split_scan(buf.line_number, buf.frame_number,
+                               buf.service, buf.crc_valid_ignore_forced(),
+                               buf.forced_bad, fr.frame_number,
+                               et, eb, not (et == 0 and eb == 0),
+                               ot, ob, True, LINES_PF_PAL)
+            cache = {"key": key, "max_line": int(r[0])}
+            for parity, base in (("even", 1), ("odd", 7)):
+                first, last, count, stp, regular, valid = \
+                    (int(x) for x in r[base:base + 6])
+                if count == 0:
+                    fld = buf.view_slice(0, 0)
+                elif regular:
+                    fld = buf.view_rows(slice(first, last + 1, stp))
+                else:  # irregular row set (damaged capture): numpy pick
+                    top = getattr(fr, f"{parity}_top_data")
+                    bottom = getattr(fr, f"{parity}_bottom_data")
+                    pm = ((buf.frame_number == fr.frame_number)
+                          & ((buf.service == SRV_NO)
+                             | (buf.service == SRV_FILLER))
+                          & (((buf.line_number % 2) != 0)
+                             == (parity == "odd"))
+                          & (buf.line_number >= top)
+                          & (buf.line_number <= bottom))
+                    fld = buf.take(np.nonzero(pm)[0][:LINES_PF_PAL])
+                cache[parity] = fld
+                cache[parity + "_data"] = count
+                cache[parity + "_valid"] = valid
+            return cache
+        svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
+        crc_ok = buf.crc_valid()
+        odd = (buf.line_number % 2) != 0
+        cache = {"key": key, "max_line": 0}
+        mask = (buf.frame_number == fr.frame_number) & svc_keep
+        if np.any(mask):
+            cache["max_line"] = int(buf.line_number[mask].max())
+        for parity, is_odd in (("even", False), ("odd", True)):
+            top = getattr(fr, f"{parity}_top_data")
+            bottom = getattr(fr, f"{parity}_bottom_data")
+            pm = mask & (odd == is_odd)
+            if not is_odd and top == bottom and top == 0:
+                pm = pm & False
+            else:
+                pm = pm & (buf.line_number >= top) \
+                    & (buf.line_number <= bottom)
+            idx = np.nonzero(pm)[0][:LINES_PF_PAL]
+            fld = buf.take_or_view(idx)
+            cache[parity] = fld
+            cache[parity + "_data"] = len(idx)
+            cache[parity + "_valid"] = int(np.sum(crc_ok[idx]))
+        return cache
 
     # -- resolution (getFieldResolution :996-1214) ------------------------
     def get_field_resolution(self, fld: LineStore):
@@ -2345,7 +2411,8 @@ class STC007Stitcher:
                 conv.frame_number, inner_gate, outer_gate,
                 fa.frame_number, f0.frame_number, fb.frame_number,
                 self.broken_mask_dur, self.broken_countdown,
-                self.file_start, self.file_end)
+                self.file_start, self.file_end,
+                start=aux.get("start", 0))
         fa.blocks_total += n_blocks
         fa.blocks_fix_p += int(counters[0])
         fa.blocks_fix_q += int(counters[1])
