@@ -136,7 +136,9 @@ def e2e_fps(tmp):
         return fps
 
     run("warm", record=False)          # compile / cache warm-up
-    fps = max(run("a"), run("b"))
+    # Best-of-3: this 1-core host shows +/-40% run-to-run noise, and the
+    # stage table always belongs to the run behind the headline number.
+    fps = max(run("a"), run("b"), run("c"))
     backend = stage.pop("_backend", "?")
     stage.pop("_fps", None)
     return fps, backend, stage
@@ -224,7 +226,7 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=8):
         return n_caps * n_frames / (time.perf_counter() - t0)
 
     run("warm")
-    return max(run("a"), run("b"))
+    return max(run("a"), run("b"), run("c"))
 
 
 def main():
