@@ -1837,11 +1837,13 @@ int32_t stc007_finalize_blocks(
 // [4..7]  odd:  firstA, lastA, firstB, lastB
 // [8] new_file, [9] end_file, [10] first_cb_index, [11] first_good_index,
 // [12] good_even_count, [13] good_odd_count.
+// rule_b_or_crc: 1 -> rule B selects (aux | crcv) rows (STC-007: marker
+// OR CRC lines); 0 -> rule B selects aux rows alone (PCM-16x0: bw_set).
 void stc007_trim_scan(
     const int64_t* line_number, const int64_t* frame_number,
     const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,
     const uint8_t* has_markers, int64_t L, int64_t frame_no,
-    int64_t* out) {
+    int32_t rule_b_or_crc, int64_t* out) {
     // service tags (stitcher_stc007.py SRV_*)
     constexpr int8_t SRV_NO = 0, SRV_NEW_FILE = 1, SRV_END_FILE = 2,
         SRV_CTRL_BLOCK = 7;
@@ -1870,7 +1872,7 @@ void stc007_trim_scan(
             if (firstA[p] < 0) firstA[p] = i;
             lastA[p] = i;
         }
-        if (cv || has_markers[i]) {
+        if (has_markers[i] || (rule_b_or_crc && cv)) {
             if (firstB[p] < 0) firstB[p] = i;
             lastB[p] = i;
         }
@@ -1901,7 +1903,9 @@ void stc007_split_scan(
     int64_t L, int64_t frame_no,
     int64_t even_top, int64_t even_bottom, int64_t even_enable,
     int64_t odd_top, int64_t odd_bottom, int64_t odd_enable,
-    int64_t cap, int64_t* out) {
+    int64_t cap, int64_t* out,
+    int64_t* idx_even_out, int64_t* idx_odd_out) {
+    int64_t* idx_out[2] = {idx_even_out, idx_odd_out};
     constexpr int8_t SRV_NO = 0, SRV_FILLER = 3;
     const int64_t top[2] = {even_top, odd_top};
     const int64_t bot[2] = {even_bottom, odd_bottom};
@@ -1927,6 +1931,7 @@ void stc007_split_scan(
             else if (gap != step[p]) regular[p] = 0;
         }
         last[p] = i;
+        if (idx_out[p]) idx_out[p][count[p]] = i;
         ++count[p];
         if (crcv[i] && !forced_bad[i]) ++valid[p];
     }

@@ -198,14 +198,16 @@ def _load():
         L.stc007_trim_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p]
         L.stc007_split_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_void_p]
+            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_marker_search.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -374,11 +376,12 @@ def eval_seam(a_words32, a_crc8, pad_n, pad_words32, c_words32, c_crc8,
 
 
 def trim_scan(line_number, frame_number, service, crcv, forced_bad,
-              has_markers, frame_no):
+              rule_b_aux, frame_no, rule_b_or_crc=True):
     """Native findFramesTrim scan over one frame store.
 
     Returns the raw int64[14] output of stc007_trim_scan: per-parity
-    (first, last) row indices for the CRC-only and markers-or-CRC rules,
+    (first, last) row indices for the CRC-only rule and for rule B
+    (rule_b_aux | crc when rule_b_or_crc, else rule_b_aux alone),
     service facts and per-parity good-line counts (see stitchcore.cpp)."""
     L = _load()
     ln = np.ascontiguousarray(line_number, np.int64)
@@ -388,28 +391,37 @@ def trim_scan(line_number, frame_number, service, crcv, forced_bad,
     L.stc007_trim_scan(
         ln.ctypes.data, fn.ctypes.data, sv.ctypes.data,
         _as_u8(crcv).ctypes.data, _as_u8(forced_bad).ctypes.data,
-        _as_u8(has_markers).ctypes.data, len(ln), int(frame_no),
-        out.ctypes.data)
+        _as_u8(rule_b_aux).ctypes.data, len(ln), int(frame_no),
+        int(bool(rule_b_or_crc)), out.ctypes.data)
     return out
 
 
 def split_scan(line_number, frame_number, service, crcv, forced_bad,
                frame_no, even_top, even_bottom, even_enable,
-               odd_top, odd_bottom, odd_enable, cap):
-    """Native splitFramesToFields row scan -> int64[13]
+               odd_top, odd_bottom, odd_enable, cap, want_idx=False):
+    """Native splitFramesToFields row scan -> int64[13], or
+    (out, idx_even, idx_odd) row-index arrays when want_idx
     (see stitchcore.cpp stc007_split_scan)."""
     L = _load()
     ln = np.ascontiguousarray(line_number, np.int64)
     fn = np.ascontiguousarray(frame_number, np.int64)
     sv = np.ascontiguousarray(service, np.int8)
     out = np.empty(13, np.int64)
+    ie = io_ = None
+    pe = po = 0
+    if want_idx:
+        ie = np.empty(int(cap), np.int64)
+        io_ = np.empty(int(cap), np.int64)
+        pe, po = ie.ctypes.data, io_.ctypes.data
     L.stc007_split_scan(
         ln.ctypes.data, fn.ctypes.data, sv.ctypes.data,
         _as_u8(crcv).ctypes.data, _as_u8(forced_bad).ctypes.data,
         len(ln), int(frame_no),
         int(even_top), int(even_bottom), int(bool(even_enable)),
         int(odd_top), int(odd_bottom), int(bool(odd_enable)),
-        int(cap), out.ctypes.data)
+        int(cap), out.ctypes.data, pe, po)
+    if want_idx:
+        return out, ie[:out[3]], io_[:out[9]]
     return out
 
 
@@ -437,30 +449,30 @@ def pcm16x0_decode_blocks(sub_words, sub_crc, shifts, even_order, ofs,
     L = _load()
     B = len(shifts)
     w = np.ascontiguousarray(sub_words, np.int32)
-    c = np.ascontiguousarray(sub_crc, np.uint8)
+    c = _as_u8(sub_crc)
     sh = np.ascontiguousarray(shifts, np.int64)
     if B and (int(sh.min()) < 0
               or int(sh.max()) + 2 * int(ofs) >= w.shape[0]):
         # Keep the numpy path's loud failure instead of native UB reads.
         raise IndexError(
             f"block shifts out of range for {w.shape[0]} sublines")
-    eo = np.ascontiguousarray(even_order, np.uint8)
+    eo = _as_u8(even_order)
+    # Outputs in their consumed dtypes (bool shares uint8's layout;
+    # int32 words/state/stage compare fine) — no post-call astype.
     words = np.empty((B, 3, 3), np.int32)
-    valid = np.empty((B, 3, 3), np.uint8)
-    wcrc = np.empty((B, 3, 3), np.uint8)
+    valid = np.empty((B, 3, 3), bool)
+    wcrc = np.empty((B, 3, 3), bool)
     state = np.empty((B, 3), np.int32)
     stage = np.empty((B, 3), np.int32)
     samples = np.empty((B, 3, 2), np.int16)
-    bval = np.empty(B, np.uint8)
+    bval = np.empty(B, bool)
     L.pcm16x0_decode_blocks(
         w.ctypes.data, c.ctypes.data, sh.ctypes.data, eo.ctypes.data, B,
         int(ofs), int(bool(en_p)), int(bool(force_ecc)),
         words.ctypes.data, valid.ctypes.data, wcrc.ctypes.data,
         state.ctypes.data, stage.ctypes.data, samples.ctypes.data,
         bval.ctypes.data)
-    return (words.astype(np.int64), valid.astype(bool),
-            wcrc.astype(bool), state.astype(np.int64),
-            stage.astype(np.int64), samples, bval.astype(bool))
+    return (words, valid, wcrc, state, stage, samples, bval)
 
 
 def pcm16x0_decode_blocks_rows(sub_words, sub_crc, rows, even_order,
@@ -489,9 +501,7 @@ def pcm16x0_decode_blocks_rows(sub_words, sub_crc, rows, even_order,
         words.ctypes.data, valid.ctypes.data, wcrc.ctypes.data,
         state.ctypes.data, stage.ctypes.data, samples.ctypes.data,
         bval.ctypes.data)
-    return (words.astype(np.int64), valid.astype(bool),
-            wcrc.astype(bool), state.astype(np.int64),
-            stage.astype(np.int64), samples, bval.astype(bool))
+    return (words, valid, wcrc, state, stage, samples, bval)
 
 
 def linegrid_coord_sweep(pixels_line, ds, de, ref, black, white, fmt,

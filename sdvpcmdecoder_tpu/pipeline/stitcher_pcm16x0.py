@@ -218,6 +218,28 @@ class PCM16X0Stitcher:
 
     # -- trim / split (mirrors PCM-1 flow with 16x0 specifics) ------------
     def _find_trim(self, buf, fr):
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            # One native pass (service facts + per-parity trim rules);
+            # rule B is bw_set ALONE here — lines that saw the data
+            # window but failed CRC still bound the trim (vs STC-007's
+            # markers|CRC rule).
+            r = _sn.trim_scan(buf.line_number, buf.frame_number,
+                              buf.service, buf.crc_valid_ignore_forced(),
+                              buf.forced_bad, buf.bw_set,
+                              fr.frame_number, rule_b_or_crc=False)
+            self.file_start = bool(r[8])
+            self.file_end = bool(r[9])
+            for name, base, good in (("even", 0, 12), ("odd", 4, 13)):
+                skip_bad = int(r[good]) > MIN_GOOD_LINES_PF * 3
+                o = base if skip_bad else base + 2
+                first, last = int(r[o]), int(r[o + 1])
+                if first >= 0:
+                    setattr(fr, f"{name}_top_data",
+                            int(buf.line_number[first]))
+                    setattr(fr, f"{name}_bottom_data",
+                            int(buf.line_number[last]))
+            return
         svc = buf.service
         mask = buf.frame_number == fr.frame_number
         self.file_start = bool(np.any((svc == SRV_NEW_FILE) & mask))
@@ -239,6 +261,22 @@ class PCM16X0Stitcher:
                         int(buf.line_number[hits[-1]]))
 
     def _split_fields(self, buf, fr):
+        from ..ops import stitch_native as _sn
+        if _sn.available():
+            et, eb = fr.even_top_data, fr.even_bottom_data
+            ot, ob = fr.odd_top_data, fr.odd_bottom_data
+            r, ie, io_ = _sn.split_scan(
+                buf.line_number, buf.frame_number, buf.service,
+                buf.crc_valid_ignore_forced(), buf.forced_bad,
+                fr.frame_number, et, eb, not (et == 0 and eb == 0),
+                ot, ob, not (ot == 0 and ob == 0), SUBLINES_PF,
+                want_idx=True)
+            fields = {}
+            for name, idx, base in (("even", ie, 1), ("odd", io_, 7)):
+                fields[name] = buf.take(idx)
+                setattr(fr, f"{name}_data_lines", int(r[base + 2]))
+                setattr(fr, f"{name}_valid_lines", int(r[base + 5]))
+            return fields
         svc_keep = (buf.service == SRV_NO) | (buf.service == SRV_FILLER)
         crc_ok = buf.crc_valid()
         odd = (buf.line_number % 2) != 0
@@ -457,27 +495,27 @@ class PCM16X0Stitcher:
             return None
         # Interleave-block bases are PER QUEUE (each padded field starts
         # its own block grid); fields longer than SUBLINES_PF contribute
-        # extra blocks instead of shifting the second field's grid.
-        bases = []
-        ofs_base = 0
+        # extra blocks instead of shifting the second field's grid.  The
+        # sampled bits sit at base+1+ofs with ofs <= 9 < 105, always
+        # inside the base's own queue, so the queues are tallied in
+        # place — no whole-frame concat.
+        counts = {"emphasis": 0, "rate": 0, "mode": 0, "code": 0}
+        votes = dict(counts)
         for q in queues:
             n_blk = len(q) // SI_TRUE_INTERLEAVE
-            bases.extend(ofs_base + np.arange(n_blk) * SI_TRUE_INTERLEAVE)
-            ofs_base += len(q)
-        bases = np.asarray(bases, np.int64)
-        q = PCM16X0LineStore.concat(queues) if len(queues) > 1 \
-            else queues[0]
-        valid = q.crc_valid()
-        cb = q.control_bit
-        counts, votes = {}, {}
-        for name, ofs in (("emphasis", BIT_EMPHASIS_OFS),
-                          ("rate", BIT_SAMPLERATE_OFS),
-                          ("mode", BIT_MODE_OFS), ("code", BIT_CODE_OFS)):
-            idx = bases + 1 + ofs
-            idx = idx[idx < len(q)]
-            v = valid[idx]
-            counts[name] = int(v.sum())
-            votes[name] = int((v & ~cb[idx]).sum())
+            if n_blk == 0:
+                continue
+            bases = np.arange(n_blk) * SI_TRUE_INTERLEAVE
+            valid = q.crc_valid()
+            cb = q.control_bit
+            for name, ofs in (("emphasis", BIT_EMPHASIS_OFS),
+                              ("rate", BIT_SAMPLERATE_OFS),
+                              ("mode", BIT_MODE_OFS),
+                              ("code", BIT_CODE_OFS)):
+                idx = bases + 1 + ofs
+                v = valid[idx]
+                counts[name] += int(v.sum())
+                votes[name] += int((v & ~cb[idx]).sum())
         return dict(
             emphasis=votes["emphasis"] > counts["emphasis"] // 2,
             sample_rate=SAMPLE_RATE_44100
