@@ -761,6 +761,77 @@ static void pcm16x0_decode_core(
     }
 }
 
+// Packed per-block flags + output-pass counters over a decode's
+// results (the numpy twins: _si_seam_flags and _stream_blocks' stat
+// reduces in pipeline/stitcher_pcm16x0.py).  flags bit 0 silent,
+// 1 block_valid, 2 fixed_p(any), 3 broken(any), 4 no_check(any).
+// counters[4]: sub-blocks with dropped audio words, broken sub-blocks,
+// P-fixed sub-blocks, dropped audio words.
+void pcm16x0_block_flags(
+    const uint8_t* valid, const int32_t* state, const int32_t* stage,
+    const int16_t* samples, const uint8_t* bval, int64_t B,
+    uint8_t* flags_out, int64_t* counters) {
+    for (int i = 0; i < 4; ++i) counters[i] = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        bool silent = true, fixp = false, broken = false, nochk = false;
+        for (int k = 0; k < 6; ++k)
+            if (samples[b * 6 + k] != 0) { silent = false; break; }
+        for (int blk = 0; blk < 3; ++blk) {
+            const int32_t st = state[b * 3 + blk];
+            if (st == 1) { fixp = true; ++counters[2]; }
+            if (st == 2) { broken = true; ++counters[1]; }
+            if (stage[b * 3 + blk] == STG_NO_CHECK) nochk = true;
+            const uint8_t v0 = valid[(b * 3 + blk) * 3 + 0];
+            const uint8_t v1 = valid[(b * 3 + blk) * 3 + 1];
+            if (!(v0 && v1)) ++counters[0];
+            counters[3] += !v0 + !v1;
+        }
+        uint8_t f = 0;
+        if (silent) f |= 1;
+        if (bval[b]) f |= 2;
+        if (fixp) f |= 4;
+        if (broken) f |= 8;
+        if (nochk) f |= 16;
+        flags_out[b] = f;
+    }
+}
+
+// PCM-16x0 burst counters — native twin of _burst_core's cumsum
+// formulation (trySIPadding :1150-1420 / tryEIPadding :2420-2610
+// semantics): valid count since the last reset (silence run >=
+// max_silence, unchecked run > max_unch, every BROKEN block);
+// `broken` totals (SI) or max-runs (EI).  out[4]: vmax, smax, umax, brk.
+void pcm16x0_burst_stats(const uint8_t* flags, int64_t B,
+                         int32_t max_silence, int32_t max_unch,
+                         int32_t broken_as_run, int32_t* out) {
+    int64_t run = 0, vmax = 0, sil_run = 0, smax = 0, unch_run = 0,
+        umax = 0, brk_cnt = 0, brk_run = 0, brk_max = 0;
+    for (int64_t i = 0; i < B; ++i) {
+        const uint8_t f = flags[i];
+        const bool silent = f & 1, bv = f & 2, fixp = f & 4,
+            broken = f & 8, nochk = f & 16;
+        const bool valid_b = bv && !silent && !nochk;
+        const bool unch = nochk || fixp;
+        sil_run = silent ? sil_run + 1 : 0;
+        if (sil_run > smax) smax = sil_run;
+        unch_run = unch ? unch_run + 1 : 0;
+        if (unch_run > umax) umax = unch_run;
+        brk_run = broken ? brk_run + 1 : 0;
+        if (brk_run > brk_max) brk_max = brk_run;
+        if (broken) ++brk_cnt;
+        if (!valid_b && run > vmax) vmax = run;
+        const bool reset = (silent && sil_run >= max_silence)
+            || (unch && unch_run > max_unch) || broken;
+        if (reset) run = 0;
+        else if (valid_b) ++run;
+    }
+    if (run > vmax) vmax = run;
+    out[0] = (int32_t)vmax;
+    out[1] = (int32_t)smax;
+    out[2] = (int32_t)umax;
+    out[3] = (int32_t)(broken_as_run ? brk_max : brk_cnt);
+}
+
 void pcm16x0_decode_blocks(
     const int32_t* sub_words, const uint8_t* sub_crc,
     const int64_t* shifts, const uint8_t* even_order, int64_t B,

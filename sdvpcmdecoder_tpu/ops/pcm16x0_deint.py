@@ -70,8 +70,13 @@ def decode_blocks(sub_words, sub_crc_ok, shifts, even_order, ei=False,
                 _sn.pcm16x0_decode_blocks(sub_words, sub_crc_ok, shifts,
                                           even_order, ofs, en_p,
                                           force_ecc)
+        # Packed flags + output-pass counters ride along natively so
+        # the burst/stat consumers skip their numpy reductions.
+        flags, counters = _sn.pcm16x0_block_flags(v, state, stage,
+                                                  samples, bval)
         return dict(samples=samples, word_valid=v, word_crc=wc,
-                    state=state, stage=stage, block_valid=bval, words=w)
+                    state=state, stage=stage, block_valid=bval, words=w,
+                    flags=flags, counters=counters)
     if rows is None:
         rows = shifts[:, None] + np.arange(LINE_CNT) * ofs  # [B, 3]
     else:

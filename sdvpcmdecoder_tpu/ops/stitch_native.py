@@ -183,6 +183,13 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L.pcm16x0_block_flags.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L.pcm16x0_burst_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         L.stc007_find_dup_lines.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -553,6 +560,35 @@ def pcm_crc_rows(words, fmt):
     L.pcm_crc_rows(w.ctypes.data, w.shape[0], n_words, word_bits, inv,
                    out.ctypes.data)
     return out
+
+
+def pcm16x0_block_flags(valid, state, stage, samples, bval):
+    """Packed per-block flags + output-pass counters from a decode's
+    results -> (flags [B] u8, counters [4] i64); numpy twins:
+    _si_seam_flags / _stream_blocks reduces (differential-tested)."""
+    L = _load()
+    B = len(bval)
+    flags = np.empty(B, np.uint8)
+    counters = np.empty(4, np.int64)
+    L.pcm16x0_block_flags(
+        _as_u8(valid).ctypes.data,
+        np.ascontiguousarray(state, np.int32).ctypes.data,
+        np.ascontiguousarray(stage, np.int32).ctypes.data,
+        np.ascontiguousarray(samples, np.int16).ctypes.data,
+        _as_u8(bval).ctypes.data, B,
+        flags.ctypes.data, counters.ctypes.data)
+    return flags, counters
+
+
+def pcm16x0_burst(flags, max_silence, max_unch, broken_as_run):
+    """Native _burst_core twin -> (vmax, smax, umax, brk)."""
+    L = _load()
+    f = _as_u8(flags)
+    out = np.empty(4, np.int32)
+    L.pcm16x0_burst_stats(f.ctypes.data, len(f), int(max_silence),
+                          int(max_unch), int(bool(broken_as_run)),
+                          out.ctypes.data)
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])
 
 
 def field_res_counts(line_words, line_crc, test_size, m2):

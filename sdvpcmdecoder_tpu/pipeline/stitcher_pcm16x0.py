@@ -351,8 +351,7 @@ class PCM16X0Stitcher:
         orders = np.tile((i % 2) == 1, n_groups)
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=False, en_p=self.en_p, force_ecc=True)
-        vmax, smax, umax, brk_total = _burst_stats16(
-            *_si_seam_flags(res))
+        vmax, smax, umax, brk_total = _burst16_from_res(res)
         st = StitchStats(index=padding, valid=vmax, silent=smax,
                          unchecked=umax, broken=brk_total)
         ok = (brk_total < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
@@ -391,7 +390,6 @@ class PCM16X0Stitcher:
             master.words, mcrc, np.concatenate(shifts_all),
             np.concatenate(orders_all), ei=False, en_p=self.en_p,
             force_ecc=True)
-        valid_b, silent, unch, broken = _si_seam_flags(res)
         out = []
         ofs = 0
         for p, n in enumerate(counts):
@@ -399,8 +397,7 @@ class PCM16X0Stitcher:
                 out.append((False, StitchStats(index=p)))
                 continue
             sl = slice(ofs, ofs + n)
-            vmax, smax, umax, bt = _burst_stats16(
-                valid_b[sl], silent[sl], unch[sl], broken[sl])
+            vmax, smax, umax, bt = _burst16_from_res(res, sl)
             st = StitchStats(index=p, valid=vmax, silent=smax,
                              unchecked=umax, broken=bt)
             ok = (bt < MAX_BURST_BROKEN and smax <= MAX_BURST_SILENCE_SI
@@ -640,7 +637,7 @@ class PCM16X0Stitcher:
         orders = (shifts % 2) == 1
         res = di16.decode_blocks(q.words, q.crc_valid(), shifts, orders,
                                  ei=True, en_p=self.en_p, force_ecc=True)
-        vmax, smax, umax, bmax = _burst_stats_ei(*_si_seam_flags(res))
+        vmax, smax, umax, bmax = _burst_ei_from_res(res)
         return StitchStats(index=padding, valid=vmax, silent=smax,
                            unchecked=umax, broken=bmax)
 
@@ -678,7 +675,6 @@ class PCM16X0Stitcher:
         res = di16.decode_blocks(master.words, crc, None, eo, ei=True,
                                  en_p=self.en_p, force_ecc=True,
                                  rows=rows)
-        flags = _si_seam_flags(res)
         out = []
         ofs = 0
         for pad, n in zip(paddings, counts):
@@ -686,8 +682,7 @@ class PCM16X0Stitcher:
                 out.append(StitchStats(index=pad))
                 continue
             sl = slice(ofs, ofs + n)
-            vmax, smax, umax, bmax = _burst_stats_ei(
-                *(f[sl] for f in flags))
+            vmax, smax, umax, bmax = _burst_ei_from_res(res, sl)
             out.append(StitchStats(index=pad, valid=vmax, silent=smax,
                                    unchecked=umax, broken=bmax))
             ofs += n
@@ -803,11 +798,17 @@ class PCM16X0Stitcher:
         fr.blocks_total += B * 3
         bv = res["block_valid"]
         broken = res["state"] == di16.AUD_BROKEN
-        fr.blocks_drop += int(np.sum(~res["word_valid"][..., :2]
-                                     .all(axis=-1)))
-        fr.blocks_broken += int(np.sum(broken))
-        fr.blocks_fix_p += int(np.sum(res["state"] == di16.AUD_FIX_P))
-        fr.samples_drop += int(np.sum(~res["word_valid"][..., :2]))
+        if "counters" in res:
+            drop, brk, fixp, sdrop = (int(x) for x in res["counters"])
+        else:
+            drop = int(np.sum(~res["word_valid"][..., :2].all(axis=-1)))
+            brk = int(np.sum(broken))
+            fixp = int(np.sum(res["state"] == di16.AUD_FIX_P))
+            sdrop = int(np.sum(~res["word_valid"][..., :2]))
+        fr.blocks_drop += drop
+        fr.blocks_broken += brk
+        fr.blocks_fix_p += fixp
+        fr.samples_drop += sdrop
         B3 = B * 3
         brk = broken.reshape(B3)
         wv = res["word_valid"][..., :2].reshape(B3, 2) & ~brk[:, None]
@@ -833,6 +834,27 @@ def _si_seam_flags(res):
     valid_b = bv & ~silent & ~no_check
     unch = no_check | fixed_p
     return valid_b, silent, unch, broken
+
+
+def _burst16_from_res(res, sl=slice(None)):
+    """SI burst stats from a decode result — native packed-flag walk
+    when the decode rode the native core, numpy twin otherwise."""
+    if "flags" in res:
+        from ..ops import stitch_native as _sn
+        return _sn.pcm16x0_burst(res["flags"][sl], MAX_BURST_SILENCE_SI,
+                                 MAX_BURST_UNCH_SI, False)
+    valid_b, silent, unch, broken = _si_seam_flags(res)
+    return _burst_stats16(valid_b[sl], silent[sl], unch[sl], broken[sl])
+
+
+def _burst_ei_from_res(res, sl=slice(None)):
+    """EI burst stats from a decode result (broken scores as max run)."""
+    if "flags" in res:
+        from ..ops import stitch_native as _sn
+        return _sn.pcm16x0_burst(res["flags"][sl], MAX_BURST_SILENCE_EI,
+                                 MAX_BURST_UNCH_EI, True)
+    valid_b, silent, unch, broken = _si_seam_flags(res)
+    return _burst_stats_ei(valid_b[sl], silent[sl], unch[sl], broken[sl])
 
 
 def _burst_core(valid_b, silent, unch, broken, max_silence, max_unch,
