@@ -40,6 +40,13 @@ static uint16_t g_tpow[13][14];
 static uint16_t g_inv[5][14];
 static bool g_tables_set = false;
 
+// Byte-sliced lookup twins of the row masks (built once in
+// stc007_set_q_tables): apply(w) = lo[w & 0xFF] ^ hi[bits 8..13].
+// Replaces 14 AND+parity steps per matrix apply with two L1 loads;
+// ~12 KB total, resident in L1.
+static uint16_t g_tpow_lo[13][256], g_tpow_hi[13][64];
+static uint16_t g_inv_lo[5][256], g_inv_hi[5][64];
+
 inline int32_t gf2_apply(const uint16_t rows[14], int32_t word) {
     int32_t out = 0;
     for (int r = 0; r < 14; ++r) {
@@ -48,8 +55,12 @@ inline int32_t gf2_apply(const uint16_t rows[14], int32_t word) {
     return out;
 }
 
-inline int32_t tpow_apply(int k, int32_t w) { return gf2_apply(g_tpow[k + 6], w); }
-inline int32_t inv_apply(int d, int32_t w) { return gf2_apply(g_inv[d - 1], w); }
+inline int32_t tpow_apply(int k, int32_t w) {
+    return g_tpow_lo[k + 6][w & 0xFF] ^ g_tpow_hi[k + 6][(w >> 8) & 0x3F];
+}
+inline int32_t inv_apply(int d, int32_t w) {
+    return g_inv_lo[d - 1][w & 0xFF] ^ g_inv_hi[d - 1][(w >> 8) & 0x3F];
+}
 
 inline int32_t calc_p(const int32_t* w) {
     return w[0] ^ w[1] ^ w[2] ^ w[3] ^ w[4] ^ w[5];
@@ -109,7 +120,9 @@ inline void correct_one(const int32_t* w_in, const uint8_t* c_in, bool is14,
     for (int i = 0; i < tot_limit; ++i) tot_errs += !c_in[i];
     const bool p_ok = c_in[WORD_P0], q_ok = c_in[WORD_Q0];
     const int32_t sp = calc_p(w) ^ w[WORD_P0];
-    const int32_t sq = is14 ? (calc_q(w) ^ w[WORD_Q0]) : 0;
+    // Every consumer of sq sits behind q_active, so P-only evals
+    // (getFieldResolution, en_q=0) skip the Q syndrome entirely.
+    const int32_t sq = q_active ? (calc_q(w) ^ w[WORD_Q0]) : 0;
     const bool le2 = tot_errs <= 2;
 
     if (le2 && aud_errs == 0) {
@@ -121,12 +134,13 @@ inline void correct_one(const int32_t* w_in, const uint8_t* c_in, bool is14,
             if (sp == 0) {
                 stage = STG_DATA_OK;
                 if (q_active) {
-                    int32_t sq_fixed = calc_q(w) ^ w[WORD_Q0];
-                    if (q_ok && sq_fixed != 0) {
+                    // No audio word was modified since sq, so
+                    // calc_q(w) ^ w[Q0] is still sq — no recompute.
+                    if (q_ok && sq != 0) {
                         state = AUD_BROKEN;
                         stage = STG_BAD_BLOCK;
                     } else if (!q_ok) {
-                        int32_t nq = calc_q(w);
+                        int32_t nq = sq ^ w[WORD_Q0];
                         if (nq != w[WORD_Q0]) lcrc[WORD_Q0] = 0;
                         w[WORD_Q0] = nq;
                         valid[WORD_Q0] = 1;
@@ -139,8 +153,12 @@ inline void correct_one(const int32_t* w_in, const uint8_t* c_in, bool is14,
             if (q_active) {
                 if (!q_ok) {
                     stage = STG_NO_CHECK;
-                    w[WORD_P0] = calc_p(w);
-                    w[WORD_Q0] = calc_q(w);
+                    // P0/Q0 rebuilds: audio words untouched, so
+                    // calc_q(w) = sq ^ original Q0 (read before the
+                    // overwrite below); calc_p likewise via sp.
+                    int32_t nq = sq ^ w[WORD_Q0];
+                    w[WORD_P0] = sp ^ w[WORD_P0];
+                    w[WORD_Q0] = nq;
                     valid[WORD_P0] = valid[WORD_Q0] = 1;
                     lcrc[WORD_P0] = lcrc[WORD_Q0] = 0;
                 } else if (sq == 0) {
@@ -190,15 +208,19 @@ inline void correct_one(const int32_t* w_in, const uint8_t* c_in, bool is14,
             }
         }
         if (went_p_route && q_active) {
+            // The only audio-word change on the P route was
+            // w[first] ^= sp (sp != 0 case); Q is linear, so the
+            // syndrome moves by T^(6-first) sp — no full recompute.
+            const int32_t sq_fixed =
+                sp ? (sq ^ tpow_apply(6 - first, sp)) : sq;
             if (force_ecc) {
-                int32_t sq_fixed = calc_q(w) ^ w[WORD_Q0];
                 if (q_ok && sq_fixed != 0) {
                     state = AUD_BROKEN;
                     stage = STG_BAD_BLOCK;
                 }
             }
             if (!q_ok) {
-                int32_t nq = calc_q(w);
+                int32_t nq = sq_fixed ^ w[WORD_Q0];
                 if (nq != w[WORD_Q0]) lcrc[WORD_Q0] = 0;
                 w[WORD_Q0] = nq;
                 valid[WORD_Q0] = 1;
@@ -277,6 +299,18 @@ extern "C" {
 void stc007_set_q_tables(const uint16_t* tpow_rows, const uint16_t* inv_rows) {
     std::memcpy(g_tpow, tpow_rows, sizeof(g_tpow));
     std::memcpy(g_inv, inv_rows, sizeof(g_inv));
+    for (int k = 0; k < 13; ++k) {
+        for (int b = 0; b < 256; ++b)
+            g_tpow_lo[k][b] = (uint16_t)gf2_apply(g_tpow[k], b);
+        for (int b = 0; b < 64; ++b)
+            g_tpow_hi[k][b] = (uint16_t)gf2_apply(g_tpow[k], b << 8);
+    }
+    for (int d = 0; d < 5; ++d) {
+        for (int b = 0; b < 256; ++b)
+            g_inv_lo[d][b] = (uint16_t)gf2_apply(g_inv[d], b);
+        for (int b = 0; b < 64; ++b)
+            g_inv_hi[d][b] = (uint16_t)gf2_apply(g_inv[d], b << 8);
+    }
     g_tables_set = true;
 }
 
@@ -409,7 +443,7 @@ int stc007_eval_rows(
                 if (v >= 0x8000) v -= 0x10000;
                 s = (int16_t)v;
             }
-            samples_out[b * 6 + i] = s;
+            if (samples_out) samples_out[b * 6 + i] = s;
             if (s != 0) silent = false;
         }
         uint8_t flags = 0;
@@ -421,14 +455,18 @@ int stc007_eval_rows(
         if (r.state == AUD_FIX_Q) flags |= 32;
         if (cwd_app) flags |= 64;
         flags_out[b] = flags;
-        for (int i = 0; i < 8; ++i) {
-            words_out[b * 8 + i] = r.w[i];
-            valid_out[b * 8 + i] = r.valid[i];
-            lcrc_out[b * 8 + i] = r.lcrc[i];
+        // Block outputs are optional (NULL -> flags/samples-only eval,
+        // the seam-stat path): skip ~90B/block of dead stores.
+        if (words_out) {
+            for (int i = 0; i < 8; ++i) {
+                words_out[b * 8 + i] = r.w[i];
+                valid_out[b * 8 + i] = r.valid[i];
+                lcrc_out[b * 8 + i] = r.lcrc[i];
+            }
+            state_out[b] = r.state;
+            stage_out[b] = r.stage;
+            res_out[b] = is14_sel ? 0 : 1;
         }
-        state_out[b] = r.state;
-        stage_out[b] = r.stage;
-        res_out[b] = is14_sel ? 0 : 1;
     }
     return 0;
 }
@@ -456,8 +494,14 @@ int stc007_eval_seam(
     const int64_t L = a_n + pad_n + c_n;
     const int64_t B = L - 112;  // MIN_DEINT_DATA
     if (B <= 0) return 1;
-    std::vector<int32_t> w((size_t)L * 8);
-    std::vector<uint8_t> c((size_t)L * 8);
+    // Steady state calls this twice per frame: growable thread-local
+    // scratch instead of fresh vectors per call.
+    thread_local std::vector<int32_t> w;
+    thread_local std::vector<uint8_t> c;
+    thread_local std::vector<uint8_t> flags;
+    if ((int64_t)w.size() < L * 8) w.resize((size_t)L * 8);
+    if ((int64_t)c.size() < L * 8) c.resize((size_t)L * 8);
+    if ((int64_t)flags.size() < B) flags.resize((size_t)B);
     if (a_n) {
         memcpy(w.data(), a_words, (size_t)a_n * 8 * sizeof(int32_t));
         memcpy(c.data(), a_crc, (size_t)a_n * 8);
@@ -471,16 +515,11 @@ int stc007_eval_seam(
                (size_t)c_n * 8 * sizeof(int32_t));
         memcpy(&c[(size_t)(a_n + pad_n) * 8], c_crc, (size_t)c_n * 8);
     }
-    std::vector<int64_t> wout((size_t)B * 8);
-    std::vector<uint8_t> vout((size_t)B * 8), lout((size_t)B * 8);
-    std::vector<int32_t> aout(B), sout(B), rout(B);
-    std::vector<int16_t> smp((size_t)B * 6);
-    std::vector<uint8_t> flags(B);
     int rc = stc007_eval_rows(w.data(), c.data(), nullptr, nullptr, 0, B,
                               res_mode, en_p, en_q, force_ecc, 0, m2,
-                              wout.data(), vout.data(), lout.data(),
-                              aout.data(), sout.data(), rout.data(),
-                              flags.data(), smp.data());
+                              nullptr, nullptr, nullptr,
+                              nullptr, nullptr, nullptr,
+                              flags.data(), nullptr);
     if (rc != 0) return rc;
     stc007_burst_stats(flags.data(), B, unch_lim, en_q,
                        max_burst_silence, max_burst_broken, stats_out);
