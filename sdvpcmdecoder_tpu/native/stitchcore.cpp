@@ -455,20 +455,81 @@ int stc007_eval_rows(
         if (r.state == AUD_FIX_Q) flags |= 32;
         if (cwd_app) flags |= 64;
         flags_out[b] = flags;
-        // Block outputs are optional (NULL -> flags/samples-only eval,
-        // the seam-stat path): skip ~90B/block of dead stores.
+        // Each block output is individually optional (NULL -> skip):
+        // the seam-stat path reads flags alone, the fused deinterleave
+        // path needs valid/lcrc/res but never the i64 words.
         if (words_out) {
-            for (int i = 0; i < 8; ++i) {
+            for (int i = 0; i < 8; ++i)
                 words_out[b * 8 + i] = r.w[i];
+        }
+        if (valid_out) {
+            for (int i = 0; i < 8; ++i) {
                 valid_out[b * 8 + i] = r.valid[i];
                 lcrc_out[b * 8 + i] = r.lcrc[i];
             }
+        }
+        if (state_out) {
             state_out[b] = r.state;
             stage_out[b] = r.stage;
-            res_out[b] = is14_sel ? 0 : 1;
         }
+        if (res_out) res_out[b] = is14_sel ? 0 : 1;
     }
     return 0;
+}
+
+int32_t stc007_finalize_blocks(
+    const uint8_t* flags, const uint8_t* valid, const uint8_t* lcrc,
+    const int32_t* resolution, const int64_t* rows,
+    const int64_t* line_number, const int64_t* frame_number, int64_t B,
+    int64_t start, int32_t inner_gate, int32_t outer_gate,
+    int64_t fa_frame, int64_t f0_frame, int64_t fb_frame,
+    int32_t broken_mask_dur, int32_t countdown_in,
+    int32_t file_start, int32_t file_end,
+    uint8_t* out_valid, uint8_t* wvalid, uint8_t* wfixed,
+    uint8_t* bvalid_out, uint8_t* mask_out, int64_t* counters);
+
+// Fused performDeinterleave: eval_rows (contiguous shifts) straight
+// into finalize_blocks with the intermediate per-block arrays held in
+// thread-local scratch — one Python->C call per frame, and the unused
+// i64 block words are never materialized.  Outputs are exactly the
+// SampleChunk ingredients plus the stats counters.  Returns the new
+// BROKEN countdown, or a negative eval error.
+int64_t stc007_deint_finalize(
+    const int32_t* line_words, const uint8_t* line_crc,
+    const uint8_t* cwd_line, int64_t start, int64_t B,
+    int32_t res_mode, int32_t en_p, int32_t en_q, int32_t force_ecc,
+    int32_t en_cwd, int32_t m2,
+    const int64_t* line_number, const int64_t* frame_number,
+    int32_t inner_gate, int32_t outer_gate,
+    int64_t fa_frame, int64_t f0_frame, int64_t fb_frame,
+    int32_t broken_mask_dur, int32_t countdown_in,
+    int32_t file_start, int32_t file_end,
+    int16_t* samples_out, uint8_t* wvalid, uint8_t* wfixed,
+    uint8_t* bvalid_out, int64_t* counters) {
+    thread_local std::vector<uint8_t> valid, lcrc, flags, ovalid, mask;
+    thread_local std::vector<int32_t> res;
+    if ((int64_t)valid.size() < B * 8) {
+        valid.resize((size_t)B * 8);
+        lcrc.resize((size_t)B * 8);
+        ovalid.resize((size_t)B * 8);
+    }
+    if ((int64_t)flags.size() < B) {
+        flags.resize((size_t)B);
+        mask.resize((size_t)B);
+        res.resize((size_t)B);
+    }
+    int rc = stc007_eval_rows(line_words, line_crc, cwd_line, nullptr,
+                              start, B, res_mode, en_p, en_q, force_ecc,
+                              en_cwd, m2, nullptr, valid.data(),
+                              lcrc.data(), nullptr, nullptr, res.data(),
+                              flags.data(), samples_out);
+    if (rc != 0) return rc;
+    return stc007_finalize_blocks(
+        flags.data(), valid.data(), lcrc.data(), res.data(), nullptr,
+        line_number, frame_number, B, start, inner_gate, outer_gate,
+        fa_frame, f0_frame, fb_frame, broken_mask_dur, countdown_in,
+        file_start, file_end, ovalid.data(), wvalid, wfixed,
+        bvalid_out, mask.data(), counters);
 }
 
 // Seam eval without queue assembly — the steady-state tryPadding path

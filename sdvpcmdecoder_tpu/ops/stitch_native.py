@@ -172,17 +172,19 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
-        L.stc007_finalize_blocks.restype = ctypes.c_int32
-        L.stc007_finalize_blocks.argtypes = [
+        L.stc007_deint_finalize.restype = ctypes.c_int64
+        L.stc007_deint_finalize.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p]
         L.pcm16x0_block_flags.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -319,43 +321,45 @@ def eval_rows_arrays(line_words, line_crc, cwd_line, rows, start, n_blocks,
     return (w_out, v_out, l_out, a_out, s_out, r_out, f_out, smp_out)
 
 
-def finalize_blocks(flags, valid, lcrc, resolution, rows, line_number,
-                    frame_number, inner_gate, outer_gate, fa_frame,
-                    f0_frame, fb_frame, broken_mask_dur, countdown,
-                    file_start, file_end, start=0):
-    """Native performDeinterleave finalization (seam mask + BROKEN
-    windows + markAsUnsafe + stats). rows=None means contiguous shifts
-    from `start`. Returns (out_valid [B,8] bool, wvalid [B,6] bool,
-    wfixed [B,6] bool, bvalid [B] bool, mask [B] bool,
-    counters [6] i64, new_countdown)."""
+def deint_finalize(line_words, line_crc, cwd_line, start, n_blocks,
+                   res_mode, en_p, en_q, force_ecc, en_cwd, m2,
+                   line_number, frame_number, inner_gate, outer_gate,
+                   fa_frame, f0_frame, fb_frame, broken_mask_dur,
+                   countdown, file_start, file_end):
+    """Fused performDeinterleave (eval + finalize in one C call over
+    contiguous shifts) -> (samples [B,6] i16, wvalid [B,6], wfixed
+    [B,6], bvalid [B], counters [6] i64, new_countdown).  Bit-identical
+    to the numpy perform_deinterleave tail (differential-tested)."""
     L = _load()
-    B = len(flags)
-    f = _as_u8(flags)
-    v = _as_u8(valid)
-    lc = _as_u8(lcrc)
-    res = np.ascontiguousarray(resolution, np.int32)
-    rows_ptr = 0
-    if rows is not None:
-        r = np.ascontiguousarray(rows, np.int64)
-        rows_ptr = r.ctypes.data
+    B = int(n_blocks)
+    w_in = np.ascontiguousarray(line_words, dtype=np.int32)
+    c_in = _as_u8(line_crc)
+    cwd_ptr = 0
+    cwd_arr = None
+    if cwd_line is not None:
+        cwd_arr = _as_u8(cwd_line)
+        cwd_ptr = cwd_arr.ctypes.data
     ln = np.ascontiguousarray(line_number, np.int64)
     fn = np.ascontiguousarray(frame_number, np.int64)
-    out_valid = np.empty((B, 8), bool)
+    samples = np.empty((B, 6), np.int16)
     wvalid = np.empty((B, 6), bool)
     wfixed = np.empty((B, 6), bool)
     bvalid = np.empty(B, bool)
-    mask = np.empty(B, bool)
     counters = np.empty(6, np.int64)
-    cd = L.stc007_finalize_blocks(
-        f.ctypes.data, v.ctypes.data, lc.ctypes.data, res.ctypes.data,
-        rows_ptr, ln.ctypes.data, fn.ctypes.data, B, int(start),
+    cd = L.stc007_deint_finalize(
+        w_in.ctypes.data, c_in.ctypes.data, cwd_ptr, int(start), B,
+        int(res_mode), int(bool(en_p)), int(bool(en_q)),
+        int(bool(force_ecc)), int(bool(en_cwd)), int(bool(m2)),
+        ln.ctypes.data, fn.ctypes.data,
         int(bool(inner_gate)), int(bool(outer_gate)),
         int(fa_frame), int(f0_frame), int(fb_frame),
         int(broken_mask_dur), int(countdown),
         int(bool(file_start)), int(bool(file_end)),
-        out_valid.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
-        bvalid.ctypes.data, mask.ctypes.data, counters.ctypes.data)
-    return out_valid, wvalid, wfixed, bvalid, mask, counters, int(cd)
+        samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
+        bvalid.ctypes.data, counters.ctypes.data)
+    if cd < 0:
+        raise RuntimeError("stc007_deint_finalize failed")
+    return samples, wvalid, wfixed, bvalid, counters, int(cd)
 
 
 def eval_seam(a_words32, a_crc8, pad_n, pad_words32, c_words32, c_crc8,

@@ -2281,13 +2281,12 @@ class STC007Stitcher:
         from ..ops import stitch_native as _sn
         use_native_fin = _sn.available() and not self.record_views
         res_mode = self.get_data_block_resolution(conv, 0)
+        if use_native_fin:
+            return self._deint_fused(conv, res_mode, n_blocks)
         batch, cwd_app, aux = eval_blocks(
             conv, res_mode, ignore_crc=self.ignore_crc,
             force_ecc=not self.ignore_crc, en_p=self.en_p, en_q=self.en_q,
-            en_cwd=self.en_cwd, m2=self.mode_m2,
-            full_aux=not use_native_fin)
-        if use_native_fin and "flags" in aux:
-            return self._finalize_native(conv, batch, aux, n_blocks)
+            en_cwd=self.en_cwd, m2=self.mode_m2)
         rate = self._block_sample_rate()
 
         silent = aux["silent"]
@@ -2393,10 +2392,13 @@ class STC007Stitcher:
         fa.odd_sample_rate = fa.even_sample_rate = rate
         return rate
 
-    def _finalize_native(self, conv, batch, aux, n_blocks):
-        """performDeinterleave tail via stc007_finalize_blocks (one C
-        pass for seam masking, BROKEN windows, markAsUnsafe and the
-        stats counters) — bit-identical to the numpy tail below."""
+    def _deint_fused(self, conv, res_mode, n_blocks):
+        """performDeinterleave via stc007_deint_finalize: eval (gather +
+        ECC + flags + samples) and the finalize tail (seam masking,
+        BROKEN windows, markAsUnsafe, stats counters) in ONE C call per
+        frame with the per-block intermediates never crossing the
+        ctypes boundary — bit-identical to the numpy tail below
+        (tests/test_eval_native.py::test_deint_fused_matches_numpy)."""
         from ..ops import stitch_native as _sn
         fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
         rate = self._block_sample_rate()
@@ -2404,15 +2406,22 @@ class STC007Stitcher:
                       and not fa.inner_silence)
         outer_gate = (self.mask_seams and not f0.outer_padding_ok
                       and not f0.outer_silence)
-        _, wvalid, wfixed, bvalid, _, counters, self.broken_countdown = \
-            _sn.finalize_blocks(
-                aux["flags"], batch.valid, batch.line_crc,
-                batch.resolution, aux["rows"], conv.line_number,
-                conv.frame_number, inner_gate, outer_gate,
+        if self.ignore_crc:
+            crc_ok = np.ascontiguousarray(np.repeat(
+                (conv.coords_valid & conv.bw_set)[:, None], 8, axis=1))
+        else:
+            crc_ok = conv.crc_ok8()
+        cwd_line = conv.is_fixed_by_cwd() if self.en_cwd else None
+        samples, wvalid, wfixed, bvalid, counters, self.broken_countdown = \
+            _sn.deint_finalize(
+                conv.words_i32(), crc_ok, cwd_line, 0, n_blocks,
+                res_mode, self.en_p, self.en_q,
+                not self.ignore_crc, self.en_cwd, self.mode_m2,
+                conv.line_number, conv.frame_number,
+                inner_gate, outer_gate,
                 fa.frame_number, f0.frame_number, fb.frame_number,
                 self.broken_mask_dur, self.broken_countdown,
-                self.file_start, self.file_end,
-                start=aux.get("start", 0))
+                self.file_start, self.file_end)
         fa.blocks_total += n_blocks
         fa.blocks_fix_p += int(counters[0])
         fa.blocks_fix_q += int(counters[1])
@@ -2423,7 +2432,7 @@ class STC007Stitcher:
         emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
             else (f0.ctrl_emphasis if f0.ctrl_seen else False)
         self.out_chunks.append(SampleChunk(
-            samples=aux["samples"].reshape(n_blocks * 3, 2),
+            samples=samples.reshape(n_blocks * 3, 2),
             valid=wvalid.reshape(n_blocks * 3, 2),
             fixed=wfixed.reshape(n_blocks * 3, 2),
             block_ok=np.repeat(bvalid, 3),

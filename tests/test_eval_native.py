@@ -159,3 +159,51 @@ def test_field_res_counts_native_matches_python():
         finally:
             mod._LIB, mod._TRIED = saved
         assert r_native == r_py, (seed, res, bad, r_native, r_py)
+
+
+def test_deint_fused_matches_numpy():
+    """Fused stc007_deint_finalize == the numpy perform_deinterleave
+    tail: SampleChunk contents, frame stats counters and the carried
+    BROKEN countdown, across resolutions, masking gates and CWD/M2."""
+    cases = ((0, 0.15, 0, False, False, 14, False),
+             (1, 0.50, 7, False, True, 14, True),
+             (2, 0.35, 3, True, False, 16, False))
+    for seed, bad, dur, m2, cwd, res, fend in cases:
+        rng = np.random.default_rng(seed)
+        store = _store(rng, 320, bad_frac=bad, resolution=res)
+
+        def run(native):
+            import sdvpcmdecoder_tpu.ops.stitch_native as mod
+            saved = mod._LIB, mod._TRIED
+            if not native:
+                mod._LIB, mod._TRIED = None, True
+            try:
+                s = st.STC007Stitcher(en_cwd=cwd, mode_m2=m2,
+                                      broken_mask_dur=dur)
+                s.broken_countdown = 2
+                s.file_start = True
+                s.file_end = fend
+                fa, f0, fb = s.frasm_f1, s.frasm_f0, s.frasm_f2
+                fa.frame_number = 1
+                f0.frame_number = 1
+                fb.frame_number = 2
+                conv = store.take(np.arange(len(store)))
+                n = s.perform_deinterleave(conv)
+                chunk = s.out_chunks[-1]
+                return (n, chunk, s.broken_countdown, fa.blocks_total,
+                        fa.blocks_fix_p, fa.blocks_fix_q,
+                        fa.blocks_fix_cwd, fa.blocks_drop,
+                        fa.samples_drop, fa.blocks_broken_field)
+            finally:
+                mod._LIB, mod._TRIED = saved
+
+        got, ref = run(True), run(False)
+        assert got[0] == ref[0], (seed, "n_blocks")
+        for f in ("samples", "valid", "fixed", "block_ok"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got[1], f)),
+                np.asarray(getattr(ref[1], f)),
+                err_msg=f"chunk.{f} seed={seed}")
+        assert got[1].sample_rate == ref[1].sample_rate
+        assert got[1].emphasis == ref[1].emphasis
+        assert got[2:] == ref[2:], (seed, got[2:], ref[2:])
