@@ -17,6 +17,7 @@
 // disjoint output row with purely local state, so results are
 // bit-identical for any thread count (OMP_NUM_THREADS; 1 core -> serial).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -585,6 +586,189 @@ int stc007_eval_seam(
     stc007_burst_stats(flags.data(), B, unch_lim, en_q,
                        max_burst_silence, max_burst_broken, stats_out);
     return 0;
+}
+
+void stc007_field_res_counts(const int32_t* line_words,
+                             const uint8_t* line_crc, int64_t L,
+                             int64_t test_size, int32_t m2,
+                             int64_t* c14, int64_t* c16);
+
+// ---------------------------------------------------------------------------
+// Steady-state pair tail: the whole computational load of a
+// TRY_PREVIOUS -> TRY_xFF -> PAD_OK frame (findFieldStitching
+// stc007datastitcher.cpp:2929 fast path + fillFrameForOutput :4588 +
+// performDeinterleave :6675) in ONE call.  Python keeps every state
+// transition (frasm flags, 65-deep stats, frame log) and falls back to
+// the full stage machine whenever this returns a bail code — so the
+// fast path can only ever match the slow path bit-for-bit or defer.
+// ---------------------------------------------------------------------------
+namespace {
+// getResolutionModeForSeam (stc007datastitcher.cpp:1214-1256; twin of
+// stitcher_stc007.resolution_mode_for_seam).
+inline int res_mode_combine(int r1, int r2) {
+    if (r1 == r2) {
+        if (r1 == M14A) return M14;
+        if (r1 == M16A) return M16;
+        return r1;
+    }
+    if (r1 == M14 && r2 == M14A) return M14A;
+    if (r1 == M14A && r2 == M14) return M14A;
+    if (r1 == M16 && r2 == M14) return M14A;
+    return M16A;
+}
+
+// getFieldResolution's counts->resolution rule (:996-1214).
+// 0 = unknown, 14, 16.
+inline int res_from_counts(int64_t c14, int64_t c16) {
+    if (c14 > 2 * 16) {  // INTERLEAVE_OFS * 2
+        return (c16 * 128 / c14) > 32 ? 16 : 14;
+    }
+    return 0;
+}
+
+// _stats_verdict == DS_RET_OK (stats = valid,silent,unchecked,broken).
+inline bool seam_ok(const int32_t* s, int32_t unch_lim,
+                    int32_t max_burst_silence, int32_t max_burst_broken) {
+    if (s[3] >= max_burst_broken) return false;
+    if (s[1] > max_burst_silence) return false;
+    if (s[2] > unch_lim) return false;
+    return s[0] != 0;
+}
+}  // namespace
+
+// Inputs: the conv carry, the two frame-A assembly fields (in f0 field
+// order; full length for the seams, capped count for assembly), frame
+// B's leading field (outer seam), the two fresh frame-B fields for
+// resolution counting, and the silent-pad word pattern.
+// outer_full_mode >= 0 means the outer seam's last block row lands on
+// the frame-A side and Python resolved the mode; -1 means it lands in
+// frame B and the mode combines with the fresh field resolution of
+// parity `outer_last_is_even` (detectAudioResolution's known-frame-A
+// branch, :2207-2773).
+// Outputs: res_counts [4] (c14/c16 for odd then even fresh field),
+// seam_stats [8] (inner then outer: valid,silent,unch,broken), and the
+// deint outputs over B = n0+c1+pad_inner+c2+pad_outer-112 blocks.
+// Returns the new BROKEN countdown (>= 0), or -2 when the inner seam
+// verdict is not OK, -3 for the outer seam, -1 on table error (deint
+// outputs untouched on any negative return; res counts always valid).
+int64_t stc007_steady_tail(
+    const int32_t* carry_w, const uint8_t* carry_c, int64_t n0,
+    const int32_t* f1a_w, const uint8_t* f1a_c, int64_t f1a_n, int64_t c1,
+    const int32_t* f1b_w, const uint8_t* f1b_c, int64_t f1b_n, int64_t c2,
+    const int32_t* f2f_w, const uint8_t* f2f_c, int64_t f2f_n,
+    const int32_t* ra_w, const uint8_t* ra_c, int64_t ra_n,
+    const int32_t* rb_w, const uint8_t* rb_c, int64_t rb_n,
+    const int32_t* silent_w, int64_t pad_inner, int64_t pad_outer,
+    int32_t inner_res_mode, int32_t outer_first_mode,
+    int32_t outer_full_mode, int32_t outer_last_is_even,
+    int32_t fb_unk_mode, int32_t en_p, int32_t en_q, int32_t m2,
+    int32_t unch_lim, int32_t max_burst_silence, int32_t max_burst_broken,
+    int32_t conv_res_mode, int32_t broken_mask_dur, int32_t countdown_in,
+    int64_t* res_counts, int32_t* seam_stats,
+    int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid,
+    int64_t* counters) {
+    // 1. Fresh-field resolution counts (always computed: the Python
+    // side caches them on the field objects even when a seam bails,
+    // so the slow path never re-evaluates).
+    res_counts[0] = res_counts[1] = res_counts[2] = res_counts[3] = 0;
+    if (ra_n > 112)
+        stc007_field_res_counts(ra_w, ra_c, ra_n, ra_n - 112, m2,
+                                &res_counts[0], &res_counts[1]);
+    if (rb_n > 112)
+        stc007_field_res_counts(rb_w, rb_c, rb_n, rb_n - 112, m2,
+                                &res_counts[2], &res_counts[3]);
+
+    // 2. Inner seam (tryPadding(field1, field2, f0.inner_padding)).
+    const int64_t keep = 120;  // MIN_DEINT_DATA + INTERLEAVE_OFS/2
+    {
+        const int64_t start1 = std::max<int64_t>(0, f1a_n
+                                                 - (keep - pad_inner));
+        const int64_t count2 = std::min(f1b_n, keep);
+        int rc = stc007_eval_seam(
+            f1a_w + start1 * 8, f1a_c + start1 * 8, f1a_n - start1,
+            pad_inner, silent_w, f1b_w, f1b_c, count2,
+            inner_res_mode, en_p, en_q, 1, m2, unch_lim,
+            max_burst_silence, max_burst_broken, seam_stats);
+        if (rc != 0) return -2;
+        if (!seam_ok(seam_stats, unch_lim, max_burst_silence,
+                     max_burst_broken))
+            return -2;
+    }
+
+    // 3. Outer seam mode: combine with the fresh field's resolution
+    // when the last block row lands in frame B.
+    int32_t outer_mode = outer_full_mode;
+    if (outer_mode < 0) {
+        const int ra = res_from_counts(res_counts[0], res_counts[1]);
+        const int rb = res_from_counts(res_counts[2], res_counts[3]);
+        int fb_odd, fb_even;  // detectAudioResolution else-branch
+        if (ra == 0 && rb == 0) {
+            fb_odd = fb_even = fb_unk_mode;
+        } else if (ra == 0) {
+            fb_even = rb == 16 ? M16 : M14;
+            fb_odd = rb == 16 ? M16A : M14A;
+        } else if (rb == 0) {
+            fb_odd = ra == 16 ? M16 : M14;
+            fb_even = ra == 16 ? M16A : M14A;
+        } else {
+            fb_odd = ra == 16 ? M16 : M14;
+            fb_even = rb == 16 ? M16 : M14;
+        }
+        const int fb_side = outer_last_is_even ? fb_even : fb_odd;
+        outer_mode = res_mode_combine(outer_first_mode, fb_side);
+    }
+
+    // 4. Outer seam (tryPadding(field2, f2_first, f0.outer_padding)).
+    {
+        const int64_t start1 = std::max<int64_t>(0, f1b_n
+                                                 - (keep - pad_outer));
+        const int64_t count2 = std::min(f2f_n, keep);
+        int rc = stc007_eval_seam(
+            f1b_w + start1 * 8, f1b_c + start1 * 8, f1b_n - start1,
+            pad_outer, silent_w, f2f_w, f2f_c, count2,
+            outer_mode, en_p, en_q, 1, m2, unch_lim,
+            max_burst_silence, max_burst_broken, seam_stats + 4);
+        if (rc != 0) return -3;
+        if (!seam_ok(seam_stats + 4, unch_lim, max_burst_silence,
+                     max_burst_broken))
+            return -3;
+    }
+
+    // 5. Assemble conv = [carry | field1 | padI | field2 | padO] into
+    // scratch (words + crc only: with the seam gates and file flags
+    // off, the finalize pass never reads line/frame numbers) and run
+    // the fused deinterleave.
+    const int64_t L = n0 + c1 + pad_inner + c2 + pad_outer;
+    const int64_t B = L - 112;
+    if (B <= 0) return -4;
+    thread_local std::vector<int32_t> w;
+    thread_local std::vector<uint8_t> c;
+    if ((int64_t)w.size() < L * 8) w.resize((size_t)L * 8);
+    if ((int64_t)c.size() < L * 8) c.resize((size_t)L * 8);
+    int64_t pos = 0;
+    auto put = [&](const int32_t* sw, const uint8_t* sc, int64_t n) {
+        if (!n) return;
+        memcpy(&w[(size_t)pos * 8], sw, (size_t)n * 8 * sizeof(int32_t));
+        memcpy(&c[(size_t)pos * 8], sc, (size_t)n * 8);
+        pos += n;
+    };
+    auto put_pad = [&](int64_t n) {
+        for (int64_t i = 0; i < n; ++i)
+            memcpy(&w[(size_t)(pos + i) * 8], silent_w,
+                   8 * sizeof(int32_t));
+        if (n) memset(&c[(size_t)pos * 8], 0, (size_t)n * 8);
+        pos += n;
+    };
+    put(carry_w, carry_c, n0);
+    put(f1a_w, f1a_c, c1);
+    put_pad(pad_inner);
+    put(f1b_w, f1b_c, c2);
+    put_pad(pad_outer);
+    return stc007_deint_finalize(
+        w.data(), c.data(), nullptr, 0, B, conv_res_mode, en_p, en_q,
+        1, 0, m2, nullptr, nullptr, 0, 0, 0, 0, 0,
+        broken_mask_dur, countdown_in, 0, 0,
+        samples, wvalid, wfixed, bvalid, counters);
 }
 
 // Histogram peak search with early-stop window (findBlackWhite
@@ -1940,8 +2124,12 @@ int32_t stc007_finalize_blocks(
         const int64_t r0 = rows ? rows[b * 8 + 0] : start + b;
         const int64_t rl = rows ? rows[b * 8 + last_tap]
                                 : start + b + 16 * last_tap;
-        const int64_t sf = frame_number[r0], spf = frame_number[rl];
-        const bool on_seam = line_number[r0] > line_number[rl];
+        // line/frame numbers may be NULL when every consumer of them is
+        // off (no seam gates, no file start/end) — the steady-tail path.
+        const int64_t sf = frame_number ? frame_number[r0] : 0;
+        const int64_t spf = frame_number ? frame_number[rl] : 0;
+        const bool on_seam =
+            line_number && line_number[r0] > line_number[rl];
         bool unsafe = false;
         if (inner_gate && !silent && on_seam && sf == fa_frame
                 && sf == spf)

@@ -172,6 +172,25 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_steady_tail.restype = ctypes.c_int64
+        L.stc007_steady_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.stc007_deint_finalize.restype = ctypes.c_int64
         L.stc007_deint_finalize.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -360,6 +379,53 @@ def deint_finalize(line_words, line_crc, cwd_line, start, n_blocks,
     if cd < 0:
         raise RuntimeError("stc007_deint_finalize failed")
     return samples, wvalid, wfixed, bvalid, counters, int(cd)
+
+
+def steady_tail(carry_w32, carry_crc8, f1a_w32, f1a_crc8, c1,
+                f1b_w32, f1b_crc8, c2, f2f_w32, f2f_crc8,
+                ra_w32, ra_crc8, rb_w32, rb_crc8, silent_w32,
+                pad_inner, pad_outer, inner_res_mode, outer_first_mode,
+                outer_full_mode, outer_last_is_even, fb_unk_mode,
+                en_p, en_q, m2, unch_lim, max_burst_silence,
+                max_burst_broken, conv_res_mode, broken_mask_dur,
+                countdown, n_blocks):
+    """One-call steady-state frame tail (stc007_steady_tail): fresh-field
+    resolution counts + both TRY_PREVIOUS seam evals + conv assembly +
+    the fused deinterleave.  Returns (rc, res_counts [4] i64,
+    seam_stats [8] i32, samples, wvalid, wfixed, bvalid, counters);
+    rc >= 0 is the new BROKEN countdown (steady frame complete), -2/-3
+    mean the inner/outer seam verdict was not OK (deint outputs are
+    untouched; res counts are still valid).  Bit-identity with the
+    Python stage machine is pinned by tests/test_steady_pair.py."""
+    L = _load()
+    B = int(n_blocks)
+    res_counts = np.empty(4, np.int64)
+    seam_stats = np.empty(8, np.int32)
+    samples = np.empty((B, 6), np.int16)
+    wvalid = np.empty((B, 6), bool)
+    wfixed = np.empty((B, 6), bool)
+    bvalid = np.empty(B, bool)
+    counters = np.empty(6, np.int64)
+    rc = L.stc007_steady_tail(
+        carry_w32.ctypes.data, carry_crc8.ctypes.data, carry_w32.shape[0],
+        f1a_w32.ctypes.data, f1a_crc8.ctypes.data, f1a_w32.shape[0],
+        int(c1),
+        f1b_w32.ctypes.data, f1b_crc8.ctypes.data, f1b_w32.shape[0],
+        int(c2),
+        f2f_w32.ctypes.data, f2f_crc8.ctypes.data, f2f_w32.shape[0],
+        ra_w32.ctypes.data, ra_crc8.ctypes.data, ra_w32.shape[0],
+        rb_w32.ctypes.data, rb_crc8.ctypes.data, rb_w32.shape[0],
+        silent_w32.ctypes.data, int(pad_inner), int(pad_outer),
+        int(inner_res_mode), int(outer_first_mode), int(outer_full_mode),
+        int(bool(outer_last_is_even)), int(fb_unk_mode),
+        int(bool(en_p)), int(bool(en_q)), int(bool(m2)),
+        int(unch_lim), int(max_burst_silence), int(max_burst_broken),
+        int(conv_res_mode), int(broken_mask_dur), int(countdown),
+        res_counts.ctypes.data, seam_stats.ctypes.data,
+        samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
+        bvalid.ctypes.data, counters.ctypes.data)
+    return (int(rc), res_counts, seam_stats, samples, wvalid, wfixed,
+            bvalid, counters)
 
 
 def eval_seam(a_words32, a_crc8, pad_n, pad_words32, c_words32, c_crc8,

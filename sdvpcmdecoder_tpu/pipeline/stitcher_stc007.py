@@ -808,6 +808,9 @@ class STC007Stitcher:
             self.broken_countdown = 0
             self.frasm_f0 = FrameAsm()
         self.split_frames_to_fields(f1, f2)
+        if self._try_steady_pair():
+            self.frame_log.append(dataclasses.replace(self.frasm_f1))
+            return
         self.find_field_stitching()
         if self.file_start:
             self.conv_queue = LineStore(0)
@@ -1618,6 +1621,280 @@ class STC007Stitcher:
             fb.set_order_unknown()
 
     # -- stitch stage machine (findFieldStitching :2929-4278) -------------
+    # -- steady-state fast path -------------------------------------------
+    def _try_steady_pair(self):
+        """One native call for the whole computational load of a
+        TRY_PREVIOUS -> TRY_xFF -> PAD_OK frame (the steady state of
+        findFieldStitching stc007datastitcher.cpp:2929 + fillFrameForOutput
+        :4588 + performDeinterleave :6675): fresh-field resolution counts,
+        both seam evals, conv assembly and the fused deinterleave run in
+        stc007_steady_tail; every frasm/stats transition stays HERE and
+        replays the stage machine's exact effects.  Returns False (and
+        mutates nothing but pure caches) whenever any precondition or
+        either seam verdict fails — the full stage machine then runs
+        unchanged.  Bit-identity vs the slow path is pinned by
+        tests/test_steady_pair.py."""
+        from ..ops import stitch_native as _sn
+        fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+        if (not _sn.available() or self.record_views or self.en_cwd
+                or self.ignore_crc or self.mode_m2
+                or self.preset_resolution is not None
+                or self.file_start or self.file_end):
+            return False
+        # TRY_PREVIOUS entry conditions.
+        if not (f0.odd_data_lines == fa.odd_data_lines
+                and f0.even_data_lines == fa.even_data_lines
+                and f0.inner_padding_ok and f0.outer_padding_ok):
+            return False
+        if fa.order_preset and f0.field_order != fa.field_order:
+            return False
+        if not (f0.is_order_tff() or f0.is_order_bff()):
+            return False
+        if (fa.odd_data_lines < MIN_FILL_LINES_PF
+                and fa.even_data_lines < MIN_FILL_LINES_PF):
+            return False
+        tff = f0.is_order_tff()
+        # TRY_TFF_TO_TFF / TRY_BFF_TO_BFF data gate on frame B.
+        if tff and fb.odd_data_lines < MIN_FILL_LINES_PF:
+            return False
+        if not tff and fb.even_data_lines < MIN_FILL_LINES_PF:
+            return False
+        if (fa.frame_number == fb.frame_number
+                or fa.frame_number == f0.frame_number):
+            return False
+        f1o = self.fields[("f1", "odd")]
+        f1e = self.fields[("f1", "even")]
+        f2o = self.fields[("f2", "odd")]
+        f2e = self.fields[("f2", "even")]
+        r1o = getattr(f1o, "_fieldres", None)
+        r1e = getattr(f1e, "_fieldres", None)
+        if (r1o not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
+                or r1e not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)):
+            return False
+        # detectAudioResolution will set frame A strict modes from the
+        # known field resolutions; precompute them for the seam modes.
+        fa_odd_mode = di.RES_MODE_16BIT if r1o == SAMPLE_RES_16BIT \
+            else di.RES_MODE_14BIT
+        fa_even_mode = di.RES_MODE_16BIT if r1e == SAMPLE_RES_16BIT \
+            else di.RES_MODE_14BIT
+        self.detect_video_standard()  # scalar + idempotent
+        field1 = f1o if tff else f1e
+        field2 = f1e if tff else f1o
+        f2f = f2o if tff else f2e
+        if fa.video_standard == VID_PAL:
+            target = LINES_PF_PAL
+        elif fa.video_standard == VID_NTSC:
+            target = LINES_PF_NTSC
+        else:
+            target = LINES_PF_DEFAULT
+        c1 = min(len(field1), target)
+        c2 = min(len(field2), target)
+        padI, padO = f0.inner_padding, f0.outer_padding
+        if c1 == 0 or c2 == 0 or padI < 0 or padO < 0:
+            return False
+        if c1 + c2 + padI + padO != target * 2:
+            return False  # fillFrameForOutput would deviate from A&B&C
+        conv = self.conv_queue
+        n0 = len(conv)
+        n_blocks = n0 + target * 2 - stc007.MIN_DEINT_DATA
+        if n_blocks <= 0:
+            return False
+
+        def mode_of(odd_parity):
+            return fa_odd_mode if odd_parity else fa_even_mode
+
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        last = stc007.LINE_OFFSETS[-1]  # 112
+        # Inner seam resolution mode: every row is frame A.
+        s1 = max(0, len(field1) - (keep - padI))
+        len1 = len(field1) - s1
+        p0 = int(field1.line_number[s1]) % 2 == 1
+        if last < len1:
+            pl = int(field1.line_number[s1 + last]) % 2 == 1
+        elif last < len1 + padI:
+            pl = int(field1.line_number[len(field1) - 1]) % 2 == 1
+        else:
+            i2 = last - len1 - padI
+            if i2 >= len(field2):
+                return False
+            pl = int(field2.line_number[i2]) % 2 == 1
+        inner_mode = self.resolution_mode_for_seam(mode_of(p0), mode_of(pl))
+        # Outer seam: the first block row is frame A; the last may land
+        # in frame B, whose resolution only the native call knows.
+        s1o = max(0, len(field2) - (keep - padO))
+        len1o = len(field2) - s1o
+        p0o = int(field2.line_number[s1o]) % 2 == 1
+        outer_first = mode_of(p0o)
+        outer_full = -1
+        outer_last_even = False
+        if last < len1o:
+            plo = int(field2.line_number[s1o + last]) % 2 == 1
+            outer_full = self.resolution_mode_for_seam(outer_first,
+                                                       mode_of(plo))
+        elif last < len1o + padO:
+            plo = int(field2.line_number[len(field2) - 1]) % 2 == 1
+            outer_full = self.resolution_mode_for_seam(outer_first,
+                                                       mode_of(plo))
+        else:
+            i2 = last - len1o - padO
+            if i2 >= len(f2f):
+                return False
+            outer_last_even = int(f2f.line_number[i2]) % 2 == 0
+
+        # getDataBlockResolution(conv, 0) over the assembled queue,
+        # resolved symbolically (no conv materialization).
+        def conv_row(r):
+            if r < n0:
+                return int(conv.frame_number[r]), int(conv.line_number[r])
+            r -= n0
+            if r < c1:
+                return fa.frame_number, int(field1.line_number[r])
+            r -= c1
+            if r < padI:
+                return (fa.frame_number,
+                        int(field1.line_number[c1 - 1]) + 2 * (r + 1))
+            r -= padI
+            if r < c2:
+                return fa.frame_number, int(field2.line_number[r])
+            r -= c2
+            return (fa.frame_number,
+                    int(field2.line_number[c2 - 1]) + 2 * (r + 1))
+
+        def scalar_res_of(r):
+            fno, ln = conv_row(r)
+            odd_p = ln % 2 == 1
+            if fno == fb.frame_number:
+                return None  # depends on the fresh counts
+            if fno == fa.frame_number:
+                return mode_of(odd_p)
+            if fno == f0.frame_number:
+                return f0.odd_resolution if odd_p else f0.even_resolution
+            return di.RES_MODE_14BIT
+
+        rm0, rml = scalar_res_of(0), scalar_res_of(last)
+        if rm0 is None or rml is None:
+            return False
+        conv_mode = self.resolution_mode_for_seam(rm0, rml)
+        unch_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+        fb_unk_mode = di.RES_MODE_16BIT_AUTO \
+            if self.get_probable_resolution() == SAMPLE_RES_16BIT \
+            else di.RES_MODE_14BIT_AUTO
+
+        rc, res_counts, _, samples, wvalid, wfixed, bvalid, counters = \
+            _sn.steady_tail(
+                conv.words_i32(), conv.crc_ok8(),
+                field1.words_i32(), field1.crc_ok8(), c1,
+                field2.words_i32(), field2.crc_ok8(), c2,
+                f2f.words_i32(), f2f.crc_ok8(),
+                f2o.words_i32(), f2o.crc_ok8(),
+                f2e.words_i32(), f2e.crc_ok8(),
+                self._silent_words32(), padI, padO,
+                inner_mode, outer_first, outer_full, outer_last_even,
+                fb_unk_mode, self.en_p, self.en_q, self.mode_m2,
+                unch_lim, MAX_BURST_SILENCE, MAX_BURST_BROKEN,
+                conv_mode, self.broken_mask_dur, self.broken_countdown,
+                n_blocks)
+
+        # The fresh resolution counts are valid on every return path:
+        # cache them so a seam-verdict fallback never re-evaluates.
+        def res_of_counts(c14, c16):
+            if c14 > stc007.INTERLEAVE_OFS * 2:
+                return SAMPLE_RES_16BIT if (c16 * 128 // c14) > 32 \
+                    else SAMPLE_RES_14BIT
+            return SAMPLE_RES_UNKNOWN
+
+        f2o._fieldres = res_of_counts(int(res_counts[0]),
+                                      int(res_counts[1]))
+        f2e._fieldres = res_of_counts(int(res_counts[2]),
+                                      int(res_counts[3]))
+        if rc < 0:
+            return False  # a seam verdict failed: full machine decides
+
+        # Steady frame confirmed: replay the stage machine's state
+        # transitions exactly (detect_audio_resolution first, as in
+        # find_field_stitching).
+        self.detect_audio_resolution()
+        fa.inner_silence = fa.outer_silence = True
+        fb.inner_silence = fb.outer_silence = True
+        fb.inner_padding_ok = fb.outer_padding_ok = False
+        fb.inner_padding = fb.outer_padding = 0
+        fa.update_vid_std_soft(f0.video_standard)
+        fa.field_order = f0.field_order
+        fa.inner_padding = f0.inner_padding
+        fa.inner_padding_ok = True
+        fa.inner_silence = False
+        if fa.is_order_tff():
+            fa.tff_cnt = self.last_pad_counter
+        else:
+            fa.bff_cnt = self.last_pad_counter
+        fa.outer_padding = f0.outer_padding
+        fa.outer_padding_ok = True
+        if tff:
+            fb.set_order_tff()
+        else:
+            fb.set_order_bff()
+        fa.outer_silence = False
+        # fillFrameForOutput bookkeeping (A & B & C, exact fit).
+        self.get_assembly_field_order()
+        fa.inner_padding = padI
+        fa.outer_padding = padO
+        # performDeinterleave tail (the _deint_fused bookkeeping).
+        rate = self._block_sample_rate()
+        fa.blocks_total += n_blocks
+        fa.blocks_fix_p += int(counters[0])
+        fa.blocks_fix_q += int(counters[1])
+        fa.blocks_fix_cwd += int(counters[2])
+        fa.blocks_drop += int(counters[3])
+        fa.samples_drop += int(counters[4])
+        fa.blocks_broken_field += int(counters[5])
+        self.broken_countdown = rc
+        emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
+            else (f0.ctrl_emphasis if f0.ctrl_seen else False)
+        self.out_chunks.append(SampleChunk(
+            samples=samples.reshape(n_blocks * 3, 2),
+            valid=wvalid.reshape(n_blocks * 3, 2),
+            fixed=wfixed.reshape(n_blocks * 3, 2),
+            block_ok=np.repeat(bvalid, 3),
+            sample_rate=rate, emphasis=emphasis))
+        # New conv carry: the last MIN_DEINT_DATA rows of the assembled
+        # queue, materialized from the segment descriptors (pads get
+        # fillFrameForOutput's exact line/frame numbering).
+        T = stc007.MIN_DEINT_DATA
+        segs = [(conv, None), (field1.view_slice(0, c1), None)]
+        if padI:
+            segs.append((self._pad_view(padI),
+                         int(field1.line_number[c1 - 1]) + 2))
+        segs.append((field2.view_slice(0, c2), None))
+        if padO:
+            segs.append((self._pad_view(padO),
+                         int(field2.line_number[c2 - 1]) + 2))
+        picked = []
+        need = T
+        for view, pad_base in reversed(segs):
+            n = len(view)
+            if n == 0:
+                continue
+            k = min(n, need)
+            picked.append((view, n - k, n, pad_base))
+            need -= k
+            if need == 0:
+                break
+        picked.reverse()
+        views = []
+        patches = []
+        pos = 0
+        for view, a, b, pad_base in picked:
+            views.append(view.view_slice(a, b))
+            if pad_base is not None:
+                patches.append((pos, pad_base + 2 * np.arange(a, b)))
+            pos += b - a
+        carry = LineStore.concat(views)
+        for p, nums in patches:
+            carry.line_number[p:p + len(nums)] = nums
+            carry.frame_number[p:p + len(nums)] = fa.frame_number
+        self.conv_queue = carry
+        return True
+
     def find_field_stitching(self):
         fa, fb = self.frasm_f1, self.frasm_f2
         f0 = self.frasm_f0
