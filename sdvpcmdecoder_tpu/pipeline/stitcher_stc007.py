@@ -13,7 +13,6 @@ Line data is a struct-of-arrays (`LineStore`), not per-line objects.
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 
 import numpy as np
@@ -265,6 +264,20 @@ class LineStore:
             out.words[cb, :4] = 0
             out.source_crc[cb] = stc007.calc_crc(out.words[cb], xp=np)
             out.service[cb] = SRV_CTRL_BLOCK
+        # Prime the CRC-validity cache from the binarizer's own verdict:
+        # a valid line IS a CRC match by construction (binarize.py:151
+        # `valid = (syndrome == 0) & read_ok`; same rule in the native
+        # trial grid), so only the invalid rows need the re-CRC (the
+        # rare collision-filter rejections whose read still matches).
+        crcv = v.copy()
+        inv = np.nonzero(~v)[0]
+        if len(inv):
+            w_inv = out.words[inv]
+            from ..ops import stitch_native as _sn
+            calc = _sn.crc_rows(w_inv).astype(np.int64) \
+                if _sn.available() else stc007.calc_crc(w_inv, xp=np)
+            crcv[inv] = calc == out.source_crc[inv]
+        out._crcv = crcv
         return out
 
 
@@ -364,6 +377,14 @@ class FrameAsm:
         self.blocks_total = self.blocks_drop = self.samples_drop = 0
         self.blocks_broken_field = 0
         self.blocks_fix_p = self.blocks_fix_q = self.blocks_fix_cwd = 0
+
+    def snapshot(self):
+        """Shallow per-frame copy for the work log — dataclasses.replace
+        re-runs __init__ over ~40 fields and shows up in the steady-state
+        profile; all fields are scalars, so a dict copy is exact."""
+        new = FrameAsm.__new__(FrameAsm)
+        new.__dict__.update(self.__dict__)
+        return new
 
 
 @dataclass
@@ -809,7 +830,7 @@ class STC007Stitcher:
             self.frasm_f0 = FrameAsm()
         self.split_frames_to_fields(f1, f2)
         if self._try_steady_pair():
-            self.frame_log.append(dataclasses.replace(self.frasm_f1))
+            self.frame_log.append(self.frasm_f1.snapshot())
             return
         self.find_field_stitching()
         if self.file_start:
@@ -827,7 +848,7 @@ class STC007Stitcher:
         if consumed > 0:
             self.conv_queue = self.conv_queue.take(
                 slice(consumed, len(self.conv_queue)))
-        self.frame_log.append(dataclasses.replace(self.frasm_f1))
+        self.frame_log.append(self.frasm_f1.snapshot())
 
     # -- trimming (findFramesTrim :259-737) -------------------------------
     def find_frames_trim(self, buf1: LineStore, buf2: LineStore):
