@@ -771,6 +771,552 @@ int64_t stc007_steady_tail(
         samples, wvalid, wfixed, bvalid, counters);
 }
 
+void stc007_trim_scan(
+    const int64_t* line_number, const int64_t* frame_number,
+    const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,
+    const uint8_t* has_markers, int64_t L, int64_t frame_no,
+    int32_t rule_b_or_crc, int64_t* out);
+void stc007_split_scan(
+    const int64_t* line_number, const int64_t* frame_number,
+    const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,
+    int64_t L, int64_t frame_no,
+    int64_t even_top, int64_t even_bottom, int64_t even_enable,
+    int64_t odd_top, int64_t odd_bottom, int64_t odd_enable,
+    int64_t cap, int64_t* out,
+    int64_t* idx_even_out, int64_t* idx_odd_out);
+
+// ---------------------------------------------------------------------------
+// Steady-state ROUND: process as many consecutive TRY_PREVIOUS frames
+// as possible in one call — per pair: frame-B trim scan, field split,
+// fresh-field resolution counts, both seam evals, conv assembly and the
+// fused deinterleave, with the frame-A facts, the f0 snapshot, the
+// conv carry and the rolling resolutions all carried C-side.  The
+// stitcher replays the stage machine's state transitions from the
+// per-pair records; the first non-steady pair stops the run (its
+// record still carries the trim scan so Python's fallback reuses it).
+// ---------------------------------------------------------------------------
+namespace {
+// Per-frame pointer-table entries (int64 each, FP_N per frame):
+enum { FP_WORDS, FP_WORD_CRC, FP_FORCED, FP_LN, FP_FN, FP_SVC, FP_CRCV,
+       FP_REF, FP_MARK, FP_LEN, FP_FRNO, FP_N };
+// Rolling state vector (int64), in/out:
+enum { ST_F0_ODD_DATA, ST_F0_EVEN_DATA, ST_F0_INNER_PAD, ST_F0_OUTER_PAD,
+       ST_F0_INNER_OK, ST_F0_OUTER_OK, ST_F0_ORDER, ST_F0_VID_STD,
+       ST_F0_FRNO, ST_F0_ODD_MODE, ST_F0_EVEN_MODE,
+       ST_FA_FRNO, ST_FA_TRIM_OK, ST_FA_ETOP, ST_FA_EBOT, ST_FA_OTOP,
+       ST_FA_OBOT, ST_RES1O, ST_RES1E, ST_FA_ORDER, ST_FA_NEW, ST_FA_END,
+       ST_COUNTDOWN, ST_N };
+// Per-pair record layout (int64[REC_N]):
+enum { RC_STATUS, RC_NEW, RC_END, RC_CB, RC_TRIM /*14*/,
+       RC_SPLIT = RC_TRIM + 14 /*13*/, RC_OREF = RC_SPLIT + 13, RC_EREF,
+       RC_RES /*4*/, RC_VSTD = RC_RES + 4, RC_TARGET,
+       RC_CNT /*6*/, RC_CD = RC_CNT + 6, RC_NBLK, RC_OFS, RC_N };
+// bail statuses
+enum { BS_OK = 0, BS_FILE = 1, BS_CB_AUTO_M2 = 2, BS_SPLIT = 3,
+       BS_TRY = 4, BS_RES_UNK = 5, BS_FIT = 6, BS_SEAM_IN = 7,
+       BS_SEAM_OUT = 8, BS_CONV = 9, BS_ERR = 10 };
+constexpr int64_t KEEP = 120;          // MIN_DEINT_DATA + ILV/2
+constexpr int64_t MDD = 112;           // MIN_DEINT_DATA
+constexpr int64_t LPF_PAL = 294, LPF_NTSC = 245, LPF_DEFAULT = 245;
+constexpr int64_t LPF_MAX_PAL = LPF_PAL + 16;
+constexpr int64_t LPF_MAX_NTSC = LPF_PAL - 32;
+constexpr int64_t MIN_FILL = 56;       // MIN_DEINT_DATA // 2
+constexpr int64_t MIN_GOOD = LPF_DEFAULT - 8;
+constexpr int ORD_UNK = 0, ORD_TFF = 1, ORD_BFF = 2;
+constexpr int VID_UNK = 0, VID_PAL_C = 1, VID_NTSC_C = 2;
+
+struct FieldBuf {
+    std::vector<int32_t> w;
+    std::vector<uint8_t> c;
+    std::vector<int64_t> ln;
+    int64_t n = 0;
+    int parity = 0;  // 0 even, 1 odd
+    void fill(const int64_t* fp, int64_t first, int64_t step,
+              int64_t count) {
+        n = count;
+        if ((int64_t)w.size() < count * 8) {
+            w.resize((size_t)count * 8);
+            c.resize((size_t)count * 8);
+            ln.resize((size_t)count);
+        }
+        const int64_t* words = (const int64_t*)fp[FP_WORDS];
+        const uint8_t* wcrc = (const uint8_t*)fp[FP_WORD_CRC];
+        const uint8_t* forced = (const uint8_t*)fp[FP_FORCED];
+        const int64_t* lna = (const int64_t*)fp[FP_LN];
+        for (int64_t k = 0; k < count; ++k) {
+            const int64_t r = first + k * step;
+            const uint8_t fb = forced[r];
+            for (int i = 0; i < 8; ++i) {
+                w[k * 8 + i] = (int32_t)words[r * 8 + i];
+                c[k * 8 + i] = wcrc[r * 9 + i] && !fb;
+            }
+            ln[k] = lna[r];
+        }
+        parity = count ? (int)(ln[0] & 1) : 0;
+    }
+};
+}  // namespace
+
+// Returns the number of steady pairs completed (records[0..k-1] have
+// status BS_OK; record k, when k < n_pairs, carries the bail status and
+// whatever was computed before the bail).  `frames` is the int64
+// pointer table ([n_frames, FP_N]); `state` is the rolling state vector
+// (updated in place to the post-run values); outputs are offset-packed.
+int64_t stc007_steady_round(
+    const int64_t* frames, int64_t n_frames,
+    const int32_t* carry_w_in, const uint8_t* carry_c_in,
+    const int64_t* carry_ln_in, const int64_t* carry_fn_in, int64_t n0_in,
+    const int32_t* silent_w,
+    int32_t en_p, int32_t en_q, int32_t unch_lim,
+    int32_t max_burst_silence, int32_t max_burst_broken,
+    int32_t broken_mask_dur, int32_t auto_m2,
+    int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
+    int64_t* state, int64_t* records,
+    int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid) {
+    const int64_t n_pairs = n_frames - 1;
+    if (n_pairs <= 0 || !g_tables_set) return 0;
+
+    // conv / carry scratch (words+crc for eval, ln/fn for the roll).
+    thread_local std::vector<int32_t> cw;
+    thread_local std::vector<uint8_t> cc;
+    thread_local std::vector<int64_t> cln, cfn;
+    thread_local FieldBuf fld_e, fld_o, f2f_buf;
+    const int64_t conv_cap = MDD + 2 * LPF_PAL + 8;
+    if ((int64_t)cw.size() < conv_cap * 8) {
+        cw.resize((size_t)conv_cap * 8);
+        cc.resize((size_t)conv_cap * 8);
+        cln.resize((size_t)conv_cap);
+        cfn.resize((size_t)conv_cap);
+    }
+    int64_t n0 = n0_in;
+    if (n0 > MDD) return 0;  // steady carry is never longer than MDD
+    if (n0) {
+        memcpy(cw.data(), carry_w_in, (size_t)n0 * 8 * sizeof(int32_t));
+        memcpy(cc.data(), carry_c_in, (size_t)n0 * 8);
+        memcpy(cln.data(), carry_ln_in, (size_t)n0 * sizeof(int64_t));
+        memcpy(cfn.data(), carry_fn_in, (size_t)n0 * sizeof(int64_t));
+    }
+    int64_t out_ofs = 0;
+    int64_t f1_max_line = -1;  // recomputed on pair 0 from the f1 split
+
+    int64_t pair = 0;
+    for (; pair < n_pairs; ++pair) {
+        int64_t* rec = records + pair * RC_N;
+        for (int i = 0; i < RC_N; ++i) rec[i] = 0;
+        rec[RC_CB] = -1;
+        const int64_t* f1p = frames + pair * FP_N;
+        const int64_t* f2p = frames + (pair + 1) * FP_N;
+        const int64_t fa_frno = f1p[FP_FRNO];
+        const int64_t fb_frno = f2p[FP_FRNO];
+        if (fa_frno == fb_frno || fa_frno == state[ST_F0_FRNO]) {
+            rec[RC_STATUS] = BS_CONV;
+            rec[RC_CB] = -2;  // no trim scan ran: replay must not cache
+            break;
+        }
+        // --- frame B trim scan (find_frames_trim) ---
+        int64_t tb[14];
+        stc007_trim_scan((const int64_t*)f2p[FP_LN],
+                         (const int64_t*)f2p[FP_FN],
+                         (const int8_t*)f2p[FP_SVC],
+                         (const uint8_t*)f2p[FP_CRCV],
+                         (const uint8_t*)f2p[FP_FORCED],
+                         (const uint8_t*)f2p[FP_MARK],
+                         f2p[FP_LEN], fb_frno, 1, tb);
+        for (int i = 0; i < 14; ++i) rec[RC_TRIM + i] = tb[i];
+        rec[RC_NEW] = tb[8];
+        rec[RC_END] = tb[9];
+        const bool cb_hit = tb[10] >= 0 && (tb[11] < 0 || tb[10] < tb[11]);
+        rec[RC_CB] = cb_hit ? tb[10] : -1;
+        if (state[ST_FA_NEW] || state[ST_FA_END] || tb[8] || tb[9]) {
+            rec[RC_STATUS] = BS_FILE;
+            break;
+        }
+        if (cb_hit && auto_m2) {
+            rec[RC_STATUS] = BS_CB_AUTO_M2;
+            break;
+        }
+        // frame B trim facts (skip-bad rule per parity).
+        const int64_t* lnb = (const int64_t*)f2p[FP_LN];
+        int64_t fb_top[2] = {0, 0}, fb_bot[2] = {0, 0};  // [even, odd]
+        bool fb_found[2] = {false, false};
+        for (int p = 0; p < 2; ++p) {
+            const int base = p == 0 ? 0 : 4;
+            const int good = p == 0 ? 12 : 13;
+            const int o = tb[good] > MIN_GOOD ? base : base + 2;
+            if (tb[o] >= 0) {
+                fb_found[p] = true;
+                fb_top[p] = lnb[tb[o]];
+                fb_bot[p] = lnb[tb[o + 1]];
+            }
+        }
+        // --- field splits (split_frames_to_fields) ---
+        int64_t s1[13], s2[13];
+        const int64_t fa_et = state[ST_FA_ETOP], fa_eb = state[ST_FA_EBOT];
+        const int64_t fa_ot = state[ST_FA_OTOP], fa_ob = state[ST_FA_OBOT];
+        stc007_split_scan((const int64_t*)f1p[FP_LN],
+                          (const int64_t*)f1p[FP_FN],
+                          (const int8_t*)f1p[FP_SVC],
+                          (const uint8_t*)f1p[FP_CRCV],
+                          (const uint8_t*)f1p[FP_FORCED],
+                          f1p[FP_LEN], fa_frno,
+                          fa_et, fa_eb, !(fa_et == 0 && fa_eb == 0),
+                          fa_ot, fa_ob, 1, LPF_PAL, s1, nullptr, nullptr);
+        stc007_split_scan((const int64_t*)f2p[FP_LN],
+                          (const int64_t*)f2p[FP_FN],
+                          (const int8_t*)f2p[FP_SVC],
+                          (const uint8_t*)f2p[FP_CRCV],
+                          (const uint8_t*)f2p[FP_FORCED],
+                          f2p[FP_LEN], fb_frno,
+                          fb_top[0], fb_bot[0],
+                          !(fb_top[0] == 0 && fb_bot[0] == 0),
+                          fb_top[1], fb_bot[1], 1, LPF_PAL, s2,
+                          nullptr, nullptr);
+        for (int i = 0; i < 13; ++i) rec[RC_SPLIT + i] = s2[i];
+        bool irregular = false;
+        for (int p = 0; p < 2; ++p) {
+            if (s1[1 + p * 6 + 2] > 0 && !s1[1 + p * 6 + 4])
+                irregular = true;
+            if (s2[1 + p * 6 + 2] > 0 && !s2[1 + p * 6 + 4])
+                irregular = true;
+        }
+        if (irregular) {
+            rec[RC_STATUS] = BS_SPLIT;
+            break;
+        }
+        f1_max_line = s1[0];
+        const int64_t fa_even_data = s1[1 + 0 * 6 + 2];
+        const int64_t fa_odd_data = s1[1 + 1 * 6 + 2];
+        const int64_t fb_even_data = s2[1 + 0 * 6 + 2];
+        const int64_t fb_odd_data = s2[1 + 1 * 6 + 2];
+        // --- detectVideoStandard core ---
+        int vstd = VID_UNK;
+        if (preset_vid == VID_UNK) {
+            int64_t mx = fa_odd_data;
+            if (fa_even_data > mx) mx = fa_even_data;
+            if (fb_odd_data > mx) mx = fb_odd_data;
+            if (fb_even_data > mx) mx = fb_even_data;
+            if (mx > LPF_MAX_PAL) vstd = VID_UNK;
+            else if (mx > LPF_MAX_NTSC) vstd = VID_PAL_C;
+            else if (f1_max_line <= (LPF_PAL - 16) * 2) vstd = VID_NTSC_C;
+            else vstd = VID_PAL_C;
+        } else {
+            vstd = preset_vid;
+        }
+        if (vstd == VID_UNK) vstd = (int)state[ST_F0_VID_STD];
+        rec[RC_VSTD] = vstd;
+        // --- TRY_PREVIOUS preconditions ---
+        const int f0_order = (int)state[ST_F0_ORDER];
+        const int fa_order_eff = preset_order ? preset_order
+                                              : (int)state[ST_FA_ORDER];
+        if (!(state[ST_F0_ODD_DATA] == fa_odd_data
+              && state[ST_F0_EVEN_DATA] == fa_even_data
+              && state[ST_F0_INNER_OK] && state[ST_F0_OUTER_OK])) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (fa_order_preset && f0_order != fa_order_eff) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (f0_order != ORD_TFF && f0_order != ORD_BFF) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (fa_odd_data < MIN_FILL && fa_even_data < MIN_FILL) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        const bool tff = f0_order == ORD_TFF;
+        if (tff ? fb_odd_data < MIN_FILL : fb_even_data < MIN_FILL) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        const int64_t res1o = state[ST_RES1O], res1e = state[ST_RES1E];
+        if ((res1o != 14 && res1o != 16) || (res1e != 14 && res1e != 16)) {
+            rec[RC_STATUS] = BS_RES_UNK;
+            break;
+        }
+        const int fa_odd_mode = res1o == 16 ? M16 : M14;
+        const int fa_even_mode = res1e == 16 ? M16 : M14;
+        // --- materialize frame A fields + frame B leading field ---
+        fld_e.fill(f1p, s1[1], s1[4], s1[3]);
+        fld_o.fill(f1p, s1[7], s1[10], s1[9]);
+        FieldBuf* field1 = tff ? &fld_o : &fld_e;
+        FieldBuf* field2 = tff ? &fld_e : &fld_o;
+        const int p2 = tff ? 1 : 0;  // f2 leading field parity (odd=1)
+        f2f_buf.fill(f2p, s2[1 + p2 * 6 + 0], s2[1 + p2 * 6 + 3],
+                     s2[1 + p2 * 6 + 2]);
+        // --- fresh-field resolution counts (both f2 fields) ---
+        // odd field first into rec[RC_RES], even into rec[RC_RES+2] —
+        // matching the per-pair fast path's (f2o, f2e) order.
+        {
+            thread_local FieldBuf tmp;
+            // odd
+            tmp.fill(f2p, s2[7], s2[10], s2[9]);
+            if (tmp.n > MDD)
+                stc007_field_res_counts(tmp.w.data(), tmp.c.data(), tmp.n,
+                                        tmp.n - MDD, 0,
+                                        &rec[RC_RES], &rec[RC_RES + 1]);
+            // even — reuse f2f_buf when it IS the even field
+            if (p2 == 0) {
+                if (f2f_buf.n > MDD)
+                    stc007_field_res_counts(
+                        f2f_buf.w.data(), f2f_buf.c.data(), f2f_buf.n,
+                        f2f_buf.n - MDD, 0,
+                        &rec[RC_RES + 2], &rec[RC_RES + 3]);
+            } else {
+                tmp.fill(f2p, s2[1], s2[4], s2[3]);
+                if (tmp.n > MDD)
+                    stc007_field_res_counts(tmp.w.data(), tmp.c.data(),
+                                            tmp.n, tmp.n - MDD, 0,
+                                            &rec[RC_RES + 2],
+                                            &rec[RC_RES + 3]);
+            }
+        }
+        // wait: when p2 == 1 (tff), the odd field IS f2f_buf — the tmp
+        // fill above duplicated it.  Harmless (identical results), the
+        // cost is one extra strided copy; kept for clarity.
+        // --- assembly sizing (fillFrameForOutput A&B&C exact fit) ---
+        const int64_t target = vstd == VID_PAL_C ? LPF_PAL
+                               : (vstd == VID_NTSC_C ? LPF_NTSC
+                                                     : LPF_DEFAULT);
+        rec[RC_TARGET] = target;
+        const int64_t c1 = std::min(field1->n, target);
+        const int64_t c2 = std::min(field2->n, target);
+        const int64_t padI = state[ST_F0_INNER_PAD];
+        const int64_t padO = state[ST_F0_OUTER_PAD];
+        if (c1 == 0 || c2 == 0 || padI < 0 || padO < 0
+                || c1 + c2 + padI + padO != target * 2) {
+            rec[RC_STATUS] = BS_FIT;
+            break;
+        }
+        // --- seam resolution modes ---
+        auto fa_mode_of = [&](int parity_odd) {
+            return parity_odd ? fa_odd_mode : fa_even_mode;
+        };
+        // inner: every row frame A
+        int inner_mode;
+        {
+            const int64_t st1 = std::max<int64_t>(0, field1->n
+                                                  - (KEEP - padI));
+            const int64_t len1 = field1->n - st1;
+            const int pf = (int)(field1->ln[st1] & 1);
+            int pl;
+            if (MDD < len1) pl = (int)(field1->ln[st1 + MDD] & 1);
+            else if (MDD < len1 + padI)
+                pl = (int)(field1->ln[field1->n - 1] & 1);
+            else {
+                const int64_t i2 = MDD - len1 - padI;
+                if (i2 >= field2->n) {
+                    rec[RC_STATUS] = BS_FIT;
+                    break;
+                }
+                pl = (int)(field2->ln[i2] & 1);
+            }
+            inner_mode = res_mode_combine(fa_mode_of(pf), fa_mode_of(pl));
+        }
+        // outer: first row frame A; last may land in frame B
+        int outer_mode;
+        {
+            const int64_t st1 = std::max<int64_t>(0, field2->n
+                                                  - (KEEP - padO));
+            const int64_t len1 = field2->n - st1;
+            const int pf = (int)(field2->ln[st1] & 1);
+            const int first_mode = fa_mode_of(pf);
+            if (MDD < len1) {
+                outer_mode = res_mode_combine(
+                    first_mode, fa_mode_of((int)(field2->ln[st1 + MDD]
+                                                 & 1)));
+            } else if (MDD < len1 + padO) {
+                outer_mode = res_mode_combine(
+                    first_mode,
+                    fa_mode_of((int)(field2->ln[field2->n - 1] & 1)));
+            } else {
+                const int64_t i2 = MDD - len1 - padO;
+                if (i2 >= f2f_buf.n) {
+                    rec[RC_STATUS] = BS_FIT;
+                    break;
+                }
+                const int plo = (int)(f2f_buf.ln[i2] & 1);
+                const int ra = res_from_counts(rec[RC_RES],
+                                               rec[RC_RES + 1]);
+                const int rb = res_from_counts(rec[RC_RES + 2],
+                                               rec[RC_RES + 3]);
+                int fb_odd_m, fb_even_m;
+                if (ra == 0 && rb == 0) {
+                    // needs the 65-deep stats fallback: defer to Python
+                    rec[RC_STATUS] = BS_RES_UNK;
+                    break;
+                } else if (ra == 0) {
+                    fb_even_m = rb == 16 ? M16 : M14;
+                    fb_odd_m = rb == 16 ? M16A : M14A;
+                } else if (rb == 0) {
+                    fb_odd_m = ra == 16 ? M16 : M14;
+                    fb_even_m = ra == 16 ? M16A : M14A;
+                } else {
+                    fb_odd_m = ra == 16 ? M16 : M14;
+                    fb_even_m = rb == 16 ? M16 : M14;
+                }
+                outer_mode = res_mode_combine(first_mode,
+                                              plo ? fb_odd_m : fb_even_m);
+            }
+        }
+        // --- seam evals + verdicts ---
+        int32_t st4[4];
+        {
+            const int64_t st1 = std::max<int64_t>(0, field1->n
+                                                  - (KEEP - padI));
+            const int64_t cnt2 = std::min(field2->n, KEEP);
+            int rc = stc007_eval_seam(
+                field1->w.data() + st1 * 8, field1->c.data() + st1 * 8,
+                field1->n - st1, padI, silent_w,
+                field2->w.data(), field2->c.data(), cnt2,
+                inner_mode, en_p, en_q, 1, 0, unch_lim,
+                max_burst_silence, max_burst_broken, st4);
+            if (rc != 0 || !seam_ok(st4, unch_lim, max_burst_silence,
+                                    max_burst_broken)) {
+                rec[RC_STATUS] = BS_SEAM_IN;
+                break;
+            }
+        }
+        {
+            const int64_t st1 = std::max<int64_t>(0, field2->n
+                                                  - (KEEP - padO));
+            const int64_t cnt2 = std::min(f2f_buf.n, KEEP);
+            int rc = stc007_eval_seam(
+                field2->w.data() + st1 * 8, field2->c.data() + st1 * 8,
+                field2->n - st1, padO, silent_w,
+                f2f_buf.w.data(), f2f_buf.c.data(), cnt2,
+                outer_mode, en_p, en_q, 1, 0, unch_lim,
+                max_burst_silence, max_burst_broken, st4);
+            if (rc != 0 || !seam_ok(st4, unch_lim, max_burst_silence,
+                                    max_burst_broken)) {
+                rec[RC_STATUS] = BS_SEAM_OUT;
+                break;
+            }
+        }
+        // --- frame A ref-level averages (for the replay) ---
+        {
+            const int64_t* ref1 = (const int64_t*)f1p[FP_REF];
+            const uint8_t* crcv1 = (const uint8_t*)f1p[FP_CRCV];
+            const uint8_t* forced1 = (const uint8_t*)f1p[FP_FORCED];
+            for (int p = 0; p < 2; ++p) {
+                const int64_t first = s1[1 + p * 6 + 0];
+                const int64_t stp = s1[1 + p * 6 + 3];
+                const int64_t cnt = s1[1 + p * 6 + 2];
+                int64_t sum = 0, vsum = 0, vcnt = 0;
+                for (int64_t k = 0; k < cnt; ++k) {
+                    const int64_t r = first + k * stp;
+                    sum += ref1[r];
+                    if (crcv1[r] && !forced1[r]) {
+                        vsum += ref1[r];
+                        ++vcnt;
+                    }
+                }
+                const int64_t avg = vcnt ? vsum / vcnt
+                                         : (cnt ? sum / cnt : 0);
+                rec[p == 0 ? RC_EREF : RC_OREF] = avg;
+            }
+        }
+        // --- conv assembly + deint ---
+        const int64_t L = n0 + target * 2;
+        const int64_t B = L - MDD;
+        int64_t pos = n0;
+        auto put_field = [&](FieldBuf* f, int64_t cnt) {
+            memcpy(&cw[(size_t)pos * 8], f->w.data(),
+                   (size_t)cnt * 8 * sizeof(int32_t));
+            memcpy(&cc[(size_t)pos * 8], f->c.data(), (size_t)cnt * 8);
+            memcpy(&cln[(size_t)pos], f->ln.data(),
+                   (size_t)cnt * sizeof(int64_t));
+            for (int64_t k = 0; k < cnt; ++k) cfn[pos + k] = fa_frno;
+            pos += cnt;
+        };
+        auto put_pad2 = [&](int64_t cnt, int64_t base_ln) {
+            for (int64_t k = 0; k < cnt; ++k) {
+                memcpy(&cw[(size_t)(pos + k) * 8], silent_w,
+                       8 * sizeof(int32_t));
+                cln[pos + k] = base_ln + 2 * k;
+                cfn[pos + k] = fa_frno;
+            }
+            if (cnt) memset(&cc[(size_t)pos * 8], 0, (size_t)cnt * 8);
+            pos += cnt;
+        };
+        put_field(field1, c1);
+        put_pad2(padI, c1 ? field1->ln[c1 - 1] + 2 : 0);
+        put_field(field2, c2);
+        put_pad2(padO, c2 ? field2->ln[c2 - 1] + 2 : 0);
+        // conv resolution mode from rows 0 and 112 (getDataBlockResolution)
+        auto conv_res_of = [&](int64_t r) -> int {
+            const int64_t fno = cfn[r];
+            const int odd_p = (int)(cln[r] & 1);
+            if (fno == fb_frno) return -1;
+            if (fno == fa_frno) return fa_mode_of(odd_p);
+            if (fno == state[ST_F0_FRNO])
+                return (int)(odd_p ? state[ST_F0_ODD_MODE]
+                                   : state[ST_F0_EVEN_MODE]);
+            return M14;
+        };
+        const int cm0 = conv_res_of(0), cml = conv_res_of(MDD);
+        if (cm0 < 0 || cml < 0) {
+            rec[RC_STATUS] = BS_CONV;
+            break;
+        }
+        const int conv_mode = res_mode_combine(cm0, cml);
+        int64_t cnt6[6];
+        const int64_t cd = stc007_deint_finalize(
+            cw.data(), cc.data(), nullptr, 0, B, conv_mode, en_p, en_q,
+            1, 0, 0, nullptr, nullptr, 0, 0, 0, 0, 0,
+            broken_mask_dur, (int32_t)state[ST_COUNTDOWN], 0, 0,
+            samples + out_ofs * 6, wvalid + out_ofs * 6,
+            wfixed + out_ofs * 6, bvalid + out_ofs, cnt6);
+        if (cd < 0) {
+            rec[RC_STATUS] = BS_ERR;
+            break;
+        }
+        for (int i = 0; i < 6; ++i) rec[RC_CNT + i] = cnt6[i];
+        rec[RC_CD] = cd;
+        rec[RC_NBLK] = B;
+        rec[RC_OFS] = out_ofs;
+        out_ofs += B;
+        // --- carry roll: conv tail MDD rows ---
+        {
+            const int64_t from = L - MDD;
+            memmove(cw.data(), &cw[(size_t)from * 8],
+                    (size_t)MDD * 8 * sizeof(int32_t));
+            memmove(cc.data(), &cc[(size_t)from * 8], (size_t)MDD * 8);
+            memmove(cln.data(), &cln[from], (size_t)MDD * sizeof(int64_t));
+            memmove(cfn.data(), &cfn[from], (size_t)MDD * sizeof(int64_t));
+            n0 = MDD;
+        }
+        // --- state roll (the replay applies the same to the frasms) ---
+        state[ST_COUNTDOWN] = cd;
+        state[ST_F0_ODD_DATA] = fa_odd_data;
+        state[ST_F0_EVEN_DATA] = fa_even_data;
+        state[ST_F0_INNER_PAD] = padI;
+        state[ST_F0_OUTER_PAD] = padO;
+        state[ST_F0_INNER_OK] = 1;
+        state[ST_F0_OUTER_OK] = 1;
+        state[ST_F0_ORDER] = f0_order;
+        state[ST_F0_VID_STD] = vstd;
+        state[ST_F0_FRNO] = fa_frno;
+        state[ST_F0_ODD_MODE] = fa_odd_mode;
+        state[ST_F0_EVEN_MODE] = fa_even_mode;
+        state[ST_FA_FRNO] = fb_frno;
+        state[ST_FA_TRIM_OK] = fb_found[0] && fb_found[1];
+        state[ST_FA_ETOP] = fb_top[0];
+        state[ST_FA_EBOT] = fb_bot[0];
+        state[ST_FA_OTOP] = fb_top[1];
+        state[ST_FA_OBOT] = fb_bot[1];
+        state[ST_RES1O] = res_from_counts(rec[RC_RES], rec[RC_RES + 1]);
+        state[ST_RES1E] = res_from_counts(rec[RC_RES + 2],
+                                          rec[RC_RES + 3]);
+        state[ST_FA_ORDER] = f0_order;  // fb.set_order_xff -> next fa
+        state[ST_FA_NEW] = tb[8];
+        state[ST_FA_END] = tb[9];
+    }
+    return pair;
+}
+
 // Histogram peak search with early-stop window (findBlackWhite
 // binarizer.cpp:3235-3330) — native twin of ops/agc.py::_peak_scan.
 // hist [N*256] i64; start/stop_limit/min_count/delta [N] i64;

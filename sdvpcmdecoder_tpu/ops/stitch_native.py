@@ -172,6 +172,19 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_steady_round.restype = ctypes.c_int64
+        L.stc007_steady_round.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.stc007_steady_tail.restype = ctypes.c_int64
         L.stc007_steady_tail.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -379,6 +392,68 @@ def deint_finalize(line_words, line_crc, cwd_line, start, n_blocks,
     if cd < 0:
         raise RuntimeError("stc007_deint_finalize failed")
     return samples, wvalid, wfixed, bvalid, counters, int(cd)
+
+
+# stc007_steady_round per-pair record layout (int64[REC_N]); mirrors the
+# C enum in stitchcore.cpp.
+REC_N = 48
+REC_STATUS, REC_NEW, REC_END, REC_CB, REC_TRIM = 0, 1, 2, 3, 4
+REC_SPLIT, REC_OREF, REC_EREF, REC_RES = 18, 31, 32, 33
+REC_VSTD, REC_TARGET, REC_CNT, REC_CD, REC_NBLK, REC_OFS = (
+    37, 38, 39, 45, 46, 47)
+_ROUND_FP_N = 11
+
+
+def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
+                 silent_w32, en_p, en_q, unch_lim, max_burst_silence,
+                 max_burst_broken, broken_mask_dur, auto_m2,
+                 preset_order, preset_vid, fa_order_preset, state):
+    """Run stc007_steady_round over the pending frame stores.
+
+    stores: list of (frame_no, LineStore); state: int64[23] rolling
+    state vector (mutated in place).  Returns (n_done, records
+    [n_pairs, 48] i64, samples, wvalid, wfixed, bvalid) where the big
+    output arrays are offset-packed per REC_OFS/REC_NBLK."""
+    L = _load()
+    M = len(stores)
+    n_pairs = M - 1
+    fp = np.empty((M, _ROUND_FP_N), np.int64)
+    keep = []  # keepalive for arrays materialized here
+    for i, (fno, s) in enumerate(stores):
+        crcv = s.crc_valid_ignore_forced()
+        if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
+            crcv = np.ascontiguousarray(crcv, bool)
+            keep.append(crcv)
+        fp[i, 0] = s.words.ctypes.data
+        fp[i, 1] = s.word_crc.ctypes.data
+        fp[i, 2] = s.forced_bad.ctypes.data
+        fp[i, 3] = s.line_number.ctypes.data
+        fp[i, 4] = s.frame_number.ctypes.data
+        fp[i, 5] = s.service.ctypes.data
+        fp[i, 6] = crcv.ctypes.data
+        fp[i, 7] = s.ref_level.ctypes.data
+        fp[i, 8] = s.has_markers.ctypes.data
+        fp[i, 9] = len(s)
+        fp[i, 10] = fno
+    cap = n_pairs * 2 * 294 + 8
+    records = np.zeros((n_pairs, REC_N), np.int64)
+    samples = np.empty((cap, 6), np.int16)
+    wvalid = np.empty((cap, 6), bool)
+    wfixed = np.empty((cap, 6), bool)
+    bvalid = np.empty(cap, bool)
+    n_done = L.stc007_steady_round(
+        fp.ctypes.data, M,
+        carry_w32.ctypes.data, carry_crc8.ctypes.data,
+        carry_ln.ctypes.data, carry_fn.ctypes.data, carry_w32.shape[0],
+        silent_w32.ctypes.data,
+        int(bool(en_p)), int(bool(en_q)), int(unch_lim),
+        int(max_burst_silence), int(max_burst_broken),
+        int(broken_mask_dur), int(bool(auto_m2)),
+        int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
+        state.ctypes.data, records.ctypes.data,
+        samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
+        bvalid.ctypes.data)
+    return int(n_done), records, samples, wvalid, wfixed, bvalid
 
 
 def steady_tail(carry_w32, carry_crc8, f1a_w32, f1a_crc8, c1,

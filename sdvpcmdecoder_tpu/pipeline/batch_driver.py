@@ -187,8 +187,13 @@ class BatchDecoder:
 
     def _stitch_and_write(self, job: CaptureJob, stores, finish=False):
         t0 = time.perf_counter()
-        for store in stores:
-            job.stitcher.push_frame(store)
+        if hasattr(job.stitcher, "push_frames"):
+            # Whole-round queue: consecutive steady STC-007 pairs run
+            # through one stc007_steady_round call.
+            job.stitcher.push_frames(stores)
+        else:
+            for store in stores:
+                job.stitcher.push_frame(store)
         if finish:
             job.stitcher.finish()
         t1 = time.perf_counter()

@@ -49,6 +49,19 @@ STATS_DEPTH = 65
 # Resolution results (stc007datastitcher.h:199-206) and deinterleaver modes.
 SAMPLE_RES_UNKNOWN, SAMPLE_RES_14BIT, SAMPLE_RES_16BIT = 0, 1, 2
 
+
+def _sn_mod():
+    from ..ops import stitch_native as _sn
+    return _sn
+
+
+def _res_of_counts(c14, c16):
+    """getFieldResolution's counts -> SAMPLE_RES rule (:996-1214)."""
+    if c14 > stc007.INTERLEAVE_OFS * 2:
+        return SAMPLE_RES_16BIT if (c16 * 128 // c14) > 32 \
+            else SAMPLE_RES_14BIT
+    return SAMPLE_RES_UNKNOWN
+
 # tryPadding / findPadding results (stc007datastitcher.h:208-216).
 DS_RET_NO_DATA, DS_RET_SILENCE, DS_RET_BROKE, DS_RET_NO_PAD, DS_RET_OK = \
     range(5)
@@ -758,14 +771,25 @@ class STC007Stitcher:
         self.frame_log: list[FrameAsm] = []
 
     # -- input ------------------------------------------------------------
-    def push_frame(self, store: LineStore):
-        """Queue one frame's worth of lines (may include service lines)."""
+    def _queue_frame(self, store: LineStore):
         store.crc_valid_ignore_forced()  # prime the CRC cache once per frame
         data = store.service == SRV_NO
         frames = store.frame_number[data]
         fno = int(frames[0]) if len(frames) else (
             int(store.frame_number[0]) if len(store) else 0)
         self.pending_frames.append((fno, store))
+
+    def push_frame(self, store: LineStore):
+        """Queue one frame's worth of lines (may include service lines)."""
+        self._queue_frame(store)
+        self._pump()
+
+    def push_frames(self, stores):
+        """Queue a whole round of frames, then pump once — with 3+
+        frames pending, consecutive steady pairs run through ONE
+        stc007_steady_round call instead of a per-pair pump."""
+        for store in stores:
+            self._queue_frame(store)
         self._pump()
 
     def finish(self):
@@ -798,6 +822,8 @@ class STC007Stitcher:
     # -- main loop --------------------------------------------------------
     def _pump(self, final=False):
         while len(self.pending_frames) >= 2:
+            if len(self.pending_frames) >= 3 and self._try_steady_run():
+                continue
             (f1_no, f1), (f2_no, f2) = self.pending_frames[0], \
                 self.pending_frames[1]
             self.frasm_f1.frame_number = f1_no
@@ -1657,10 +1683,7 @@ class STC007Stitcher:
         tests/test_steady_pair.py."""
         from ..ops import stitch_native as _sn
         fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
-        if (not _sn.available() or self.record_views or self.en_cwd
-                or self.ignore_crc or self.mode_m2
-                or self.preset_resolution is not None
-                or self.file_start or self.file_end):
+        if not self._steady_globals_ok():
             return False
         # TRY_PREVIOUS entry conditions.
         if not (f0.odd_data_lines == fa.odd_data_lines
@@ -1818,16 +1841,11 @@ class STC007Stitcher:
 
         # The fresh resolution counts are valid on every return path:
         # cache them so a seam-verdict fallback never re-evaluates.
-        def res_of_counts(c14, c16):
-            if c14 > stc007.INTERLEAVE_OFS * 2:
-                return SAMPLE_RES_16BIT if (c16 * 128 // c14) > 32 \
-                    else SAMPLE_RES_14BIT
-            return SAMPLE_RES_UNKNOWN
-
-        f2o._fieldres = res_of_counts(int(res_counts[0]),
-                                      int(res_counts[1]))
-        f2e._fieldres = res_of_counts(int(res_counts[2]),
-                                      int(res_counts[3]))
+        f2o._fieldres = _res_of_counts(int(res_counts[0]),
+                                       int(res_counts[1]))
+        f2e._fieldres = _res_of_counts(int(res_counts[2]),
+                                       int(res_counts[3]))
+        self._steady_res = (fb.frame_number, f2o._fieldres, f2e._fieldres)
         if rc < 0:
             return False  # a seam verdict failed: full machine decides
 
@@ -1880,7 +1898,6 @@ class STC007Stitcher:
         # New conv carry: the last MIN_DEINT_DATA rows of the assembled
         # queue, materialized from the segment descriptors (pads get
         # fillFrameForOutput's exact line/frame numbering).
-        T = stc007.MIN_DEINT_DATA
         segs = [(conv, None), (field1.view_slice(0, c1), None)]
         if padI:
             segs.append((self._pad_view(padI),
@@ -1889,8 +1906,24 @@ class STC007Stitcher:
         if padO:
             segs.append((self._pad_view(padO),
                          int(field2.line_number[c2 - 1]) + 2))
+        self.conv_queue = self._build_carry(segs, fa.frame_number)
+        return True
+
+    def _steady_globals_ok(self):
+        from ..ops import stitch_native as _sn
+        return (_sn.available() and not self.record_views
+                and not self.en_cwd and not self.ignore_crc
+                and not self.mode_m2
+                and self.preset_resolution is None
+                and not self.file_start and not self.file_end)
+
+    def _build_carry(self, segs, pad_frame):
+        """Materialize the last MIN_DEINT_DATA rows of a conv segment
+        list [(view, pad_base_ln_or_None), ...] — the next pair's carry —
+        patching pad rows with fillFrameForOutput's line/frame
+        numbering."""
         picked = []
-        need = T
+        need = stc007.MIN_DEINT_DATA
         for view, pad_base in reversed(segs):
             n = len(view)
             if n == 0:
@@ -1912,8 +1945,295 @@ class STC007Stitcher:
         carry = LineStore.concat(views)
         for p, nums in patches:
             carry.line_number[p:p + len(nums)] = nums
-            carry.frame_number[p:p + len(nums)] = fa.frame_number
-        self.conv_queue = carry
+            carry.frame_number[p:p + len(nums)] = pad_frame
+        return carry
+
+    def _rolling_f1_res(self, fno):
+        """Field resolutions of the pending head frame, if already
+        known: from the steady roll, or from the previous pair's f2
+        field objects (the same frame)."""
+        sr = getattr(self, "_steady_res", None)
+        if sr is not None and sr[0] == fno:
+            return sr[1], sr[2]
+        flds = getattr(self, "fields", None)
+        if flds:
+            f2o = flds.get(("f2", "odd"))
+            f2e = flds.get(("f2", "even"))
+            if (f2o is not None and f2e is not None and len(f2o)
+                    and int(f2o.frame_number[0]) == fno):
+                ro = getattr(f2o, "_fieldres", None)
+                re_ = getattr(f2e, "_fieldres", None)
+                if ro is not None and re_ is not None:
+                    return ro, re_
+        return None
+
+    def _cache_scan_from_rec(self, rec, entry):
+        """Install a steady-round trim record as the store's _svc_scan
+        cache (the _scan_frame tuple format), so neither the replay nor
+        a fallback re-scans the frame."""
+        fno, store = entry
+        cb = int(rec[_sn_mod().REC_CB])
+        if cb == -2:
+            return  # the round bailed before this frame's trim scan
+        sn = _sn_mod()
+        raw = rec[sn.REC_TRIM:sn.REC_TRIM + 14]
+        fields = stc007.control_block_fields(store.words[cb]) \
+            if cb >= 0 else None
+        trim = {}
+        for parity, base, good in (("even", 0, 12), ("odd", 4, 13)):
+            skip_bad = int(raw[good]) > MIN_GOOD_LINES_PF
+            o = base if skip_bad else base + 2
+            trim[parity] = (int(raw[o]), int(raw[o + 1]))
+        store._svc_scan = (fno, bool(rec[sn.REC_NEW]),
+                           bool(rec[sn.REC_END]), fields, trim)
+
+    def _try_steady_run(self):
+        """Process as many consecutive steady pairs as possible in ONE
+        stc007_steady_round call (per pair: frame-B trim scan, field
+        split, fresh-field resolution counts, both seam evals, conv
+        assembly and the fused deinterleave run C-side with the frame-A
+        facts and conv carry rolled in C).  The stage machine's state
+        transitions are replayed here per pair from the returned
+        records — identical effects to _try_steady_pair, which remains
+        the single-pair form.  Returns False (nothing consumed) when
+        the first pair is not steady."""
+        if not self._steady_globals_ok():
+            return False
+        sn = _sn_mod()
+        fa, f0 = self.frasm_f1, self.frasm_f0
+        if not (f0.odd_data_lines == fa.odd_data_lines
+                and f0.even_data_lines == fa.even_data_lines
+                and f0.inner_padding_ok and f0.outer_padding_ok
+                and (f0.is_order_tff() or f0.is_order_bff())):
+            return False
+        fno1, store1 = self.pending_frames[0]
+        scan1 = getattr(store1, "_svc_scan", None)
+        if scan1 is None or scan1[0] != fno1 or scan1[1] or scan1[2]:
+            return False
+        r1 = self._rolling_f1_res(fno1)
+        if r1 is None:
+            return False
+        r1o, r1e = r1
+        known = (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
+        if r1o not in known or r1e not in known:
+            return False
+        conv = self.conv_queue
+        if len(conv) > stc007.MIN_DEINT_DATA:
+            return False
+        state = np.zeros(23, np.int64)
+        state[0] = f0.odd_data_lines
+        state[1] = f0.even_data_lines
+        state[2] = f0.inner_padding
+        state[3] = f0.outer_padding
+        state[4] = f0.inner_padding_ok
+        state[5] = f0.outer_padding_ok
+        state[6] = f0.field_order
+        state[7] = f0.video_standard
+        state[8] = f0.frame_number
+        state[9] = f0.odd_resolution
+        state[10] = f0.even_resolution
+        state[11] = fno1
+        state[12] = fa.trim_ok
+        state[13] = fa.even_top_data
+        state[14] = fa.even_bottom_data
+        state[15] = fa.odd_top_data
+        state[16] = fa.odd_bottom_data
+        state[17] = 16 if r1o == SAMPLE_RES_16BIT else 14
+        state[18] = 16 if r1e == SAMPLE_RES_16BIT else 14
+        state[19] = fa.field_order
+        state[20] = 0  # fa file tags: checked via scan1 above
+        state[21] = 0
+        state[22] = self.broken_countdown
+        unch_lim = self.max_unch_14 if self.en_q else self.max_unch_16
+        order_preset = self.preset_order \
+            if self.preset_order in (ORDER_TFF, ORDER_BFF) else 0
+        n_done, rec, samples, wvalid, wfixed, bvalid = sn.steady_round(
+            self.pending_frames, conv.words_i32(), conv.crc_ok8(),
+            np.ascontiguousarray(conv.line_number, np.int64),
+            np.ascontiguousarray(conv.frame_number, np.int64),
+            self._silent_words32(), self.en_p, self.en_q, unch_lim,
+            MAX_BURST_SILENCE, MAX_BURST_BROKEN, self.broken_mask_dur,
+            self.auto_m2, order_preset, self.preset_video,
+            bool(order_preset), state)
+        if n_done < len(rec):
+            # cache the bail pair's frame-B trim scan for the fallback
+            self._cache_scan_from_rec(rec[n_done],
+                                      self.pending_frames[n_done + 1])
+        if n_done <= 0:
+            return False
+
+        M14, M14A = di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO
+        M16, M16A = di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO
+
+        def strict(rr):
+            return M16 if rr == SAMPLE_RES_16BIT else M14
+
+        def auto(rr):
+            return M16A if rr == SAMPLE_RES_16BIT else M14A
+
+        r1o_cur, r1e_cur = r1o, r1e
+        last = None
+        for i in range(n_done):
+            r = rec[i]
+            fno1, store1 = self.pending_frames[0]
+            fno2, store2 = self.pending_frames[1]
+            fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
+            fa.frame_number = fno1
+            fb.frame_number = fno2
+            # find_frames_trim replay (frame B; frame A facts carried
+            # by the frasm roll).
+            self._cache_scan_from_rec(r, self.pending_frames[1])
+            _, _, _, cbf, trim = store2._svc_scan
+            if cbf is not None:
+                fb.ctrl_index = cbf["index"]
+                fb.ctrl_hour = cbf["hour"]
+                fb.ctrl_minute = cbf["minute"]
+                fb.ctrl_second = cbf["second"]
+                fb.ctrl_field = cbf["field"]
+                fb.ctrl_emphasis = cbf["emphasis"]
+                fb.ctrl_m2 = cbf["m2"]
+                fb.ctrl_seen = True
+            fb.even_top_data = fb.even_bottom_data = 0
+            fb.odd_top_data = fb.odd_bottom_data = 0
+            found = {}
+            for parity in ("even", "odd"):
+                first, last_r = trim[parity]
+                found[parity] = first >= 0
+                if first >= 0:
+                    setattr(fb, f"{parity}_top_data",
+                            int(store2.line_number[first]))
+                    setattr(fb, f"{parity}_bottom_data",
+                            int(store2.line_number[last_r]))
+            fb.trim_ok = found["odd"] and found["even"]
+            # split replay
+            sp = r[sn.REC_SPLIT:sn.REC_SPLIT + 13]
+            fb.even_data_lines = int(sp[3])
+            fb.even_valid_lines = int(sp[6])
+            fb.odd_data_lines = int(sp[9])
+            fb.odd_valid_lines = int(sp[12])
+            self.f1_max_line = getattr(self, "f2_max_line", 0)
+            self.f2_max_line = int(sp[0])
+            fa.odd_ref = int(r[sn.REC_OREF])
+            fa.even_ref = int(r[sn.REC_EREF])
+            # detect_video_standard replay
+            vstd = int(r[sn.REC_VSTD])
+            fa.vid_std_preset = self.preset_video != VID_UNKNOWN
+            fa.video_standard = vstd
+            if vstd == VID_NTSC:
+                fa.odd_std_lines = fa.even_std_lines = LINES_PF_NTSC
+            elif vstd == VID_PAL:
+                fa.odd_std_lines = fa.even_std_lines = LINES_PF_PAL
+            else:
+                fa.odd_std_lines = fa.even_std_lines = 0
+            if self.preset_order == ORDER_TFF:
+                fa.preset_tff()
+                fb.preset_tff()
+            elif self.preset_order == ORDER_BFF:
+                fa.preset_bff()
+                fb.preset_bff()
+            else:
+                fb.order_preset = False
+                fb.set_order_unknown()
+            # detect_audio_resolution replay (frame-A-known branch)
+            self.update_resolution_stats(r1o_cur)
+            self.update_resolution_stats(r1e_cur)
+            fa.odd_resolution = strict(r1o_cur)
+            fa.even_resolution = strict(r1e_cur)
+            ra = _res_of_counts(int(r[sn.REC_RES]), int(r[sn.REC_RES + 1]))
+            rb_ = _res_of_counts(int(r[sn.REC_RES + 2]),
+                                 int(r[sn.REC_RES + 3]))
+            UNK = SAMPLE_RES_UNKNOWN
+            if ra == UNK and rb_ == UNK:
+                by = self.get_probable_resolution()
+                mode = M16A if by == SAMPLE_RES_16BIT else M14A
+                fb.odd_resolution = fb.even_resolution = mode
+            elif ra == UNK:
+                fb.even_resolution = strict(rb_)
+                fb.odd_resolution = auto(rb_)
+            elif rb_ == UNK:
+                fb.odd_resolution = strict(ra)
+                fb.even_resolution = auto(ra)
+            else:
+                fb.odd_resolution = strict(ra)
+                fb.even_resolution = strict(rb_)
+            # stage machine TRY_PREVIOUS -> PAD_OK transitions
+            tff = f0.is_order_tff()
+            fa.inner_silence = fa.outer_silence = True
+            fb.inner_silence = fb.outer_silence = True
+            fb.inner_padding_ok = fb.outer_padding_ok = False
+            fb.inner_padding = fb.outer_padding = 0
+            fa.update_vid_std_soft(f0.video_standard)
+            fa.field_order = f0.field_order
+            fa.inner_padding = f0.inner_padding
+            fa.inner_padding_ok = True
+            fa.inner_silence = False
+            if fa.is_order_tff():
+                fa.tff_cnt = self.last_pad_counter
+            else:
+                fa.bff_cnt = self.last_pad_counter
+            fa.outer_padding = f0.outer_padding
+            fa.outer_padding_ok = True
+            if tff:
+                fb.set_order_tff()
+            else:
+                fb.set_order_bff()
+            fa.outer_silence = False
+            self.get_assembly_field_order()
+            # deint bookkeeping (the _deint_fused tail)
+            rate = self._block_sample_rate()
+            nb = int(r[sn.REC_NBLK])
+            ofs = int(r[sn.REC_OFS])
+            fa.blocks_total += nb
+            fa.blocks_fix_p += int(r[sn.REC_CNT])
+            fa.blocks_fix_q += int(r[sn.REC_CNT + 1])
+            fa.blocks_fix_cwd += int(r[sn.REC_CNT + 2])
+            fa.blocks_drop += int(r[sn.REC_CNT + 3])
+            fa.samples_drop += int(r[sn.REC_CNT + 4])
+            fa.blocks_broken_field += int(r[sn.REC_CNT + 5])
+            self.broken_countdown = int(r[sn.REC_CD])
+            emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
+                else (f0.ctrl_emphasis if f0.ctrl_seen else False)
+            self.out_chunks.append(SampleChunk(
+                samples=samples[ofs:ofs + nb].reshape(nb * 3, 2),
+                valid=wvalid[ofs:ofs + nb].reshape(nb * 3, 2),
+                fixed=wfixed[ofs:ofs + nb].reshape(nb * 3, 2),
+                block_ok=np.repeat(bvalid[ofs:ofs + nb], 3),
+                sample_rate=rate, emphasis=emphasis))
+            # the _pump roll
+            self.frame_log.append(fa.snapshot())
+            self.pending_frames.pop(0)
+            self.frasm_f0 = fa
+            self.frasm_f1 = fb
+            self.frasm_f2 = FrameAsm()
+            self._steady_res = (fno2, ra, rb_)
+            r1o_cur, r1e_cur = ra, rb_
+            last = (store1, tff, int(r[sn.REC_TARGET]))
+
+        # Rebuild the conv carry from the LAST processed pair's frame-A
+        # segments (the tail never reaches further back: 2*target rows
+        # always exceed MIN_DEINT_DATA).
+        store1_last, tff_last, target_last = last
+        f0 = self.frasm_f0
+        key = (f0.frame_number, f0.even_top_data, f0.even_bottom_data,
+               f0.odd_top_data, f0.odd_bottom_data)
+        cache = getattr(store1_last, "_split_cache", None)
+        if cache is None or cache["key"] != key:
+            cache = self._split_one(f0, store1_last, key)
+            store1_last._split_cache = cache
+        field1 = cache["odd"] if tff_last else cache["even"]
+        field2 = cache["even"] if tff_last else cache["odd"]
+        c1 = min(len(field1), target_last)
+        c2 = min(len(field2), target_last)
+        padI, padO = f0.inner_padding, f0.outer_padding
+        segs = [(field1.view_slice(0, c1), None)]
+        if padI:
+            segs.append((self._pad_view(padI),
+                         int(field1.line_number[c1 - 1]) + 2))
+        segs.append((field2.view_slice(0, c2), None))
+        if padO:
+            segs.append((self._pad_view(padO),
+                         int(field2.line_number[c2 - 1]) + 2))
+        self.conv_queue = self._build_carry(segs, f0.frame_number)
         return True
 
     def find_field_stitching(self):
