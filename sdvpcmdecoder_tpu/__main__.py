@@ -310,6 +310,11 @@ def main(argv=None):
             nonlocal frame_no, first, audio_out, audio_peak, \
                 frames_no_pcm, writer, live
             t_st = time.perf_counter()
+            # Whole-batch queueing routes consecutive steady pairs
+            # through one stc007_steady_round call; per-frame pushes
+            # stay when the render/stats paths need per-frame state.
+            batch_push = not args.render_dir and not args.stats
+            round_stores = []
             for (lines, nums), res in zip(split, results):
                 frame_no += 1
                 if res is None:
@@ -336,7 +341,10 @@ def main(argv=None):
                     tag.frame_number[0] = frame_no
                     store = st.LineStore.concat([tag, store])
                     first = False
-                stitcher.push_frame(store)
+                if batch_push:
+                    round_stores.append(store)
+                else:
+                    stitcher.push_frame(store)
                 if args.render_dir and res is not None:
                     from .pipeline import render as rn
                     import os
@@ -382,6 +390,8 @@ def main(argv=None):
                           f"Q[{fr.blocks_fix_q:3d}] "
                           f"brk[{fr.blocks_broken_field:3d}] "
                           f"drop[{fr.blocks_drop:3d}]")
+            if round_stores:
+                stitcher.push_frames(round_stores)
             stage_t["stitch"] += time.perf_counter() - t_st
             t_au = time.perf_counter()
             # Drain periodically to bound memory.
