@@ -1692,6 +1692,289 @@ void pcm16x0_decode_blocks_rows(
                         state_out, stage_out, samples_out, bval_out);
 }
 
+// ---------------------------------------------------------------------------
+// PCM-16x0 steady SI frame: the whole push_frame computation in one
+// call — trim scan, field split, false-positive prescan, the
+// zero-padding fast path of findSIPadding, queue assembly to the
+// SUBLINES_PF grid, the control-bit tally and the output block stream
+// (pipeline/stitcher_pcm16x0.py push_frame, port of doFrameReassemble
+// pcm16x0datastitcher.cpp:5652).  Python replays the frame-descriptor /
+// stats bookkeeping from the record and falls back to the unchanged
+// stage logic whenever this returns a bail status, so the fast path
+// can only match the slow path bit-for-bit or defer.
+// ---------------------------------------------------------------------------
+namespace {
+constexpr int64_t P16_LPF = 245;
+constexpr int64_t P16_SUBPF = P16_LPF * 3;       // 735
+constexpr int64_t P16_TRUE = 105;                // SI super-block
+constexpr int64_t P16_OFS = 35;                  // SI_OFS
+constexpr int32_t P16_MAX_SIL = 34, P16_MAX_UNCH = 34;
+constexpr int64_t P16_MIN_GOOD = (P16_LPF * 4 / 5) * 3;  // 588
+// ctrl-bit offsets (BIT_*_OFS)
+constexpr int P16_BIT_OFS[4] = {0, 3, 6, 9};
+
+struct P16Field {
+    std::vector<int32_t> w;      // [n,3]
+    std::vector<uint8_t> valid;  // crc_valid (post-prescan)
+    std::vector<uint8_t> cb;
+    std::vector<int8_t> part;
+    std::vector<int64_t> ln, fn;
+    std::vector<int8_t> pl, pr;
+    int64_t n = 0;
+    void fill(const int64_t* words, const uint8_t* crcv,
+              const uint8_t* forced, const uint8_t* cbits,
+              const int8_t* parts, const int64_t* lna, const int64_t* fna,
+              const int8_t* pla, const int8_t* pra,
+              const int64_t* idx, int64_t count) {
+        n = count;
+        if ((int64_t)valid.size() < count) {
+            w.resize((size_t)count * 3);
+            valid.resize((size_t)count);
+            cb.resize((size_t)count);
+            part.resize((size_t)count);
+            ln.resize((size_t)count);
+            fn.resize((size_t)count);
+            pl.resize((size_t)count);
+            pr.resize((size_t)count);
+        }
+        for (int64_t k = 0; k < count; ++k) {
+            const int64_t r = idx[k];
+            for (int i = 0; i < 3; ++i)
+                w[k * 3 + i] = (int32_t)words[r * 3 + i];
+            valid[k] = crcv[r] && !forced[r];
+            cb[k] = cbits[r];
+            part[k] = parts[r];
+            ln[k] = lna[r];
+            fn[k] = fna[r];
+            pl[k] = pla[r];
+            pr[k] = pra[r];
+        }
+    }
+    // prescanForFalsePosCRCs (:753-836): hits computed on a validity
+    // snapshot, applied after — matching the numpy twin's order.
+    void prescan() {
+        thread_local std::vector<int64_t> hits;
+        hits.clear();
+        for (int64_t i = 0; i + 2 < n; ++i) {
+            if (part[i] != 0 || part[i + 1] != 1 || part[i + 2] != 2)
+                continue;
+            if (fn[i] != fn[i + 1] || fn[i] != fn[i + 2]) continue;
+            if (ln[i] != ln[i + 1] || ln[i] != ln[i + 2]) continue;
+            const bool left_only = valid[i] && !valid[i + 1]
+                && !valid[i + 2] && pl[i] > 0;
+            const bool right_only = !valid[i] && !valid[i + 1]
+                && valid[i + 2] && pr[i + 2] > 0;
+            if (left_only || right_only) hits.push_back(i);
+        }
+        for (int64_t h : hits)
+            valid[h] = valid[h + 1] = valid[h + 2] = 0;
+    }
+};
+
+// one SI field queue decode over the group x 35 shift grid; outputs the
+// chunk ingredients + flags for the burst walk.  Returns B (blocks).
+int64_t p16_grid_decode(const int32_t* qw, const uint8_t* qv, int64_t S,
+                        int32_t en_p, std::vector<uint8_t>& flags,
+                        int64_t* counters, int16_t* samples_out,
+                        uint8_t* wv_out, uint8_t* wf_out,
+                        uint8_t* bok_out) {
+    const int64_t n_groups = S / P16_TRUE;
+    const int64_t B = n_groups * P16_OFS;
+    if (B == 0) {
+        for (int i = 0; i < 4; ++i) counters[i] = 0;
+        return 0;
+    }
+    thread_local std::vector<int64_t> shifts;
+    thread_local std::vector<uint8_t> even;
+    thread_local std::vector<int32_t> words;
+    thread_local std::vector<uint8_t> valid, wcrc, bval;
+    thread_local std::vector<int32_t> state, stage;
+    thread_local std::vector<int16_t> smp;
+    if ((int64_t)shifts.size() < B) {
+        shifts.resize((size_t)B);
+        even.resize((size_t)B);
+        bval.resize((size_t)B);
+    }
+    if ((int64_t)words.size() < B * 9) {
+        words.resize((size_t)B * 9);
+        valid.resize((size_t)B * 9);
+        wcrc.resize((size_t)B * 9);
+        state.resize((size_t)B * 3);
+        stage.resize((size_t)B * 3);
+        smp.resize((size_t)B * 6);
+    }
+    if ((int64_t)flags.size() < B) flags.resize((size_t)B);
+    for (int64_t g = 0; g < n_groups; ++g)
+        for (int64_t i = 0; i < P16_OFS; ++i) {
+            shifts[g * P16_OFS + i] = g * P16_TRUE + i;
+            even[g * P16_OFS + i] = (i & 1) == 1;
+        }
+    pcm16x0_decode_blocks(qw, qv, shifts.data(), even.data(), B,
+                          (int32_t)P16_OFS, en_p, 1,
+                          words.data(), valid.data(), wcrc.data(),
+                          state.data(), stage.data(), smp.data(),
+                          bval.data());
+    pcm16x0_block_flags(valid.data(), state.data(), stage.data(),
+                        smp.data(), bval.data(), B, flags.data(),
+                        counters);
+    if (samples_out) {
+        // _stream_blocks output math: per sub-block, broken kills
+        // validity; fixed needs the whole block valid.
+        for (int64_t b = 0; b < B; ++b) {
+            for (int blk = 0; blk < 3; ++blk) {
+                const int64_t sb = b * 3 + blk;
+                const bool brk = state[sb] == 2;
+                const bool bok = bval[b] && !brk;
+                bok_out[sb] = bok;
+                for (int k = 0; k < 2; ++k) {
+                    samples_out[sb * 2 + k] = smp[sb * 2 + k];
+                    wv_out[sb * 2 + k] = valid[sb * 3 + k] && !brk;
+                    wf_out[sb * 2 + k] = wcrc[sb * 3 + k] && bok;
+                }
+            }
+        }
+    }
+    return B;
+}
+}  // namespace
+
+// Record layout (int64[48]):
+//  0 status (0 ok; 1 file tag; 2 pad0 fast path failed)
+//  1..14 trim scan raw, 15..27 split scan raw,
+//  28..35 ctrl tally (emph_cnt, emph_votes, rate_c, rate_v, mode_c,
+//         mode_v, code_c, code_v),
+//  36/37 queue lengths, 38 blocks_total (3x decoded blocks),
+//  39..42 counters (drop, broken, fix_p, samples_drop, both queues),
+//  43/44 per-queue output row counts (B*3 each; queue 2 follows
+//  queue 1 in the packed output arrays).
+int32_t pcm16x0_steady_frame(
+    const int64_t* words, const uint8_t* crcv, const uint8_t* forced_bad,
+    const int64_t* frame_number, const int64_t* line_number,
+    const int8_t* line_part, const int8_t* service,
+    const uint8_t* control_bit, const uint8_t* bw_set,
+    const int8_t* picked_left, const int8_t* picked_right,
+    int64_t S, int64_t frame_no, int32_t order_tff, int32_t en_p,
+    int64_t* rec, int16_t* samples_out, uint8_t* wv_out,
+    uint8_t* wf_out, uint8_t* bok_out) {
+    for (int i = 0; i < 48; ++i) rec[i] = 0;
+    // 1. trim scan (rule B = bw_set alone; _find_trim)
+    int64_t tb[14];
+    stc007_trim_scan(line_number, frame_number, service, crcv, forced_bad,
+                     bw_set, S, frame_no, 0, tb);
+    for (int i = 0; i < 14; ++i) rec[1 + i] = tb[i];
+    if (tb[8] || tb[9]) {
+        rec[0] = 1;
+        return 1;
+    }
+    int64_t top[2] = {0, 0}, bot[2] = {0, 0};  // [even, odd]
+    for (int p = 0; p < 2; ++p) {
+        const int base = p == 0 ? 0 : 4;
+        const int good = p == 0 ? 12 : 13;
+        const int o = tb[good] > P16_MIN_GOOD ? base : base + 2;
+        if (tb[o] >= 0) {
+            top[p] = line_number[tb[o]];
+            bot[p] = line_number[tb[o + 1]];
+        }
+    }
+    // 2. split with explicit row indices
+    thread_local std::vector<int64_t> idx_e, idx_o;
+    if ((int64_t)idx_e.size() < P16_SUBPF) {
+        idx_e.resize((size_t)P16_SUBPF);
+        idx_o.resize((size_t)P16_SUBPF);
+    }
+    int64_t sp[13];
+    stc007_split_scan(line_number, frame_number, service, crcv,
+                      forced_bad, S, frame_no,
+                      top[0], bot[0], !(top[0] == 0 && bot[0] == 0),
+                      top[1], bot[1], !(top[1] == 0 && bot[1] == 0),
+                      P16_SUBPF, sp, idx_e.data(), idx_o.data());
+    for (int i = 0; i < 13; ++i) rec[15 + i] = sp[i];
+    // 3. field materialization + prescan
+    thread_local P16Field fe, fo;
+    fe.fill(words, crcv, forced_bad, control_bit, line_part, line_number,
+            frame_number, picked_left, picked_right, idx_e.data(), sp[3]);
+    fo.fill(words, crcv, forced_bad, control_bit, line_part, line_number,
+            frame_number, picked_left, picked_right, idx_o.data(), sp[9]);
+    fe.prescan();
+    fo.prescan();
+    P16Field* first = order_tff ? &fo : &fe;
+    P16Field* second = order_tff ? &fe : &fo;
+    // 4. per field: pad-0 fast path of findSIPadding, then queue
+    // assembly to the SUBLINES_PF / super-block grid.
+    thread_local std::vector<int32_t> q1w, q2w;
+    thread_local std::vector<uint8_t> q1v, q2v, q1c, q2c;
+    thread_local std::vector<uint8_t> fl;
+    int64_t out_ofs = 0;
+    for (int qi = 0; qi < 2; ++qi) {
+        P16Field* f = qi == 0 ? first : second;
+        int64_t cnt4[4];
+        // try_si_padding(field, 0)
+        (void)p16_grid_decode(f->w.data(), f->valid.data(), f->n, en_p,
+                              fl, cnt4, nullptr, nullptr, nullptr,
+                              nullptr);
+        const int64_t Bt = (f->n / P16_TRUE) * P16_OFS;
+        int32_t st4[4] = {0, 0, 0, 0};
+        if (Bt)
+            pcm16x0_burst_stats(fl.data(), Bt, P16_MAX_SIL, P16_MAX_UNCH,
+                                0, st4);
+        const bool ok0 = Bt > 0 && st4[3] < 1 && st4[1] <= P16_MAX_SIL
+            && st4[2] <= P16_MAX_UNCH && st4[0] > 0;
+        if (!ok0) {
+            rec[0] = 2;
+            return 2;
+        }
+        // queue = field + silent filler to the super-block grid
+        int64_t target = f->n + ((P16_TRUE - f->n % P16_TRUE) % P16_TRUE);
+        if (target < P16_SUBPF) target = P16_SUBPF;
+        std::vector<int32_t>& qw = qi == 0 ? q1w : q2w;
+        std::vector<uint8_t>& qv = qi == 0 ? q1v : q2v;
+        std::vector<uint8_t>& qc = qi == 0 ? q1c : q2c;
+        if ((int64_t)qv.size() < target) {
+            qw.resize((size_t)target * 3);
+            qv.resize((size_t)target);
+            qc.resize((size_t)target);
+        }
+        memcpy(qw.data(), f->w.data(), (size_t)f->n * 3 * sizeof(int32_t));
+        memcpy(qv.data(), f->valid.data(), (size_t)f->n);
+        memcpy(qc.data(), f->cb.data(), (size_t)f->n);
+        if (target > f->n) {
+            memset(&qw[(size_t)f->n * 3], 0,
+                   (size_t)(target - f->n) * 3 * sizeof(int32_t));
+            memset(&qv[f->n], 0, (size_t)(target - f->n));
+            memset(&qc[f->n], 0, (size_t)(target - f->n));
+        }
+        rec[36 + qi] = target;
+        // 5. ctrl-bit tally over this queue (collectCtrlBitStats)
+        const int64_t n_blk = target / P16_TRUE;
+        for (int64_t k = 0; k < n_blk; ++k) {
+            const int64_t base = k * P16_TRUE;
+            for (int name = 0; name < 4; ++name) {
+                const int64_t i = base + 1 + P16_BIT_OFS[name];
+                if (i < target && qv[i]) {
+                    ++rec[28 + name * 2];
+                    if (!qc[i]) ++rec[28 + name * 2 + 1];
+                }
+            }
+        }
+    }
+    // 6. stream both queues (ctrl tally first, as in push_frame)
+    for (int qi = 0; qi < 2; ++qi) {
+        std::vector<int32_t>& qw = qi == 0 ? q1w : q2w;
+        std::vector<uint8_t>& qv = qi == 0 ? q1v : q2v;
+        const int64_t target = rec[36 + qi];
+        int64_t cnt4[4];
+        const int64_t B = p16_grid_decode(
+            qw.data(), qv.data(), target, en_p, fl, cnt4,
+            samples_out + out_ofs * 2, wv_out + out_ofs * 2,
+            wf_out + out_ofs * 2, bok_out + out_ofs);
+        rec[38] += B * 3;
+        for (int i = 0; i < 4; ++i) rec[39 + i] += cnt4[i];
+        rec[43 + qi] = B * 3;
+        out_ofs += B * 3;
+    }
+    return 0;
+}
+
 // PCM-1 / PCM-16x0 coordinate-sweep fallback (the binarizer's
 // findPCM1Coordinates :5601 / findPCM16X0Coordinates :5819 search for
 // lines the shared frame coordinates cannot decode) — native twin of

@@ -217,6 +217,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.pcm16x0_steady_frame.restype = ctypes.c_int32
+        L.pcm16x0_steady_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.pcm16x0_block_flags.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -705,6 +715,41 @@ def pcm_crc_rows(words, fmt):
     L.pcm_crc_rows(w.ctypes.data, w.shape[0], n_words, word_bits, inv,
                    out.ctypes.data)
     return out
+
+
+# pcm16x0_steady_frame record indices (mirror of the C layout).
+P16_REC_N = 48
+(P16_STATUS, P16_TRIM, P16_SPLIT, P16_CTRL, P16_QLEN, P16_BTOTAL,
+ P16_CNT, P16_OUT) = 0, 1, 15, 28, 36, 38, 39, 43
+
+
+def pcm16x0_steady_frame(store, frame_no, order_tff, en_p):
+    """One-call steady SI frame (pcm16x0_steady_frame): trim, split,
+    false-positive prescan, the zero-padding fast path, queue assembly,
+    control-bit tally and the output block stream.  Returns (rc, rec,
+    samples [N,2] i16, wvalid [N,2], wfixed [N,2], bok [N]) — rc != 0
+    means a bail (file tag or the pad-0 fast path failed) and the caller
+    runs the unchanged frame logic."""
+    L = _load()
+    crcv = store.crc_valid_ignore_forced()
+    cap = 2 * (735 + 105)
+    rec = np.zeros(P16_REC_N, np.int64)
+    samples = np.empty((cap, 2), np.int16)
+    wv = np.empty((cap, 2), bool)
+    wf = np.empty((cap, 2), bool)
+    bok = np.empty(cap, bool)
+    rc = L.pcm16x0_steady_frame(
+        store.words.ctypes.data, _as_u8(crcv).ctypes.data,
+        _as_u8(store.forced_bad).ctypes.data,
+        store.frame_number.ctypes.data, store.line_number.ctypes.data,
+        store.line_part.ctypes.data, store.service.ctypes.data,
+        _as_u8(store.control_bit).ctypes.data,
+        _as_u8(store.bw_set).ctypes.data,
+        store.picked_left.ctypes.data, store.picked_right.ctypes.data,
+        len(store), int(frame_no), int(bool(order_tff)), int(bool(en_p)),
+        rec.ctypes.data, samples.ctypes.data, wv.ctypes.data,
+        wf.ctypes.data, bok.ctypes.data)
+    return int(rc), rec, samples, wv, wf, bok
 
 
 def pcm16x0_block_flags(valid, state, stage, samples, bval):

@@ -540,7 +540,97 @@ class PCM16X0Stitcher:
         return max(set(hist), key=hist.count)
 
     # -- frame processing -------------------------------------------------
+    def _try_steady_frame(self, buf: PCM16X0LineStore):
+        """One native call for the whole steady SI frame
+        (pcm16x0_steady_frame: trim, split, false-positive prescan, the
+        zero-padding fast path of findSIPadding, queue assembly,
+        control-bit tally and the output stream); every frame-descriptor
+        and stats transition is replayed HERE from the returned record.
+        Returns False — mutating nothing — whenever the C side bails
+        (file tags, pad-0 fast path fails) or the mode is EI, and the
+        unchanged frame logic runs.  Bit-identity is pinned by
+        tests/test_steady16.py."""
+        from ..ops import stitch_native as _sn
+        if self.fmt != FORMAT_SI or not _sn.available() or not len(buf):
+            return False
+        fr = FrameAsmPCM16X0()
+        data = buf.service == SRV_NO
+        frames = buf.frame_number[data]
+        fr.frame_number = int(frames[0]) if len(frames) else 0
+        fr.field_order = self.preset_field_order \
+            if self.preset_field_order != ORDER_UNK else \
+            (self.stats_order[-1] if self.stats_order else ORDER_TFF)
+        rc, rec, samples, wv, wf, bok = _sn.pcm16x0_steady_frame(
+            buf, fr.frame_number, fr.field_order == ORDER_TFF, self.en_p)
+        if rc != 0:
+            return False
+        self.file_start = False
+        self.file_end = False
+        # _find_trim replay
+        trim = rec[_sn.P16_TRIM:_sn.P16_TRIM + 14]
+        for name, base, good in (("even", 0, 12), ("odd", 4, 13)):
+            skip_bad = int(trim[good]) > MIN_GOOD_LINES_PF * 3
+            o = base if skip_bad else base + 2
+            first, last = int(trim[o]), int(trim[o + 1])
+            if first >= 0:
+                setattr(fr, f"{name}_top_data",
+                        int(buf.line_number[first]))
+                setattr(fr, f"{name}_bottom_data",
+                        int(buf.line_number[last]))
+        # _split_fields replay
+        sp = rec[_sn.P16_SPLIT:_sn.P16_SPLIT + 13]
+        fr.even_data_lines = int(sp[3])
+        fr.even_valid_lines = int(sp[6])
+        fr.odd_data_lines = int(sp[9])
+        fr.odd_valid_lines = int(sp[12])
+        # collect_ctrl_bit_stats replay (queues are always full fields
+        # here, so the too-few-sublines None case cannot occur)
+        c = rec[_sn.P16_CTRL:_sn.P16_CTRL + 8]
+        det = dict(
+            emphasis=int(c[1]) > int(c[0]) // 2,
+            sample_rate=SAMPLE_RATE_44100
+            if int(c[3]) > int(c[2]) // 2 else SAMPLE_RATE_44056,
+            ei_format=int(c[5]) > int(c[4]) // 2,
+            code=int(c[7]) > int(c[6]) // 2,
+            valid=(int(c[0]) >= 2 and int(c[2]) >= 2 and int(c[6]) >= 2))
+        self.update_ctrl_bit_stats(det)
+        if det["valid"]:
+            fr.emphasis = det["emphasis"]
+            fr.code = det["code"]
+            rate = det["sample_rate"]
+            ei = det["ei_format"]
+        else:
+            fr.emphasis = self._probable(self.stats_emph, False)
+            fr.code = self._probable(self.stats_code, False)
+            rate = self._probable(self.stats_rate, SAMPLE_RATE_44100)
+            ei = self._probable(self.stats_mode, False)
+        fr.sample_rate = self.preset_sample_rate or rate
+        fr.ei_detected = bool(ei)
+        if self.auto_fmt and det["valid"] and ei:
+            self.fmt = FORMAT_EI  # switch from the next frame
+        # _si_field_queue bookkeeping (pad-0 fast path, both fields)
+        fr.padding_ok = True
+        for _ in range(2):
+            self.stats_padding.append(0)
+            self.stats_padding = self.stats_padding[-STATS_DEPTH:]
+        # _stream_blocks bookkeeping + chunks
+        fr.blocks_total += int(rec[_sn.P16_BTOTAL])
+        fr.blocks_drop += int(rec[_sn.P16_CNT])
+        fr.blocks_broken += int(rec[_sn.P16_CNT + 1])
+        fr.blocks_fix_p += int(rec[_sn.P16_CNT + 2])
+        fr.samples_drop += int(rec[_sn.P16_CNT + 3])
+        b1, b2 = int(rec[_sn.P16_OUT]), int(rec[_sn.P16_OUT + 1])
+        for a, b in ((0, b1), (b1, b1 + b2)):
+            self.out_chunks.append(SampleChunk(
+                samples=samples[a:b], valid=wv[a:b], fixed=wf[a:b],
+                block_ok=bok[a:b], sample_rate=fr.sample_rate,
+                emphasis=fr.emphasis))
+        self.frame_log.append(dataclasses.replace(fr))
+        return True
+
     def push_frame(self, buf: PCM16X0LineStore):
+        if self._try_steady_frame(buf):
+            return
         fr = FrameAsmPCM16X0()
         data = buf.service == SRV_NO
         frames = buf.frame_number[data]
