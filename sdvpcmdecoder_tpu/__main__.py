@@ -556,7 +556,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                 if args.format == "pcm1":
                     store = sp1.PCM1LineStore.from_decoded(
                         wl1, cl1, np.full(L, frame_no), nums,
-                        ref_level=np.full(L, res.ref_level))
+                        ref_level=np.full(L, res.ref_level),
+                        valid=res.valid)
                     if args.render_dir:
                         from .pipeline import render as rn
                         import os as _os
@@ -581,7 +582,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                         np.repeat(nums, 3), np.tile(np.arange(3), L),
                         control_bit=np.repeat(res.ctrl, 3),
                         picked_left=res.picked_left,
-                        picked_right=res.picked_right)
+                        picked_right=res.picked_right, valid=res.valid)
                     if args.render_dir:
                         from .pipeline import render as rn
                         import os as _os

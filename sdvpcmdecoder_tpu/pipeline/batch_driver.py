@@ -239,7 +239,8 @@ class BatchDecoder:
                 from . import stitcher_pcm1 as sp1
                 store = sp1.PCM1LineStore.from_decoded(
                     res.words, res.crc_read, np.full(L, j.frame_no),
-                    nums, ref_level=np.full(L, res.ref_level))
+                    nums, ref_level=np.full(L, res.ref_level),
+                    valid=res.valid)
                 tag_cls = sp1.PCM1LineStore
                 srv_new = sp1.SRV_NEW_FILE
             else:
@@ -249,7 +250,7 @@ class BatchDecoder:
                     np.repeat(nums, 3), np.tile(np.arange(3), L),
                     control_bit=np.repeat(res.ctrl, 3),
                     picked_left=res.picked_left,
-                    picked_right=res.picked_right)
+                    picked_right=res.picked_right, valid=res.valid)
                 tag_cls = sp16.PCM16X0LineStore
                 srv_new = sp16.SRV_NEW_FILE
             j.stats.lines_total += len(res.valid)

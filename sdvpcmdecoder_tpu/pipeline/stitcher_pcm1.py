@@ -92,7 +92,7 @@ class PCM1LineStore:
 
     @staticmethod
     def from_decoded(words, crc_read, frame_number, line_number,
-                     ref_level=None):
+                     ref_level=None, valid=None):
         n = len(crc_read)
         out = PCM1LineStore(n)
         out.words = np.asarray(words, np.int64).copy()
@@ -102,6 +102,13 @@ class PCM1LineStore:
         out.bw_set[:] = True
         if ref_level is not None:
             out.ref_level = np.asarray(ref_level, np.int64).copy()
+        if valid is not None:
+            # Binarizer-verdict CRC cache priming (valid => CRC match
+            # by construction; only invalid rows re-CRC).
+            from .stitcher_pcm16x0 import _prime_crcv
+            out._crcv = _prime_crcv(out.words, out.source_crc,
+                                    np.asarray(valid, bool).reshape(-1),
+                                    "pcm1")
         # Header/footer service lines (binarizer.cpp:1562-1566 ->
         # setServHeader): the fixed pattern with source CRC 0xCCCC anchors
         # vertical alignment and flags emphasis.

@@ -30,6 +30,26 @@ from .stitcher_stc007 import (SRV_NO, SRV_NEW_FILE, SRV_END_FILE,
                               SAMPLE_RATE_44100, SAMPLE_RATE_44056,
                               StitchStats, SampleChunk)
 
+def _prime_crcv(words, source_crc, valid, fmt):
+    """CRC-validity cache from the binarizer verdict: valid rows match
+    by construction, invalid rows get the (rare) re-CRC for the
+    collision-filter rejections whose read still matches."""
+    crcv = valid.copy()
+    inv = np.nonzero(~valid)[0]
+    if len(inv):
+        from ..ops import stitch_native as _sn
+        w_inv = words[inv]
+        if _sn.available():
+            calc = _sn.pcm_crc_rows(w_inv, fmt).astype(np.int64)
+        elif fmt == "pcm1":
+            from ..formats import pcm1 as _p1
+            calc = np.asarray(_p1.calc_crc(w_inv, xp=np))
+        else:
+            calc = np.asarray(pcm16x0.calc_crc(w_inv, xp=np))
+        crcv[inv] = calc == source_crc[inv]
+    return crcv
+
+
 LINES_PF = 245                      # NTSC field (SI and EI use NTSC gear)
 SUBLINES_PF = LINES_PF * 3
 SI_TRUE_INTERLEAVE = di16.SI_OFS * 3        # 105 sublines per super-block
@@ -134,7 +154,7 @@ class PCM16X0LineStore:
     @staticmethod
     def from_decoded(words, crc_read, frame_number, line_number, line_part,
                      control_bit=None, picked_left=None,
-                     picked_right=None):
+                     picked_right=None, valid=None):
         n = len(crc_read)
         out = PCM16X0LineStore(n)
         out.words = np.asarray(words, np.int64).copy()
@@ -149,6 +169,13 @@ class PCM16X0LineStore:
         if picked_right is not None:
             out.picked_right = np.asarray(picked_right, np.int8).copy()
         out.bw_set[:] = True
+        if valid is not None:
+            # Prime the CRC-validity cache from the binarizer verdict
+            # (valid = syndrome==0 & read_ok: a valid subline IS a CRC
+            # match); only the invalid rows need the re-CRC.
+            out._crcv = _prime_crcv(out.words, out.source_crc,
+                                    np.asarray(valid, bool).reshape(-1),
+                                    "pcm16x0")
         return out
 
 
