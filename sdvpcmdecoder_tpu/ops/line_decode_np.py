@@ -438,19 +438,22 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
 
 def search_coordinates(pixels_line, ref, black, white, width, fmt="pcm1",
                        history=None, part=0, bin_mode_shifts=SHIFT_STAGES_SAFE,
-                       preset: BinPreset | None = None):
+                       preset: BinPreset | None = None, max_ofs=None):
     """Coordinate sweep for PCM-1 / PCM-16x0. Returns dict or None.
 
     Follows searchPCM1Data: left x right offset grid at PPB/step_div
     steps, per-left CRC stats on the right axis, then stats + region pick
-    on the left axis.
+    on the left axis.  max_ofs overrides the grid half-width (the
+    periodic refresh sweeps a narrow window around the locked
+    coordinates; callers fall back to the full width on a miss).
     """
     preset = preset or BinPreset()
     spec = SPEC_PCM1 if fmt == "pcm1" else SPEC_PCM16X0_FULL
     step_div = PCM1_SEARCH_STEP_DIV if fmt == "pcm1" \
         else PCM16X0_SEARCH_STEP_DIV
-    max_ofs = PCM1_SEARCH_MAX_OFS if fmt == "pcm1" \
-        else PCM16X0_SEARCH_MAX_OFS
+    if max_ofs is None:
+        max_ofs = PCM1_SEARCH_MAX_OFS if fmt == "pcm1" \
+            else PCM16X0_SEARCH_MAX_OFS
     if history is not None:
         ds, de = history
     else:

@@ -123,20 +123,35 @@ class PCMFrameDriver:
                 refs[f], blacks[f], whites[f] = ref, black, white
                 usable[f] = True
                 continue
+            # Periodic refresh with locked coordinates sweeps a NARROW
+            # window around them — drift tracking costs a fraction of
+            # the bootstrap sweep; a refresh that finds nothing retries
+            # at full width below, so robustness is unchanged.
+            narrow = None
+            if (not self._force_search and self.coord_history
+                    and (self._last_good or self._coords_stable())):
+                full = ld.PCM1_SEARCH_MAX_OFS if self.fmt == "pcm1" \
+                    else ld.PCM16X0_SEARCH_MAX_OFS
+                narrow = max(2, full // 3)
             self._frames_since_search = 0
             hist = self._hist_coords()
             hits = []
-            for k in range(n_chk):
-                sw = ld.search_coordinates(
-                    sample[f, k], ref, black, white, W, fmt=self.fmt,
-                    history=hist, preset=self.preset,
-                    bin_mode_shifts=self.shift_limit)
-                if sw is not None:
-                    hits.append((sw["start"], sw["stop"]))
-                    if hist is None and len(hits) == 1:
-                        # Seed further sample lines with the first hit
-                        # so their sweeps stay narrow.
-                        hist = hits[0]
+            passes = (narrow, None) if narrow is not None else (None,)
+            for retry_ofs in passes:
+                for k in range(n_chk):
+                    sw = ld.search_coordinates(
+                        sample[f, k], ref, black, white, W, fmt=self.fmt,
+                        history=hist, preset=self.preset,
+                        bin_mode_shifts=self.shift_limit,
+                        max_ofs=retry_ofs)
+                    if sw is not None:
+                        hits.append((sw["start"], sw["stop"]))
+                        if hist is None and len(hits) == 1:
+                            # Seed further sample lines with the first
+                            # hit so their sweeps stay narrow.
+                            hist = hits[0]
+                if hits or retry_ofs is None:
+                    break
             if hits:
                 hs = np.array(hits)
                 c = (_imed(hs[:, 0]), _imed(hs[:, 1]))

@@ -89,3 +89,43 @@ def test_periodic_refresh(monkeypatch):
     for _ in range(v2d_other.SEARCH_REFRESH + 1):
         drv.decode_frames(frames[1:])
     assert calls["n"] > base
+
+
+def test_refresh_is_narrow_and_falls_back_full(monkeypatch):
+    """The periodic refresh sweeps a narrow window around the locked
+    coordinates; an abrupt coordinate jump makes the narrow pass miss
+    and the full-width retry must recover the new coordinates."""
+    widths = []
+    orig = ld.search_coordinates
+
+    def spy(*a, **k):
+        widths.append(k.get("max_ofs"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ld, "search_coordinates", spy)
+    frames = _pcm1_frames(2)
+    drv = v2d_other.PCMFrameDriver("pcm1")
+    drv.decode_frames(frames[:1])
+    assert set(widths) == {None}  # bootstrap: full width
+    widths.clear()
+    for _ in range(v2d_other.SEARCH_REFRESH + 1):
+        drv.decode_frames(frames[1:])
+    assert widths and all(w is not None for w in widths), \
+        "refresh must sweep narrow"
+
+    # A narrow refresh that finds NOTHING must retry at full width in
+    # the same frame (robustness is never below the pre-narrow policy).
+    widths.clear()
+
+    def narrow_blind(*a, max_ofs=None, **k):
+        widths.append(max_ofs)
+        if max_ofs is not None:
+            return None  # simulate drift beyond the narrow window
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ld, "search_coordinates", narrow_blind)
+    for _ in range(v2d_other.SEARCH_REFRESH + 1):
+        drv.decode_frames(frames[1:])
+    assert any(w is not None for w in widths)
+    assert None in widths, \
+        "a blind narrow refresh must fall back to the full sweep"
