@@ -232,26 +232,59 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=24):
     return max(run("a"), run("b"), run("c"))
 
 
+def device_fps_subprocess(timeout=900):
+    """Run device_only_fps in a child process with a hard timeout: a
+    wedged accelerator tunnel hangs `import jax` itself, which no
+    in-process guard can interrupt.  Returns (fps_or_None, note)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-only"],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, "device bench timed out (accelerator unreachable?)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-1:]
+        return None, f"device bench failed: {tail}"
+    try:
+        return float(r.stdout.strip().splitlines()[-1]), None
+    except (ValueError, IndexError):
+        return None, "device bench produced no number"
+
+
 def main():
+    if "--device-only" in sys.argv:
+        jaxcache.enable()
+        print(device_only_fps())
+        return
+    # The e2e paths run the host-native backend; pin the in-process JAX
+    # to CPU so a wedged TPU tunnel cannot hang the headline numbers
+    # (the device metric gets the real accelerator in its subprocess).
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     jaxcache.enable()
-    dev_fps = device_only_fps()
+    dev_fps, dev_note = device_fps_subprocess()
     with tempfile.TemporaryDirectory() as tmp:
         fps, backend, stage = e2e_fps(tmp)
         p1_fps = other_fmt_fps(tmp, "pcm1", make_pcm1_captures)
         p16_fps = other_fmt_fps(tmp, "pcm16x0", make_pcm16x0_captures)
+    extra = {"pcm1_e2e_frames_per_sec": round(p1_fps, 2),
+             "pcm16x0_e2e_frames_per_sec": round(p16_fps, 2),
+             "backend": backend,
+             "stage_seconds": stage,
+             "e2e_scope": "y4m ingest + v2d prescan + trial-grid "
+                          "binarize + host stitch + P/Q ECC + audio "
+                          "mask + wav, 8 concurrent captures"}
+    if dev_fps is not None:
+        extra["device_decode_frames_per_sec"] = round(dev_fps, 2)
+    else:
+        extra["device_decode_frames_per_sec"] = None
+        extra["device_bench_note"] = dev_note
     print(json.dumps({
         "metric": "stc007_pal_e2e_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-        "extra": {"device_decode_frames_per_sec": round(dev_fps, 2),
-                  "pcm1_e2e_frames_per_sec": round(p1_fps, 2),
-                  "pcm16x0_e2e_frames_per_sec": round(p16_fps, 2),
-                  "backend": backend,
-                  "stage_seconds": stage,
-                  "e2e_scope": "y4m ingest + v2d prescan + trial-grid "
-                               "binarize + host stitch + P/Q ECC + audio "
-                               "mask + wav, 8 concurrent captures"},
+        "extra": extra,
     }))
 
 

@@ -1679,6 +1679,69 @@ void pcm16x0_decode_blocks(
     delete[] rows;
 }
 
+// PCM-1 field deinterleave + 13->16 companding + output stats in one
+// pass — twin of ops/pcm1_deint.deinterleave_field + formats/pcm1
+// expand_sample (pcm1line.cpp:196-233) + the _deinterleave_field stat
+// reduces (pipeline/stitcher_pcm1.py).  Inputs are the assembled
+// 735-subline field (caller pads); outputs are the SampleChunk
+// ingredients in pair order with the short-block pair dropped.
+// counters[2] = (blocks with any invalid pair, invalid pairs).
+namespace {
+constexpr int P1_BLOCKS = 8, P1_STRIPE = 46, P1_PAIRS = 92;
+
+inline int16_t pcm1_expand1(int64_t word) {
+    const uint32_t w = (uint32_t)(word & 0x1FFF);
+    uint32_t out;
+    if ((w & 0x1000u) == 0) {
+        out = (w << 4) & 0xFFFFu;
+    } else {
+        out = (w & ~0x1000u) << 2;
+        if (w & 0x0800u) out |= (1u << 15) | (1u << 14);
+        out &= 0xFFFFu;
+    }
+    return (int16_t)(out >= 0x8000u ? (int32_t)out - 0x10000
+                                    : (int32_t)out);
+}
+
+// (block, pair) -> subline, -1 for the absent short-block pair
+// (pair_to_subline_map twin).
+inline int64_t p1_subline(int n, int p) {
+    const bool even_stripe = (p % 2) == 1;
+    const int wp = p / 2;
+    if (n == P1_BLOCKS - 1 && even_stripe && wp >= 45) return -1;
+    const int ofs = (((n % 2) == 0) == even_stripe) ? 0 : P1_STRIPE;
+    return (int64_t)n * P1_PAIRS + ofs + wp;
+}
+}  // namespace
+
+void pcm1_field_deint(
+    const int64_t* sub_left, const int64_t* sub_right,
+    const uint8_t* sub_valid,
+    int16_t* samples, uint8_t* valid2, uint8_t* bok, int64_t* counters) {
+    counters[0] = counters[1] = 0;
+    int64_t o = 0;
+    for (int n = 0; n < P1_BLOCKS; ++n) {
+        bool block_valid = true;
+        for (int p = 0; p < P1_PAIRS; ++p) {
+            const int64_t s = p1_subline(n, p);
+            if (s >= 0 && !sub_valid[s]) block_valid = false;
+        }
+        if (!block_valid) ++counters[0];
+        for (int p = 0; p < P1_PAIRS; ++p) {
+            const int64_t s = p1_subline(n, p);
+            if (s < 0) continue;
+            const uint8_t v = sub_valid[s];
+            samples[o * 2 + 0] = pcm1_expand1(sub_left[s]);
+            samples[o * 2 + 1] = pcm1_expand1(sub_right[s]);
+            valid2[o * 2 + 0] = v;
+            valid2[o * 2 + 1] = v;
+            bok[o] = block_valid;
+            if (!v) ++counters[1];
+            ++o;
+        }
+    }
+}
+
 // Row-mapped variant: rows [B, 3] explicit subline indices per block.
 void pcm16x0_decode_blocks_rows(
     const int32_t* sub_words, const uint8_t* sub_crc,

@@ -217,6 +217,10 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.pcm1_field_deint.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.pcm16x0_steady_frame.restype = ctypes.c_int32
         L.pcm16x0_steady_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -750,6 +754,26 @@ def pcm16x0_steady_frame(store, frame_no, order_tff, en_p):
         rec.ctypes.data, samples.ctypes.data, wv.ctypes.data,
         wf.ctypes.data, bok.ctypes.data)
     return int(rc), rec, samples, wv, wf, bok
+
+
+def pcm1_field_deint(sub_left, sub_right, sub_valid):
+    """One-pass PCM-1 field deinterleave + companding + stats ->
+    (samples [735,2] i16, valid [735,2], block_ok [735],
+    bad_blocks, samples_drop); twin of pcm1_deint.deinterleave_field +
+    expand_sample (differential-tested)."""
+    L = _load()
+    N = 735
+    sl = np.ascontiguousarray(sub_left, np.int64)
+    sr = np.ascontiguousarray(sub_right, np.int64)
+    sv = _as_u8(sub_valid)
+    samples = np.empty((N, 2), np.int16)
+    valid2 = np.empty((N, 2), bool)
+    bok = np.empty(N, bool)
+    counters = np.empty(2, np.int64)
+    L.pcm1_field_deint(sl.ctypes.data, sr.ctypes.data, sv.ctypes.data,
+                       samples.ctypes.data, valid2.ctypes.data,
+                       bok.ctypes.data, counters.ctypes.data)
+    return samples, valid2, bok, int(counters[0]), int(counters[1])
 
 
 def pcm16x0_block_flags(valid, state, stage, samples, bval):

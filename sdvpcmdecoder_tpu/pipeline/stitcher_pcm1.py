@@ -312,12 +312,22 @@ class PCM1Stitcher:
         sl[top:top + n_copy] = field["left"][:n_copy]
         sr[top:top + n_copy] = field["right"][:n_copy]
         sv[top:top + n_copy] = field["valid"][:n_copy]
+        from ..ops import stitch_native as _sn
+        fr.blocks_total += di1.INT_BLK_PER_FIELD
+        if _sn.available():
+            # One-pass native deinterleave + companding + stats (twin of
+            # the numpy tail below, differential-tested).
+            samples, v2, bok, bad, sdrop = _sn.pcm1_field_deint(sl, sr, sv)
+            fr.blocks_drop += bad
+            fr.samples_drop += sdrop
+            self.out_chunks.append(SampleChunk(
+                samples=samples, valid=v2, fixed=np.zeros_like(v2),
+                block_ok=bok, sample_rate=SAMPLE_RATE_44100,
+                emphasis=fr.emphasis))
+            return
         out = di1.deinterleave_field(sl, sr, sv)
         left = np.asarray(pcm1.expand_sample(out["left"], xp=np))
         right = np.asarray(pcm1.expand_sample(out["right"], xp=np))
-        fr.blocks_total += di1.INT_BLK_PER_FIELD
-        bv = out["block_valid"].reshape(di1.INT_BLK_PER_FIELD, -1)[:, 0] \
-            if False else None
         v2 = np.repeat(out["valid"][:, None], 2, axis=1)
         self.out_chunks.append(SampleChunk(
             samples=np.stack([left, right], axis=1),

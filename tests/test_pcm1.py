@@ -119,3 +119,32 @@ def test_pcm1_stitcher_bad_line_flags():
     assert len(invalid) == 3  # one line = 3 sublines = 3 pairs
     fr = s.frame_log[0]
     assert fr.blocks_drop >= 1 and fr.samples_drop == 3
+
+
+def test_native_field_deint_matches_numpy():
+    """pcm1_field_deint (gather + companding + stats in C) == the numpy
+    deinterleave_field + expand_sample tail, including the short-block
+    pair drop and the stat reduces."""
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
+    if not sn.available():
+        import pytest
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        sl = rng.integers(0, 1 << 13, di1.FIELD_SUBLINES)
+        sr = rng.integers(0, 1 << 13, di1.FIELD_SUBLINES)
+        sv = rng.random(di1.FIELD_SUBLINES) > (0.15 * trial)
+        out = di1.deinterleave_field(sl, sr, sv)
+        left = np.asarray(pcm1.expand_sample(out["left"], xp=np))
+        right = np.asarray(pcm1.expand_sample(out["right"], xp=np))
+        ref_samples = np.stack([left, right], axis=1)
+        ref_v2 = np.repeat(out["valid"][:, None], 2, axis=1)
+        ref_bok = np.asarray(out["block_valid"], bool)
+        ref_bad = len(np.unique(
+            np.nonzero(~out["block_valid"])[0] // di1.BLOCK_PAIRS))
+        ref_drop = int(np.sum(~out["valid"]))
+        samples, v2, bok, bad, sdrop = sn.pcm1_field_deint(sl, sr, sv)
+        np.testing.assert_array_equal(samples, ref_samples)
+        np.testing.assert_array_equal(v2, ref_v2)
+        np.testing.assert_array_equal(bok, ref_bok)
+        assert (bad, sdrop) == (ref_bad, ref_drop), trial
