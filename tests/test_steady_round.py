@@ -185,3 +185,33 @@ def test_round_with_control_blocks():
     assert la == lb
     assert hits >= 1, "round must engage with CB lines present"
     assert any(f["ctrl_seen"] and f["ctrl_emphasis"] for f in la)
+
+
+def test_round_with_dropped_frame_dummies():
+    """All-invalid dummy frames (the driver's dropped-frame insert)
+    interrupt the steady run; output must match the machine exactly."""
+    frames = _capture(n_frames=10, seed=20)
+
+    def run(disable):
+        s = st.STC007Stitcher()
+        if disable:
+            s._try_steady_pair = lambda: False
+            s._try_steady_run = lambda: False
+        stores = _stores(frames, 0, 0)
+        # replace frame 5 with a dummy (LineStore of invalid lines)
+        dummy = st.LineStore(len(frames[5]["crcs"]))
+        dummy.frame_number[:] = frames[5]["frame_number"]
+        dummy.line_number = np.asarray(frames[5]["line_numbers"],
+                                       np.int64).copy()
+        stores[5] = dummy
+        s.push_frames(stores)
+        s.finish()
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log
+
+    a, la = run(False)
+    b, lb = run(True)
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(x, y)
+    assert la == lb
