@@ -232,17 +232,29 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=24):
     return max(run("a"), run("b"), run("c"))
 
 
-def device_fps_subprocess(timeout=900):
+def device_fps_subprocess(probe_timeout=150, timeout=900):
     """Run device_only_fps in a child process with a hard timeout: a
     wedged accelerator tunnel hangs `import jax` itself, which no
-    in-process guard can interrupt.  Returns (fps_or_None, note)."""
+    in-process guard can interrupt.  A quick device-probe subprocess
+    gates the full run so a dead tunnel costs ~2 min, not the whole
+    compile budget.  Returns (fps_or_None, note)."""
     import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=probe_timeout)
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            return None, f"device probe failed: {tail}"
+    except subprocess.TimeoutExpired:
+        return None, "device probe timed out (accelerator unreachable?)"
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-only"],
             capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return None, "device bench timed out (accelerator unreachable?)"
+        return None, "device bench timed out"
     if r.returncode != 0:
         tail = (r.stderr or r.stdout or "").strip().splitlines()[-1:]
         return None, f"device bench failed: {tail}"
