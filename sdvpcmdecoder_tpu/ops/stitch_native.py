@@ -55,18 +55,22 @@ def _load():
             # processes must not clobber each other's .so mid-load.
             tmp = lib.with_name(f".libsdvstitch.{os.getpid()}.so")
             try:
-                try:
-                    subprocess.run(
-                        ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-                         "-o", str(tmp), str(src)],
-                        check=True, capture_output=True)
-                except Exception:
-                    # Toolchains without libgomp: serial build (the
-                    # pragmas are no-ops without -fopenmp).
-                    subprocess.run(
-                        ["g++", "-O3", "-shared", "-fPIC", "-o",
-                         str(tmp), str(src)],
-                        check=True, capture_output=True)
+                # The core is integer-only, so -march=native is
+                # bit-safe; the .so is always built on the host that
+                # runs it.  Fallback chain drops -march, then -fopenmp
+                # (the pragmas are no-ops without it).
+                for flags in (["-O3", "-march=native", "-fopenmp"],
+                              ["-O3", "-fopenmp"],
+                              ["-O3"]):
+                    try:
+                        subprocess.run(
+                            ["g++", *flags, "-shared", "-fPIC",
+                             "-o", str(tmp), str(src)],
+                            check=True, capture_output=True)
+                        break
+                    except Exception:
+                        if flags == ["-O3"]:
+                            raise
                 os.replace(tmp, lib)
             except Exception:
                 # No compiler (or a failed build): fall back to a shipped
