@@ -1317,6 +1317,38 @@ int64_t stc007_steady_round(
     return pair;
 }
 
+// Accumulated per-line region histograms (ops/agc.py
+// region_histograms twin): line i accumulates pixels[i, lo:hi) over
+// ns spans -> out [N,256].  Overlapping spans count once, exactly as
+// the numpy mask |= formulation (a per-line pixel mask for ns > 1).
+void agc_region_hist(const uint8_t* pixels, int64_t N, int64_t W,
+                     const int64_t* lo, const int64_t* hi, int64_t ns,
+                     int64_t* out) {
+    memset(out, 0, (size_t)N * 256 * sizeof(int64_t));
+    thread_local std::vector<uint8_t> mask;
+    if (ns > 1 && (int64_t)mask.size() < W) mask.resize((size_t)W);
+    for (int64_t i = 0; i < N; ++i) {
+        int64_t* h = out + i * 256;
+        const uint8_t* px = pixels + i * W;
+        if (ns == 1) {
+            int64_t a = lo[i], b = hi[i];
+            if (a < 0) a = 0;
+            if (b > W) b = W;
+            for (int64_t p = a; p < b; ++p) ++h[px[p]];
+            continue;
+        }
+        memset(mask.data(), 0, (size_t)W);
+        for (int64_t s = 0; s < ns; ++s) {
+            int64_t a = lo[s * N + i], b = hi[s * N + i];
+            if (a < 0) a = 0;
+            if (b > W) b = W;
+            if (a < b) memset(&mask[a], 1, (size_t)(b - a));
+        }
+        for (int64_t p = 0; p < W; ++p)
+            if (mask[p]) ++h[px[p]];
+    }
+}
+
 // Histogram peak search with early-stop window (findBlackWhite
 // binarizer.cpp:3235-3330) — native twin of ops/agc.py::_peak_scan.
 // hist [N*256] i64; start/stop_limit/min_count/delta [N] i64;

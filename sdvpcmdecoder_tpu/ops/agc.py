@@ -61,6 +61,10 @@ def region_histograms(pixels: np.ndarray, spans):
     accumulates pixels[i, lo[i]:hi[i]) across all spans -> [N, 256].
     """
     N, W = pixels.shape
+    from . import stitch_native as _sn
+    if (_sn.available() and isinstance(pixels, np.ndarray)
+            and pixels.dtype == np.uint8 and pixels.flags.c_contiguous):
+        return _sn.region_hist(pixels, spans)
     idx = np.arange(W)[None, :]
     mask = np.zeros((N, W), dtype=bool)
     for lo, hi in spans:

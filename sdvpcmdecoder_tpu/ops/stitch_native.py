@@ -221,6 +221,10 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.agc_region_hist.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
         L.pcm1_field_deint.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -758,6 +762,23 @@ def pcm16x0_steady_frame(store, frame_no, order_tff, en_p):
         rec.ctypes.data, samples.ctypes.data, wv.ctypes.data,
         wf.ctypes.data, bok.ctypes.data)
     return int(rc), rec, samples, wv, wf, bok
+
+
+def region_hist(pixels, spans):
+    """Native region_histograms twin: per-line histograms over masked
+    pixel spans (overlaps count once) -> [N, 256] i64."""
+    L = _load()
+    N, W = pixels.shape
+    ns = len(spans)
+    lo = np.empty((ns, N), np.int64)
+    hi = np.empty((ns, N), np.int64)
+    for s, (a, b) in enumerate(spans):
+        lo[s] = np.broadcast_to(np.asarray(a, np.int64), (N,))
+        hi[s] = np.broadcast_to(np.asarray(b, np.int64), (N,))
+    out = np.empty((N, 256), np.int64)
+    L.agc_region_hist(pixels.ctypes.data, N, W, lo.ctypes.data,
+                      hi.ctypes.data, ns, out.ctypes.data)
+    return out
 
 
 def pcm1_field_deint(sub_left, sub_right, sub_valid):

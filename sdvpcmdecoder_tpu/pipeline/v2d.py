@@ -36,8 +36,15 @@ BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 def _imed(a):
     """int(np.median(a)) for small 1-D nonnegative int data without
     np.median's ~20us dispatch overhead (for nonnegative values the
-    even-length floor-mean equals the truncated float mean)."""
-    a = np.sort(np.asarray(a, dtype=np.int64).ravel())
+    even-length floor-mean equals the truncated float mean).  Tiny
+    inputs (the 4-sample prescan medians) skip numpy entirely."""
+    a = np.asarray(a)
+    if a.size <= 8:
+        vals = sorted(int(v) for v in a.ravel().tolist())
+        n = len(vals)
+        h = n >> 1
+        return vals[h] if n & 1 else (vals[h - 1] + vals[h]) >> 1
+    a = np.sort(a.astype(np.int64, copy=False).ravel())
     n = a.shape[0]
     h = n >> 1
     if n & 1:

@@ -72,3 +72,31 @@ def test_markers_absent_on_noise():
     pixels = rng.integers(0, 40, size=(8, 1152)).astype(np.uint8)
     res = markers.search_markers(pixels, np.full(8, 110))
     assert not (res.start_found & res.stop_found).any()
+
+
+def test_native_region_hist_matches_numpy():
+    """agc_region_hist == the numpy masked-bincount formulation,
+    including overlapping/clamped/empty spans."""
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
+    if not sn.available():
+        import pytest
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(5)
+    N, W = 13, 300
+    px = rng.integers(0, 256, (N, W)).astype(np.uint8)
+    lo1 = rng.integers(-5, W, N)
+    hi1 = lo1 + rng.integers(0, 150, N)
+    lo2 = rng.integers(0, W, N)
+    hi2 = lo2 + rng.integers(-10, 200, N)   # some empty spans
+    for spans in ([(lo1, hi1)], [(lo1, hi1), (lo2, hi2)],
+                  [(10, 60), (40, W + 20)]):   # scalars + overlap + clamp
+        ref = np.zeros((N, W), bool)
+        idx = np.arange(W)[None, :]
+        for lo, hi in spans:
+            lo = np.broadcast_to(np.asarray(lo, np.int64), (N,))
+            hi = np.broadcast_to(np.asarray(hi, np.int64), (N,))
+            ref |= (idx >= lo[:, None]) & (idx < hi[:, None])
+        ids = ((np.arange(N)[:, None] << 8) | px)[ref]
+        want = np.bincount(ids, minlength=N * 256).reshape(N, 256)
+        got = sn.region_hist(px, spans)
+        np.testing.assert_array_equal(got, want, err_msg=str(len(spans)))
