@@ -136,9 +136,9 @@ def e2e_fps(tmp):
         return fps
 
     run("warm", record=False)          # compile / cache warm-up
-    # Best-of-3: this 1-core host shows +/-40% run-to-run noise, and the
+    # Best-of-5: this 1-core host shows +/-40% run-to-run noise, and the
     # stage table always belongs to the run behind the headline number.
-    fps = max(run("a"), run("b"), run("c"))
+    fps = max(run(t) for t in "abcde")
     backend = stage.pop("_backend", "?")
     stage.pop("_fps", None)
     return fps, backend, stage
@@ -229,7 +229,7 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=24):
         return n_caps * n_frames / (time.perf_counter() - t0)
 
     run("warm")
-    return max(run("a"), run("b"), run("c"))
+    return max(run(t) for t in "abcde")
 
 
 def device_fps_subprocess(probe_timeout=150, timeout=900):
