@@ -304,6 +304,9 @@ def main(argv=None):
         stage_t = {"read": 0.0, "decode": 0.0, "stitch": 0.0,
                    "audio": 0.0}
 
+        from .utils.stats import DecodeStats
+        agg = DecodeStats()
+
         def consume(split, results):
             # Runs on the single stitch worker: the host reassembly for
             # batch N overlaps the device decode of batch N+1.
@@ -392,6 +395,11 @@ def main(argv=None):
                           f"drop[{fr.blocks_drop:3d}]")
             if round_stores:
                 stitcher.push_frames(round_stores)
+            # Aggregate + drain the work log every batch: the log
+            # otherwise grows without bound over archive-length tapes.
+            for fr in stitcher.frame_log:
+                agg.add_frame(fr)
+            del stitcher.frame_log[:]
             stage_t["stitch"] += time.perf_counter() - t_st
             t_au = time.perf_counter()
             # Drain periodically to bound memory.
@@ -470,9 +478,7 @@ def main(argv=None):
         if live is not None:
             live.stop_output()
     dt = time.perf_counter() - t0
-    from .utils.stats import DecodeStats
-    agg = DecodeStats()
-    for fr in stitcher.frame_log:
+    for fr in stitcher.frame_log:  # entries since the last batch drain
         agg.add_frame(fr)
     agg.lines_total, agg.lines_valid = line_counts
     agg.samples_masked = proc.total_masked
@@ -626,6 +632,9 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                               f"P[{fr.blocks_fix_p:3d}] "
                               f"brk[{fr.blocks_broken:3d}] "
                               f"drop[{fr.blocks_drop:3d}]")
+            # Bound the work log over archive-length tapes (nothing
+            # reads past-batch entries on this path).
+            del stitcher.frame_log[:]
             arrs = chunks_to_arrays(stitcher.pop_sample_chunks())
             if arrs is not None:
                 samples, valid2, blk2, rate = arrs

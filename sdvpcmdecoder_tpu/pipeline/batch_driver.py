@@ -202,7 +202,10 @@ class BatchDecoder:
             job.stats.add_di_time(int((t1 - t0) * 1e6), len(stores))
         for fr in job.stitcher.frame_log[job.logged:]:
             job.stats.add_frame(fr)
-        job.logged = len(job.stitcher.frame_log)
+        # Drain consumed entries: the log otherwise grows without bound
+        # over archive-length tapes (~1 KB/frame).
+        del job.stitcher.frame_log[:]
+        job.logged = 0
         arrs = st.chunks_to_arrays(job.stitcher.pop_sample_chunks())
         if arrs is None:
             return
