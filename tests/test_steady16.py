@@ -126,3 +126,21 @@ def test_bff_order_matches():
     r = _run(5, True, seed=9, field_order=sp16.ORDER_BFF)
     _assert_equal(f, r, "bff")
     assert f[3] >= 4
+
+
+def test_steady16_config_fuzz():
+    """Deterministic mini-fuzz over random corruption/picked/knockout/
+    order configurations — fast frame == frame logic."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(3, 9))
+        seed = int(rng.integers(0, 10000))
+        bad = float(rng.choice([0.0, 0.01, 0.05, 0.12]))
+        picked = bool(rng.random() < 0.5)
+        ko = int(rng.integers(0, n)) if rng.random() < 0.4 else None
+        order = int(rng.choice([1, 2]))
+        kw = dict(seed=seed, bad_frac=bad, picked=picked, knockout=ko,
+                  field_order=order)
+        f = _run(n, False, **kw)
+        r = _run(n, True, **kw)
+        _assert_equal(f, r, f"fuzz t{trial}")

@@ -215,3 +215,23 @@ def test_round_with_dropped_frame_dummies():
     for x, y in zip(a[:3], b[:3]):
         np.testing.assert_array_equal(x, y)
     assert la == lb
+
+
+def test_round_config_fuzz():
+    """Deterministic mini-fuzz over random (frames, lpf, resolution,
+    corruption, knockout, batching) configurations — round == machine."""
+    rng = np.random.default_rng(2026)
+    for trial in range(6):
+        n_frames = int(rng.integers(4, 13))
+        lpf = int(rng.choice([245, 294]))
+        res = int(rng.choice([14, 16]))
+        corrupt = int(rng.integers(0, 200))
+        seed = int(rng.integers(0, 10000))
+        ko = int(rng.integers(0, n_frames)) if rng.random() < 0.4 else None
+        batch = int(rng.choice([0, 3, 4, 7])) or None
+        frames = _capture(n_frames=n_frames, lpf=lpf, resolution=res,
+                          seed=seed)
+        kw = dict(corrupt=corrupt, seed=seed + 1, knockout=ko, batch=batch)
+        r = _run(frames, "round", **kw)
+        s = _run(frames, "slow", **kw)
+        _assert_equal(r, s, f"fuzz t{trial}")
