@@ -771,6 +771,32 @@ int64_t stc007_steady_tail(
         samples, wvalid, wfixed, bvalid, counters);
 }
 
+// All-paddings seam sweep (findPadding stc007datastitcher.cpp:1743):
+// one eval_seam per padding, looped C-side.  modes[p] is the seam's
+// resolution mode (or -1: queue too short -> no stats).  stats_out
+// [P,4] = (valid, silent, unchecked, broken); has_stats [P] u8.
+void stc007_padding_sweep(
+    const int32_t* f1_w, const uint8_t* f1_c, int64_t f1_n,
+    const int32_t* f2_w, const uint8_t* f2_c, int64_t f2_n,
+    const int32_t* silent_w, int64_t max_padding, const int32_t* modes,
+    int32_t en_p, int32_t en_q, int32_t m2, int32_t unch_lim,
+    int32_t max_burst_silence, int32_t max_burst_broken,
+    int32_t* stats_out, uint8_t* has_stats) {
+    const int64_t keep = 120;  // MIN_DEINT_DATA + INTERLEAVE_OFS/2
+    for (int64_t p = 0; p < max_padding; ++p) {
+        has_stats[p] = 0;
+        if (modes[p] < 0) continue;
+        const int64_t start1 = std::max<int64_t>(0, f1_n - (keep - p));
+        const int64_t count2 = std::min(f2_n, keep);
+        int rc = stc007_eval_seam(
+            f1_w + start1 * 8, f1_c + start1 * 8, f1_n - start1,
+            p, silent_w, f2_w, f2_c, count2, modes[p], en_p, en_q, 1,
+            m2, unch_lim, max_burst_silence, max_burst_broken,
+            stats_out + p * 4);
+        has_stats[p] = rc == 0;
+    }
+}
+
 void stc007_trim_scan(
     const int64_t* line_number, const int64_t* frame_number,
     const int8_t* service, const uint8_t* crcv, const uint8_t* forced_bad,

@@ -176,6 +176,13 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        L.stc007_padding_sweep.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         L.stc007_steady_round.restype = ctypes.c_int64
         L.stc007_steady_round.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -523,6 +530,27 @@ def steady_tail(carry_w32, carry_crc8, f1a_w32, f1a_crc8, c1,
         bvalid.ctypes.data, counters.ctypes.data)
     return (int(rc), res_counts, seam_stats, samples, wvalid, wfixed,
             bvalid, counters)
+
+
+def padding_sweep(f1_w32, f1_crc8, f2_w32, f2_crc8, silent_w32,
+                  max_padding, modes, en_p, en_q, m2, unch_lim,
+                  max_burst_silence, max_burst_broken):
+    """All-paddings seam sweep in one call -> (stats [P,4] i32,
+    has_stats [P] bool); per-padding semantics identical to eval_seam
+    (== try_padding, differential-tested)."""
+    L = _load()
+    P = int(max_padding)
+    md = np.ascontiguousarray(modes, np.int32)
+    stats = np.zeros((P, 4), np.int32)
+    has = np.empty(P, bool)
+    L.stc007_padding_sweep(
+        f1_w32.ctypes.data, f1_crc8.ctypes.data, f1_w32.shape[0],
+        f2_w32.ctypes.data, f2_crc8.ctypes.data, f2_w32.shape[0],
+        silent_w32.ctypes.data, P, md.ctypes.data,
+        int(bool(en_p)), int(bool(en_q)), int(bool(m2)), int(unch_lim),
+        int(max_burst_silence), int(max_burst_broken),
+        stats.ctypes.data, has.ctypes.data)
+    return stats, has
 
 
 def eval_seam(a_words32, a_crc8, pad_n, pad_words32, c_words32, c_crc8,

@@ -1313,6 +1313,49 @@ class STC007Stitcher:
             self._sw32_m2 = self.mode_m2
         return sw32
 
+    def _seam_res_mode(self, field1, field2, padding):
+        """getDataBlockResolution for a seam queue [field1 tail | padding
+        | field2 head] resolved symbolically (rows 0 and 112 only; no
+        queue materialization).  Returns None when the queue is shorter
+        than MIN_DEINT_DATA (DS_RET_NO_DATA)."""
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
+        f1_size, f2_size = len(field1), len(field2)
+        start1 = max(0, f1_size - (keep - padding))
+        count2 = min(f2_size, keep)
+        len1 = f1_size - start1
+        L = len1 + padding + count2
+        if L < stc007.MIN_DEINT_DATA:
+            return None
+        if self.mode_m2:
+            return di.RES_MODE_14BIT
+        if L <= stc007.MIN_DEINT_DATA:
+            return di.RES_MODE_14BIT_AUTO
+
+        def res_of(r):
+            if r < len1:
+                i = start1 + r
+                fno = int(field1.frame_number[i])
+                ln = int(field1.line_number[i])
+            elif r < len1 + padding:
+                if f1_size:
+                    fno = int(field1.frame_number[f1_size - 1])
+                    ln = int(field1.line_number[f1_size - 1]) \
+                        + 2 * (r - len1 + 1)
+                else:
+                    fno, ln = 0, 2 * (r - len1 + 1)
+            else:
+                i = r - len1 - padding
+                fno = int(field2.frame_number[i])
+                ln = int(field2.line_number[i])
+            is_even = (ln % 2) == 0
+            for fr in (self.frasm_f2, self.frasm_f1, self.frasm_f0):
+                if fno == fr.frame_number:
+                    return fr.even_resolution if is_even \
+                        else fr.odd_resolution
+            return di.RES_MODE_14BIT
+        return self.resolution_mode_for_seam(
+            res_of(0), res_of(stc007.LINE_OFFSETS[-1]))
+
     def _try_padding_native(self, field1, field2, padding):
         """try_padding in ONE native call (stc007_eval_seam): the seam
         queue is gathered from the fields' cached int32/crc8 buffers in
@@ -1323,39 +1366,9 @@ class STC007Stitcher:
         f1_size, f2_size = len(field1), len(field2)
         start1 = max(0, f1_size - (keep - padding))
         count2 = min(f2_size, keep)
-        len1 = f1_size - start1
-        L = len1 + padding + count2
-        if L < stc007.MIN_DEINT_DATA:
+        res_mode = self._seam_res_mode(field1, field2, padding)
+        if res_mode is None:
             return DS_RET_NO_DATA, None
-        if self.mode_m2:
-            res_mode = di.RES_MODE_14BIT
-        elif L <= stc007.MIN_DEINT_DATA:
-            res_mode = di.RES_MODE_14BIT_AUTO
-        else:
-            def res_of(r):
-                if r < len1:
-                    i = start1 + r
-                    fno = int(field1.frame_number[i])
-                    ln = int(field1.line_number[i])
-                elif r < len1 + padding:
-                    if f1_size:
-                        fno = int(field1.frame_number[f1_size - 1])
-                        ln = int(field1.line_number[f1_size - 1]) \
-                            + 2 * (r - len1 + 1)
-                    else:
-                        fno, ln = 0, 2 * (r - len1 + 1)
-                else:
-                    i = r - len1 - padding
-                    fno = int(field2.frame_number[i])
-                    ln = int(field2.line_number[i])
-                is_even = (ln % 2) == 0
-                for fr in (self.frasm_f2, self.frasm_f1, self.frasm_f0):
-                    if fno == fr.frame_number:
-                        return fr.even_resolution if is_even \
-                            else fr.odd_resolution
-                return di.RES_MODE_14BIT
-            res_mode = self.resolution_mode_for_seam(
-                res_of(0), res_of(stc007.LINE_OFFSETS[-1]))
         unchecked_lim = self.max_unch_14 if self.en_q else self.max_unch_16
         st4 = _sn.eval_seam(
             field1.words_i32()[start1:], field1.crc_ok8()[start1:],
@@ -1411,6 +1424,28 @@ class STC007Stitcher:
         Returns a list of StitchStats (None where the queue is too short),
         bit-identical to calling try_padding(pad) per pad.
         """
+        from ..ops import stitch_native as _sn
+        if _sn.available() and not self.ignore_crc:
+            # Per-padding eval_seam looped C-side (stc007_padding_sweep)
+            # — same per-pad semantics as try_padding, so the grouped
+            # index-map construction below is only the no-native path.
+            modes = np.full(max_padding, -1, np.int32)
+            for p in range(max_padding):
+                m = self._seam_res_mode(field1, field2, p)
+                if m is not None:
+                    modes[p] = m
+            unch = self.max_unch_14 if self.en_q else self.max_unch_16
+            stats, has = _sn.padding_sweep(
+                field1.words_i32(), field1.crc_ok8(),
+                field2.words_i32(), field2.crc_ok8(),
+                self._silent_words32(), max_padding, modes,
+                self.en_p, self.en_q, self.mode_m2, unch,
+                MAX_BURST_SILENCE, MAX_BURST_BROKEN)
+            return [StitchStats(index=p, valid=int(stats[p, 0]),
+                                silent=int(stats[p, 1]),
+                                unchecked=int(stats[p, 2]),
+                                broken=int(stats[p, 3]))
+                    if has[p] else None for p in range(max_padding)]
         keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
         f1_size, f2_size = len(field1), len(field2)
         f1s = min(f1_size, keep)

@@ -74,3 +74,50 @@ def test_seam_eval_differential():
         nat = sti._try_padding_native(f1, f2, pad)
         ref = _queue_path(sti, f1, f2, pad)
         assert nat == ref, (trial, pad, n1, n2, nat, ref)
+
+
+def test_native_padding_sweep_matches_grouped_and_serial():
+    """stc007_padding_sweep == the grouped index-map sweep == serial
+    try_padding, across noise levels and field sizes."""
+    import sdvpcmdecoder_tpu.ops.stitch_native as mod
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as stm
+    rng = np.random.default_rng(17)
+    for trial, (n1, n2, bad) in enumerate(
+            ((294, 294, 0.05), (240, 280, 0.3), (130, 294, 0.0),
+             (294, 100, 0.6))):
+        s = stm.STC007Stitcher()
+        s.frasm_f1.frame_number = 1
+        s.frasm_f2.frame_number = 2
+        f1 = _field(rng, n1, 1, 1, bad)
+        f2 = _field(rng, n2, 2, 1, bad)
+        native = s.batched_padding_stats(f1, f2, 32)
+        # serial reference: per-pad try_padding
+        for p, st_n in enumerate(native):
+            _, st_s = s.try_padding(f1, f2, p)
+            if st_n is None or st_s is None:
+                assert st_n is None and st_s is None, (trial, p)
+                continue
+            assert (st_n.valid, st_n.silent, st_n.unchecked,
+                    st_n.broken) == (st_s.valid, st_s.silent,
+                                     st_s.unchecked, st_s.broken), \
+                (trial, p)
+        # grouped index-map reference (the no-native construction, which
+        # itself falls back to the numpy eval)
+        saved = mod._LIB, mod._TRIED
+        mod._LIB, mod._TRIED = None, True
+        try:
+            s2 = stm.STC007Stitcher()
+            s2.frasm_f1.frame_number = 1
+            s2.frasm_f2.frame_number = 2
+            f1b = f1.take(np.arange(len(f1)))  # fresh caches
+            f2b = f2.take(np.arange(len(f2)))
+            grouped = s2.batched_padding_stats(f1b, f2b, 32)
+        finally:
+            mod._LIB, mod._TRIED = saved
+        assert len(native) == len(grouped)
+        for p, (a, b) in enumerate(zip(native, grouped)):
+            if a is None or b is None:
+                assert a is None and b is None, (trial, p)
+                continue
+            assert (a.valid, a.silent, a.unchecked, a.broken) == \
+                (b.valid, b.silent, b.unchecked, b.broken), (trial, p)
