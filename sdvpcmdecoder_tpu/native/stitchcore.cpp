@@ -1496,6 +1496,7 @@ void stc007_field_res_counts(const int32_t* line_words,
                              const uint8_t* line_crc, int64_t L,
                              int64_t test_size, int32_t m2,
                              int64_t* c14, int64_t* c16) {
+    (void)L;  // rows are bounded by test_size + 112 (caller guarantees)
     for (int mode = 0; mode < 2; ++mode) {
         const bool is14 = mode == 0;
         int64_t c = 0;

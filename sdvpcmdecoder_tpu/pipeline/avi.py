@@ -49,7 +49,12 @@ class AVIError(ValueError):
 
 
 def _u32(buf, off):
-    return struct.unpack_from("<I", buf, off)[0]
+    try:
+        return struct.unpack_from("<I", buf, off)[0]
+    except struct.error as e:
+        # Truncated container: surface the parser's own error class
+        # (callers treat AVIError as "this capture is unreadable").
+        raise AVIError(f"truncated AVI: {e}") from e
 
 
 class AVIReader:

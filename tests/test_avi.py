@@ -211,3 +211,46 @@ def test_cli_decodes_pcm1_from_avi(tmp_path):
     data, rate = wav.read_wav(out)
     el = np.asarray(pcm1.expand_sample(left, xp=np)).astype(np.int64)
     np.testing.assert_array_equal(data[:, 0].astype(np.int64), el)
+
+
+def test_truncation_and_corruption_fuzz(tmp_path):
+    """Truncated or bit-flipped containers must raise a clean error (or
+    decode what remains) — never crash, hang, or return garbage shapes.
+    Production captures arrive damaged; the reference surfaces libav
+    errors as dialogs (ffmpegwrapper.h:91-111), we surface exceptions."""
+    frames = _frames(F=6)
+    p = tmp_path / "whole.avi"
+    avi.write_avi(str(p), frames, codec="Y800")
+    blob = p.read_bytes()
+    rng = np.random.default_rng(8)
+    for trial in range(12):
+        cut = int(rng.integers(4, len(blob)))
+        bad = bytearray(blob[:cut])
+        if trial % 2 and len(bad) > 64:
+            for _ in range(4):  # flip a few header-region bytes too
+                bad[int(rng.integers(0, min(len(bad), 256)))] ^= 0xFF
+        q = tmp_path / f"bad_{trial}.avi"
+        q.write_bytes(bytes(bad))
+        try:
+            with avi.AVIReader(str(q)) as rd:
+                got = rd.read_frames(0, rd.n_frames)
+                assert got.ndim == 3
+                assert got.shape[2] == rd.width
+        except (avi.AVIError, ValueError, OSError, EOFError):
+            pass  # clean refusal is the contract
+
+
+def test_truncated_y4m_clean_error(tmp_path):
+    frames = _frames(F=4)
+    p = tmp_path / "whole.y4m"
+    ingest.write_y4m(str(p), frames)
+    blob = p.read_bytes()
+    for cut in (3, 17, len(blob) // 2, len(blob) - 5):
+        q = tmp_path / f"cut_{cut}.y4m"
+        q.write_bytes(blob[:cut])
+        try:
+            with ingest.open_capture(str(q)) as rd:
+                got = rd.read_frames(0, rd.n_frames)
+                assert got.ndim == 3
+        except (ValueError, OSError, EOFError, AssertionError):
+            pass
