@@ -466,6 +466,9 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         fp[i, 10] = fno
     cap = n_pairs * 2 * 294 + 8
     records = np.zeros((n_pairs, REC_N), np.int64)
+    # Rows the C side never reaches keep the no-trim sentinel, so a
+    # guard-path return can never be mistaken for a cached trim scan.
+    records[:, REC_CB] = -2
     samples = np.empty((cap, 6), np.int16)
     wvalid = np.empty((cap, 6), bool)
     wfixed = np.empty((cap, 6), bool)
