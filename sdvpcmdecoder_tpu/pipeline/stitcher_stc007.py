@@ -250,24 +250,28 @@ class LineStore:
     @staticmethod
     def from_decoded(words, crc_read, valid, frame_number, line_number,
                      ref_level=None, has_markers=None, forced_bad=None):
-        """Build a store from binarizer output arrays (device -> host)."""
+        """Build a store from binarizer output arrays (device -> host).
+
+        Constructed through _blank: every field is assigned outright, so
+        the LineStore(n) zero-init would be pure overwritten work."""
         n = len(crc_read)
-        out = LineStore(n)
-        if forced_bad is not None:
-            out.forced_bad = np.asarray(forced_bad, bool).copy()
-        out.words = np.asarray(words, np.int64).copy()
-        out.source_crc = np.asarray(crc_read, np.int64).copy()
+        out = LineStore._blank()
+        out.forced_bad = np.zeros(n, bool) if forced_bad is None \
+            else np.asarray(forced_bad, bool).copy()
+        out.words = np.array(words, np.int64)
+        out.source_crc = np.array(crc_read, np.int64)
         v = np.asarray(valid, bool)
-        out.word_crc[:] = v[:, None]
-        out.word_valid[:] = v[:, None]
-        out.frame_number = np.asarray(frame_number, np.int64).copy()
-        out.line_number = np.asarray(line_number, np.int64).copy()
-        if ref_level is not None:
-            out.ref_level = np.asarray(ref_level, np.int64).copy()
-        out.coords_valid[:] = True
-        out.bw_set[:] = True
-        out.has_markers[:] = v if has_markers is None \
-            else np.asarray(has_markers, bool)
+        out.word_crc = np.repeat(v[:, None], 9, axis=1)
+        out.word_valid = out.word_crc.copy()
+        out.frame_number = np.array(frame_number, np.int64)
+        out.line_number = np.array(line_number, np.int64)
+        out.ref_level = np.zeros(n, np.int64) if ref_level is None \
+            else np.asarray(ref_level, np.int64).copy()
+        out.coords_valid = np.ones(n, bool)
+        out.bw_set = np.ones(n, bool)
+        out.service = np.zeros(n, np.int8)
+        out.has_markers = v.copy() if has_markers is None \
+            else np.asarray(has_markers, bool).copy()
         # Control Block detection (binarizer.cpp:1609-1614 after a valid
         # read -> setServCtrlBlk, stc007line.cpp:101-129): zero the cue
         # words, keep ID/ADDR1/ADDR2/CTRL, make the CRC valid, tag the
