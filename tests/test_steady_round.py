@@ -235,3 +235,71 @@ def test_round_config_fuzz():
         r = _run(frames, "round", **kw)
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, f"fuzz t{trial}")
+
+
+def test_round_with_cropped_fields_and_paddings():
+    """Bottom-cropped fields force nonzero inner/outer paddings: the
+    steady path's conv carry then contains PAD rows whose line/frame
+    numbering must match fillFrameForOutput exactly (the uncovered
+    branch of _build_carry)."""
+    rng = np.random.default_rng(31)
+    n_frames, lpf = 12, 294
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                               rng.integers(1, 1 << 14, n), n_frames,
+                               lines_pf=lpf, bottom_crop=8)
+    r = _run(frames, "round", corrupt=0, seed=0)
+    p = _run(frames, "pair", corrupt=0, seed=0)
+    s = _run(frames, "slow", corrupt=0, seed=0)
+    _assert_equal(r, p, "cropped round-vs-pair")
+    _assert_equal(r, s, "cropped round-vs-slow")
+    # the steady path must actually engage with nonzero paddings
+    assert r[5] >= 1, "round engaged"
+    assert any(f["inner_padding"] > 0 or f["outer_padding"] > 0
+               for f in r[1]), "paddings present"
+
+
+def test_round_with_preset_field_order():
+    """Preset TFF/BFF rides through the steady paths (the order-preset
+    replay branches)."""
+    for order in (st.ORDER_TFF, st.ORDER_BFF):
+        frames = _capture(n_frames=8, seed=40 + order)
+        r = _run(frames, "round", corrupt=10, seed=2,
+                 preset_order=order)
+        s = _run(frames, "slow", corrupt=10, seed=2,
+                 preset_order=order)
+        _assert_equal(r, s, f"preset order {order}")
+
+
+def test_round_with_one_dead_fresh_field():
+    """One frame-B field fully invalid: its fresh resolution is UNKNOWN
+    and the frame-B modes take detectAudioResolution's strict/auto
+    mixed branch — steady must still match the machine (and defer on
+    the following pair, whose frame-A resolution is unknown)."""
+    frames = _capture(n_frames=10, seed=50)
+
+    def run(disable):
+        s = st.STC007Stitcher()
+        if disable:
+            s._try_steady_pair = lambda: False
+            s._try_steady_run = lambda: False
+        stores = _stores(frames, 0, 0)
+        for k in (5, 6):
+            # kill the EVEN field of frames 5/6 (odd line numbers = odd
+            # field; even-numbered lines invalid)
+            store = stores[k]
+            even = (store.line_number % 2) == 0
+            store.word_crc[even] = False
+            store.word_valid[even] = False
+            store._crcv = store._crcv & ~even
+        s.push_frames(stores)
+        s.finish()
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log, s.stats_resolution
+
+    a = run(False)
+    b = run(True)
+    for x, y in zip(a[0][:3], b[0][:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1] == b[1] and a[2] == b[2]
