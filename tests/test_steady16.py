@@ -144,3 +144,64 @@ def test_steady16_config_fuzz():
         f = _run(n, False, **kw)
         r = _run(n, True, **kw)
         _assert_equal(f, r, f"fuzz t{trial}")
+
+
+def test_invalid_ctrl_stream_uses_history_fallback():
+    """Killing the ctrl-bit sample sublines (block base + 1 + BIT_*_OFS)
+    makes the det invalid: the frame flags come from the 65-deep
+    histories — fast == slow through the fallback branch."""
+    def stores():
+        out = []
+        for f in range(5):
+            store = _frame_store(f + 1, 60 + f)
+            if f >= 2:
+                # invalidate every tallied subline in both fields
+                S = len(store)
+                kill = np.zeros(S, bool)
+                half = S // 2
+                for base in range(0, half, 105):
+                    for ofs in (0, 3, 6, 9):
+                        for fofs in (0, half):
+                            i = fofs + base + 1 + ofs
+                            if i < S:
+                                kill[i] = True
+                store.source_crc[kill] ^= 0xFFFF
+                store.invalidate_crc()
+            out.append(store)
+        return out
+
+    def run(disable):
+        s = sp16.PCM16X0Stitcher()
+        if disable:
+            s._try_steady_frame = lambda buf: False
+        for store in stores():
+            s.push_frame(store)
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log, s.stats_emph, s.stats_rate
+
+    a, b = run(False), run(True)
+    for x, y in zip(a[0][:3], b[0][:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1:] == b[1:]
+
+
+def test_auto_fmt_ei_switch_through_fast_path():
+    """auto_fmt with an all-zero control-bit stream detects EI and
+    switches from the next frame (collectCtrlBitStats MODE vote); the
+    switch must behave identically through the fast path."""
+    def run(disable):
+        s = sp16.PCM16X0Stitcher(auto_fmt=True)
+        if disable:
+            s._try_steady_frame = lambda buf: False
+        for f in range(4):
+            s.push_frame(_frame_store(f + 1, 70 + f))
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log, s.fmt
+
+    a, b = run(False), run(True)
+    assert a[2] == b[2]  # both switched (or not) identically
+    for x, y in zip(a[0][:3], b[0][:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1] == b[1]
