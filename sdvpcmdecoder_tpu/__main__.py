@@ -66,6 +66,10 @@ def build_parser():
                    help="frames per device batch")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame work log")
+    p.add_argument("--dump-lines", type=int, default=0, metavar="N",
+                   help="print the first N decoded lines of every frame "
+                        "as CRC-annotated bit dumps (dumpWordsString "
+                        "analog, pcmline.h DUMP_* legend)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "native", "tpu"],
                    help="binarizer backend: the in-place native trial "
@@ -348,6 +352,13 @@ def main(argv=None):
                     round_stores.append(store)
                 else:
                     stitcher.push_frame(store)
+                if args.dump_lines and res is not None:
+                    from .utils import dump
+                    for row in dump.dump_lines(
+                            res.words, res.crc_read, res.valid,
+                            fmt="stc007", line_numbers=nums,
+                            limit=args.dump_lines):
+                        print(f"F[{frame_no:04d}] {row}")
                 if args.render_dir and res is not None:
                     from .pipeline import render as rn
                     import os
