@@ -2985,7 +2985,7 @@ void stc007_ref_sweep_lines(
 // words i16 [F*L,8], crc u16, valid u8, hyst/shift i8.
 void stc007_binarize_frames(
     const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
-    int64_t stride_f, int64_t stride_l,
+    int64_t stride_f, int64_t stride_l, const int64_t* row_map,
     const int32_t* coords, const int32_t* ref, int32_t ref_per_line,
     const int32_t* black, const int32_t* white,
     int32_t hyst_limit, int32_t shift_limit,
@@ -2998,9 +2998,13 @@ void stc007_binarize_frames(
         for (int s = 0; s <= shift_limit; ++s)
             build_pos(ds, de, W, 132, 137, 3, 0, 128, s, pos[s]);
         for (int64_t l = 0; l < L; ++l) {
-            const uint8_t* px = pixels + f * stride_f + l * stride_l;
+            // row_map permutes INPUT rows (field-sequential index l ->
+            // raw capture row); outputs land at l, so the caller's
+            // post-hoc words[:, perm] gathers disappear.
+            const int64_t pl = row_map ? row_map[l] : l;
+            const uint8_t* px = pixels + f * stride_f + pl * stride_l;
             const int64_t row = f * L + l;
-            const int64_t pr = ref_per_line ? row : f;
+            const int64_t pr = ref_per_line ? f * L + pl : f;
             const int rf = ref[pr], bk = black[pr], wt = white[pr];
             int32_t w[9];
             int pick_h = -1, pick_s = -1;

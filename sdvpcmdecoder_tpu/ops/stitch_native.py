@@ -171,6 +171,7 @@ def _load():
         L.stc007_binarize_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32,
@@ -970,14 +971,17 @@ def ref_sweep_lines(pixels, coords, black, white, levels, hyst_limit,
 
 
 def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
-                    shift_limit):
+                    shift_limit, row_map=None):
     """Native STC-007 trial-grid frame decode (host twin of
     binarize.stc007_frame_decode; bit-identical, early-exit serial).
 
     pixels: [F, L, W] uint8 — ANY strides accepted (zero-copy views off
     the capture mmap are the point).  coords [F,2]; ref/black/white [F]
-    or [F,L] for per-line AGC.  Returns (words [F,L,8] i64, crc [F,L]
-    i64, valid [F,L] bool, hyst [F,L] i8, shift [F,L] i8).
+    or [F,L] for per-line AGC (in pixels-row order).  row_map [L]
+    permutes INPUT rows: output line l decodes pixels row row_map[l]
+    (field-sequential outputs straight off the raw capture view, no
+    post-hoc gathers).  Returns (words [F,L,8] i64, crc [F,L] i64,
+    valid [F,L] bool, hyst [F,L] i8, shift [F,L] i8).
     """
     L = _load()
     F, Ln, W = pixels.shape
@@ -988,6 +992,11 @@ def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
     rf = np.ascontiguousarray(ref, np.int32)
     bk = np.ascontiguousarray(np.broadcast_to(black, rf.shape), np.int32)
     wt = np.ascontiguousarray(np.broadcast_to(white, rf.shape), np.int32)
+    rm_ptr = 0
+    rm = None
+    if row_map is not None:
+        rm = np.ascontiguousarray(row_map, np.int64)
+        rm_ptr = rm.ctypes.data
     words = np.empty((F, Ln, 8), np.int16)
     crc = np.empty((F, Ln), np.uint16)
     valid = np.empty((F, Ln), np.uint8)
@@ -995,13 +1004,13 @@ def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
     shift = np.empty((F, Ln), np.int8)
     L.stc007_binarize_frames(
         pixels.ctypes.data, F, Ln, W,
-        pixels.strides[0], pixels.strides[1],
+        pixels.strides[0], pixels.strides[1], rm_ptr,
         cds.ctypes.data, rf.ctypes.data, int(per_line),
         bk.ctypes.data, wt.ctypes.data, int(hyst_limit), int(shift_limit),
         words.ctypes.data, crc.ctypes.data, valid.ctypes.data,
         hyst.ctypes.data, shift.ctypes.data)
     return (words.astype(np.int64), crc.astype(np.int64),
-            valid.astype(bool), hyst, shift)
+            valid.view(bool), hyst, shift)
 
 
 def pcm1_binarize_frames(pixels, coords, ref, black, white, shift_limit):

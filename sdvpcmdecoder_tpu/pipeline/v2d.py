@@ -450,14 +450,13 @@ class V2DDriver:
         F = pixels.shape[0]
         if not prep["usable"].any():
             return [None] * F
+        # perm rides into the native grid as an input row map: outputs
+        # arrive field-sequential straight off the raw capture view,
+        # with no post-hoc [:, perm] gathers of the whole round.
         words, crc_read, valid, hyst, shift = sn.binarize_frames(
             pixels, prep["coords"], np.maximum(prep["refs"], 1),
             np.clip(prep["blacks"], 0, 254), np.clip(prep["whites"], 1, 255),
-            self.hyst_limit, self.shift_limit)
-        if perm is not None:
-            words = words[:, perm]
-            crc_read = crc_read[:, perm]
-            valid = valid[:, perm]
+            self.hyst_limit, self.shift_limit, row_map=perm)
         forced = np.zeros(valid.shape, bool)
         if self.ref_sweep:
             # INSANE sweep stays on the TPU (the full level sweep is the

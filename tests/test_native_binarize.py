@@ -112,3 +112,27 @@ def test_decode_frames_host_matches_tpu_path():
         assert np.array_equal(ra.duplicates, rb.duplicates)
         assert np.array_equal(ra.forced_bad, rb.forced_bad)
         assert ra.coords == rb.coords and ra.ref_level == rb.ref_level
+
+
+def test_row_map_equals_post_permute():
+    """binarize_frames(row_map=perm) == binarize(identity)[:, perm]
+    (the decode_prepared_host contract), incl. per-line AGC refs."""
+    rng = np.random.default_rng(21)
+    F, L, W = 3, 60, 512
+    n = 3 * F * L
+    px, coords, *_ = enc.encode_stream(
+        rng.integers(1, 1 << 14, n), rng.integers(1, 1 << 14, n),
+        width=W, ppb=3.5, n_lines=F * L, noise_sigma=8.0, rng=rng)
+    pixels = np.ascontiguousarray(px.reshape(F, L, W))
+    cds = np.asarray(coords[::L], np.int32).reshape(F, 2)
+    perm = np.argsort(rng.random(L))  # arbitrary row permutation
+    for refs in (np.full(F, 110, np.int64),
+                 rng.integers(100, 120, (F, L))):
+        blk = np.full(refs.shape, 20, np.int64)
+        wht = np.full(refs.shape, 200, np.int64)
+        base = sn.binarize_frames(pixels, cds, refs, blk, wht, 4, 2)
+        mapped = sn.binarize_frames(pixels, cds, refs, blk, wht, 4, 2,
+                                    row_map=perm)
+        for a, b in zip(base[:3], mapped[:3]):
+            np.testing.assert_array_equal(np.asarray(a)[:, perm],
+                                          np.asarray(b))
