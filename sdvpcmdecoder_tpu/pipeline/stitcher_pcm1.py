@@ -170,6 +170,39 @@ class PCM1Stitcher:
     # -- trimming (findFrameTrim :202-571) --------------------------------
     def _find_trim(self, buf: PCM1LineStore, fr: FrameAsmPCM1):
         svc = buf.service
+        from ..ops import stitch_native as _sn
+        if _sn.available() and not (svc == SRV_HEADER).any():
+            # Native one-pass scan (the PCM-16x0 pattern: rule B is
+            # bw_set alone).  Header/emphasis service lines need the
+            # per-parity good-row positions, so frames carrying them
+            # (file boundaries) take the numpy path below.
+            r = _sn.trim_scan(buf.line_number, buf.frame_number, svc,
+                              buf.crc_valid_ignore_forced(),
+                              buf.forced_bad, buf.bw_set,
+                              fr.frame_number, rule_b_or_crc=False)
+            self.file_start = bool(r[8])
+            self.file_end = bool(r[9])
+            self.header_present = False
+            self.emphasis_set = False
+            fr.even_top_data = fr.even_bottom_data = 0
+            fr.odd_top_data = fr.odd_bottom_data = 0
+            manual = not self.auto_offset
+            if manual:
+                fr.odd_top_data = 2 * self.preset_odd_offset + 1 \
+                    if self.preset_odd_offset > 0 else 1
+                fr.even_top_data = 2 * self.preset_even_offset + 2 \
+                    if self.preset_even_offset > 0 else 2
+            for name, base, good in (("even", 0, 12), ("odd", 4, 13)):
+                skip_bad = int(r[good]) > MIN_GOOD_LINES_PF
+                o = base if skip_bad else base + 2
+                first, last = int(r[o]), int(r[o + 1])
+                if first >= 0:
+                    if not manual:
+                        setattr(fr, f"{name}_top_data",
+                                int(buf.line_number[first]))
+                    setattr(fr, f"{name}_bottom_data",
+                            int(buf.line_number[last]))
+            return
         is_data = svc == SRV_NO
         crc_ok = buf.crc_valid()
         odd = (buf.line_number % 2) != 0

@@ -148,3 +148,43 @@ def test_native_field_deint_matches_numpy():
         np.testing.assert_array_equal(v2, ref_v2)
         np.testing.assert_array_equal(bok, ref_bok)
         assert (bad, sdrop) == (ref_bad, ref_drop), trial
+
+
+def test_find_trim_native_matches_numpy():
+    """PCM-1 _find_trim native scan == the numpy reference (no-header
+    frames), across corruption, forced-bad rows and manual offsets."""
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
+    if not sn.available():
+        import pytest
+        pytest.skip("native core unavailable")
+    import sdvpcmdecoder_tpu.ops.stitch_native as mod
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        n = 2 * sp1.LINES_PF
+        words = rng.integers(0, 1 << 13, (n, 6))
+        crcs = np.asarray(pcm1.calc_crc(words, xp=np))
+        bad = rng.random(n) < (0.1 * trial)
+        crcs = np.where(bad, crcs ^ 0x5A5A, crcs)
+        store = sp1.PCM1LineStore.from_decoded(
+            words, crcs, np.ones(n), 1 + np.arange(n))
+        store.forced_bad[:] = rng.random(n) < 0.05
+        store.bw_set[:] = rng.random(n) > 0.02
+        kw = {} if trial % 2 else dict(auto_offset=False, odd_offset=3,
+                                       even_offset=2)
+        def run(native):
+            saved = mod._LIB, mod._TRIED
+            if not native:
+                mod._LIB, mod._TRIED = None, True
+            try:
+                s = sp1.PCM1Stitcher(**kw)
+                fr = sp1.FrameAsmPCM1()
+                fr.frame_number = 1
+                st2 = store.take(np.arange(n))
+                s._find_trim(st2, fr)
+                return (s.file_start, s.file_end, s.header_present,
+                        s.emphasis_set, fr.even_top_data,
+                        fr.even_bottom_data, fr.odd_top_data,
+                        fr.odd_bottom_data)
+            finally:
+                mod._LIB, mod._TRIED = saved
+        assert run(True) == run(False), trial
