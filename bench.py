@@ -232,7 +232,7 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=24):
     return max(run(t) for t in "abcde")
 
 
-def device_fps_subprocess(probe_timeout=150, timeout=900):
+def device_fps_subprocess(probe_timeout=150, timeout=900, env=None):
     """Run device_only_fps in a child process with a hard timeout: a
     wedged accelerator tunnel hangs `import jax` itself, which no
     in-process guard can interrupt.  A quick device-probe subprocess
@@ -243,7 +243,8 @@ def device_fps_subprocess(probe_timeout=150, timeout=900):
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=probe_timeout)
+            capture_output=True, text=True, timeout=probe_timeout,
+            env=env)
         if r.returncode != 0:
             tail = (r.stderr or "").strip().splitlines()[-1:]
             return None, f"device probe failed: {tail}"
@@ -252,7 +253,7 @@ def device_fps_subprocess(probe_timeout=150, timeout=900):
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-only"],
-            capture_output=True, text=True, timeout=timeout)
+            capture_output=True, text=True, timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
         return None, "device bench timed out"
     if r.returncode != 0:
@@ -269,12 +270,20 @@ def main():
         jaxcache.enable()
         print(device_only_fps())
         return
-    # The e2e paths run the host-native backend; pin the in-process JAX
-    # to CPU so a wedged TPU tunnel cannot hang the headline numbers
-    # (the device metric gets the real accelerator in its subprocess).
+    # The e2e paths run the host-native backend.  A wedged accelerator
+    # tunnel hangs JAX initialization in-process even under
+    # JAX_PLATFORMS=cpu while the PJRT plugin sits on the import path —
+    # so the parent drops the plugin from its own paths and hands the
+    # ORIGINAL environment to the device subprocess, which is the one
+    # place the accelerator belongs.
+    device_env = dict(os.environ)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    sys.path[:] = [p for p in sys.path if "axon" not in p]
     jaxcache.enable()
-    dev_fps, dev_note = device_fps_subprocess()
+    dev_fps, dev_note = device_fps_subprocess(env=device_env)
     with tempfile.TemporaryDirectory() as tmp:
         fps, backend, stage = e2e_fps(tmp)
         p1_fps = other_fmt_fps(tmp, "pcm1", make_pcm1_captures)
