@@ -570,6 +570,18 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                     continue
                 wl1 = res.words
                 cl1 = res.crc_read
+                if args.dump_lines:
+                    from .utils import dump
+                    fmt_d = "pcm1" if args.format == "pcm1" else "pcm16x0"
+                    w_d = wl1 if fmt_d == "pcm1" \
+                        else np.asarray(wl1).reshape(-1, 3)
+                    c_d = cl1 if fmt_d == "pcm1" \
+                        else np.asarray(cl1).reshape(-1)
+                    v_d = res.valid if fmt_d == "pcm1" \
+                        else np.asarray(res.valid).reshape(-1)
+                    for row in dump.dump_lines(w_d, c_d, v_d, fmt=fmt_d,
+                                               limit=args.dump_lines):
+                        print(f"F[{frame_no:04d}] {row}")
                 if args.format == "pcm1":
                     store = sp1.PCM1LineStore.from_decoded(
                         wl1, cl1, np.full(L, frame_no), nums,

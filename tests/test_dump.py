@@ -71,3 +71,43 @@ def test_cli_dump_lines(tmp_path, capsys):
         _sys.argv = argv
     out = capsys.readouterr().out
     assert "L[0001]" in out and "#-#-[" in out
+
+
+def test_cli_dump_lines_pcm1(tmp_path, capsys):
+    import sys as _sys
+    import numpy as np
+    from sdvpcmdecoder_tpu.formats import pcm1
+    from sdvpcmdecoder_tpu.ops import pcm1_deint as di1
+    from sdvpcmdecoder_tpu.pipeline import ingest
+    from sdvpcmdecoder_tpu.pipeline import stitcher_pcm1 as sp1
+    from sdvpcmdecoder_tpu.synth import encoder as enc
+    from sdvpcmdecoder_tpu.__main__ import main
+
+    rng = np.random.default_rng(6)
+    W = 1024
+    vids = []
+    for _ in range(2):
+        img = np.zeros((2 * sp1.LINES_PF, W), np.uint8) + 20
+        for half in range(2):
+            sl, sr = di1.interleave_field(
+                rng.integers(0, 1 << 13, di1.FIELD_SUBLINES),
+                rng.integers(0, 1 << 13, di1.FIELD_SUBLINES))
+            words = np.zeros((sp1.LINES_PF, 6), np.int64)
+            words[:, 0::2] = np.stack([sl[0::3], sl[1::3], sl[2::3]], 1)
+            words[:, 1::2] = np.stack([sr[0::3], sr[1::3], sr[2::3]], 1)
+            crcs = pcm1.calc_crc(words, xp=np)
+            bits = pcm1.words_to_data_bits(words, crcs, xp=np)
+            px, _ = enc.render_bits(bits, width=W, ppb=10.0)
+            img[half::2] = px
+        vids.append(img)
+    y4m = tmp_path / "p.y4m"
+    ingest.write_y4m(str(y4m), np.stack(vids), chroma="mono")
+    argv = _sys.argv
+    _sys.argv = ["sdv", str(y4m), "-o", str(tmp_path / "p.wav"),
+                 "--format", "pcm1", "--dump-lines", "2"]
+    try:
+        main()
+    finally:
+        _sys.argv = argv
+    out = capsys.readouterr().out
+    assert "L[0000]" in out and ("[" in out or "@" in out)
