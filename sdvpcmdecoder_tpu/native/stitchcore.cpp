@@ -671,10 +671,11 @@ int64_t stc007_steady_tail(
     // side caches them on the field objects even when a seam bails,
     // so the slow path never re-evaluates).
     res_counts[0] = res_counts[1] = res_counts[2] = res_counts[3] = 0;
-    if (ra_n > 112)
+    // M2 never consults the counts (every mode is fixed 14-bit).
+    if (!m2 && ra_n > 112)
         stc007_field_res_counts(ra_w, ra_c, ra_n, ra_n - 112, m2,
                                 &res_counts[0], &res_counts[1]);
-    if (rb_n > 112)
+    if (!m2 && rb_n > 112)
         stc007_field_res_counts(rb_w, rb_c, rb_n, rb_n - 112, m2,
                                 &res_counts[2], &res_counts[3]);
 
@@ -895,7 +896,7 @@ int64_t stc007_steady_round(
     const int32_t* silent_w,
     int32_t en_p, int32_t en_q, int32_t unch_lim,
     int32_t max_burst_silence, int32_t max_burst_broken,
-    int32_t broken_mask_dur, int32_t auto_m2,
+    int32_t broken_mask_dur, int32_t auto_m2, int32_t m2,
     int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
     int64_t* state, int64_t* records,
     int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid) {
@@ -1058,12 +1059,15 @@ int64_t stc007_steady_round(
             break;
         }
         const int64_t res1o = state[ST_RES1O], res1e = state[ST_RES1E];
-        if ((res1o != 14 && res1o != 16) || (res1e != 14 && res1e != 16)) {
+        if (!m2 && ((res1o != 14 && res1o != 16)
+                    || (res1e != 14 && res1e != 16))) {
             rec[RC_STATUS] = BS_RES_UNK;
             break;
         }
-        const int fa_odd_mode = res1o == 16 ? M16 : M14;
-        const int fa_even_mode = res1e == 16 ? M16 : M14;
+        // M2 fixes every resolution mode at 14-bit (detectAudioResolution
+        // short-circuit); the fresh-field counts are never taken.
+        const int fa_odd_mode = m2 ? M14 : (res1o == 16 ? M16 : M14);
+        const int fa_even_mode = m2 ? M14 : (res1e == 16 ? M16 : M14);
         // --- materialize frame A fields + frame B leading field ---
         fld_e.fill(f1p, s1[1], s1[4], s1[3]);
         fld_o.fill(f1p, s1[7], s1[10], s1[9]);
@@ -1075,7 +1079,7 @@ int64_t stc007_steady_round(
         // --- fresh-field resolution counts (both f2 fields) ---
         // odd field first into rec[RC_RES], even into rec[RC_RES+2] —
         // matching the per-pair fast path's (f2o, f2e) order.
-        {
+        if (!m2) {
             thread_local FieldBuf tmp;
             // odd
             tmp.fill(f2p, s2[7], s2[10], s2[9]);
@@ -1116,13 +1120,13 @@ int64_t stc007_steady_round(
             rec[RC_STATUS] = BS_FIT;
             break;
         }
-        // --- seam resolution modes ---
+        // --- seam resolution modes (all M14 under M2) ---
         auto fa_mode_of = [&](int parity_odd) {
             return parity_odd ? fa_odd_mode : fa_even_mode;
         };
         // inner: every row frame A
-        int inner_mode;
-        {
+        int inner_mode = M14;
+        if (!m2) {
             const int64_t st1 = std::max<int64_t>(0, field1->n
                                                   - (KEEP - padI));
             const int64_t len1 = field1->n - st1;
@@ -1142,8 +1146,8 @@ int64_t stc007_steady_round(
             inner_mode = res_mode_combine(fa_mode_of(pf), fa_mode_of(pl));
         }
         // outer: first row frame A; last may land in frame B
-        int outer_mode;
-        {
+        int outer_mode = M14;
+        if (!m2) {
             const int64_t st1 = std::max<int64_t>(0, field2->n
                                                   - (KEEP - padO));
             const int64_t len1 = field2->n - st1;
@@ -1197,7 +1201,7 @@ int64_t stc007_steady_round(
                 field1->w.data() + st1 * 8, field1->c.data() + st1 * 8,
                 field1->n - st1, padI, silent_w,
                 field2->w.data(), field2->c.data(), cnt2,
-                inner_mode, en_p, en_q, 1, 0, unch_lim,
+                inner_mode, en_p, en_q, 1, m2, unch_lim,
                 max_burst_silence, max_burst_broken, st4);
             if (rc != 0 || !seam_ok(st4, unch_lim, max_burst_silence,
                                     max_burst_broken)) {
@@ -1213,7 +1217,7 @@ int64_t stc007_steady_round(
                 field2->w.data() + st1 * 8, field2->c.data() + st1 * 8,
                 field2->n - st1, padO, silent_w,
                 f2f_buf.w.data(), f2f_buf.c.data(), cnt2,
-                outer_mode, en_p, en_q, 1, 0, unch_lim,
+                outer_mode, en_p, en_q, 1, m2, unch_lim,
                 max_burst_silence, max_burst_broken, st4);
             if (rc != 0 || !seam_ok(st4, unch_lim, max_burst_silence,
                                     max_burst_broken)) {
@@ -1282,16 +1286,17 @@ int64_t stc007_steady_round(
                                    : state[ST_F0_EVEN_MODE]);
             return M14;
         };
-        const int cm0 = conv_res_of(0), cml = conv_res_of(MDD);
+        const int cm0 = m2 ? M14 : conv_res_of(0);
+        const int cml = m2 ? M14 : conv_res_of(MDD);
         if (cm0 < 0 || cml < 0) {
             rec[RC_STATUS] = BS_CONV;
             break;
         }
-        const int conv_mode = res_mode_combine(cm0, cml);
+        const int conv_mode = m2 ? M14 : res_mode_combine(cm0, cml);
         int64_t cnt6[6];
         const int64_t cd = stc007_deint_finalize(
             cw.data(), cc.data(), nullptr, 0, B, conv_mode, en_p, en_q,
-            1, 0, 0, nullptr, nullptr, 0, 0, 0, 0, 0,
+            1, 0, m2, nullptr, nullptr, 0, 0, 0, 0, 0,
             broken_mask_dur, (int32_t)state[ST_COUNTDOWN], 0, 0,
             samples + out_ofs * 6, wvalid + out_ofs * 6,
             wfixed + out_ofs * 6, bvalid + out_ofs, cnt6);
@@ -1333,9 +1338,10 @@ int64_t stc007_steady_round(
         state[ST_FA_EBOT] = fb_bot[0];
         state[ST_FA_OTOP] = fb_top[1];
         state[ST_FA_OBOT] = fb_bot[1];
-        state[ST_RES1O] = res_from_counts(rec[RC_RES], rec[RC_RES + 1]);
-        state[ST_RES1E] = res_from_counts(rec[RC_RES + 2],
-                                          rec[RC_RES + 3]);
+        state[ST_RES1O] = m2 ? 14
+            : res_from_counts(rec[RC_RES], rec[RC_RES + 1]);
+        state[ST_RES1E] = m2 ? 14
+            : res_from_counts(rec[RC_RES + 2], rec[RC_RES + 3]);
         state[ST_FA_ORDER] = f0_order;  // fb.set_order_xff -> next fa
         state[ST_FA_NEW] = tb[8];
         state[ST_FA_END] = tb[9];

@@ -1749,17 +1749,23 @@ class STC007Stitcher:
         f1e = self.fields[("f1", "even")]
         f2o = self.fields[("f2", "odd")]
         f2e = self.fields[("f2", "even")]
-        r1o = getattr(f1o, "_fieldres", None)
-        r1e = getattr(f1e, "_fieldres", None)
-        if (r1o not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
-                or r1e not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)):
-            return False
-        # detectAudioResolution will set frame A strict modes from the
-        # known field resolutions; precompute them for the seam modes.
-        fa_odd_mode = di.RES_MODE_16BIT if r1o == SAMPLE_RES_16BIT \
-            else di.RES_MODE_14BIT
-        fa_even_mode = di.RES_MODE_16BIT if r1e == SAMPLE_RES_16BIT \
-            else di.RES_MODE_14BIT
+        m2 = self.mode_m2
+        if m2:
+            # M2 fixes every resolution mode at 14-bit
+            # (detectAudioResolution's short-circuit).
+            fa_odd_mode = fa_even_mode = di.RES_MODE_14BIT
+        else:
+            r1o = getattr(f1o, "_fieldres", None)
+            r1e = getattr(f1e, "_fieldres", None)
+            if (r1o not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
+                    or r1e not in (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)):
+                return False
+            # detectAudioResolution will set frame A strict modes from
+            # the known field resolutions; precompute for the seams.
+            fa_odd_mode = di.RES_MODE_16BIT if r1o == SAMPLE_RES_16BIT \
+                else di.RES_MODE_14BIT
+            fa_even_mode = di.RES_MODE_16BIT if r1e == SAMPLE_RES_16BIT \
+                else di.RES_MODE_14BIT
         self.detect_video_standard()  # scalar + idempotent
         field1 = f1o if tff else f1e
         field2 = f1e if tff else f1o
@@ -1788,41 +1794,46 @@ class STC007Stitcher:
 
         keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
         last = stc007.LINE_OFFSETS[-1]  # 112
-        # Inner seam resolution mode: every row is frame A.
-        s1 = max(0, len(field1) - (keep - padI))
-        len1 = len(field1) - s1
-        p0 = int(field1.line_number[s1]) % 2 == 1
-        if last < len1:
-            pl = int(field1.line_number[s1 + last]) % 2 == 1
-        elif last < len1 + padI:
-            pl = int(field1.line_number[len(field1) - 1]) % 2 == 1
-        else:
-            i2 = last - len1 - padI
-            if i2 >= len(field2):
-                return False
-            pl = int(field2.line_number[i2]) % 2 == 1
-        inner_mode = self.resolution_mode_for_seam(mode_of(p0), mode_of(pl))
-        # Outer seam: the first block row is frame A; the last may land
-        # in frame B, whose resolution only the native call knows.
-        s1o = max(0, len(field2) - (keep - padO))
-        len1o = len(field2) - s1o
-        p0o = int(field2.line_number[s1o]) % 2 == 1
-        outer_first = mode_of(p0o)
-        outer_full = -1
+        inner_mode = di.RES_MODE_14BIT
+        outer_first = di.RES_MODE_14BIT
+        outer_full = di.RES_MODE_14BIT if m2 else -1
         outer_last_even = False
-        if last < len1o:
-            plo = int(field2.line_number[s1o + last]) % 2 == 1
-            outer_full = self.resolution_mode_for_seam(outer_first,
-                                                       mode_of(plo))
-        elif last < len1o + padO:
-            plo = int(field2.line_number[len(field2) - 1]) % 2 == 1
-            outer_full = self.resolution_mode_for_seam(outer_first,
-                                                       mode_of(plo))
-        else:
-            i2 = last - len1o - padO
-            if i2 >= len(f2f):
-                return False
-            outer_last_even = int(f2f.line_number[i2]) % 2 == 0
+        if not m2:
+            # Inner seam resolution mode: every row is frame A.
+            s1 = max(0, len(field1) - (keep - padI))
+            len1 = len(field1) - s1
+            p0 = int(field1.line_number[s1]) % 2 == 1
+            if last < len1:
+                pl = int(field1.line_number[s1 + last]) % 2 == 1
+            elif last < len1 + padI:
+                pl = int(field1.line_number[len(field1) - 1]) % 2 == 1
+            else:
+                i2 = last - len1 - padI
+                if i2 >= len(field2):
+                    return False
+                pl = int(field2.line_number[i2]) % 2 == 1
+            inner_mode = self.resolution_mode_for_seam(mode_of(p0),
+                                                       mode_of(pl))
+            # Outer seam: the first block row is frame A; the last may
+            # land in frame B, whose resolution only the native call
+            # knows.
+            s1o = max(0, len(field2) - (keep - padO))
+            len1o = len(field2) - s1o
+            p0o = int(field2.line_number[s1o]) % 2 == 1
+            outer_first = mode_of(p0o)
+            if last < len1o:
+                plo = int(field2.line_number[s1o + last]) % 2 == 1
+                outer_full = self.resolution_mode_for_seam(outer_first,
+                                                           mode_of(plo))
+            elif last < len1o + padO:
+                plo = int(field2.line_number[len(field2) - 1]) % 2 == 1
+                outer_full = self.resolution_mode_for_seam(outer_first,
+                                                           mode_of(plo))
+            else:
+                i2 = last - len1o - padO
+                if i2 >= len(f2f):
+                    return False
+                outer_last_even = int(f2f.line_number[i2]) % 2 == 0
 
         # getDataBlockResolution(conv, 0) over the assembled queue,
         # resolved symbolically (no conv materialization).
@@ -1854,10 +1865,13 @@ class STC007Stitcher:
                 return f0.odd_resolution if odd_p else f0.even_resolution
             return di.RES_MODE_14BIT
 
-        rm0, rml = scalar_res_of(0), scalar_res_of(last)
-        if rm0 is None or rml is None:
-            return False
-        conv_mode = self.resolution_mode_for_seam(rm0, rml)
+        if m2:
+            conv_mode = di.RES_MODE_14BIT
+        else:
+            rm0, rml = scalar_res_of(0), scalar_res_of(last)
+            if rm0 is None or rml is None:
+                return False
+            conv_mode = self.resolution_mode_for_seam(rm0, rml)
         unch_lim = self.max_unch_14 if self.en_q else self.max_unch_16
         fb_unk_mode = di.RES_MODE_16BIT_AUTO \
             if self.get_probable_resolution() == SAMPLE_RES_16BIT \
@@ -1878,13 +1892,15 @@ class STC007Stitcher:
                 conv_mode, self.broken_mask_dur, self.broken_countdown,
                 n_blocks)
 
-        # The fresh resolution counts are valid on every return path:
-        # cache them so a seam-verdict fallback never re-evaluates.
-        f2o._fieldres = _res_of_counts(int(res_counts[0]),
-                                       int(res_counts[1]))
-        f2e._fieldres = _res_of_counts(int(res_counts[2]),
-                                       int(res_counts[3]))
-        self._steady_res = (fb.frame_number, f2o._fieldres, f2e._fieldres)
+        if not m2:
+            # The fresh resolution counts are valid on every return
+            # path: cache them so a fallback never re-evaluates.
+            f2o._fieldres = _res_of_counts(int(res_counts[0]),
+                                           int(res_counts[1]))
+            f2e._fieldres = _res_of_counts(int(res_counts[2]),
+                                           int(res_counts[3]))
+            self._steady_res = (fb.frame_number, f2o._fieldres,
+                                f2e._fieldres)
         if rc < 0:
             return False  # a seam verdict failed: full machine decides
 
@@ -1952,7 +1968,6 @@ class STC007Stitcher:
         from ..ops import stitch_native as _sn
         return (_sn.available() and not self.record_views
                 and not self.en_cwd and not self.ignore_crc
-                and not self.mode_m2
                 and self.preset_resolution is None
                 and not self.file_start and not self.file_end)
 
@@ -2049,13 +2064,17 @@ class STC007Stitcher:
         scan1 = getattr(store1, "_svc_scan", None)
         if scan1 is None or scan1[0] != fno1 or scan1[1] or scan1[2]:
             return False
-        r1 = self._rolling_f1_res(fno1)
-        if r1 is None:
-            return False
-        r1o, r1e = r1
-        known = (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
-        if r1o not in known or r1e not in known:
-            return False
+        m2 = self.mode_m2
+        if m2:
+            r1o = r1e = SAMPLE_RES_14BIT  # fixed modes; counts unused
+        else:
+            r1 = self._rolling_f1_res(fno1)
+            if r1 is None:
+                return False
+            r1o, r1e = r1
+            known = (SAMPLE_RES_14BIT, SAMPLE_RES_16BIT)
+            if r1o not in known or r1e not in known:
+                return False
         conv = self.conv_queue
         if len(conv) > stc007.MIN_DEINT_DATA:
             return False
@@ -2092,7 +2111,7 @@ class STC007Stitcher:
             np.ascontiguousarray(conv.frame_number, np.int64),
             self._silent_words32(), self.en_p, self.en_q, unch_lim,
             MAX_BURST_SILENCE, MAX_BURST_BROKEN, self.broken_mask_dur,
-            self.auto_m2, order_preset, self.preset_video,
+            self.auto_m2, m2, order_preset, self.preset_video,
             bool(order_preset), state)
         if n_done < len(rec):
             # cache the bail pair's frame-B trim scan for the fallback
@@ -2173,28 +2192,35 @@ class STC007Stitcher:
             else:
                 fb.order_preset = False
                 fb.set_order_unknown()
-            # detect_audio_resolution replay (frame-A-known branch)
-            self.update_resolution_stats(r1o_cur)
-            self.update_resolution_stats(r1e_cur)
-            fa.odd_resolution = strict(r1o_cur)
-            fa.even_resolution = strict(r1e_cur)
-            ra = _res_of_counts(int(r[sn.REC_RES]), int(r[sn.REC_RES + 1]))
-            rb_ = _res_of_counts(int(r[sn.REC_RES + 2]),
-                                 int(r[sn.REC_RES + 3]))
-            UNK = SAMPLE_RES_UNKNOWN
-            if ra == UNK and rb_ == UNK:
-                by = self.get_probable_resolution()
-                mode = M16A if by == SAMPLE_RES_16BIT else M14A
-                fb.odd_resolution = fb.even_resolution = mode
-            elif ra == UNK:
-                fb.even_resolution = strict(rb_)
-                fb.odd_resolution = auto(rb_)
-            elif rb_ == UNK:
-                fb.odd_resolution = strict(ra)
-                fb.even_resolution = auto(ra)
+            # detect_audio_resolution replay (frame-A-known branch;
+            # M2 short-circuits to fixed 14-bit, no stats update)
+            if m2:
+                ra = rb_ = SAMPLE_RES_14BIT
+                fa.odd_resolution = fa.even_resolution = M14
+                fb.odd_resolution = fb.even_resolution = M14
             else:
-                fb.odd_resolution = strict(ra)
-                fb.even_resolution = strict(rb_)
+                self.update_resolution_stats(r1o_cur)
+                self.update_resolution_stats(r1e_cur)
+                fa.odd_resolution = strict(r1o_cur)
+                fa.even_resolution = strict(r1e_cur)
+                ra = _res_of_counts(int(r[sn.REC_RES]),
+                                    int(r[sn.REC_RES + 1]))
+                rb_ = _res_of_counts(int(r[sn.REC_RES + 2]),
+                                     int(r[sn.REC_RES + 3]))
+                UNK = SAMPLE_RES_UNKNOWN
+                if ra == UNK and rb_ == UNK:
+                    by = self.get_probable_resolution()
+                    mode = M16A if by == SAMPLE_RES_16BIT else M14A
+                    fb.odd_resolution = fb.even_resolution = mode
+                elif ra == UNK:
+                    fb.even_resolution = strict(rb_)
+                    fb.odd_resolution = auto(rb_)
+                elif rb_ == UNK:
+                    fb.odd_resolution = strict(ra)
+                    fb.even_resolution = auto(ra)
+                else:
+                    fb.odd_resolution = strict(ra)
+                    fb.even_resolution = strict(rb_)
             # stage machine TRY_PREVIOUS -> PAD_OK transitions
             tff = f0.is_order_tff()
             fa.inner_silence = fa.outer_silence = True

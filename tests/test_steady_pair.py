@@ -140,10 +140,10 @@ def test_mid_stream_disturbance_recovers():
         assert dataclasses.asdict(ff) == dataclasses.asdict(fr_)
 
 
-def test_m2_and_cwd_and_views_bail():
+def test_cwd_and_preset_res_bail():
     """Excluded configurations must never take the fast path."""
     frames = _capture(n_frames=4, seed=10)
-    for kw in (dict(mode_m2=True), dict(en_cwd=True),
+    for kw in (dict(en_cwd=True),
                dict(preset_resolution=st.SAMPLE_RES_14BIT)):
         s_f, a_f, hits = _run(frames, 0, False, **kw)
         assert hits == 0, kw
@@ -151,3 +151,11 @@ def test_m2_and_cwd_and_views_bail():
         if a_f is not None:
             for x, y in zip(a_f[:3], a_r[:3]):
                 np.testing.assert_array_equal(x, y)
+
+
+def test_m2_engages_and_matches():
+    """M2 takes the per-pair fast path with fixed 14-bit modes."""
+    frames = _capture(n_frames=6, seed=12)
+    hits = _assert_same(frames, corrupt=20, seed=4, want_hits=1,
+                        mode_m2=True)
+    assert hits >= 1

@@ -129,12 +129,26 @@ def test_round_16bit_and_ntsc():
 
 def test_round_excluded_configs_never_engage():
     frames = _capture(n_frames=6, seed=10)
-    for kw in (dict(mode_m2=True), dict(en_cwd=True),
+    for kw in (dict(en_cwd=True),
                dict(preset_resolution=st.SAMPLE_RES_14BIT)):
         r = _run(frames, "round", **kw)
         assert r[5] == 0, kw
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, str(kw))
+
+
+def test_round_m2_engages_and_matches():
+    """M2 rides the steady round (fixed 14-bit modes, no fresh-field
+    resolution counting) — chunks/logs/stats identical to the machine."""
+    for corrupt in (0, 40):
+        frames = _capture(n_frames=8, seed=11)
+        r = _run(frames, "round", corrupt=corrupt, seed=3, mode_m2=True)
+        p = _run(frames, "pair", corrupt=corrupt, seed=3, mode_m2=True)
+        s = _run(frames, "slow", corrupt=corrupt, seed=3, mode_m2=True)
+        _assert_equal(r, p, f"m2 round-vs-pair c={corrupt}")
+        _assert_equal(r, s, f"m2 round-vs-slow c={corrupt}")
+        if corrupt == 0:
+            assert r[5] >= 1, "m2 round engaged"
 
 
 def test_round_with_control_blocks():
