@@ -246,6 +246,8 @@ def test_round_config_fuzz():
         frames = _capture(n_frames=n_frames, lpf=lpf, resolution=res,
                           seed=seed)
         kw = dict(corrupt=corrupt, seed=seed + 1, knockout=ko, batch=batch)
+        if rng.random() < 0.25:
+            kw["mode_m2"] = True
         r = _run(frames, "round", **kw)
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, f"fuzz t{trial}")
