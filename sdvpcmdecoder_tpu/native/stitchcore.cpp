@@ -2045,7 +2045,11 @@ int32_t pcm16x0_steady_frame(
         if (Bt)
             pcm16x0_burst_stats(fl.data(), Bt, P16_MAX_SIL, P16_MAX_UNCH,
                                 0, st4);
-        const bool ok0 = Bt > 0 && st4[3] < 1 && st4[1] <= P16_MAX_SIL
+        // try_si_padding's ok allows smax == MAX_BURST_SILENCE_SI, but
+        // findSIPadding then takes the SILENCE route for smax >= it —
+        // so the steady accept needs the STRICT bound (at exactly 34
+        // the machine pads from the stats history instead).
+        const bool ok0 = Bt > 0 && st4[3] < 1 && st4[1] < P16_MAX_SIL
             && st4[2] <= P16_MAX_UNCH && st4[0] > 0;
         if (!ok0) {
             rec[0] = 2;

@@ -205,3 +205,51 @@ def test_auto_fmt_ei_switch_through_fast_path():
     for x, y in zip(a[0][:3], b[0][:3]):
         np.testing.assert_array_equal(x, y)
     assert a[1] == b[1]
+
+
+def test_exact_silence_threshold_defers():
+    """A silent run of EXACTLY MAX_BURST_SILENCE_SI blocks: the pad-0
+    try says ok (smax <= limit) but findSIPadding takes the SILENCE
+    route (smax >= limit) — the fast path must defer, not accept
+    (regression: the steady accept used the non-strict bound)."""
+    rng = np.random.default_rng(88)
+
+    def silent_run_store(fno):
+        parts = []
+        for parity_base, s in ((1, 200), (2, 201)):
+            left, right = _samples(USABLE, s)
+            if parity_base == 1:
+                # zero the samples feeding shifts 0..33 of group 0:
+                # sublines {s, s+35, s+70 : s in 0..33} carry them
+                sub0, _ = di16.interleave_field(left, right, LPF)
+                sub0 = np.asarray(sub0).copy()
+                for sh in range(34):
+                    for k in range(3):
+                        sub0[sh + 35 * k] = 0
+                sub = sub0
+            else:
+                sub, _ = di16.interleave_field(left, right, LPF)
+            S = len(sub)
+            crcs = np.asarray(pcm16x0.calc_crc(sub, xp=np))
+            lines = parity_base + 2 * (np.arange(S) // 3)
+            parts.append(sp16.PCM16X0LineStore.from_decoded(
+                sub, crcs, np.full(S, fno), lines, np.arange(S) % 3))
+        return sp16.PCM16X0LineStore.concat(parts)
+
+    def run(disable):
+        s = sp16.PCM16X0Stitcher()
+        if disable:
+            s._try_steady_frame = lambda buf: False
+        for f in range(4):
+            s.push_frame(_frame_store(f + 1, 90 + f) if f != 2
+                         else silent_run_store(f + 1))
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log, list(s.stats_padding)
+
+    a, b = run(False), run(True)
+    for x, y in zip(a[0][:3], b[0][:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1] == b[1] and a[2] == b[2]
+    # the crafted frame must actually hit the silence route
+    assert any(f["silence"] for f in a[1]), "silence route exercised"
