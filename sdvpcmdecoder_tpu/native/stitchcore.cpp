@@ -2051,12 +2051,77 @@ int32_t pcm16x0_steady_frame(
         // the machine pads from the stats history instead).
         const bool ok0 = Bt > 0 && st4[3] < 1 && st4[1] < P16_MAX_SIL
             && st4[2] <= P16_MAX_UNCH && st4[0] > 0;
+        int64_t padding = 0;
         if (!ok0) {
-            rec[0] = 2;
-            return 2;
+            // findSIPadding's sweep (trySIPadding per pad 0..34, then
+            // the reference's stats sort + accept rules).  The SILENCE
+            // and zero-anchor-ambiguity routes defer to the machine.
+            thread_local std::vector<int32_t> pw;
+            thread_local std::vector<uint8_t> pv;
+            const int64_t cap = f->n + 3 * P16_OFS;
+            if ((int64_t)pv.size() < cap) {
+                pw.resize((size_t)cap * 3);
+                pv.resize((size_t)cap);
+            }
+            int32_t sweep[P16_OFS][4];
+            for (int64_t p = 0; p < P16_OFS; ++p) {
+                const int64_t pre = 3 * p;
+                memset(pw.data(), 0, (size_t)pre * 3 * sizeof(int32_t));
+                memset(pv.data(), 0, (size_t)pre);
+                memcpy(&pw[(size_t)pre * 3], f->w.data(),
+                       (size_t)f->n * 3 * sizeof(int32_t));
+                memcpy(&pv[pre], f->valid.data(), (size_t)f->n);
+                const int64_t S = pre + f->n;
+                int64_t c4[4];
+                (void)p16_grid_decode(pw.data(), pv.data(), S, en_p,
+                                      fl, c4, nullptr, nullptr,
+                                      nullptr, nullptr);
+                const int64_t Bp = (S / P16_TRUE) * P16_OFS;
+                sweep[p][0] = sweep[p][1] = sweep[p][2] = sweep[p][3] = 0;
+                if (Bp)
+                    pcm16x0_burst_stats(fl.data(), Bp, P16_MAX_SIL,
+                                        P16_MAX_UNCH, 0, sweep[p]);
+            }
+            // StitchStats sort: broken asc, valid desc, unchecked asc,
+            // silent asc, index asc (stable insertion over index order).
+            int order[P16_OFS];
+            for (int i = 0; i < P16_OFS; ++i) order[i] = i;
+            auto less = [&](int a, int b) {
+                const int32_t* x = sweep[a];
+                const int32_t* y = sweep[b];
+                if (x[3] != y[3]) return x[3] < y[3];
+                if (x[0] != y[0]) return x[0] > y[0];
+                if (x[2] != y[2]) return x[2] < y[2];
+                if (x[1] != y[1]) return x[1] < y[1];
+                return a < b;
+            };
+            for (int i = 1; i < P16_OFS; ++i) {
+                int v = order[i], j = i;
+                while (j > 0 && less(v, order[j - 1])) {
+                    order[j] = order[j - 1];
+                    --j;
+                }
+                order[j] = v;
+            }
+            const int32_t* best = sweep[order[0]];
+            const int32_t* second = sweep[order[1]];
+            const bool silence = best[1] >= P16_MAX_SIL;
+            const bool ambiguous =
+                best[2] > P16_MAX_UNCH || best[0] == 0
+                || (best[3] > 0 && !(best[3] < second[3]
+                                     || best[0] > second[0]));
+            if (silence || ambiguous) {
+                rec[0] = 2;
+                return 2;
+            }
+            padding = order[0];
         }
-        // queue = field + silent filler to the super-block grid
-        int64_t target = f->n + ((P16_TRUE - f->n % P16_TRUE) % P16_TRUE);
+        rec[45 + qi] = padding;
+        // queue = pad + field + silent filler to the super-block grid
+        // (_padded_field prepends the padding sublines)
+        const int64_t pre = 3 * padding;
+        const int64_t base = pre + f->n;
+        int64_t target = base + ((P16_TRUE - base % P16_TRUE) % P16_TRUE);
         if (target < P16_SUBPF) target = P16_SUBPF;
         std::vector<int32_t>& qw = qi == 0 ? q1w : q2w;
         std::vector<uint8_t>& qv = qi == 0 ? q1v : q2v;
@@ -2066,14 +2131,18 @@ int32_t pcm16x0_steady_frame(
             qv.resize((size_t)target);
             qc.resize((size_t)target);
         }
-        memcpy(qw.data(), f->w.data(), (size_t)f->n * 3 * sizeof(int32_t));
-        memcpy(qv.data(), f->valid.data(), (size_t)f->n);
-        memcpy(qc.data(), f->cb.data(), (size_t)f->n);
-        if (target > f->n) {
-            memset(&qw[(size_t)f->n * 3], 0,
-                   (size_t)(target - f->n) * 3 * sizeof(int32_t));
-            memset(&qv[f->n], 0, (size_t)(target - f->n));
-            memset(&qc[f->n], 0, (size_t)(target - f->n));
+        memset(qw.data(), 0, (size_t)pre * 3 * sizeof(int32_t));
+        memset(qv.data(), 0, (size_t)pre);
+        memset(qc.data(), 0, (size_t)pre);
+        memcpy(&qw[(size_t)pre * 3], f->w.data(),
+               (size_t)f->n * 3 * sizeof(int32_t));
+        memcpy(&qv[pre], f->valid.data(), (size_t)f->n);
+        memcpy(&qc[pre], f->cb.data(), (size_t)f->n);
+        if (target > base) {
+            memset(&qw[(size_t)base * 3], 0,
+                   (size_t)(target - base) * 3 * sizeof(int32_t));
+            memset(&qv[base], 0, (size_t)(target - base));
+            memset(&qc[base], 0, (size_t)(target - base));
         }
         rec[36 + qi] = target;
         // 5. ctrl-bit tally over this queue (collectCtrlBitStats)

@@ -764,7 +764,7 @@ def pcm_crc_rows(words, fmt):
 # pcm16x0_steady_frame record indices (mirror of the C layout).
 P16_REC_N = 48
 (P16_STATUS, P16_TRIM, P16_SPLIT, P16_CTRL, P16_QLEN, P16_BTOTAL,
- P16_CNT, P16_OUT) = 0, 1, 15, 28, 36, 38, 39, 43
+ P16_CNT, P16_OUT, P16_PAD) = 0, 1, 15, 28, 36, 38, 39, 43, 45
 
 
 def pcm16x0_steady_frame(store, frame_no, order_tff, en_p):

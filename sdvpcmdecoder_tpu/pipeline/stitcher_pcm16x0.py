@@ -635,10 +635,11 @@ class PCM16X0Stitcher:
         fr.ei_detected = bool(ei)
         if self.auto_fmt and det["valid"] and ei:
             self.fmt = FORMAT_EI  # switch from the next frame
-        # _si_field_queue bookkeeping (pad-0 fast path, both fields)
+        # _si_field_queue bookkeeping (accepted paddings, both fields;
+        # the C side swept findSIPadding's grid when pad-0 failed)
         fr.padding_ok = True
-        for _ in range(2):
-            self.stats_padding.append(0)
+        for qi in range(2):
+            self.stats_padding.append(int(rec[_sn.P16_PAD + qi]))
             self.stats_padding = self.stats_padding[-STATS_DEPTH:]
         # _stream_blocks bookkeeping + chunks
         fr.blocks_total += int(rec[_sn.P16_BTOTAL])

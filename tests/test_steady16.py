@@ -253,3 +253,51 @@ def test_exact_silence_threshold_defers():
     assert a[1] == b[1] and a[2] == b[2]
     # the crafted frame must actually hit the silence route
     assert any(f["silence"] for f in a[1]), "silence route exercised"
+
+
+def test_cropped_fields_sweep_in_fast_path():
+    """Top-cropped fields (nonzero SI padding) now ride the fast path:
+    the C side runs findSIPadding's sweep + stats sort and the replay
+    records the accepted paddings — identical to the machine."""
+    crop = 4
+
+    def cropped_store(fno, seed):
+        parts = []
+        for parity_base, s in ((1, seed * 2), (2, seed * 2 + 1)):
+            left, right = _samples(USABLE, s)
+            sub, _ = di16.interleave_field(left, right, LPF)
+            sub = np.asarray(sub)[3 * crop:]
+            S = len(sub)
+            crcs = np.asarray(pcm16x0.calc_crc(sub, xp=np))
+            lines = parity_base + 2 * crop + 2 * (np.arange(S) // 3)
+            parts.append(sp16.PCM16X0LineStore.from_decoded(
+                sub, crcs, np.full(S, fno), lines, np.arange(S) % 3))
+        return sp16.PCM16X0LineStore.concat(parts)
+
+    def run(disable):
+        s = sp16.PCM16X0Stitcher()
+        hits = [0]
+        if disable:
+            s._try_steady_frame = lambda buf: False
+        else:
+            orig = sp16.PCM16X0Stitcher._try_steady_frame
+
+            def spy(buf, _s=s):
+                r = orig(_s, buf)
+                if r:
+                    hits[0] += 1
+                return r
+            s._try_steady_frame = spy
+        for f in range(5):
+            s.push_frame(cropped_store(f + 1, 120 + f))
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        log = [dataclasses.asdict(f) for f in s.frame_log]
+        return arr, log, list(s.stats_padding), hits[0]
+
+    a = run(False)
+    b = run(True)
+    for x, y in zip(a[0][:3], b[0][:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1] == b[1] and a[2] == b[2]
+    assert a[3] >= 4, "cropped frames must engage the fast path"
+    assert set(a[2]) == {crop}, a[2]
