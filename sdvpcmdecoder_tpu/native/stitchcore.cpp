@@ -1807,6 +1807,135 @@ void pcm1_field_deint(
     }
 }
 
+// ---------------------------------------------------------------------------
+// PCM-1 steady frame: trim scan, field split, the auto/manual padding
+// math and both field deinterleaves in one call (push_frame,
+// pipeline/stitcher_pcm1.py; doFrameReassemble pcm1datastitcher.cpp:
+// 1578).  Header-bearing frames (file boundaries: SRV_HEADER anchors +
+// emphasis) and file tags defer to the Python path, which the replay
+// mirrors exactly otherwise.
+// Record (int64[32]): 0 status (0 ok, 1 file tag), 1..14 trim raw,
+// 15..18 odd_data/odd_valid/even_data/even_valid (sublines),
+// 19/20 odd_ref/even_ref, 21..24 (bad_blocks, samples_drop) per
+// emitted field in order.  Outputs: two fields x 735 pair rows packed
+// (field order given by order_tff).
+int32_t pcm1_steady_frame(
+    const int64_t* words, const uint8_t* crcv, const uint8_t* forced_bad,
+    const int64_t* frame_number, const int64_t* line_number,
+    const int8_t* service, const uint8_t* bw_set, const int64_t* ref_level,
+    int64_t S, int64_t frame_no, int32_t order_tff,
+    int32_t auto_offset, int32_t preset_odd, int32_t preset_even,
+    int16_t* samples_out, uint8_t* wv_out, uint8_t* bok_out,
+    int64_t* rec) {
+    constexpr int64_t P1_LPF = 245, P1_SUBPF = 735;
+    constexpr int64_t P1_MIN_GOOD = P1_LPF * 4 / 5;  // 196
+    for (int i = 0; i < 32; ++i) rec[i] = 0;
+    int64_t tb[14];
+    stc007_trim_scan(line_number, frame_number, service, crcv, forced_bad,
+                     bw_set, S, frame_no, 0, tb);
+    for (int i = 0; i < 14; ++i) rec[1 + i] = tb[i];
+    if (tb[8] || tb[9]) {
+        rec[0] = 1;
+        return 1;
+    }
+    // trim facts (the native _find_trim branch incl. manual offsets)
+    int64_t top[2] = {0, 0}, bot[2] = {0, 0};  // [even, odd]
+    if (!auto_offset) {
+        top[1] = preset_odd > 0 ? 2 * preset_odd + 1 : 1;
+        top[0] = preset_even > 0 ? 2 * preset_even + 2 : 2;
+    }
+    for (int p = 0; p < 2; ++p) {
+        const int base = p == 0 ? 0 : 4;
+        const int good = p == 0 ? 12 : 13;
+        const int o = tb[good] > P1_MIN_GOOD ? base : base + 2;
+        if (tb[o] >= 0) {
+            if (auto_offset) top[p] = line_number[tb[o]];
+            bot[p] = line_number[tb[o + 1]];
+        }
+    }
+    // field split (line rows; sublines = 3 words L/R interleaved)
+    thread_local std::vector<int64_t> idx_e, idx_o;
+    if ((int64_t)idx_e.size() < P1_LPF) {
+        idx_e.resize((size_t)P1_LPF);
+        idx_o.resize((size_t)P1_LPF);
+    }
+    int64_t sp[13];
+    stc007_split_scan(line_number, frame_number, service, crcv,
+                      forced_bad, S, frame_no,
+                      top[0], bot[0], !(top[0] == 0 && bot[0] == 0),
+                      top[1], bot[1], !(top[1] == 0 && bot[1] == 0),
+                      P1_LPF, sp, idx_e.data(), idx_o.data());
+    const int64_t ne = sp[3], no_ = sp[9];
+    rec[15] = 3 * no_;  // odd_data_lines (sublines)
+    rec[17] = 3 * ne;   // even_data_lines
+    // per-field valid counts are per SUBLINE (3x the line flag) and
+    // the ref averages follow splitFrameToFields' tail.
+    for (int p = 0; p < 2; ++p) {
+        const int64_t* idx = p == 0 ? idx_e.data() : idx_o.data();
+        const int64_t n = p == 0 ? ne : no_;
+        int64_t vcnt = 0, vsum = 0, sum = 0;
+        for (int64_t k = 0; k < n; ++k) {
+            const int64_t r = idx[k];
+            sum += ref_level[r];
+            if (crcv[r] && !forced_bad[r]) {
+                ++vcnt;
+                vsum += ref_level[r];
+            }
+        }
+        rec[p == 0 ? 18 : 16] = 3 * vcnt;  // *_valid_lines (sublines)
+        rec[p == 0 ? 20 : 19] = vcnt ? vsum / vcnt : (n ? sum / n : 0);
+    }
+    // padding math (findFramePadding auto/no-header and manual branches)
+    int64_t top_pad[2];  // [even, odd] in LINES
+    if (auto_offset) {
+        top_pad[0] = (P1_SUBPF - rec[17]) / 3;
+        top_pad[1] = (P1_SUBPF - rec[15]) / 3;
+    } else {
+        top_pad[0] = preset_even < 0 ? -preset_even : 0;
+        top_pad[1] = preset_odd < 0 ? -preset_odd : 0;
+    }
+    // assemble + deinterleave both fields in output order
+    thread_local std::vector<int64_t> sl, sr;
+    thread_local std::vector<uint8_t> sv;
+    if ((int64_t)sv.size() < P1_SUBPF) {
+        sl.resize((size_t)P1_SUBPF);
+        sr.resize((size_t)P1_SUBPF);
+        sv.resize((size_t)P1_SUBPF);
+    }
+    int64_t ofs = 0;
+    for (int qi = 0; qi < 2; ++qi) {
+        const int p = (qi == 0) == (order_tff != 0) ? 1 : 0;  // odd first
+        const int64_t* idx = p == 0 ? idx_e.data() : idx_o.data();
+        const int64_t n = p == 0 ? ne : no_;
+        const int64_t tp = 3 * std::max<int64_t>(0, top_pad[p]);
+        for (int64_t i = 0; i < P1_SUBPF; ++i) {
+            sl[i] = 0x1000;  // BIT_RANGE_POS (silent pattern)
+            sr[i] = 0x1000;
+            sv[i] = 0;
+        }
+        const int64_t n_copy = std::min(3 * n, P1_SUBPF - tp);
+        for (int64_t k = 0; k * 3 < n_copy + 2 && k < n; ++k) {
+            const int64_t r = idx[k];
+            const uint8_t v = crcv[r] && !forced_bad[r];
+            for (int j = 0; j < 3; ++j) {
+                const int64_t s = 3 * k + j;
+                if (s >= n_copy) break;
+                sl[tp + s] = words[r * 6 + 2 * j];
+                sr[tp + s] = words[r * 6 + 2 * j + 1];
+                sv[tp + s] = v;
+            }
+        }
+        int64_t c2[2];
+        pcm1_field_deint(sl.data(), sr.data(), sv.data(),
+                         samples_out + ofs * 2, wv_out + ofs * 2,
+                         bok_out + ofs, c2);
+        rec[21 + 2 * qi] = c2[0];
+        rec[22 + 2 * qi] = c2[1];
+        ofs += P1_SUBPF;
+    }
+    return 0;
+}
+
 // Row-mapped variant: rows [B, 3] explicit subline indices per block.
 void pcm16x0_decode_blocks_rows(
     const int32_t* sub_words, const uint8_t* sub_crc,

@@ -237,6 +237,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.pcm1_steady_frame.restype = ctypes.c_int32
+        L.pcm1_steady_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.pcm16x0_steady_frame.restype = ctypes.c_int32
         L.pcm16x0_steady_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -811,6 +820,36 @@ def region_hist(pixels, spans):
     L.agc_region_hist(pixels.ctypes.data, N, W, lo.ctypes.data,
                       hi.ctypes.data, ns, out.ctypes.data)
     return out
+
+
+P1_REC_N = 32
+P1_TRIM, P1_DATA, P1_REFS, P1_CNT = 1, 15, 19, 21
+
+
+def pcm1_steady_frame(store, frame_no, order_tff, auto_offset,
+                      preset_odd, preset_even):
+    """One-call steady PCM-1 frame (pcm1_steady_frame): trim scan,
+    field split, padding math and both field deinterleaves; outputs two
+    735-row fields in emission order.  rc != 0 = bail (file tags); the
+    caller excludes header frames before calling."""
+    L = _load()
+    rec = np.zeros(P1_REC_N, np.int64)
+    N = 2 * 735
+    samples = np.empty((N, 2), np.int16)
+    wv = np.empty((N, 2), bool)
+    bok = np.empty(N, bool)
+    rc = L.pcm1_steady_frame(
+        store.words.ctypes.data,
+        _as_u8(store.crc_valid_ignore_forced()).ctypes.data,
+        _as_u8(store.forced_bad).ctypes.data,
+        store.frame_number.ctypes.data, store.line_number.ctypes.data,
+        store.service.ctypes.data, _as_u8(store.bw_set).ctypes.data,
+        store.ref_level.ctypes.data,
+        len(store), int(frame_no), int(bool(order_tff)),
+        int(bool(auto_offset)), int(preset_odd), int(preset_even),
+        samples.ctypes.data, wv.ctypes.data, bok.ctypes.data,
+        rec.ctypes.data)
+    return int(rc), rec, samples, wv, bok
 
 
 def pcm1_field_deint(sub_left, sub_right, sub_valid):

@@ -308,11 +308,78 @@ class PCM1Stitcher:
         fr.field_order = self.preset_field_order
 
     # -- one frame --------------------------------------------------------
+    def _try_steady_frame(self, buf: PCM1LineStore, fr: FrameAsmPCM1):
+        """One native call for the steady PCM-1 frame
+        (pcm1_steady_frame: trim scan, field split, the auto/manual
+        padding math, both field deinterleaves with companding); the
+        frame descriptor, stats and chunks are replayed HERE.  Frames
+        with header/emphasis service lines or file tags defer to the
+        unchanged path (bit-identity pinned by tests)."""
+        from ..ops import stitch_native as _sn
+        svc = buf.service
+        if (not _sn.available() or not len(buf)
+                or (svc == SRV_HEADER).any()):
+            return False
+        rc, rec, samples, wv, bok = _sn.pcm1_steady_frame(
+            buf, fr.frame_number,
+            self.preset_field_order == ORDER_TFF, self.auto_offset,
+            self.preset_odd_offset, self.preset_even_offset)
+        if rc != 0:
+            return False
+        self.file_start = False
+        self.file_end = False
+        self.header_present = False
+        self.emphasis_set = False
+        # _find_trim replay (the native branch's exact rules)
+        fr.even_top_data = fr.even_bottom_data = 0
+        fr.odd_top_data = fr.odd_bottom_data = 0
+        manual = not self.auto_offset
+        if manual:
+            fr.odd_top_data = 2 * self.preset_odd_offset + 1 \
+                if self.preset_odd_offset > 0 else 1
+            fr.even_top_data = 2 * self.preset_even_offset + 2 \
+                if self.preset_even_offset > 0 else 2
+        trim = rec[_sn.P1_TRIM:_sn.P1_TRIM + 14]
+        for name, base, good in (("even", 0, 12), ("odd", 4, 13)):
+            skip_bad = int(trim[good]) > MIN_GOOD_LINES_PF
+            o = base if skip_bad else base + 2
+            first, last = int(trim[o]), int(trim[o + 1])
+            if first >= 0:
+                if not manual:
+                    setattr(fr, f"{name}_top_data",
+                            int(buf.line_number[first]))
+                setattr(fr, f"{name}_bottom_data",
+                        int(buf.line_number[last]))
+        # _split_fields replay (counts + refs)
+        fr.odd_data_lines = int(rec[_sn.P1_DATA])
+        fr.odd_valid_lines = int(rec[_sn.P1_DATA + 1])
+        fr.even_data_lines = int(rec[_sn.P1_DATA + 2])
+        fr.even_valid_lines = int(rec[_sn.P1_DATA + 3])
+        fr.odd_ref = int(rec[_sn.P1_REFS])
+        fr.even_ref = int(rec[_sn.P1_REFS + 1])
+        self._find_padding(fr)
+        fr.emphasis = self.emphasis_set
+        # chunks in emission order (735 pair rows per field)
+        for qi in range(2):
+            a = qi * 735
+            fr.blocks_total += di1.INT_BLK_PER_FIELD
+            fr.blocks_drop += int(rec[_sn.P1_CNT + 2 * qi])
+            fr.samples_drop += int(rec[_sn.P1_CNT + 2 * qi + 1])
+            v2 = wv[a:a + 735]
+            self.out_chunks.append(SampleChunk(
+                samples=samples[a:a + 735], valid=v2,
+                fixed=np.zeros_like(v2), block_ok=bok[a:a + 735],
+                sample_rate=SAMPLE_RATE_44100, emphasis=fr.emphasis))
+        self.frame_log.append(dataclasses.replace(fr))
+        return True
+
     def push_frame(self, buf: PCM1LineStore):
         data = buf.service == SRV_NO
         frames = buf.frame_number[data]
         fr = FrameAsmPCM1()
         fr.frame_number = int(frames[0]) if len(frames) else 0
+        if self._try_steady_frame(buf, fr):
+            return
         self._find_trim(buf, fr)
         fields = self._split_fields(buf, fr)
         self._find_padding(fr)
