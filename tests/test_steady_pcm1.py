@@ -102,3 +102,22 @@ def test_pcm1_header_frames_defer():
     r = _run(5, True, seed=3, header_at=2)
     _assert_equal(f, r, "header")
     assert f[2] == 4  # the header frame deferred
+
+
+def test_pcm1_steady_config_fuzz():
+    """Deterministic mini-fuzz over corruption/crops/offsets/headers."""
+    rng = np.random.default_rng(777)
+    for trial in range(6):
+        kw = dict(seed=int(rng.integers(0, 100000)),
+                  bad_frac=float(rng.choice([0, .03, .1, .25])),
+                  crop=int(rng.choice([0, 0, 3, 7, 15])))
+        if rng.random() < 0.3:
+            kw.update(auto_offset=False,
+                      odd_offset=int(rng.integers(-3, 4)),
+                      even_offset=int(rng.integers(-3, 4)))
+        if rng.random() < 0.25:
+            kw["header_at"] = int(rng.integers(0, 4))
+        n = int(rng.integers(3, 7))
+        f = _run(n, False, **kw)
+        r = _run(n, True, **kw)
+        _assert_equal(f, r, f"fuzz t{trial}")
