@@ -897,6 +897,7 @@ int64_t stc007_steady_round(
     int32_t en_p, int32_t en_q, int32_t unch_lim,
     int32_t max_burst_silence, int32_t max_burst_broken,
     int32_t broken_mask_dur, int32_t auto_m2, int32_t m2,
+    int32_t fixed_mode,
     int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
     int64_t* state, int64_t* records,
     int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid) {
@@ -1059,15 +1060,17 @@ int64_t stc007_steady_round(
             break;
         }
         const int64_t res1o = state[ST_RES1O], res1e = state[ST_RES1E];
-        if (!m2 && ((res1o != 14 && res1o != 16)
-                    || (res1e != 14 && res1e != 16))) {
+        if (fixed_mode < 0 && ((res1o != 14 && res1o != 16)
+                               || (res1e != 14 && res1e != 16))) {
             rec[RC_STATUS] = BS_RES_UNK;
             break;
         }
-        // M2 fixes every resolution mode at 14-bit (detectAudioResolution
-        // short-circuit); the fresh-field counts are never taken.
-        const int fa_odd_mode = m2 ? M14 : (res1o == 16 ? M16 : M14);
-        const int fa_even_mode = m2 ? M14 : (res1e == 16 ? M16 : M14);
+        // M2 / a resolution preset fixes every mode (detectAudio-
+        // Resolution short-circuit resp. getFieldResolution preset).
+        const int fa_odd_mode = fixed_mode >= 0 ? fixed_mode
+            : (res1o == 16 ? M16 : M14);
+        const int fa_even_mode = fixed_mode >= 0 ? fixed_mode
+            : (res1e == 16 ? M16 : M14);
         // --- materialize frame A fields + frame B leading field ---
         fld_e.fill(f1p, s1[1], s1[4], s1[3]);
         fld_o.fill(f1p, s1[7], s1[10], s1[9]);
@@ -1120,13 +1123,13 @@ int64_t stc007_steady_round(
             rec[RC_STATUS] = BS_FIT;
             break;
         }
-        // --- seam resolution modes (all M14 under M2) ---
+        // --- seam resolution modes (all fixed under M2/preset) ---
         auto fa_mode_of = [&](int parity_odd) {
             return parity_odd ? fa_odd_mode : fa_even_mode;
         };
         // inner: every row frame A
-        int inner_mode = M14;
-        if (!m2) {
+        int inner_mode = fixed_mode >= 0 ? fixed_mode : M14;
+        if (fixed_mode < 0) {
             const int64_t st1 = std::max<int64_t>(0, field1->n
                                                   - (KEEP - padI));
             const int64_t len1 = field1->n - st1;
@@ -1146,8 +1149,8 @@ int64_t stc007_steady_round(
             inner_mode = res_mode_combine(fa_mode_of(pf), fa_mode_of(pl));
         }
         // outer: first row frame A; last may land in frame B
-        int outer_mode = M14;
-        if (!m2) {
+        int outer_mode = fixed_mode >= 0 ? fixed_mode : M14;
+        if (fixed_mode < 0) {
             const int64_t st1 = std::max<int64_t>(0, field2->n
                                                   - (KEEP - padO));
             const int64_t len1 = field2->n - st1;
@@ -1286,13 +1289,14 @@ int64_t stc007_steady_round(
                                    : state[ST_F0_EVEN_MODE]);
             return M14;
         };
-        const int cm0 = m2 ? M14 : conv_res_of(0);
-        const int cml = m2 ? M14 : conv_res_of(MDD);
+        const int cm0 = fixed_mode >= 0 ? fixed_mode : conv_res_of(0);
+        const int cml = fixed_mode >= 0 ? fixed_mode : conv_res_of(MDD);
         if (cm0 < 0 || cml < 0) {
             rec[RC_STATUS] = BS_CONV;
             break;
         }
-        const int conv_mode = m2 ? M14 : res_mode_combine(cm0, cml);
+        const int conv_mode = fixed_mode >= 0 ? fixed_mode
+            : res_mode_combine(cm0, cml);
         int64_t cnt6[6];
         const int64_t cd = stc007_deint_finalize(
             cw.data(), cc.data(), nullptr, 0, B, conv_mode, en_p, en_q,
@@ -1338,9 +1342,9 @@ int64_t stc007_steady_round(
         state[ST_FA_EBOT] = fb_bot[0];
         state[ST_FA_OTOP] = fb_top[1];
         state[ST_FA_OBOT] = fb_bot[1];
-        state[ST_RES1O] = m2 ? 14
+        state[ST_RES1O] = fixed_mode >= 0 ? (fixed_mode == M16 ? 16 : 14)
             : res_from_counts(rec[RC_RES], rec[RC_RES + 1]);
-        state[ST_RES1E] = m2 ? 14
+        state[ST_RES1E] = fixed_mode >= 0 ? (fixed_mode == M16 ? 16 : 14)
             : res_from_counts(rec[RC_RES + 2], rec[RC_RES + 3]);
         state[ST_FA_ORDER] = f0_order;  // fb.set_order_xff -> next fa
         state[ST_FA_NEW] = tb[8];

@@ -193,7 +193,7 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
@@ -446,7 +446,8 @@ _ROUND_FP_N = 11
 def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
                  silent_w32, en_p, en_q, unch_lim, max_burst_silence,
                  max_burst_broken, broken_mask_dur, auto_m2, m2,
-                 preset_order, preset_vid, fa_order_preset, state):
+                 fixed_mode, preset_order, preset_vid, fa_order_preset,
+                 state):
     """Run stc007_steady_round over the pending frame stores.
 
     stores: list of (frame_no, LineStore); state: int64[23] rolling
@@ -491,6 +492,7 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         int(bool(en_p)), int(bool(en_q)), int(unch_lim),
         int(max_burst_silence), int(max_burst_broken),
         int(broken_mask_dur), int(bool(auto_m2)), int(bool(m2)),
+        int(fixed_mode),
         int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
         state.ctypes.data, records.ctypes.data,
         samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,

@@ -1749,11 +1749,11 @@ class STC007Stitcher:
         f1e = self.fields[("f1", "even")]
         f2o = self.fields[("f2", "odd")]
         f2e = self.fields[("f2", "even")]
+        fixed = self._fixed_res_mode()
         m2 = self.mode_m2
-        if m2:
-            # M2 fixes every resolution mode at 14-bit
-            # (detectAudioResolution's short-circuit).
-            fa_odd_mode = fa_even_mode = di.RES_MODE_14BIT
+        if fixed is not None:
+            # M2 / a resolution preset fixes every mode.
+            fa_odd_mode = fa_even_mode = fixed
         else:
             r1o = getattr(f1o, "_fieldres", None)
             r1e = getattr(f1e, "_fieldres", None)
@@ -1794,11 +1794,11 @@ class STC007Stitcher:
 
         keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2  # 120
         last = stc007.LINE_OFFSETS[-1]  # 112
-        inner_mode = di.RES_MODE_14BIT
-        outer_first = di.RES_MODE_14BIT
-        outer_full = di.RES_MODE_14BIT if m2 else -1
+        inner_mode = fixed if fixed is not None else di.RES_MODE_14BIT
+        outer_first = inner_mode
+        outer_full = fixed if fixed is not None else -1
         outer_last_even = False
-        if not m2:
+        if fixed is None:
             # Inner seam resolution mode: every row is frame A.
             s1 = max(0, len(field1) - (keep - padI))
             len1 = len(field1) - s1
@@ -1865,8 +1865,8 @@ class STC007Stitcher:
                 return f0.odd_resolution if odd_p else f0.even_resolution
             return di.RES_MODE_14BIT
 
-        if m2:
-            conv_mode = di.RES_MODE_14BIT
+        if fixed is not None:
+            conv_mode = fixed
         else:
             rm0, rml = scalar_res_of(0), scalar_res_of(last)
             if rm0 is None or rml is None:
@@ -1892,7 +1892,7 @@ class STC007Stitcher:
                 conv_mode, self.broken_mask_dur, self.broken_countdown,
                 n_blocks)
 
-        if not m2:
+        if fixed is None:
             # The fresh resolution counts are valid on every return
             # path: cache them so a fallback never re-evaluates.
             f2o._fieldres = _res_of_counts(int(res_counts[0]),
@@ -1968,8 +1968,19 @@ class STC007Stitcher:
         from ..ops import stitch_native as _sn
         return (_sn.available() and not self.record_views
                 and not self.en_cwd and not self.ignore_crc
-                and self.preset_resolution is None
                 and not self.file_start and not self.file_end)
+
+    def _fixed_res_mode(self):
+        """The single resolution mode everything uses when M2 or a
+        resolution preset is active (getFieldResolution's preset
+        short-circuit / detectAudioResolution's M2 branch), else None."""
+        if self.mode_m2:
+            return di.RES_MODE_14BIT
+        if self.preset_resolution == SAMPLE_RES_14BIT:
+            return di.RES_MODE_14BIT
+        if self.preset_resolution == SAMPLE_RES_16BIT:
+            return di.RES_MODE_16BIT
+        return None
 
     def _build_carry(self, segs, pad_frame):
         """Materialize the last MIN_DEINT_DATA rows of a conv segment
@@ -2065,8 +2076,10 @@ class STC007Stitcher:
         if scan1 is None or scan1[0] != fno1 or scan1[1] or scan1[2]:
             return False
         m2 = self.mode_m2
-        if m2:
-            r1o = r1e = SAMPLE_RES_14BIT  # fixed modes; counts unused
+        fixed = self._fixed_res_mode()
+        if fixed is not None:
+            r1o = r1e = SAMPLE_RES_16BIT \
+                if fixed == di.RES_MODE_16BIT else SAMPLE_RES_14BIT
         else:
             r1 = self._rolling_f1_res(fno1)
             if r1 is None:
@@ -2111,7 +2124,8 @@ class STC007Stitcher:
             np.ascontiguousarray(conv.frame_number, np.int64),
             self._silent_words32(), self.en_p, self.en_q, unch_lim,
             MAX_BURST_SILENCE, MAX_BURST_BROKEN, self.broken_mask_dur,
-            self.auto_m2, m2, order_preset, self.preset_video,
+            self.auto_m2, m2, -1 if fixed is None else fixed,
+            order_preset, self.preset_video,
             bool(order_preset), state)
         if n_done < len(rec):
             # cache the bail pair's frame-B trim scan for the fallback
@@ -2193,11 +2207,18 @@ class STC007Stitcher:
                 fb.order_preset = False
                 fb.set_order_unknown()
             # detect_audio_resolution replay (frame-A-known branch;
-            # M2 short-circuits to fixed 14-bit, no stats update)
+            # M2 short-circuits with NO stats update, a resolution
+            # preset flows through the known branch WITH stats updates)
             if m2:
                 ra = rb_ = SAMPLE_RES_14BIT
                 fa.odd_resolution = fa.even_resolution = M14
                 fb.odd_resolution = fb.even_resolution = M14
+            elif fixed is not None:
+                ra = rb_ = r1o
+                self.update_resolution_stats(r1o)
+                self.update_resolution_stats(r1o)
+                fa.odd_resolution = fa.even_resolution = fixed
+                fb.odd_resolution = fb.even_resolution = fixed
             else:
                 self.update_resolution_stats(r1o_cur)
                 self.update_resolution_stats(r1e_cur)

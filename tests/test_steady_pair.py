@@ -140,17 +140,25 @@ def test_mid_stream_disturbance_recovers():
         assert dataclasses.asdict(ff) == dataclasses.asdict(fr_)
 
 
-def test_cwd_and_preset_res_bail():
-    """Excluded configurations must never take the fast path."""
+def test_cwd_bails():
+    """en_cwd (the one remaining exclusion) never takes the fast path."""
     frames = _capture(n_frames=4, seed=10)
-    for kw in (dict(en_cwd=True),
-               dict(preset_resolution=st.SAMPLE_RES_14BIT)):
-        s_f, a_f, hits = _run(frames, 0, False, **kw)
-        assert hits == 0, kw
-        s_r, a_r, _ = _run(frames, 0, True, **kw)
-        if a_f is not None:
-            for x, y in zip(a_f[:3], a_r[:3]):
-                np.testing.assert_array_equal(x, y)
+    kw = dict(en_cwd=True)
+    s_f, a_f, hits = _run(frames, 0, False, **kw)
+    assert hits == 0, kw
+    s_r, a_r, _ = _run(frames, 0, True, **kw)
+    if a_f is not None:
+        for x, y in zip(a_f[:3], a_r[:3]):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_resolution_presets_engage_and_match():
+    for res, preset in ((14, st.SAMPLE_RES_14BIT),
+                        (16, st.SAMPLE_RES_16BIT)):
+        frames = _capture(n_frames=6, seed=14, resolution=res)
+        hits = _assert_same(frames, corrupt=20, seed=6, want_hits=1,
+                            preset_resolution=preset)
+        assert hits >= 1, res
 
 
 def test_m2_engages_and_matches():

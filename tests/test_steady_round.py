@@ -129,12 +129,26 @@ def test_round_16bit_and_ntsc():
 
 def test_round_excluded_configs_never_engage():
     frames = _capture(n_frames=6, seed=10)
-    for kw in (dict(en_cwd=True),
-               dict(preset_resolution=st.SAMPLE_RES_14BIT)):
+    for kw in (dict(en_cwd=True),):
         r = _run(frames, "round", **kw)
         assert r[5] == 0, kw
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, str(kw))
+
+
+def test_round_resolution_presets_engage():
+    """--resolution 14bit/16bit fixes every mode: the round engages and
+    matches the machine (incl. the preset's resolution-stats updates)."""
+    for res, preset in ((14, st.SAMPLE_RES_14BIT),
+                        (16, st.SAMPLE_RES_16BIT)):
+        frames = _capture(n_frames=8, seed=13, resolution=res)
+        kw = dict(preset_resolution=preset)
+        r = _run(frames, "round", corrupt=15, seed=2, **kw)
+        p = _run(frames, "pair", corrupt=15, seed=2, **kw)
+        s = _run(frames, "slow", corrupt=15, seed=2, **kw)
+        _assert_equal(r, p, f"preset {res} round-vs-pair")
+        _assert_equal(r, s, f"preset {res} round-vs-slow")
+        assert r[5] >= 1, f"preset {res} engaged"
 
 
 def test_round_m2_engages_and_matches():
