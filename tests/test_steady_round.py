@@ -260,8 +260,12 @@ def test_round_config_fuzz():
         frames = _capture(n_frames=n_frames, lpf=lpf, resolution=res,
                           seed=seed)
         kw = dict(corrupt=corrupt, seed=seed + 1, knockout=ko, batch=batch)
-        if rng.random() < 0.25:
+        pick = rng.random()
+        if pick < 0.25:
             kw["mode_m2"] = True
+        elif pick < 0.45:
+            kw["preset_resolution"] = (st.SAMPLE_RES_16BIT if res == 16
+                                       else st.SAMPLE_RES_14BIT)
         r = _run(frames, "round", **kw)
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, f"fuzz t{trial}")
