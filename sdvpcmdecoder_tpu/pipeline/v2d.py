@@ -36,20 +36,25 @@ BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 def _imed(a):
     """int(np.median(a)) for small 1-D nonnegative int data without
     np.median's ~20us dispatch overhead (for nonnegative values the
-    even-length floor-mean equals the truncated float mean).  Tiny
-    inputs (the 4-sample prescan medians) skip numpy entirely."""
-    a = np.asarray(a)
-    if a.size <= 8:
+    even-length floor-mean equals the truncated float mean).  Small
+    inputs — the 4-sample prescan medians and the 16-deep damping
+    histories, passed as plain lists — skip numpy entirely."""
+    if isinstance(a, list):
+        vals = sorted(a)
+    else:
+        a = np.asarray(a)
+        if a.size > 24:
+            a = np.sort(a.astype(np.int64, copy=False).ravel())
+            n = a.shape[0]
+            h = n >> 1
+            if n & 1:
+                return int(a[h])
+            return int(a[h - 1] + a[h]) >> 1
         vals = sorted(int(v) for v in a.ravel().tolist())
-        n = len(vals)
-        h = n >> 1
-        return vals[h] if n & 1 else (vals[h - 1] + vals[h]) >> 1
-    a = np.sort(a.astype(np.int64, copy=False).ravel())
-    n = a.shape[0]
+    n = len(vals)
     h = n >> 1
-    if n & 1:
-        return int(a[h])
-    return int(a[h - 1] + a[h]) >> 1
+    return int(vals[h]) if n & 1 \
+        else (int(vals[h - 1]) + int(vals[h])) >> 1
 
 
 if hasattr(np, "bitwise_count"):
@@ -209,10 +214,10 @@ class V2DDriver:
             self.state.coord_history[-COORD_LONG_HISTORY:]
         self.state.ref_history.append(fresh[1])
         self.state.ref_history = self.state.ref_history[-COORD_LONG_HISTORY:]
-        hs = np.array(self.state.coord_history)
-        start = _imed(hs[:, 0])
-        stop = _imed(hs[:, 1])
-        ref = _imed(self.state.ref_history)
+        hs = self.state.coord_history
+        start = _imed([h[0] for h in hs])
+        stop = _imed([h[1] for h in hs])
+        ref = _imed(list(self.state.ref_history))
         return (start, stop), ref
 
     # -- batched frame decode (production path) ---------------------------
