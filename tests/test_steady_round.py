@@ -337,3 +337,13 @@ def test_round_with_one_dead_fresh_field():
     for x, y in zip(a[0][:3], b[0][:3]):
         np.testing.assert_array_equal(x, y)
     assert a[1] == b[1] and a[2] == b[2]
+
+
+def test_round_ecc_toggles_match():
+    """--no-ecc variants (en_p/en_q off) defer or match, never diverge."""
+    for kw in (dict(en_p=False, en_q=False), dict(en_q=False),
+               dict(en_p=False)):
+        frames = _capture(n_frames=8, seed=60)
+        r = _run(frames, "round", corrupt=30, seed=9, **kw)
+        s = _run(frames, "slow", corrupt=30, seed=9, **kw)
+        _assert_equal(r, s, str(kw))
