@@ -275,10 +275,14 @@ def main(argv=None):
                                use_pallas=args.pallas,
                                m2=args.format == "m2")
         backend = args.backend
+        from .ops import stitch_native as _sn
         if backend == "auto":
-            from .ops import stitch_native as _sn
             backend = ("native" if _sn.available() and not args.pallas
                        else "tpu")
+        elif backend == "native" and not _sn.available():
+            print("warning: native core unavailable (no compiler?); "
+                  "falling back to the device backend", file=sys.stderr)
+            backend = "tpu"
         proc = ap.AudioProcessor(mask_mode=mask_map[(args.mask,
                                                      args.mask_scope)])
         writer = None

@@ -103,9 +103,14 @@ class BatchDecoder:
         if backend == "auto":
             import os
             backend = os.environ.get("SDV_BACKEND", "auto")
+        from ..ops import stitch_native as sn
         if backend == "auto":
-            from ..ops import stitch_native as sn
             backend = "native" if sn.available() else "tpu"
+        elif backend == "native" and fmt == "stc007" \
+                and not sn.available():
+            # Explicit native without a compiler: degrade to the device
+            # backend instead of failing mid-decode.
+            backend = "tpu"
         if fmt != "stc007":
             backend = "native"  # round loop; the driver splits internally
         self.backend = backend

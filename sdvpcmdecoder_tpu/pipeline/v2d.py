@@ -455,6 +455,21 @@ class V2DDriver:
         F = pixels.shape[0]
         if not prep["usable"].any():
             return [None] * F
+        if not sn.available():
+            # No compiler on this host: run the prepared batch through
+            # the device dispatch instead (field-ordered copy; per-line
+            # AGC rows ride along).
+            px = np.ascontiguousarray(pixels[:, perm, :]) \
+                if perm is not None else pixels
+            prep2 = prep
+            if perm is not None and np.asarray(prep["refs"]).ndim == 2:
+                prep2 = dict(prep, refs=prep["refs"][:, perm],
+                             blacks=prep["blacks"][:, perm],
+                             whites=prep["whites"][:, perm])
+            words, crc_read, valid, forced = self.dispatch_frames(px,
+                                                                  prep2)
+            return self.finalize_frames(px, prep2, words, crc_read,
+                                        valid, forced)
         # perm rides into the native grid as an input row map: outputs
         # arrive field-sequential straight off the raw capture view,
         # with no post-hoc [:, perm] gathers of the whole round.
