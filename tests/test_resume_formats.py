@@ -249,3 +249,34 @@ def test_native_kill_resume_mid_dropout(tmp_path):
     assert dec2.jobs[0].driver.state.coord_history       # V2D history back
     dec2.run()
     assert ref.read_bytes() == out.read_bytes()
+
+
+def test_cross_backend_checkpoint_resume(tmp_path):
+    """A checkpoint written by the numpy-only path resumed by the
+    native path produces the byte-identical WAV — the checkpoint format
+    is backend-portable (a host can gain or lose its compiler
+    mid-job)."""
+    import sdvpcmdecoder_tpu.ops.stitch_native as mod
+    cap = tmp_path / "x.y4m"
+    _stc_capture_dropout(cap)
+    ref = str(tmp_path / "ref.wav")
+    dec = batch_driver.BatchDecoder([(str(cap), ref)], hyst_limit=1,
+                                    shift_limit=1, frames_per_round=2)
+    dec.run()
+    out = str(tmp_path / "cross.wav")
+    saved = mod._LIB, mod._TRIED
+    mod._LIB, mod._TRIED = None, True  # numpy-only first half
+    try:
+        dec1 = batch_driver.BatchDecoder([(str(cap), out)], hyst_limit=1,
+                                         shift_limit=1,
+                                         frames_per_round=2,
+                                         checkpoint=True)
+        dec1.step_native()
+        dec1.step_native()
+    finally:
+        mod._LIB, mod._TRIED = saved
+    dec2 = batch_driver.BatchDecoder([(str(cap), out)], hyst_limit=1,
+                                     shift_limit=1, frames_per_round=2,
+                                     checkpoint=True)
+    dec2.run()
+    assert open(ref, "rb").read() == open(out, "rb").read()
