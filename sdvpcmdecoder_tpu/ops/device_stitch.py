@@ -1,0 +1,257 @@
+"""Device (XLA/jit) twins of the stitcher's seam-scoring primitives.
+
+The third seam-eval backend: under ``--backend tpu`` the stitcher's
+padding search (reference tryPadding stc007datastitcher.cpp:1417,
+findPadding :1743) runs as ONE batched device dispatch scoring every
+padding 0..P-1 of a seam — each padding is just a different index map
+into a master [field1 tail | silent row | field2 head] buffer resident
+on the device (SURVEY.md §7.5).  Per-padding semantics are identical
+to ops.stitch_native.eval_seam / the numpy queue path, pinned by
+tests/test_device_stitch.py.
+
+Shapes are fully static: the field tail/head are capped at KEEP=120
+rows (MIN_DEINT_DATA + INTERLEAVE_OFS/2, the most any padding queue
+can use per side) and the sweep always scores P_MAX pads — narrower
+sweeps mask with mode = -1 — so ONE XLA compilation serves every seam
+of a capture.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..formats import stc007
+from . import deinterleave as di
+
+KEEP = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2   # 120
+P_MAX = stc007.INTERLEAVE_OFS * 2                           # 32 paddings
+# Longest queue: len1 <= KEEP - pad, so L = len1+pad+count2 <= 2*KEEP.
+B_MAX = 2 * KEEP - stc007.MIN_DEINT_DATA                    # 128 blocks
+
+# Flag bits (stitchcore.cpp stc007_eval_rows flags contract).
+FLAG_BROKEN, FLAG_BLOCK_VALID, FLAG_CAN_FORCE, FLAG_SILENT = 1, 2, 4, 8
+FLAG_FIX_P, FLAG_FIX_Q, FLAG_CWD_APP = 16, 32, 64
+
+
+def blocks_flags_samples(batch: di.BlockBatch, cwd_in, m2: bool):
+    """Per-block packed flags u8 + samples [B, 6] i16 from a corrected
+    BlockBatch (the aux quantities of stitcher_stc007.eval_rows)."""
+    is16 = batch.resolution == di.RES_16BIT
+    lim = jnp.where(is16, 7, 8)
+    widx = jnp.arange(8)[None, :]
+    in_lim = widx < lim[:, None]
+    broken = batch.audio_state == di.AUD_BROKEN
+    block_valid = jnp.all(batch.valid[:, :6], axis=-1)
+    raw_errs = jnp.sum(((~batch.line_crc) & in_lim) & ~(cwd_in & in_lim),
+                       axis=-1)
+    can_force = ~broken & jnp.where(is16, raw_errs == 0, raw_errs <= 1)
+    samples = di.block_samples(batch, m2=m2, xp=jnp)
+    silent = jnp.all(samples == 0, axis=-1)
+    flags = (broken.astype(jnp.uint8) * FLAG_BROKEN
+             | block_valid.astype(jnp.uint8) * FLAG_BLOCK_VALID
+             | can_force.astype(jnp.uint8) * FLAG_CAN_FORCE
+             | silent.astype(jnp.uint8) * FLAG_SILENT
+             | (batch.audio_state == di.AUD_FIX_P).astype(jnp.uint8)
+             * FLAG_FIX_P
+             | (batch.audio_state == di.AUD_FIX_Q).astype(jnp.uint8)
+             * FLAG_FIX_Q)
+    return flags, samples
+
+
+def select_by_mode(r14: di.BlockBatch, r16: di.BlockBatch, mode):
+    """Per-block resolution-mode select: M14/M16 fixed, M14A/M16A fall
+    back to the other resolution on STG_BAD_BLOCK (processBlock's
+    refill passes, stc007deinterleaver.cpp:349-377)."""
+    bad14 = r14.stage == di.STG_BAD_BLOCK
+    bad16 = r16.stage == di.STG_BAD_BLOCK
+    use16 = ((mode == di.RES_MODE_16BIT)
+             | ((mode == di.RES_MODE_16BIT_AUTO) & ~(bad16 & ~bad14))
+             | ((mode == di.RES_MODE_14BIT_AUTO) & bad14 & ~bad16))
+    sel = lambda a, b: jnp.where(
+        use16.reshape(use16.shape + (1,) * (a.ndim - 1)), b, a)
+    return di.BlockBatch(*(sel(a, b) for a, b in zip(r14, r16)))
+
+
+def assemble_rows_16(line_words, line_crc, rows):
+    """16-bit (PCM-F1) block assembly over explicit row maps [.., 8]:
+    14-bit word << 2 + 2 LSBs from the S-word of the SAME line
+    (stc007deinterleaver.cpp:1195-1274)."""
+    widx = jnp.arange(8, dtype=jnp.int32)
+    w = line_words[rows, widx]
+    c = line_crc[rows, widx]
+    s_words = line_words[rows[..., :7], di.WORD_Q0]
+    s_crc = line_crc[rows[..., :7], di.WORD_Q0]
+    shifts = jnp.asarray(stc007.F1_S_OFFSETS, jnp.int32)
+    w16 = ((w[..., :7] << stc007.F1_WORD_OFS)
+           + ((s_words >> shifts) & stc007.F1_S_MASK))
+    c16 = c[..., :7] & s_crc
+    zeros = jnp.zeros_like(w[..., :1])
+    return (jnp.concatenate([w16, zeros], axis=-1),
+            jnp.concatenate([c16, jnp.ones_like(c[..., :1])], axis=-1),
+            w, c)
+
+
+def eval_rows_device(line_words, line_crc, rows, mode, en_p, en_q,
+                     force_ecc, m2):
+    """stitcher eval_rows compute core on device: rows [B, 8] absolute
+    line indices, mode [B] i32 res mode per block (data, not static).
+    Returns (flags [B] u8, samples [B, 6] i16, batch BlockBatch)."""
+    w16, c16, w14, c14 = assemble_rows_16(line_words, line_crc, rows)
+    r14 = di.correct_blocks(w14, c14, di.RES_14BIT, en_p=en_p, en_q=en_q,
+                            force_ecc=force_ecc, xp=jnp)
+    r16 = di.correct_blocks(w16, c16, di.RES_16BIT, en_p=en_p, en_q=en_q,
+                            force_ecc=force_ecc, xp=jnp)
+    batch = select_by_mode(r14, r16, mode)
+    cwd_in = jnp.zeros(rows.shape[:-1] + (8,), bool)
+    flags, samples = blocks_flags_samples(batch, cwd_in, m2)
+    return flags, samples, batch
+
+
+def burst_stats_batch(flags, nb, unch_lim, en_q: bool,
+                      max_burst_silence: int, max_burst_broken: int):
+    """Vectorized tryPadding burst counters over a batch of seams.
+
+    flags [P, B] u8 (zeroed beyond each seam's nb blocks), nb [P] i32.
+    Serial semantics of stc007datastitcher.cpp:1623-1720, cumulative-sum
+    formulation (twin of stitcher_stc007._burst_stats; zero-padding the
+    tail is safe: resets never fire there and the valid run freezes, so
+    the trailing candidates equal the final run).
+    Returns stats [P, 4] i32 = (valid_max, silent_max, unch_max, broken).
+    """
+    P, B = flags.shape
+    idx = jnp.arange(B)[None, :]
+    live = idx < nb[:, None]
+    flags = jnp.where(live, flags, 0)
+    broken = (flags & FLAG_BROKEN) != 0
+    block_valid = (flags & FLAG_BLOCK_VALID) != 0
+    can_force = (flags & FLAG_CAN_FORCE) != 0
+    silent = (flags & FLAG_SILENT) != 0
+    valid_b = block_valid & ~silent & can_force
+    if en_q:
+        unch = (~can_force | ((flags & FLAG_FIX_Q) != 0)) & live
+    else:
+        unch = (flags & FLAG_FIX_P) != 0
+
+    def runs(mask):
+        last_false = jax.lax.cummax(jnp.where(~mask, idx, -1), axis=1)
+        return jnp.where(mask, idx - last_false, 0)
+
+    sil_run = runs(silent)
+    unch_run = runs(unch)
+    sil_max = jnp.max(sil_run, axis=1)
+    unch_max = jnp.max(unch_run, axis=1)
+    broken_count = jnp.sum(broken, axis=1)
+
+    reset = ((silent & (sil_run >= max_burst_silence))
+             | (unch & (unch_run >= unch_lim[:, None]))
+             | (broken & (jnp.cumsum(broken, axis=1)
+                          >= max_burst_broken)))
+    cumv = jnp.cumsum(valid_b.astype(jnp.int32), axis=1)
+    last_reset = jax.lax.cummax(jnp.where(reset, idx, -1), axis=1)
+    base = jnp.take_along_axis(cumv, jnp.maximum(last_reset, 0), axis=1)
+    run_after = cumv - jnp.where(last_reset >= 0, base, 0)
+    prev_run = jnp.concatenate(
+        [jnp.zeros((P, 1), run_after.dtype), run_after[:, :-1]], axis=1)
+    final = jnp.take_along_axis(
+        run_after, jnp.maximum(nb[:, None] - 1, 0), axis=1)[:, 0]
+    final = jnp.where(nb > 0, final, 0)
+    cand = jnp.max(jnp.where(~valid_b, prev_run, 0), axis=1)
+    valid_max = jnp.maximum(cand, final)
+    return jnp.stack([valid_max, sil_max, unch_max, broken_count],
+                     axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("en_p", "en_q", "m2"))
+def _seam_sweep(f1_words, f1_crc, f1_len, f2_words, f2_crc, f2_len,
+                silent_w, modes, unch_lim, en_p, en_q, m2):
+    """Score P_MAX paddings of one seam in one dispatch.
+
+    f1_words [KEEP, 8] i32: field-1 tail, RIGHT-aligned (row KEEP-1 is
+    the field's last line; unused leading rows are never referenced).
+    f2_words [KEEP, 8]: field-2 head, top-aligned.  modes [P_MAX] i32
+    res mode per padding (-1 = skip).  unch_lim [P_MAX] i32 per pad.
+    Returns (stats [P_MAX, 4] i32, nb [P_MAX] i32).
+    """
+    master_w = jnp.concatenate([f1_words, silent_w[None, :], f2_words])
+    master_c = jnp.concatenate(
+        [f1_crc, jnp.zeros((1, 8), bool), f2_crc])
+    pads = jnp.arange(P_MAX, dtype=jnp.int32)
+    len1 = jnp.minimum(f1_len, KEEP - pads)                  # [P]
+    count2 = jnp.minimum(f2_len, KEEP)
+    nb = len1 + pads + count2 - stc007.MIN_DEINT_DATA        # [P]
+    taps = jnp.arange(8, dtype=jnp.int32) * stc007.INTERLEAVE_OFS
+    r = (jnp.arange(B_MAX, dtype=jnp.int32)[None, :, None]
+         + taps[None, None, :])                              # [1, B, 8]
+    l1 = len1[:, None, None]
+    p = pads[:, None, None]
+    rows = jnp.where(
+        r < l1, KEEP - l1 + r,
+        jnp.where(r < l1 + p, KEEP, KEEP + 1 + r - l1 - p))
+    rows = jnp.clip(rows, 0, master_w.shape[0] - 1)
+    mode_b = jnp.broadcast_to(modes[:, None], (P_MAX, B_MAX))
+    flags, _, _ = eval_rows_device(
+        master_w, master_c, rows.reshape(P_MAX * B_MAX, 8),
+        mode_b.reshape(-1), en_p, en_q, True, m2)
+    nb = jnp.where(modes >= 0, jnp.maximum(nb, 0), 0)
+    stats = burst_stats_batch(flags.reshape(P_MAX, B_MAX), nb, unch_lim,
+                              en_q, MAX_BURST_SILENCE, MAX_BURST_BROKEN)
+    return stats, nb
+
+
+MAX_BURST_SILENCE = stc007.INTERLEAVE_OFS // 2  # 8
+MAX_BURST_BROKEN = 1
+
+
+def _right_aligned_tail(words, crc8, cap=KEEP):
+    """Last <= cap rows placed at the END of a [cap, 8] buffer."""
+    n = min(len(words), cap)
+    w = np.zeros((cap, 8), np.int32)
+    c = np.zeros((cap, 8), bool)
+    if n:
+        w[cap - n:] = words[len(words) - n:]
+        c[cap - n:] = crc8[len(words) - n:]
+    return w, c, n
+
+
+def _top_aligned_head(words, crc8, cap=KEEP):
+    n = min(len(words), cap)
+    w = np.zeros((cap, 8), np.int32)
+    c = np.zeros((cap, 8), bool)
+    if n:
+        w[:n] = words[:n]
+        c[:n] = crc8[:n]
+    return w, c, n
+
+
+def seam_sweep(f1_words, f1_crc8, f2_words, f2_crc8, silent_w32, modes,
+               en_p, en_q, m2, unch_lim):
+    """Host wrapper: all-paddings seam stats on the device.
+
+    f1/f2 words [n,8] i32 + crc8 [n,8] bool (full fields; only the
+    KEEP-row tail/head is shipped), modes len<=P_MAX ints (-1 skip),
+    unch_lim int or per-pad array.  Returns (stats [len(modes),4] i64,
+    has [len(modes)] bool) matching stitch_native.padding_sweep.
+    """
+    P = len(modes)
+    md = np.full(P_MAX, -1, np.int32)
+    md[:P] = np.asarray(modes, np.int32)[:P_MAX]
+    ul = np.broadcast_to(np.asarray(unch_lim, np.int32), (P,))
+    ulf = np.zeros(P_MAX, np.int32)
+    ulf[:P] = ul[:P_MAX]
+    w1, c1, n1 = _right_aligned_tail(np.asarray(f1_words, np.int32),
+                                     np.asarray(f1_crc8, bool))
+    w2, c2, n2 = _top_aligned_head(np.asarray(f2_words, np.int32),
+                                   np.asarray(f2_crc8, bool))
+    stats, nb = _seam_sweep(
+        jnp.asarray(w1), jnp.asarray(c1), jnp.int32(len(f1_words)),
+        jnp.asarray(w2), jnp.asarray(c2), jnp.int32(len(f2_words)),
+        jnp.asarray(np.asarray(silent_w32, np.int32)),
+        jnp.asarray(md), jnp.asarray(ulf),
+        bool(en_p), bool(en_q), bool(m2))
+    stats = np.asarray(stats)[:P]
+    nb = np.asarray(nb)[:P]
+    has = (nb > 0) & (md[:P] >= 0)
+    return stats, has

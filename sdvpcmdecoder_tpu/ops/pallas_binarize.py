@@ -168,6 +168,17 @@ def build_selection(coords, n_s, width):
     return (pc[..., None] == iota).astype(jnp.bfloat16)
 
 
+def _auto_tile(n_h, n_s, tile_lines):
+    """Shrink the line tile when the trial grid is deep: the unrolled
+    (hyst x shift) trial loop's live [TL, 128] intermediates scale the
+    Mosaic VMEM stack linearly with TL x trials (INSANE limits OOM the
+    16 MB scoped-vmem budget at TL=296 on v5e; measured r4)."""
+    trials = n_h * n_s
+    if trials <= 24:
+        return tile_lines
+    return min(tile_lines, 128 if trials <= 60 else 64)
+
+
 def stc007_fused_decode_frames(pixels, coords, ref_level, black, white,
                                hyst_limit=4, shift_limit=2,
                                tile_lines=296):
@@ -177,6 +188,7 @@ def stc007_fused_decode_frames(pixels, coords, ref_level, black, white,
     with leading shape [F, Lf] (mirrors bz.stc007_frame_decode)."""
     F, Lf, W = pixels.shape
     n_h, n_s = hyst_limit + 1, shift_limit + 1
+    tile_lines = _auto_tile(n_h, n_s, tile_lines)
     sel = build_selection(jnp.asarray(coords), n_s, W)     # [F,S,128,W]
     pad = (-Lf) % tile_lines
     if pad:
@@ -256,6 +268,7 @@ def stc007_fused_decode(pixels, coords, ref_level, black, white,
     """
     L, W = pixels.shape
     n_h, n_s = hyst_limit + 1, shift_limit + 1
+    tile_lines = _auto_tile(n_h, n_s, tile_lines)
     # Selection matrices (host-precomputed per frame geometry).
     start = jnp.asarray([int(coords[0])], jnp.int32)
     psm, half = bz.calc_ppb(start, jnp.asarray([int(coords[1])], jnp.int32),

@@ -66,7 +66,8 @@ def decode_frames(pixels, coords, ref_level, black, white,
     the deinterleaver runs over the flattened stream.
 
     use_pallas=True routes the binarize through the fused VMEM kernel
-    (ops.pallas_binarize, ~2.5x the XLA trial-grid path, bit-identical);
+    (ops.pallas_binarize, 1.3x the XLA trial-grid path on v5e at NORMAL
+    and INSANE limits, bit-identical — tools/validate_pallas_tpu.py);
     both avoid per-line gathers via the MXU bit-sampling matmul.
     """
     from ..ops import pallas_binarize as pb

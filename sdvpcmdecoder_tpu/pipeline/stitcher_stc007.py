@@ -734,7 +734,11 @@ class STC007Stitcher:
                  broken_mask_dur=UNCH_MASK_DURATION // 2,
                  max_unch_14=MAX_BURST_UNCH_14BIT,
                  max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False,
-                 auto_m2=False, record_views=False):
+                 auto_m2=False, record_views=False, seam_backend="auto"):
+        # seam_backend: "auto" (native when compiled, else numpy) or
+        # "tpu" — the padding search scored on the device in one batched
+        # dispatch per seam (ops.device_stitch, SURVEY §7.5).
+        self.seam_backend = seam_backend
         self.en_p, self.en_q, self.en_cwd = en_p, en_q, en_cwd
         self.ignore_crc = ignore_crc
         self.mode_m2 = mode_m2
@@ -1387,9 +1391,40 @@ class STC007Stitcher:
                             broken=int(st4[3]))
         return self._stats_verdict(stats, unchecked_lim), stats
 
+    def _device_padding_stats(self, field1, field2, max_padding,
+                              only_pad=None):
+        """Padding stats on the device (ops.device_stitch): ONE batched
+        dispatch scores every padding's seam queue — per-pad semantics
+        identical to try_padding (tests/test_device_stitch.py)."""
+        from ..ops import device_stitch as _ds
+        modes = np.full(max_padding, -1, np.int32)
+        for p in (range(max_padding) if only_pad is None else (only_pad,)):
+            m = self._seam_res_mode(field1, field2, p)
+            if m is not None:
+                modes[p] = m
+        unch = self.max_unch_14 if self.en_q else self.max_unch_16
+        stats, has = _ds.seam_sweep(
+            field1.words_i32(), field1.crc_ok8(),
+            field2.words_i32(), field2.crc_ok8(),
+            self._silent_words32(), modes, self.en_p, self.en_q,
+            self.mode_m2, unch)
+        return [StitchStats(index=p, valid=int(stats[p, 0]),
+                            silent=int(stats[p, 1]),
+                            unchecked=int(stats[p, 2]),
+                            broken=int(stats[p, 3]))
+                if has[p] else None for p in range(max_padding)]
+
     def try_padding(self, field1, field2, padding, want_stats=False):
         """tryPadding: deinterleave the seam buffer, collect burst stats."""
         from ..ops import stitch_native as _sn
+        if self.seam_backend == "tpu" and not self.ignore_crc:
+            stats = self._device_padding_stats(field1, field2, padding + 1,
+                                               only_pad=padding)[padding]
+            if stats is None:
+                return DS_RET_NO_DATA, None
+            unchecked_lim = self.max_unch_14 if self.en_q \
+                else self.max_unch_16
+            return self._stats_verdict(stats, unchecked_lim), stats
         if _sn.available() and not self.ignore_crc:
             return self._try_padding_native(field1, field2, padding)
         queue = self._slim_padding_queue(field1, field2, padding)
@@ -1429,6 +1464,8 @@ class STC007Stitcher:
         bit-identical to calling try_padding(pad) per pad.
         """
         from ..ops import stitch_native as _sn
+        if self.seam_backend == "tpu" and not self.ignore_crc:
+            return self._device_padding_stats(field1, field2, max_padding)
         if _sn.available() and not self.ignore_crc:
             # Per-padding eval_seam looped C-side (stc007_padding_sweep)
             # — same per-pad semantics as try_padding, so the grouped
