@@ -164,6 +164,52 @@ def burst_stats_batch(flags, nb, unch_lim, en_q: bool,
                      axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("en_p", "en_q", "force_ecc", "m2"))
+def _eval_rows_jit(line_words, line_crc, rows, modes, en_p, en_q,
+                   force_ecc, m2):
+    flags, samples, batch = eval_rows_device(
+        line_words, line_crc, rows, modes, en_p, en_q, force_ecc, m2)
+    return (batch.words, batch.valid, batch.line_crc, batch.audio_state,
+            batch.stage, batch.resolution, flags, samples)
+
+
+def _bucket(n, step=128):
+    return max(step, -(-n // step) * step)
+
+
+def eval_rows_arrays(line_words_i32, line_crc8, rows, start, n_blocks,
+                     res_mode, en_p, en_q, force_ecc, m2):
+    """Device twin of stitch_native.eval_rows_arrays: one dispatch per
+    call; L and B are padded to 128-line buckets so a capture's whole
+    decode reuses a handful of XLA compilations.
+
+    rows=None means contiguous shifts from `start`.  Returns
+    (words i64 [B,8], valid, line_crc, state, stage, res, flags,
+    samples) — the exact native-core output contract."""
+    B = int(n_blocks)
+    if rows is None:
+        taps = np.arange(8, dtype=np.int64) * stc007.INTERLEAVE_OFS
+        rows = (np.arange(start, start + B, dtype=np.int64)[:, None]
+                + taps[None, :])
+    L = line_words_i32.shape[0]
+    Lp, Bp = _bucket(L), _bucket(B)
+    w = np.zeros((Lp, 8), np.int32)
+    c = np.zeros((Lp, 8), bool)
+    w[:L] = line_words_i32
+    c[:L] = line_crc8
+    r = np.zeros((Bp, 8), np.int32)
+    r[:B] = rows
+    modes = np.full(Bp, res_mode, np.int32)
+    out = _eval_rows_jit(jnp.asarray(w), jnp.asarray(c), jnp.asarray(r),
+                         jnp.asarray(modes), bool(en_p), bool(en_q),
+                         bool(force_ecc), bool(m2))
+    words, valid, lcrc, state, stage, res, flags, samples = \
+        (np.asarray(o) for o in out)
+    return (words[:B].astype(np.int64), valid[:B], lcrc[:B], state[:B],
+            stage[:B], res[:B], flags[:B], samples[:B])
+
+
 @functools.partial(jax.jit, static_argnames=("en_p", "en_q", "m2"))
 def _seam_sweep(f1_words, f1_crc, f1_len, f2_words, f2_crc, f2_len,
                 silent_w, modes, unch_lim, en_p, en_q, m2):

@@ -492,7 +492,8 @@ def _res_mode_is16(res_mode):
 
 def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
                 force_ecc=True, en_p=True, en_q=True, en_cwd=False,
-                start=0, stop=None, m2=False, full_aux=True):
+                start=0, stop=None, m2=False, full_aux=True,
+                backend=None):
     """Run the vectorized deinterleaver over shifts [start, stop).
 
     Equivalent of the reference's serial processBlock sweep. Returns
@@ -505,7 +506,8 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
         return None, None, None
     shifts = np.arange(start, stop, dtype=np.int64)
     from ..ops import stitch_native as _sn
-    if _sn.available() and not full_aux and not en_cwd and not ignore_crc:
+    fast = backend == "tpu" or _sn.available()
+    if fast and not full_aux and not en_cwd and not ignore_crc:
         rows = None  # contiguous shifts resolved natively, no [B,8] build
     else:
         taps = np.arange(8) * stc007.INTERLEAVE_OFS
@@ -515,14 +517,14 @@ def eval_blocks(store: LineStore, res_mode, ignore_crc=False,
                                     force_ecc=force_ecc, en_p=en_p,
                                     en_q=en_q, en_cwd=en_cwd, m2=m2,
                                     full_aux=full_aux, start=start,
-                                    n_blocks=stop - start)
+                                    n_blocks=stop - start, backend=backend)
     aux["shifts"] = shifts
     return batch, cwd_app, aux
 
 
 def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
               force_ecc=True, en_p=True, en_q=True, en_cwd=False, m2=False,
-              full_aux=True, start=0, n_blocks=None):
+              full_aux=True, start=0, n_blocks=None, backend=None):
     """eval_blocks core over explicit per-block line rows [B, 8].
 
     rows[b, w] is the absolute line index feeding interleave tap w of
@@ -540,6 +542,10 @@ def eval_rows(store: LineStore, rows, res_mode, ignore_crc=False,
         crc_ok = store.word_crc[:, :8] & ~store.forced_bad[:, None]
     cwd_line = store.is_fixed_by_cwd() if en_cwd else np.zeros(n, bool)
 
+    if backend == "tpu" and not en_cwd:
+        return _eval_rows_tpu(store, rows, crc_ok, res_mode, force_ecc,
+                              en_p, en_q, m2, full_aux=full_aux,
+                              start=start, n_blocks=n_blocks)
     from ..ops import stitch_native as _sn
     if _sn.available():
         return _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode,
@@ -658,6 +664,47 @@ def _eval_rows_native(store, rows, crc_ok, cwd_line, res_mode, force_ecc,
     return batch, cwd_app, aux
 
 
+def _eval_rows_tpu(store, rows, crc_ok, res_mode, force_ecc, en_p, en_q,
+                   m2, full_aux=True, start=0, n_blocks=None):
+    """eval_rows via the device (ops.device_stitch.eval_rows_arrays):
+    gather + ECC + flags + samples in one jitted dispatch, the compute
+    path of the --backend tpu stitcher; output contract identical to
+    the native/numpy paths (tests/test_device_stitch.py)."""
+    from ..ops import device_stitch as _ds
+    from ..ops import stitch_native as _sn
+    B = rows.shape[0] if rows is not None else int(n_blocks)
+    w_src = store.words_i32() if hasattr(store, "words_i32") \
+        else store.words
+    w, v, lc, state, stage, res, flags, samples = _ds.eval_rows_arrays(
+        w_src, crc_ok, rows, start, B, res_mode, en_p, en_q, force_ecc,
+        m2)
+    batch = di.BlockBatch(w, v, lc, state, stage, res)
+    cwd_app = np.zeros(B, bool)
+    aux = dict(rows=rows, start=start,
+               broken=(flags & _sn.FLAG_BROKEN) != 0,
+               block_valid=(flags & _sn.FLAG_BLOCK_VALID) != 0,
+               can_force=(flags & _sn.FLAG_CAN_FORCE) != 0,
+               silent=(flags & _sn.FLAG_SILENT) != 0,
+               fixed_p=(flags & _sn.FLAG_FIX_P) != 0,
+               fixed_q=(flags & _sn.FLAG_FIX_Q) != 0,
+               samples=samples, flags=flags)
+    if full_aux:
+        if rows is None:
+            taps = np.arange(8) * stc007.INTERLEAVE_OFS
+            rows = (np.arange(start, start + B,
+                              dtype=np.int64)[:, None] + taps[None, :])
+            aux["rows"] = rows
+        is16 = res == di.RES_16BIT
+        stop_rows = rows[np.arange(B), np.where(is16, 6, 7)]
+        aux.update(start_frame=store.frame_number[rows[:, 0]],
+                   start_line=store.line_number[rows[:, 0]],
+                   stop_frame=store.frame_number[stop_rows],
+                   stop_line=store.line_number[stop_rows],
+                   errors_audio_fixed=np.sum(~v[:, :6], axis=-1),
+                   cwd_in=np.zeros((B, 8), bool))
+    return batch, cwd_app, aux
+
+
 def _assemble_rows(line_words, line_crc_ok, rows, resolution):
     """di.assemble_blocks with explicit per-tap line rows [B, 8]."""
     widx = np.arange(8, dtype=np.int32)[None, :]
@@ -736,8 +783,11 @@ class STC007Stitcher:
                  max_unch_16=MAX_BURST_UNCH_16BIT, fix_cut_above=False,
                  auto_m2=False, record_views=False, seam_backend="auto"):
         # seam_backend: "auto" (native when compiled, else numpy) or
-        # "tpu" — the padding search scored on the device in one batched
-        # dispatch per seam (ops.device_stitch, SURVEY §7.5).
+        # "tpu" — the stitcher's compute (padding search scored in one
+        # batched dispatch per seam, field resolution counts, and the
+        # final deinterleave+ECC block eval) runs on the device
+        # (ops.device_stitch, SURVEY §7.5); only the stage machine and
+        # the finalize masking tail stay host Python.
         self.seam_backend = seam_backend
         self.en_p, self.en_q, self.en_cwd = en_p, en_q, en_cwd
         self.ignore_crc = ignore_crc
@@ -1115,7 +1165,7 @@ class STC007Stitcher:
         if f_size <= stc007.MIN_DEINT_DATA:
             return SAMPLE_RES_UNKNOWN
         from ..ops import stitch_native as _sn
-        use_native = _sn.available()
+        use_native = _sn.available() and self.seam_backend != "tpu"
         # The same field content is seen twice (as frame 2, then frame 1 of
         # the next pair) but the LineStore is rebuilt, so memoize on a
         # content fingerprint across pairs.
@@ -1141,7 +1191,8 @@ class STC007Stitcher:
                 batch, _, aux = eval_blocks(
                     fld, mode, ignore_crc=False, force_ecc=True, en_p=True,
                     en_q=False, stop=test_size, m2=self.mode_m2,
-                    full_aux=False)
+                    full_aux=False,
+                    backend="tpu" if self.seam_backend == "tpu" else None)
                 good = aux["block_valid"] & aux["can_force"] \
                     & ~aux["silent"]
                 broken = aux["broken"]
@@ -1914,20 +1965,28 @@ class STC007Stitcher:
             if self.get_probable_resolution() == SAMPLE_RES_16BIT \
             else di.RES_MODE_14BIT_AUTO
 
-        rc, res_counts, _, samples, wvalid, wfixed, bvalid, counters = \
-            _sn.steady_tail(
-                conv.words_i32(), conv.crc_ok8(),
-                field1.words_i32(), field1.crc_ok8(), c1,
-                field2.words_i32(), field2.crc_ok8(), c2,
-                f2f.words_i32(), f2f.crc_ok8(),
-                f2o.words_i32(), f2o.crc_ok8(),
-                f2e.words_i32(), f2e.crc_ok8(),
-                self._silent_words32(), padI, padO,
-                inner_mode, outer_first, outer_full, outer_last_even,
-                fb_unk_mode, self.en_p, self.en_q, self.mode_m2,
-                unch_lim, MAX_BURST_SILENCE, MAX_BURST_BROKEN,
-                conv_mode, self.broken_mask_dur, self.broken_countdown,
-                n_blocks)
+        if self.seam_backend == "tpu":
+            rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
+                counters = self._steady_tail_tpu(
+                    conv, field1, c1, field2, c2, f2f, f2o, f2e,
+                    padI, padO, inner_mode, outer_first, outer_full,
+                    outer_last_even, fb_unk_mode, unch_lim, conv_mode,
+                    n_blocks)
+        else:
+            rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
+                counters = _sn.steady_tail(
+                    conv.words_i32(), conv.crc_ok8(),
+                    field1.words_i32(), field1.crc_ok8(), c1,
+                    field2.words_i32(), field2.crc_ok8(), c2,
+                    f2f.words_i32(), f2f.crc_ok8(),
+                    f2o.words_i32(), f2o.crc_ok8(),
+                    f2e.words_i32(), f2e.crc_ok8(),
+                    self._silent_words32(), padI, padO,
+                    inner_mode, outer_first, outer_full, outer_last_even,
+                    fb_unk_mode, self.en_p, self.en_q, self.mode_m2,
+                    unch_lim, MAX_BURST_SILENCE, MAX_BURST_BROKEN,
+                    conv_mode, self.broken_mask_dur, self.broken_countdown,
+                    n_blocks)
 
         if fixed is None:
             # The fresh resolution counts are valid on every return
@@ -2003,9 +2062,198 @@ class STC007Stitcher:
 
     def _steady_globals_ok(self):
         from ..ops import stitch_native as _sn
-        return (_sn.available() and not self.record_views
+        if not (self.seam_backend == "tpu" or _sn.available()):
+            return False
+        return (not self.record_views
                 and not self.en_cwd and not self.ignore_crc
                 and not self.file_start and not self.file_end)
+
+    def _finalize_blocks_steady(self, flags, valid, lcrc, samples):
+        """The performDeinterleave finalize tail for the steady state
+        (seam gates and file flags all off): BROKEN countdown windows,
+        markAsUnsafe reverts, stats counters.  Numpy twin of
+        stc007_finalize_blocks under those gates; consumes the device
+        eval outputs of the tpu steady tail.  Returns (samples, wvalid,
+        wfixed, bvalid, counters, new_countdown)."""
+        from ..ops import stitch_native as _sn
+        n_blocks = len(flags)
+        silent = (flags & _sn.FLAG_SILENT) != 0
+        broken = (flags & _sn.FLAG_BROKEN) != 0
+        fixed_p = (flags & _sn.FLAG_FIX_P) != 0
+        fixed_q = (flags & _sn.FLAG_FIX_Q) != 0
+        countdown = self.broken_countdown
+        post_broken = np.zeros(n_blocks, bool)
+        active = ~silent
+        if countdown > 0 or (self.broken_mask_dur > 0
+                             and bool((active & broken).any())):
+            triggers = np.nonzero(active & broken)[0]
+            t_i = 0
+            pos = 0
+            while pos < n_blocks:
+                if countdown > 0:
+                    end = min(n_blocks, pos + countdown)
+                    post_broken[pos:end] = active[pos:end]
+                    countdown -= end - pos
+                    pos = end
+                else:
+                    while t_i < len(triggers) and triggers[t_i] < pos:
+                        t_i += 1
+                    if t_i >= len(triggers) or self.broken_mask_dur <= 0:
+                        break
+                    pos = int(triggers[t_i])
+                    countdown = self.broken_mask_dur
+        mask_blocks = post_broken
+        out_valid = np.where(mask_blocks[:, None] & ~broken[:, None],
+                             lcrc, valid)
+        block_valid = out_valid[:, :6].all(axis=-1)
+        counters = np.array([
+            np.sum(block_valid & fixed_p & ~mask_blocks),
+            np.sum(block_valid & fixed_q & ~mask_blocks),
+            0,
+            np.sum(~block_valid),
+            np.sum(np.sum(~out_valid[:, :6], axis=-1)[~block_valid]),
+            np.sum(~block_valid & broken)], np.int64)
+        bvalid = block_valid & ~broken
+        wvalid = out_valid[:, :6] & ~broken[:, None]
+        wfixed = lcrc[:, :6] & bvalid[:, None]
+        return samples, wvalid, wfixed, bvalid, counters, countdown
+
+    @staticmethod
+    def _res_counts_from_flags(flags, n):
+        """getFieldResolution's floored-decrement block counter
+        (:1090-1140) from packed device flags."""
+        from ..ops import stitch_native as _sn
+        if n <= 0:
+            return 0
+        flags = flags[:n]
+        good = (((flags & _sn.FLAG_BLOCK_VALID) != 0)
+                & ((flags & _sn.FLAG_CAN_FORCE) != 0)
+                & ((flags & _sn.FLAG_SILENT) == 0))
+        broken = (flags & _sn.FLAG_BROKEN) != 0
+        x = good.astype(np.int64) - (~good & broken).astype(np.int64)
+        cum = np.cumsum(x)
+        return int(cum[-1] - min(0, int(np.minimum.accumulate(cum)[-1])))
+
+    def _seam_eval_tpu(self, a_w, a_c, pad_n, c_w, c_c, res_mode,
+                       unch_lim):
+        """eval_seam twin on the device: [a tail | silent pad | c head]
+        queue, burst stats host-side.  Returns int32[4] stats or None
+        when the queue is too short."""
+        from ..ops import device_stitch as _ds
+        L = a_w.shape[0] + pad_n + c_w.shape[0]
+        B = L - stc007.MIN_DEINT_DATA
+        if B <= 0:
+            return None
+        sil = self._silent_words32()
+        qw = np.concatenate([a_w, np.tile(sil, (pad_n, 1)), c_w])
+        qc = np.concatenate([a_c, np.zeros((pad_n, 8), bool), c_c])
+        _, _, _, _, _, _, flags, _ = _ds.eval_rows_arrays(
+            qw, qc, None, 0, B, res_mode, self.en_p, self.en_q, True,
+            self.mode_m2)
+        vmax, smax, umax, bcnt = self._burst_from_aux(
+            dict(flags=flags), unch_lim)
+        return np.array([vmax, smax, umax, bcnt], np.int32)
+
+    def _steady_tail_tpu(self, conv, field1, c1, field2, c2, f2f, f2o,
+                         f2e, padI, padO, inner_mode, outer_first,
+                         outer_full, outer_last_even, fb_unk_mode,
+                         unch_lim, conv_mode, n_blocks):
+        """Device twin of stc007_steady_tail: fresh-field resolution
+        counts + both TRY_PREVIOUS seam evals + the fused conv
+        deinterleave, computed by ops.device_stitch evals with the
+        burst/count/finalize tails host-side.  Output contract
+        identical to stitch_native.steady_tail (pinned by
+        tests/test_steady_pair.py with seam_backend='tpu')."""
+        from ..ops import device_stitch as _ds
+        keep = stc007.MIN_DEINT_DATA + stc007.INTERLEAVE_OFS // 2
+        m2 = self.mode_m2
+        res_counts = np.zeros(4, np.int64)
+        for k, fld in ((0, f2o), (2, f2e)):
+            Lf = len(fld)
+            if m2 or Lf <= stc007.MIN_DEINT_DATA:
+                continue
+            ts = Lf - stc007.MIN_DEINT_DATA
+            for j, mode in ((0, di.RES_MODE_14BIT), (1, di.RES_MODE_16BIT)):
+                _, _, _, _, _, _, flags, _ = _ds.eval_rows_arrays(
+                    fld.words_i32(), fld.crc_ok8(), None, 0, ts, mode,
+                    True, False, True, m2)
+                res_counts[k + j] = self._res_counts_from_flags(flags, ts)
+        seam_stats = np.zeros(8, np.int32)
+        # Inner seam.
+        s1 = max(0, len(field1) - (keep - padI))
+        cnt2 = min(len(field2), keep)
+        st_i = self._seam_eval_tpu(
+            field1.words_i32()[s1:], field1.crc_ok8()[s1:], padI,
+            field2.words_i32()[:cnt2], field2.crc_ok8()[:cnt2],
+            inner_mode, unch_lim)
+        if st_i is None:
+            return (-2, res_counts, seam_stats, None, None, None, None,
+                    None)
+        seam_stats[:4] = st_i
+        stats = StitchStats(index=0, valid=int(st_i[0]), silent=int(st_i[1]),
+                            unchecked=int(st_i[2]), broken=int(st_i[3]))
+        if self._stats_verdict(stats, unch_lim) != DS_RET_OK:
+            return (-2, res_counts, seam_stats, None, None, None, None,
+                    None)
+        # Outer seam mode (detectAudioResolution's known-frame-A branch
+        # when the seam's last block row lands in frame B).
+        outer_mode = outer_full
+        if outer_mode < 0:
+            ra = _res_of_counts(int(res_counts[0]), int(res_counts[1]))
+            rb = _res_of_counts(int(res_counts[2]), int(res_counts[3]))
+            M14, M14A = di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO
+            M16, M16A = di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO
+            UNK = SAMPLE_RES_UNKNOWN
+            if ra == UNK and rb == UNK:
+                fb_odd = fb_even = fb_unk_mode
+            elif ra == UNK:
+                fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
+                fb_odd = M16A if rb == SAMPLE_RES_16BIT else M14A
+            elif rb == UNK:
+                fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
+                fb_even = M16A if ra == SAMPLE_RES_16BIT else M14A
+            else:
+                fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
+                fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
+            fb_side = fb_even if outer_last_even else fb_odd
+            outer_mode = self.resolution_mode_for_seam(outer_first,
+                                                       fb_side)
+        s1o = max(0, len(field2) - (keep - padO))
+        cnt2o = min(len(f2f), keep)
+        st_o = self._seam_eval_tpu(
+            field2.words_i32()[s1o:], field2.crc_ok8()[s1o:], padO,
+            f2f.words_i32()[:cnt2o], f2f.crc_ok8()[:cnt2o],
+            outer_mode, unch_lim)
+        if st_o is None:
+            return (-3, res_counts, seam_stats, None, None, None, None,
+                    None)
+        seam_stats[4:] = st_o
+        stats = StitchStats(index=0, valid=int(st_o[0]), silent=int(st_o[1]),
+                            unchecked=int(st_o[2]), broken=int(st_o[3]))
+        if self._stats_verdict(stats, unch_lim) != DS_RET_OK:
+            return (-3, res_counts, seam_stats, None, None, None, None,
+                    None)
+        # Conv assembly + fused deinterleave + finalize.
+        sil = self._silent_words32()
+        qw = np.concatenate([
+            conv.words_i32(), field1.words_i32()[:c1],
+            np.tile(sil, (padI, 1)), field2.words_i32()[:c2],
+            np.tile(sil, (padO, 1))])
+        qc = np.concatenate([
+            conv.crc_ok8(), field1.crc_ok8()[:c1],
+            np.zeros((padI, 8), bool), field2.crc_ok8()[:c2],
+            np.zeros((padO, 8), bool)])
+        B = qw.shape[0] - stc007.MIN_DEINT_DATA
+        if B <= 0:
+            return (-4, res_counts, seam_stats, None, None, None, None,
+                    None)
+        _, valid, lcrc, _, _, _, flags, samples = _ds.eval_rows_arrays(
+            qw, qc, None, 0, B, conv_mode, self.en_p, self.en_q, True,
+            m2)
+        samples, wvalid, wfixed, bvalid, counters, countdown = \
+            self._finalize_blocks_steady(flags, valid, lcrc, samples)
+        return (countdown, res_counts, seam_stats, samples, wvalid,
+                wfixed, bvalid, counters)
 
     def _fixed_res_mode(self):
         """The single resolution mode everything uses when M2 or a
@@ -2099,6 +2347,8 @@ class STC007Stitcher:
         records — identical effects to _try_steady_pair, which remains
         the single-pair form.  Returns False (nothing consumed) when
         the first pair is not steady."""
+        if self.seam_backend == "tpu":
+            return False  # the tpu backend runs the per-pair device tail
         if not self._steady_globals_ok():
             return False
         sn = _sn_mod()
@@ -3020,14 +3270,17 @@ class STC007Stitcher:
         if n_blocks <= 0:
             return 0
         from ..ops import stitch_native as _sn
-        use_native_fin = _sn.available() and not self.record_views
+        on_tpu = self.seam_backend == "tpu"
+        use_native_fin = _sn.available() and not self.record_views \
+            and not on_tpu
         res_mode = self.get_data_block_resolution(conv, 0)
         if use_native_fin:
             return self._deint_fused(conv, res_mode, n_blocks)
         batch, cwd_app, aux = eval_blocks(
             conv, res_mode, ignore_crc=self.ignore_crc,
             force_ecc=not self.ignore_crc, en_p=self.en_p, en_q=self.en_q,
-            en_cwd=self.en_cwd, m2=self.mode_m2)
+            en_cwd=self.en_cwd, m2=self.mode_m2,
+            backend="tpu" if on_tpu else None)
         rate = self._block_sample_rate()
 
         silent = aux["silent"]

@@ -155,3 +155,90 @@ def test_full_decode_tpu_seam_backend_identical():
             np.testing.assert_array_equal(x, y)
         assert a[0][3] == b[0][3]
     assert a[1] == b[1]
+
+
+@pytest.mark.parametrize("res,corrupt", [(16, 40), (14, 0)])
+def test_full_decode_tpu_backend_res_and_steady(res, corrupt):
+    """16-bit capture (S-word assembly + per-pad 16-bit modes on
+    device), and a clean capture where the host side takes the native
+    steady fast path while the tpu backend runs the full slow path on
+    the device — outputs must still be identical."""
+    rng = np.random.default_rng(31 + res)
+    n_frames, lpf = 8, 294
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << (res - 2), n),
+                               rng.integers(1, 1 << (res - 2), n),
+                               n_frames, lines_pf=lpf, resolution=res)
+    import dataclasses
+
+    def run(**kw):
+        rng2 = np.random.default_rng(9)
+        s = st.STC007Stitcher(**kw)
+        for fr in frames:
+            v = np.ones(len(fr["crcs"]), bool)
+            if corrupt:
+                v[rng2.integers(0, len(v), corrupt)] = False
+            s.push_frame(st.LineStore.from_decoded(
+                fr["line_words"], fr["crcs"], v,
+                np.full(len(fr["crcs"]), fr["frame_number"]),
+                fr["line_numbers"]))
+        s.finish()
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        return arr, [dataclasses.asdict(f) for f in s.frame_log]
+
+    a = run()
+    b = run(seam_backend="tpu")
+    assert (a[0] is None) == (b[0] is None)
+    if a[0] is not None:
+        for x, y in zip(a[0][:3], b[0][:3]):
+            np.testing.assert_array_equal(x, y)
+        assert a[0][3] == b[0][3]
+    assert a[1] == b[1]
+
+
+def test_tpu_steady_tail_engages_and_matches():
+    """Clean capture: the device steady tail (_steady_tail_tpu) must
+    engage on most pairs and produce output identical to the host
+    machine; a mid-stream knockout frame must bail to the slow path
+    and recover (both still on the device backend)."""
+    import dataclasses
+    rng = np.random.default_rng(77)
+    n_frames, lpf = 10, 294
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                               rng.integers(1, 1 << 14, n), n_frames,
+                               lines_pf=lpf)
+
+    def run(knockout=None, **kw):
+        rng2 = np.random.default_rng(13)
+        s = st.STC007Stitcher(**kw)
+        hits = [0]
+        if kw.get("seam_backend") == "tpu":
+            orig = st.STC007Stitcher._try_steady_pair
+
+            def spy(_s=s):
+                r = orig(_s)
+                if r:
+                    hits[0] += 1
+                return r
+            s._try_steady_pair = spy
+        for k, fr in enumerate(frames):
+            v = np.ones(len(fr["crcs"]), bool)
+            if knockout is not None and k == knockout:
+                v[rng2.integers(0, len(v), 300)] = False
+            s.push_frame(st.LineStore.from_decoded(
+                fr["line_words"], fr["crcs"], v,
+                np.full(len(fr["crcs"]), fr["frame_number"]),
+                fr["line_numbers"]))
+        s.finish()
+        arr = st.chunks_to_arrays(s.pop_sample_chunks())
+        return arr, [dataclasses.asdict(f) for f in s.frame_log], hits[0]
+
+    for ko in (None, 5):
+        a = run(knockout=ko)
+        b = run(knockout=ko, seam_backend="tpu")
+        for x, y in zip(a[0][:3], b[0][:3]):
+            np.testing.assert_array_equal(x, y, err_msg=f"ko={ko}")
+        assert a[0][3] == b[0][3]
+        assert a[1] == b[1], f"ko={ko}"
+        assert b[2] >= (5 if ko is None else 3), (ko, b[2])
