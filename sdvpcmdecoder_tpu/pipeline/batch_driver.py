@@ -85,7 +85,7 @@ class BatchDecoder:
                  frames_per_round=4, workers=None, ref_sweep=False,
                  ref_sweep_fallback=False, checkpoint=False,
                  backend="auto", per_line_agc=False, fmt="stc007",
-                 normal_sweep_prescan=False):
+                 normal_sweep_prescan=False, seam_backend="auto"):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
@@ -128,7 +128,8 @@ class BatchDecoder:
                     normal_sweep_prescan=normal_sweep_prescan,
                     per_line_agc=per_line_agc)
                 j.stitcher = st.STC007Stitcher(preset_video=preset_video,
-                                               auto_m2=True)
+                                               auto_m2=True,
+                                               seam_backend=seam_backend)
             elif fmt == "pcm1":
                 from . import stitcher_pcm1 as sp1
                 from . import v2d_other

@@ -1,0 +1,376 @@
+"""Chip-resident STC-007 batch decoder: pixels live in HBM, one fused
+dispatch decodes a whole round, samples/stats come back in KB.
+
+This is the device-as-engine production path the tunnel-bound hosts
+need (the per-call seam backend pays a ~27 ms sync per round trip on
+tunneled accelerators; this driver pays it ~once per round of frames
+and hides it by round-robining captures):
+
+  stage:   each capture's frames are split to fields and device_put
+           ONCE (on a direct-attached TPU host this is the normal
+           PCIe ingest; over a tunnel it is the one bulk transfer).
+  round:   ops.device_stitch.steady_round_dispatch = binarize +
+           duplicate detection + DUAL-resolution eval of every
+           speculated seam/res/conv queue for all frame pairs of the
+           round, in ONE dispatch on resident data.  Outputs are
+           copied back asynchronously while other captures compute.
+  replay:  the unchanged host stage machine consumes the speculative
+           results through STC007Stitcher._match_spec_entry — every
+           geometry fact is verified, so output is bit-identical to
+           the host backends or the pair falls back (and the fallback
+           itself is the tpu per-pair tail).  WAV equality vs the
+           native driver is pinned by tests/test_device_driver.py.
+
+Reference scope: the full doFrameReassemble chain
+(stc007datastitcher.cpp:7250) with findPadding/tryPadding seam scoring
+(:1417/:1743) and performDeinterleave (:6675) on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..formats import stc007
+from ..ops import device_stitch as ds
+from . import batch_driver, ingest, v2d
+from . import stitcher_stc007 as st
+
+KEEP = ds.KEEP          # 120
+MDD = stc007.MIN_DEINT_DATA
+
+
+def _gather_sample(px, idx):
+    return px[:, idx, :]
+
+
+_gather_sample_j = jax.jit(_gather_sample)
+
+
+class _RoundRows:
+    """Row maps for one round geometry, uploaded to the device once.
+
+    Layout of the combined words buffer (steady_round_dispatch):
+    [prev frame (Ls rows) | round frames (F*Ls) | carry (112) | silent].
+    """
+
+    def __init__(self, F, lpf, n0, padI, padO, target, tff):
+        Ls = 2 * lpf
+        carry_ofs = (F + 1) * Ls
+        sil = carry_ofs + MDD
+        c1 = min(lpf, target)
+        c2 = min(lpf, target)
+        # n0 only shapes pair 0's carry rows; pairs >= 1 assume the
+        # steady 112-row carry (verified per pair at replay).
+        self.geom = (c1, c2, padI, padO, tff, target)
+        self.lpf = lpf
+
+        def fields(j):
+            o = (j + 1) * Ls
+            odd = np.arange(o, o + lpf, dtype=np.int64)
+            even = np.arange(o + lpf, o + Ls, dtype=np.int64)
+            return (odd, even) if tff else (even, odd)
+
+        def blocks(queue):
+            B = len(queue) - MDD
+            pos = (np.arange(B, dtype=np.int64)[:, None]
+                   + stc007.INTERLEAVE_OFS
+                   * np.arange(8, dtype=np.int64)[None, :])
+            return queue[pos]
+
+        pad_i = np.full(padI, sil, np.int64)
+        pad_o = np.full(padO, sil, np.int64)
+        g1, meta1, ofs = [], [], 0
+        head = min(lpf, KEEP)
+        len1 = min(lpf, KEEP - padI)
+        len1o = min(lpf, KEEP - padO)
+        for i in range(F):
+            f1, f2 = fields(i - 1)
+            fb1 = fields(i)[0]
+            inner = np.concatenate([f1[lpf - len1:], pad_i, f2[:head]])
+            outer = np.concatenate([f2[lpf - len1o:], pad_o, fb1[:head]])
+            tail = np.concatenate([f1[:c1], pad_i, f2[:c2], pad_o])
+            if i == 0:
+                carry = np.arange(carry_ofs, carry_ofs + n0,
+                                  dtype=np.int64)
+            else:
+                p1, p2 = fields(i - 2)
+                prev_tail = np.concatenate(
+                    [p1[:c1], pad_i, p2[:c2], pad_o])
+                carry = prev_tail[-MDD:]
+            conv = np.concatenate([carry, tail])
+            m = {}
+            for key, q in (("inner", inner), ("outer", outer),
+                           ("conv", conv)):
+                b = blocks(q)
+                m[key] = (ofs, b.shape[0])
+                g1.append(b)
+                ofs += b.shape[0]
+            meta1.append(m)
+        g2, meta2, ofs2 = [], [], 0
+        for i in range(F):
+            o = (i + 1) * Ls
+            m = {}
+            for key, lo in (("res_odd", 0), ("res_even", lpf)):
+                if lpf > MDD:
+                    q = np.arange(o + lo, o + lo + lpf, dtype=np.int64)
+                    b = blocks(q)
+                    m[key] = (ofs2, b.shape[0])
+                    g2.append(b)
+                    ofs2 += b.shape[0]
+                else:
+                    m[key] = (ofs2, 0)
+            meta2.append(m)
+        self.meta1, self.meta2 = meta1, meta2
+        self.g1 = jnp.asarray(np.concatenate(g1).astype(np.int32))
+        self.g2 = jnp.asarray(
+            np.concatenate(g2).astype(np.int32) if g2
+            else np.zeros((1, 8), np.int32))
+
+
+class DeviceBatchDecoder(batch_driver.BatchDecoder):
+    """BatchDecoder with the decode chain resident on the device.
+
+    STC-007 only; requires captures that fit HBM (frames are staged
+    once).  Host work per round: prescan medians, store assembly from
+    the read-back words, stage-machine replay, audio masking, WAV.
+    """
+
+    def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
+                 shift_limit=1, frames_per_round=16, use_pallas=None,
+                 **kw):
+        kw.setdefault("backend", "tpu")
+        kw.setdefault("fmt", "stc007")
+        from ..ops import stitch_native as _sn
+        # tpu-spec: steady pairs replay the round dispatch's device
+        # results; transition pairs (a handful per capture) use the
+        # bit-identical native tail instead of ~27ms-per-call device
+        # round trips.  Pure "tpu" when the C core is unavailable.
+        super().__init__(jobs, lines_per_field=lines_per_field,
+                         hyst_limit=hyst_limit, shift_limit=shift_limit,
+                         frames_per_round=frames_per_round,
+                         seam_backend="tpu-spec" if _sn.available()
+                         else "tpu", **kw)
+        self.hyst_limit = hyst_limit
+        self.shift_limit = shift_limit
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        self.use_pallas = use_pallas
+        self._rows_cache = {}
+        self._sil = None
+        for j in self.jobs:
+            with self._stage("stage_hbm"):
+                frames = []
+                while True:
+                    batch = j.reader.read_frames(
+                        sum(b.shape[0] for b in frames), 64)
+                    if batch.shape[0] == 0:
+                        break
+                    frames.append(batch)
+                raw = np.concatenate(frames) if frames else \
+                    np.zeros((0, 2, 2), np.uint8)
+                lines_b, nums = ingest.split_fields_batch(raw)
+                j.px_dev = jax.device_put(lines_b)
+                j.nums = nums
+                j.total_frames = lines_b.shape[0]
+            Ls = lines_b.shape[1] if j.total_frames else 0
+            j.Ls = Ls
+            j.W = lines_b.shape[2] if j.total_frames else 0
+            j.prev_words = jnp.zeros((Ls, 8), jnp.int32)
+            j.prev_ok8 = jnp.zeros((Ls, 8), bool)
+            j.pending = None
+            j.round_id = 0
+            j.next_sample = None
+
+    def _silent_dev(self, m2):
+        if self._sil is None or self._sil[0] != m2:
+            self._sil = (m2, jnp.asarray(np.asarray(
+                stc007.silent_words(m2=m2, xp=np), np.int32)))
+        return self._sil[1]
+
+    def _rows(self, F, lpf, n0, padI, padO, target, tff):
+        key = (F, lpf, n0, padI, padO, target, tff)
+        r = self._rows_cache.get(key)
+        if r is None:
+            r = self._rows_cache[key] = _RoundRows(F, lpf, n0, padI,
+                                                   padO, target, tff)
+        return r
+
+    # -- round pipeline ----------------------------------------------------
+    def run(self):
+        while True:
+            live = [j for j in self.jobs if not j.done]
+            if not live:
+                break
+            for j in live:
+                self._visit(j)
+        return {j.path: j.stats for j in self.jobs}
+
+    def _visit(self, j):
+        if j.pending is not None:
+            self._complete(j)
+        if j.done:
+            return
+        if j.frames_read >= j.total_frames:
+            if j.pending is None:
+                self._stitch_and_write(j, [], finish=True)
+                self._drain_final(j)
+                j.done = True
+            return
+        self._dispatch(j)
+
+    def _predict_geometry(self, j, lpf):
+        sti = j.stitcher
+        f0 = sti.frasm_f0
+        tff = not f0.is_order_bff()   # TFF unless settled BFF
+        if f0.video_standard == st.VID_PAL:
+            target = st.LINES_PF_PAL
+        elif f0.video_standard == st.VID_NTSC:
+            target = st.LINES_PF_NTSC
+        else:
+            target = lpf
+        padI = int(f0.inner_padding) if f0.inner_padding_ok else 0
+        padO = int(f0.outer_padding) if f0.outer_padding_ok else 0
+        c1 = min(lpf, target)
+        c2 = min(lpf, target)
+        if not (0 <= padI and 0 <= padO
+                and c1 + c2 + padI + padO == 2 * target
+                and padI < KEEP and padO < KEEP):
+            padI = padO = 0
+            target = lpf
+        n0 = len(sti.conv_queue)
+        if n0 > MDD:
+            n0 = 0
+        return padI, padO, target, tff, n0
+
+    def _dispatch(self, j):
+        with self._stage("dispatch"):
+            F = min(self.frames_per_round, j.total_frames - j.frames_read)
+            Ls, W = j.Ls, j.W
+            lpf = Ls // 2
+            px = jax.lax.slice_in_dim(j.px_dev, j.frames_read,
+                                      j.frames_read + F)
+            idx = v2d.prescan_rows(Ls)
+            if j.next_sample is None or j.next_sample[0] != j.frames_read:
+                sample_dev = _gather_sample_j(px, jnp.asarray(idx))
+            else:
+                sample_dev = j.next_sample[1]
+            with self._stage("prescan"):
+                sample = np.asarray(sample_dev).reshape(F * len(idx), W)
+                prep = j.driver.prepare_frames(None, sample=sample,
+                                               shape=(F, Ls, W))
+            sti = j.stitcher
+            padI, padO, target, tff, n0 = self._predict_geometry(j, lpf)
+            rows = self._rows(F, lpf, n0, padI, padO, target, tff)
+            conv = sti.conv_queue
+            carry_w = np.zeros((MDD, 8), np.int32)
+            carry_ok = np.zeros((MDD, 8), bool)
+            if n0:
+                carry_w[:n0] = conv.words_i32()
+                carry_ok[:n0] = conv.crc_ok8()
+            out = ds.steady_round_dispatch(
+                px, jnp.asarray(prep["coords"], jnp.int32),
+                jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
+                jnp.asarray(np.clip(prep["blacks"], 0, 254), jnp.int32),
+                jnp.asarray(np.clip(prep["whites"], 1, 255), jnp.int32),
+                jnp.asarray(prep["usable"]),
+                j.prev_words, j.prev_ok8,
+                jnp.asarray(carry_w), jnp.asarray(carry_ok),
+                rows.g1, rows.g2, self._silent_dev(sti.mode_m2),
+                en_p=sti.en_p, en_q=sti.en_q, m2=sti.mode_m2,
+                hyst_limit=self.hyst_limit, shift_limit=self.shift_limit,
+                use_pallas=self.use_pallas)
+            for o in out[:7]:
+                o.copy_to_host_async()
+            j.prev_words = out[7][-Ls:]
+            j.prev_ok8 = out[8][-Ls:]
+            j.pending = dict(F=F, start=j.frames_read, prep=prep,
+                             out=out[:7], rows=rows, round_id=j.round_id,
+                             carry_w=carry_w, carry_ok=carry_ok, n0=n0)
+            j.round_id += 1
+            j.frames_read += F
+            nxt = j.frames_read
+            if nxt < j.total_frames:
+                F2 = min(self.frames_per_round, j.total_frames - nxt)
+                px2 = jax.lax.slice_in_dim(j.px_dev, nxt, nxt + F2)
+                s2 = _gather_sample_j(px2, jnp.asarray(idx))
+                s2.copy_to_host_async()
+                j.next_sample = (nxt, s2)
+            else:
+                j.next_sample = None
+
+    def _complete(self, j):
+        p = j.pending
+        j.pending = None
+        with self._stage("materialize"):
+            words, crc_read, valid, dup, packed1, samples1, packed2 = \
+                (np.asarray(o) for o in p["out"])
+        F, Ls = p["F"], j.Ls
+        prep, usable = p["prep"], p["prep"]["usable"]
+        with self._stage("finalize"):
+            results = []
+            fb_frames = [f for f in range(F)
+                         if usable[f] and 0 < int((~valid[f]).sum()) < Ls]
+            fb_res = {}
+            if fb_frames:
+                # Some lines failed: fetch those frames' pixels and run
+                # the host finalize path (marker fallback + dup rebuild)
+                # exactly as the streaming driver would.
+                sel = jnp.asarray(np.asarray(fb_frames))
+                px_host = np.asarray(
+                    jnp.take(jax.lax.slice_in_dim(
+                        j.px_dev, p["start"], p["start"] + F), sel,
+                        axis=0))
+                sub_prep = {k: prep[k][np.asarray(fb_frames)]
+                            for k in ("coords", "refs", "blacks",
+                                      "whites", "usable")}
+                sub = j.driver.finalize_frames(
+                    px_host, sub_prep, words[fb_frames],
+                    crc_read[fb_frames], valid[fb_frames],
+                    np.zeros((len(fb_frames), Ls), bool))
+                fb_res = dict(zip(fb_frames, sub))
+            for f in range(F):
+                if not usable[f]:
+                    results.append(None)
+                elif f in fb_res:
+                    results.append(fb_res[f])
+                else:
+                    results.append(v2d.FrameDecodeResult(
+                        words[f], crc_read[f], valid[f],
+                        int(prep["refs"][f]), int(prep["blacks"][f]),
+                        int(prep["whites"][f]),
+                        (int(prep["coords"][f, 0]),
+                         int(prep["coords"][f, 1])),
+                        dup[f], dup[f]))
+        with self._stage("assemble"):
+            fno_before = j.frame_no
+            stores = self._build_stores_stc007(j, results, j.nums)
+            for k, store in enumerate(stores):
+                if (len(store) == Ls and results[k] is not None
+                        and k not in fb_res):
+                    store._dev_gid = fno_before + 1 + k
+            spec = {}
+            rows = p["rows"]
+            for i in range(F):
+                m1, m2_ = rows.meta1[i], rows.meta2[i]
+
+                def cut1(key, arr):
+                    o, n = m1[key]
+                    return arr[o:o + n]
+
+                def cut2(key):
+                    o, n = m2_[key]
+                    return packed2[o:o + n]
+
+                spec[(fno_before + i, fno_before + 1 + i)] = dict(
+                    round_id=p["round_id"], pair_idx=i, lpf=rows.lpf,
+                    geom=rows.geom,
+                    carry_n=p["n0"], carry_w=p["carry_w"],
+                    carry_ok=p["carry_ok"],
+                    inner=cut1("inner", packed1),
+                    outer=cut1("outer", packed1),
+                    conv=cut1("conv", packed1),
+                    conv_samples=cut1("conv", samples1),
+                    res_odd=cut2("res_odd"), res_even=cut2("res_even"))
+            j.stitcher._steady_spec = spec
+        self._stitch_and_write(j, stores)

@@ -1965,14 +1965,26 @@ class STC007Stitcher:
             if self.get_probable_resolution() == SAMPLE_RES_16BIT \
             else di.RES_MODE_14BIT_AUTO
 
-        if self.seam_backend == "tpu":
+        on_tpu = self.seam_backend in ("tpu", "tpu-spec")
+        entry = self._match_spec_entry(c1, c2, padI, padO, tff,
+                                       target, n0, field1, field2,
+                                       f2f, f2o, f2e) if on_tpu else None
+        if entry is not None:
+            rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
+                counters = self._replay_spec_tail(
+                    entry, inner_mode, outer_first, outer_full,
+                    outer_last_even, fb_unk_mode, unch_lim,
+                    conv_mode)
+        elif self.seam_backend == "tpu":
             rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
                 counters = self._steady_tail_tpu(
                     conv, field1, c1, field2, c2, f2f, f2o, f2e,
                     padI, padO, inner_mode, outer_first, outer_full,
-                    outer_last_even, fb_unk_mode, unch_lim, conv_mode,
-                    n_blocks)
+                    outer_last_even, fb_unk_mode, unch_lim,
+                    conv_mode, n_blocks)
         else:
+            # "tpu-spec" spec miss: the transition pair runs the native
+            # tail (bit-identical; the device keeps the steady stream).
             rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
                 counters = _sn.steady_tail(
                     conv.words_i32(), conv.crc_ok8(),
@@ -2058,6 +2070,18 @@ class STC007Stitcher:
             segs.append((self._pad_view(padO),
                          int(field2.line_number[c2 - 1]) + 2))
         self.conv_queue = self._build_carry(segs, fa.frame_number)
+        if self.seam_backend in ("tpu", "tpu-spec"):
+            # Seed the speculative-round carry chain: the next pair's
+            # device-assumed carry is this pair's plain segments.
+            store1 = self.pending_frames[0][1]
+            lpf_c = len(field1)
+            plain = (getattr(store1, "_dev_gid", None) == fa.frame_number
+                     and len(field2) == lpf_c
+                     and self._plain_field_ok(field1, lpf_c, tff)
+                     and self._plain_field_ok(field2, lpf_c, not tff))
+            self._steady_chain = (
+                fb.frame_number, lpf_c,
+                (c1, c2, padI, padO, tff, target)) if plain else None
         return True
 
     def _steady_globals_ok(self):
@@ -2134,6 +2158,135 @@ class STC007Stitcher:
         cum = np.cumsum(x)
         return int(cum[-1] - min(0, int(np.minimum.accumulate(cum)[-1])))
 
+    # -- speculative device-round results (pipeline/device_driver.py) -----
+    def _plain_field_ok(self, fld, lpf, odd_parity):
+        """A field view equals the device round's assumed plain split:
+        full-length, line numbers spanning the whole parity range of a
+        tag-free field-sequential frame store."""
+        if len(fld) != lpf:
+            return False
+        first = 1 if odd_parity else 2
+        return (int(fld.line_number[0]) == first
+                and int(fld.line_number[-1]) == first + 2 * (lpf - 1))
+
+    def _match_spec_entry(self, c1, c2, padI, padO, tff, target, n0,
+                          field1, field2, f2f, f2o, f2e):
+        """Return the speculative device-round entry for the current
+        pair IF every geometry fact the device assumed holds; else
+        None.  A matched entry's dual-eval results are bit-identical to
+        what _steady_tail_tpu would compute (same math, same inputs)."""
+        spec = getattr(self, "_steady_spec", None)
+        if not spec:
+            return None
+        fa, fb = self.frasm_f1, self.frasm_f2
+        key = (fa.frame_number, fb.frame_number)
+        entry = spec.get(key)
+        if entry is None:
+            return None
+        store1 = self.pending_frames[0][1]
+        store2 = self.pending_frames[1][1]
+        if (getattr(store1, "_dev_gid", None) != fa.frame_number
+                or getattr(store2, "_dev_gid", None) != fb.frame_number):
+            return None
+        lpf = entry["lpf"]
+        if entry["geom"] != (c1, c2, padI, padO, tff, target):
+            return None
+        if not (self._plain_field_ok(field1, lpf, tff)
+                and self._plain_field_ok(field2, lpf, not tff)
+                and self._plain_field_ok(f2o, lpf, True)
+                and self._plain_field_ok(f2e, lpf, False)):
+            return None
+        if entry["pair_idx"] == 0:
+            conv = self.conv_queue
+            if len(conv) != n0 or entry["carry_n"] != n0:
+                return None
+            if not (np.array_equal(conv.words_i32(),
+                                   entry["carry_w"][:n0])
+                    and np.array_equal(conv.crc_ok8(),
+                                       entry["carry_ok"][:n0])):
+                return None
+        else:
+            # Pairs past the first assume the steady 112-row carry the
+            # device derived from the previous pair's own (plain)
+            # segments: valid iff the previous pair completed the tpu
+            # steady path over plain device frames with this geometry.
+            if n0 != stc007.MIN_DEINT_DATA:
+                return None
+            if getattr(self, "_steady_chain", None) != \
+                    (fa.frame_number, lpf, entry["geom"]):
+                return None
+        return entry
+
+    def _replay_spec_tail(self, entry, inner_mode, outer_first,
+                          outer_full, outer_last_even, fb_unk_mode,
+                          unch_lim, conv_mode):
+        """_steady_tail_tpu with every eval taken from the round
+        dispatch's stored dual-resolution results (ops.device_stitch
+        .steady_round_dispatch) — zero device traffic at replay."""
+        from ..ops import device_stitch as _ds
+        m2 = self.mode_m2
+        res_counts = np.zeros(4, np.int64)
+        if not m2:
+            for k, key in ((0, "res_odd"), (2, "res_even")):
+                packed = entry[key]
+                for j in (0, 1):
+                    flags_j = ((packed[:, j] >> 16) & 0x3F).astype(np.uint8)
+                    res_counts[k + j] = self._res_counts_from_flags(
+                        flags_j, packed.shape[0])
+        seam_stats = np.zeros(8, np.int32)
+
+        def seam(packed, mode):
+            flags, _, _, _ = _ds.select_dual_host(packed, mode)
+            vmax, smax, umax, bcnt = self._burst_from_aux(
+                dict(flags=flags), unch_lim)
+            st = StitchStats(index=0, valid=vmax, silent=smax,
+                             unchecked=umax, broken=bcnt)
+            return (np.array([vmax, smax, umax, bcnt], np.int32),
+                    self._stats_verdict(st, unch_lim))
+
+        seam_stats[:4], verdict = seam(entry["inner"], inner_mode)
+        if verdict != DS_RET_OK:
+            return (-2, res_counts, seam_stats, None, None, None, None,
+                    None)
+        outer_mode = self._outer_mode_from_counts(
+            outer_full, outer_first, outer_last_even, fb_unk_mode,
+            res_counts)
+        seam_stats[4:], verdict = seam(entry["outer"], outer_mode)
+        if verdict != DS_RET_OK:
+            return (-3, res_counts, seam_stats, None, None, None, None,
+                    None)
+        flags, valid, lcrc, samples = _ds.select_dual_host(
+            entry["conv"], conv_mode, entry["conv_samples"])
+        samples, wvalid, wfixed, bvalid, counters, countdown = \
+            self._finalize_blocks_steady(flags, valid, lcrc, samples)
+        return (countdown, res_counts, seam_stats, samples, wvalid,
+                wfixed, bvalid, counters)
+
+    def _outer_mode_from_counts(self, outer_full, outer_first,
+                                outer_last_even, fb_unk_mode, res_counts):
+        """Outer seam mode (detectAudioResolution's known-frame-A branch
+        when the seam's last block row lands in frame B)."""
+        if outer_full >= 0:
+            return outer_full
+        ra = _res_of_counts(int(res_counts[0]), int(res_counts[1]))
+        rb = _res_of_counts(int(res_counts[2]), int(res_counts[3]))
+        M14, M14A = di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO
+        M16, M16A = di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO
+        UNK = SAMPLE_RES_UNKNOWN
+        if ra == UNK and rb == UNK:
+            fb_odd = fb_even = fb_unk_mode
+        elif ra == UNK:
+            fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
+            fb_odd = M16A if rb == SAMPLE_RES_16BIT else M14A
+        elif rb == UNK:
+            fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
+            fb_even = M16A if ra == SAMPLE_RES_16BIT else M14A
+        else:
+            fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
+            fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
+        fb_side = fb_even if outer_last_even else fb_odd
+        return self.resolution_mode_for_seam(outer_first, fb_side)
+
     def _seam_eval_tpu(self, a_w, a_c, pad_n, c_w, c_c, res_mode,
                        unch_lim):
         """eval_seam twin on the device: [a tail | silent pad | c head]
@@ -2195,29 +2348,9 @@ class STC007Stitcher:
         if self._stats_verdict(stats, unch_lim) != DS_RET_OK:
             return (-2, res_counts, seam_stats, None, None, None, None,
                     None)
-        # Outer seam mode (detectAudioResolution's known-frame-A branch
-        # when the seam's last block row lands in frame B).
-        outer_mode = outer_full
-        if outer_mode < 0:
-            ra = _res_of_counts(int(res_counts[0]), int(res_counts[1]))
-            rb = _res_of_counts(int(res_counts[2]), int(res_counts[3]))
-            M14, M14A = di.RES_MODE_14BIT, di.RES_MODE_14BIT_AUTO
-            M16, M16A = di.RES_MODE_16BIT, di.RES_MODE_16BIT_AUTO
-            UNK = SAMPLE_RES_UNKNOWN
-            if ra == UNK and rb == UNK:
-                fb_odd = fb_even = fb_unk_mode
-            elif ra == UNK:
-                fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
-                fb_odd = M16A if rb == SAMPLE_RES_16BIT else M14A
-            elif rb == UNK:
-                fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
-                fb_even = M16A if ra == SAMPLE_RES_16BIT else M14A
-            else:
-                fb_odd = M16 if ra == SAMPLE_RES_16BIT else M14
-                fb_even = M16 if rb == SAMPLE_RES_16BIT else M14
-            fb_side = fb_even if outer_last_even else fb_odd
-            outer_mode = self.resolution_mode_for_seam(outer_first,
-                                                       fb_side)
+        outer_mode = self._outer_mode_from_counts(
+            outer_full, outer_first, outer_last_even, fb_unk_mode,
+            res_counts)
         s1o = max(0, len(field2) - (keep - padO))
         cnt2o = min(len(f2f), keep)
         st_o = self._seam_eval_tpu(
@@ -2347,8 +2480,8 @@ class STC007Stitcher:
         records — identical effects to _try_steady_pair, which remains
         the single-pair form.  Returns False (nothing consumed) when
         the first pair is not steady."""
-        if self.seam_backend == "tpu":
-            return False  # the tpu backend runs the per-pair device tail
+        if self.seam_backend in ("tpu", "tpu-spec"):
+            return False  # tpu backends replay the device round instead
         if not self._steady_globals_ok():
             return False
         sn = _sn_mod()

@@ -66,6 +66,14 @@ else:  # numpy < 2.0
             .reshape(x.shape + (8 * x.dtype.itemsize,)).sum(-1)
 
 
+def prescan_rows(L, n_chk=None):
+    """Prescan sample-row indices for an L-line frame (COORD_CHECK
+    spread, videotodigital.h:98-105)."""
+    gap = L // COORD_CHECK_PARTS
+    n = COORD_CHECK_LINES if n_chk is None else n_chk
+    return np.array([(i + 1) * gap for i in range(n)])
+
+
 def find_duplicate_lines(words, crc_read, valid, field_bounds=None,
                          m2=False):
     """Head-switch duplicate detection (doBinarize :1210-1260): a VALID
@@ -221,7 +229,8 @@ class V2DDriver:
         return (start, stop), ref
 
     # -- batched frame decode (production path) ---------------------------
-    def prepare_frames(self, pixels: np.ndarray, perm=None):
+    def prepare_frames(self, pixels: np.ndarray, perm=None, sample=None,
+                       shape=None):
         """Host phase: batched prescan + per-frame damping -> parameters.
 
         The AGC + marker prescan for ALL frames' sample lines runs as one
@@ -232,10 +241,18 @@ class V2DDriver:
         prescan gathers just COORD_CHECK_LINES rows per frame instead of
         forcing a field-ordered copy of the whole batch.
 
+        With `sample` given ([F*COORD_CHECK_LINES, W], the prescan rows
+        pre-gathered — e.g. read back from device-resident pixels by
+        pipeline/device_driver.py), the gather is skipped and `pixels`
+        may be None (`shape` supplies (F, L, W)); per-line AGC needs
+        full pixels and is rejected in that mode.
+
         Returns dict(coords [F,2], refs/blacks/whites [F] (or [F,L] with
         per-line AGC, in `pixels` row order), usable [F]).
         """
-        F, L, W = pixels.shape
+        F, L, W = shape if shape is not None else pixels.shape
+        if sample is not None and self.per_line_agc:
+            raise ValueError("per_line_agc needs full pixels")
         coords = np.zeros((F, 2), np.int64)
         refs = np.zeros(F, np.int64)
         blacks = np.zeros(F, np.int64)
@@ -243,12 +260,12 @@ class V2DDriver:
         usable = np.zeros(F, bool)
         n_chk = COORD_CHECK_LINES
         if L > COORD_CHECK_PARTS:
-            gap = L // COORD_CHECK_PARTS
-            idx = np.array([(i + 1) * gap for i in range(n_chk)])
-            if perm is not None:
-                idx = np.asarray(perm)[idx]
-            sample = np.ascontiguousarray(pixels[:, idx, :]) \
-                .reshape(F * n_chk, W)
+            if sample is None:
+                idx = prescan_rows(L)
+                if perm is not None:
+                    idx = np.asarray(perm)[idx]
+                sample = np.ascontiguousarray(pixels[:, idx, :]) \
+                    .reshape(F * n_chk, W)
             black, white, ok = agc.find_black_white(sample, self.preset)
             ref, cok = bz.pick_center_ref_level(black, white,
                                                 self.preset.min_contrast,

@@ -1,0 +1,101 @@
+"""Chip-resident driver == streaming drivers, byte-identical WAVs.
+
+pipeline.device_driver.DeviceBatchDecoder stages pixels on the device
+and decodes rounds with ONE fused dispatch (binarize + dup detection +
+speculative seam/res/conv dual evals); the host stage machine verifies
+and replays.  Every WAV must equal the native BatchDecoder's output
+byte for byte — clean, noisy (marker-fallback frames), and NTSC.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from sdvpcmdecoder_tpu.pipeline import batch_driver, device_driver, ingest
+from sdvpcmdecoder_tpu.synth import encoder as enc
+
+PAL, NTSC = 294, 245
+W = 1152
+
+
+def _write_capture(tmp, name, n_frames, lpf, seed, noise=0.0):
+    rng = np.random.default_rng(seed)
+    n = 3 * n_frames * 2 * lpf
+    frames = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                               rng.integers(1, 1 << 14, n), n_frames,
+                               lines_pf=lpf)
+    vids = []
+    for fr in frames:
+        pixels, _ = enc.render_lines(fr["line_words"], fr["crcs"],
+                                     width=W, ppb=8.0)
+        L = pixels.shape[0]
+        if noise:
+            pixels = np.clip(
+                pixels.astype(np.int16)
+                + rng.normal(0, noise, pixels.shape), 0, 255) \
+                .astype(np.uint8)
+        img = np.zeros((L, W), np.uint8)
+        img[0::2] = pixels[:L // 2]
+        img[1::2] = pixels[L // 2:]
+        vids.append(img)
+    p = os.path.join(tmp, f"{name}.y4m")
+    ingest.write_y4m(p, np.stack(vids))
+    return p
+
+
+def _run(cls, jobs, tmp, tag, lpf, **kw):
+    dec = cls(jobs, lines_per_field=lpf, hyst_limit=2, shift_limit=1,
+              frames_per_round=5, **kw)
+    for k, j in enumerate(dec.jobs):
+        j.out_path = os.path.join(tmp, f"{tag}_{k}.wav")
+    dec.run()
+    return [open(j.out_path, "rb").read() for j in dec.jobs], dec
+
+
+@pytest.mark.parametrize("lpf,noise,nf", [
+    (PAL, 0.0, 12), (PAL, 26.0, 12), (NTSC, 0.0, 10)])
+def test_device_driver_matches_native(tmp_path, lpf, noise, nf):
+    tmp = str(tmp_path)
+    jobs = [(_write_capture(tmp, f"c{i}", nf, lpf, seed=10 * i + 1,
+                            noise=noise), os.path.join(tmp, f"o{i}.wav"))
+            for i in range(2)]
+    ref, _ = _run(batch_driver.BatchDecoder, jobs, tmp, "ref", lpf,
+                  backend="native")
+    dev, dec = _run(device_driver.DeviceBatchDecoder, jobs, tmp, "dev",
+                    lpf)
+    for k, (a, b) in enumerate(zip(ref, dev)):
+        assert a == b, f"WAV {k} differs (lpf={lpf} noise={noise})"
+    if noise == 0.0:
+        # the speculative round path must actually engage on clean tape
+        for j in dec.jobs:
+            assert getattr(j.stitcher, "_steady_chain", None) is not None
+
+
+def test_device_driver_spec_engagement_counts(tmp_path):
+    """On a clean capture nearly every pair must replay from the round
+    dispatch's speculative results (no per-pair device traffic)."""
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    tmp = str(tmp_path)
+    jobs = [(_write_capture(tmp, "c", 14, PAL, seed=3),
+             os.path.join(tmp, "o.wav"))]
+    hits = [0, 0]
+    orig_replay = st.STC007Stitcher._replay_spec_tail
+    orig_tail = st.STC007Stitcher._steady_tail_tpu
+
+    def spy_replay(self, *a, **k):
+        hits[0] += 1
+        return orig_replay(self, *a, **k)
+
+    def spy_tail(self, *a, **k):
+        hits[1] += 1
+        return orig_tail(self, *a, **k)
+
+    st.STC007Stitcher._replay_spec_tail = spy_replay
+    st.STC007Stitcher._steady_tail_tpu = spy_tail
+    try:
+        _run(device_driver.DeviceBatchDecoder, jobs, tmp, "dev", PAL)
+    finally:
+        st.STC007Stitcher._replay_spec_tail = orig_replay
+        st.STC007Stitcher._steady_tail_tpu = orig_tail
+    assert hits[0] >= 10, hits   # 13 pairs, the first few settle state
+    assert hits[1] <= 2, hits    # per-pair fallback stays exceptional
