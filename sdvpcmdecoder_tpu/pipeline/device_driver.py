@@ -181,6 +181,17 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             j.pending = None
             j.round_id = 0
             j.next_sample = None
+            j.next_sample_host = None
+            if j.total_frames:
+                # Pre-gather round 0's prescan rows now; the async
+                # copies complete while the other captures stage.
+                F0 = min(frames_per_round, j.total_frames)
+                idx = v2d.prescan_rows(Ls)
+                s0 = _gather_sample_j(
+                    jax.lax.slice_in_dim(j.px_dev, 0, F0),
+                    jnp.asarray(idx))
+                s0.copy_to_host_async()
+                j.next_sample = (0, s0)
 
     def _silent_dev(self, m2):
         if self._sil is None or self._sil[0] != m2:
@@ -251,12 +262,17 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             px = jax.lax.slice_in_dim(j.px_dev, j.frames_read,
                                       j.frames_read + F)
             idx = v2d.prescan_rows(Ls)
-            if j.next_sample is None or j.next_sample[0] != j.frames_read:
-                sample_dev = _gather_sample_j(px, jnp.asarray(idx))
-            else:
-                sample_dev = j.next_sample[1]
             with self._stage("prescan"):
-                sample = np.asarray(sample_dev).reshape(F * len(idx), W)
+                if j.next_sample_host is not None \
+                        and j.next_sample_host[0] == j.frames_read:
+                    sample = j.next_sample_host[1]
+                elif j.next_sample is not None \
+                        and j.next_sample[0] == j.frames_read:
+                    sample = np.asarray(j.next_sample[1])
+                else:
+                    sample = np.asarray(
+                        _gather_sample_j(px, jnp.asarray(idx)))
+                sample = sample.reshape(F * len(idx), W)
                 prep = j.driver.prepare_frames(None, sample=sample,
                                                shape=(F, Ls, W))
             sti = j.stitcher
@@ -305,6 +321,14 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         with self._stage("materialize"):
             words, crc_read, valid, dup, packed1, samples1, packed2 = \
                 (np.asarray(o) for o in p["out"])
+            # Read the next round's prescan sample HERE: its copy was
+            # requested a full cycle ago (right after this round's
+            # outputs), so it is local by now — reading it at dispatch
+            # time raced the transfer and stalled ~80ms per round.
+            if j.next_sample is not None:
+                j.next_sample_host = (j.next_sample[0],
+                                      np.asarray(j.next_sample[1]))
+                j.next_sample = None
         F, Ls = p["F"], j.Ls
         prep, usable = p["prep"], p["prep"]["usable"]
         with self._stage("finalize"):
