@@ -85,6 +85,45 @@ def device_only_fps():
     return frames_per_call * n_iter / dt
 
 
+def device_e2e_fps():
+    """Chip-resident e2e: pixels staged in HBM once, the full decode
+    (binarize + seam scoring + deinterleave/ECC + sample assembly) runs
+    as one fused dispatch per round (pipeline/device_driver), samples
+    and stats come back in KB/frame, host writes the WAV.  Returns
+    (fps, staging_seconds, wav_identical_to_native)."""
+    import tempfile
+    from sdvpcmdecoder_tpu.pipeline import batch_driver, device_driver
+
+    n_caps = int(os.environ.get("BENCH_E2E_CAPS", "8"))
+    n_frames = int(os.environ.get("BENCH_DEV_FRAMES", "64"))
+    with tempfile.TemporaryDirectory() as tmp:
+        jobs = make_captures(tmp, n_caps, n_frames)
+
+        def run(tag, cls, **kw):
+            t0 = time.perf_counter()
+            dec = cls(jobs, hyst_limit=4, shift_limit=2,
+                      frames_per_round=32, **kw)
+            stage_s = time.perf_counter() - t0
+            for k, j in enumerate(dec.jobs):
+                j.out_path = os.path.join(tmp, f"{tag}{k}.wav")
+            t0 = time.perf_counter()
+            dec.run()
+            fps = n_caps * n_frames / (time.perf_counter() - t0)
+            return fps, stage_s, [open(j.out_path, "rb").read()
+                                  for j in dec.jobs]
+
+        run("w", device_driver.DeviceBatchDecoder)  # compile warm-up
+        best, stage_s, dev_wavs = 0.0, 0.0, None
+        for t in "abc":
+            fps, ss, wavs = run(t, device_driver.DeviceBatchDecoder)
+            if fps > best:
+                best, stage_s, dev_wavs = fps, ss, wavs
+        _, _, nat_wavs = run("n", batch_driver.BatchDecoder,
+                             backend="native")
+        ident = all(a == b for a, b in zip(dev_wavs, nat_wavs))
+        return best, stage_s, ident
+
+
 def make_captures(tmp, n_caps, n_frames):
     from sdvpcmdecoder_tpu.synth import encoder as enc
     from sdvpcmdecoder_tpu.pipeline import ingest
@@ -232,27 +271,35 @@ def other_fmt_fps(tmp, fmt, make, n_caps=4, n_frames=24):
     return max(run(t) for t in "abcde")
 
 
-def device_fps_subprocess(probe_timeout=150, timeout=900, env=None):
-    """Run device_only_fps in a child process with a hard timeout: a
+def device_fps_subprocess(probe_timeout=150, timeout=1800, env=None):
+    """Run the device benches in a child process with a hard timeout: a
     wedged accelerator tunnel hangs `import jax` itself, which no
     in-process guard can interrupt.  A quick device-probe subprocess
-    gates the full run so a dead tunnel costs ~2 min, not the whole
-    compile budget.  Returns (fps_or_None, note)."""
+    gates the full run (3 attempts with backoff — a tunnel that drops
+    mid-session often comes back within minutes).  Returns
+    (dict_or_None, note)."""
     import subprocess
+    probed = False
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=probe_timeout,
+                env=env)
+            if r.returncode == 0:
+                probed = True
+                break
+            note = "device probe failed: " + repr(
+                (r.stderr or "").strip().splitlines()[-1:])
+        except subprocess.TimeoutExpired:
+            note = "device probe timed out (accelerator unreachable?)"
+        time.sleep(30 * (attempt + 1))
+    if not probed:
+        return None, note
     try:
         r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=probe_timeout,
-            env=env)
-        if r.returncode != 0:
-            tail = (r.stderr or "").strip().splitlines()[-1:]
-            return None, f"device probe failed: {tail}"
-    except subprocess.TimeoutExpired:
-        return None, "device probe timed out (accelerator unreachable?)"
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-only"],
+            [sys.executable, os.path.abspath(__file__), "--device-bench"],
             capture_output=True, text=True, timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
         return None, "device bench timed out"
@@ -260,15 +307,26 @@ def device_fps_subprocess(probe_timeout=150, timeout=900, env=None):
         tail = (r.stderr or r.stdout or "").strip().splitlines()[-1:]
         return None, f"device bench failed: {tail}"
     try:
-        return float(r.stdout.strip().splitlines()[-1]), None
+        return json.loads(r.stdout.strip().splitlines()[-1]), None
     except (ValueError, IndexError):
-        return None, "device bench produced no number"
+        return None, "device bench produced no JSON"
 
 
 def main():
     if "--device-only" in sys.argv:
         jaxcache.enable()
         print(device_only_fps())
+        return
+    if "--device-bench" in sys.argv:
+        jaxcache.enable()
+        dev = device_only_fps()
+        e2e, stage_s, ident = device_e2e_fps()
+        print(json.dumps({
+            "device_decode_frames_per_sec": round(dev, 2),
+            "device_e2e_frames_per_sec": round(e2e, 2),
+            "device_e2e_staging_seconds": round(stage_s, 3),
+            "device_e2e_wav_identical": bool(ident),
+        }))
         return
     # The e2e paths run the host-native backend.  A wedged accelerator
     # tunnel hangs JAX initialization in-process even under
@@ -296,9 +354,10 @@ def main():
                           "binarize + host stitch + P/Q ECC + audio "
                           "mask + wav, 8 concurrent captures"}
     if dev_fps is not None:
-        extra["device_decode_frames_per_sec"] = round(dev_fps, 2)
+        extra.update(dev_fps)
     else:
         extra["device_decode_frames_per_sec"] = None
+        extra["device_e2e_frames_per_sec"] = None
         extra["device_bench_note"] = dev_note
     print(json.dumps({
         "metric": "stc007_pal_e2e_frames_per_sec",
