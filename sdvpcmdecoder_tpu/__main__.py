@@ -540,7 +540,7 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
     fmt_drv = "pcm1" if args.format == "pcm1" else "pcm16x0"
     from .pipeline import v2d_other
     driver = v2d_other.PCMFrameDriver(
-        fmt_drv, shift_limit=shift,
+        fmt_drv, shift_limit=shift, hyst_limit=hyst,
         refine=args.quality in ("normal", "insane"),
         backend="tpu" if args.backend == "tpu" else "auto")
     writer = None

@@ -2750,15 +2750,17 @@ inline int pick_by_stats(const SweepEntry* es, int n) {
 extern "C" {
 
 // PCM-1 frame-batch decode — host twin of binarize.pcm1_frame_decode
-// (generic_frame_decode at hysteresis 0, lex-first valid shift, (0,0)
-// fallback).  pixels strided [F, L, W]; coords/ref/black/white [F].
-// words_out i32 [F*L, 6], crc_out i32 [F*L], valid_out u8 [F*L].
+// (generic_frame_decode: depth-major (hyst x shift) lex-first valid
+// trial, (0,0) fallback; readPCMdata binarizer.cpp:7695 applies the
+// hysteresis sweep to every format, binarizer.h:235-241).  pixels
+// strided [F, L, W]; coords/ref/black/white [F].  words_out i32
+// [F*L, 6], crc_out i32 [F*L], valid_out u8 [F*L].
 void pcm1_binarize_frames(
     const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
     int64_t stride_f, int64_t stride_l, const int32_t* coords,
     const int32_t* ref, const int32_t* black, const int32_t* white,
-    int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
-    uint8_t* valid_out) {
+    int32_t hyst_limit, int32_t shift_limit, int32_t* words_out,
+    int32_t* crc_out, uint8_t* valid_out) {
     #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t f = 0; f < F; ++f) {
         int32_t pos[5][110];
@@ -2766,14 +2768,16 @@ void pcm1_binarize_frames(
         for (int s = 0; s <= shift_limit; ++s)
             build_pos(ds, de, W, 94, 94, 0, 0, 94, s, pos[s]);
         const int rf = ref[f], bk = black[f], wt = white[f];
-        const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
-        const bool read_ok = rl > bk && rh < wt;
+        const int rl0 = rf < 1 ? 1 : rf, rh0 = rf > 254 ? 254 : rf;
         for (int64_t l = 0; l < L; ++l) {
             const uint8_t* px = pixels + f * stride_f + l * stride_l;
             const int64_t row = f * L + l;
             int32_t w[7];
             bool ok = false;
-            if (read_ok) {
+            for (int d = 0; d <= hyst_limit && !ok; ++d) {
+                const int rl = rf - d < 1 ? 1 : rf - d;
+                const int rh = rf + d > 254 ? 254 : rf + d;
+                if (rl <= bk || rh >= wt) break;  // monotone clipping
                 for (int s = 0; s <= shift_limit; ++s) {
                     if (read_words_pos(px, pos[s], 6, 13, true, rl, rh,
                                        w)) {
@@ -2783,7 +2787,7 @@ void pcm1_binarize_frames(
                 }
             }
             if (!ok)
-                read_words_pos(px, pos[0], 6, 13, true, rl, rh, w);
+                read_words_pos(px, pos[0], 6, 13, true, rl0, rh0, w);
             for (int k = 0; k < 6; ++k) words_out[row * 6 + k] = w[k];
             crc_out[row] = w[6];
             valid_out[row] = ok;
@@ -2799,8 +2803,8 @@ void pcm16x0_binarize_frames(
     const uint8_t* pixels, int64_t F, int64_t L, int64_t W,
     int64_t stride_f, int64_t stride_l, const int32_t* coords,
     const int32_t* ref, const int32_t* black, const int32_t* white,
-    int32_t shift_limit, int32_t* words_out, int32_t* crc_out,
-    uint8_t* valid_out, uint8_t* ctrl_out) {
+    int32_t hyst_limit, int32_t shift_limit, int32_t* words_out,
+    int32_t* crc_out, uint8_t* valid_out, uint8_t* ctrl_out) {
     static const int PART_START[3] = {0, 64, 129};
     #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t f = 0; f < F; ++f) {
@@ -2811,8 +2815,7 @@ void pcm16x0_binarize_frames(
                 build_pos(ds, de, W, 193, 193, 0, PART_START[part], 64,
                           s, pos[part][s]);
         const int rf = ref[f], bk = black[f], wt = white[f];
-        const int rl = rf < 1 ? 1 : rf, rh = rf > 254 ? 254 : rf;
-        const bool read_ok = rl > bk && rh < wt;
+        const int rl0 = rf < 1 ? 1 : rf, rh0 = rf > 254 ? 254 : rf;
         // control-bit pixel: line bit 128 of the 193-bit layout
         const int64_t psm = ((de - ds) * 128 + 193 / 2) / 193;
         const int64_t half = (psm + 1) / 2;
@@ -2823,7 +2826,10 @@ void pcm16x0_binarize_frames(
             for (int part = 0; part < 3; ++part) {
                 int32_t w[4];
                 bool ok = false;
-                if (read_ok) {
+                for (int d = 0; d <= hyst_limit && !ok; ++d) {
+                    const int rl = rf - d < 1 ? 1 : rf - d;
+                    const int rh = rf + d > 254 ? 254 : rf + d;
+                    if (rl <= bk || rh >= wt) break;
                     for (int s = 0; s <= shift_limit; ++s) {
                         if (read_words_pos(px, pos[part][s], 3, 16,
                                            false, rl, rh, w)) {
@@ -2833,8 +2839,8 @@ void pcm16x0_binarize_frames(
                     }
                 }
                 if (!ok)
-                    read_words_pos(px, pos[part][0], 3, 16, false, rl,
-                                   rh, w);
+                    read_words_pos(px, pos[part][0], 3, 16, false, rl0,
+                                   rh0, w);
                 for (int k = 0; k < 3; ++k)
                     words_out[(row * 3 + part) * 3 + k] = w[k];
                 crc_out[row * 3 + part] = w[3];

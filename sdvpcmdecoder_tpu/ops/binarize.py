@@ -533,22 +533,26 @@ def generic_frame_decode(pixels, coords, ref_level, black, white, fmt,
 
 
 @functools.partial(jax.jit, static_argnums=(5,),
-                   static_argnames=("shift_limit",))
+                   static_argnames=("shift_limit", "hyst_limit"))
 def pcm1_frame_decode(pixels, coords, ref_level, black, white,
-                      shift_limit=2):
-    """PCM-1 frame decode -> (words [F,L,6], crc_read [F,L], valid)."""
+                      shift_limit=2, hyst_limit=0):
+    """PCM-1 frame decode -> (words [F,L,6], crc_read [F,L], valid).
+
+    The hysteresis depth sweep applies to every format in the reference
+    (readPCMdata binarizer.cpp:7695 is the shared path; limits
+    binarizer.h:235-241) — hyst_limit adds that trial axis here too."""
     from ..formats import pcm1 as _p1
     bits, valid, hyst, shift = generic_frame_decode(
         pixels, coords, ref_level, black, white, "pcm1",
-        hyst_limit=0, shift_limit=shift_limit)
+        hyst_limit=hyst_limit, shift_limit=shift_limit)
     words, crc_read = _p1.data_bits_to_words(bits)
     return words, crc_read, valid
 
 
 @functools.partial(jax.jit, static_argnums=(5,),
-                   static_argnames=("shift_limit",))
+                   static_argnames=("shift_limit", "hyst_limit"))
 def pcm16x0_frame_decode(pixels, coords, ref_level, black, white,
-                         shift_limit=2):
+                         shift_limit=2, hyst_limit=0):
     """PCM-16x0 frame decode: 3 sublines per line + control bit.
 
     Returns (words [F, L, 3, 3], crc_read [F, L, 3], valid [F, L, 3],
@@ -559,7 +563,8 @@ def pcm16x0_frame_decode(pixels, coords, ref_level, black, white,
     for part, pstart in enumerate((0, 64, 129)):
         bits, valid, hyst, shift = generic_frame_decode(
             pixels, coords, ref_level, black, white, "pcm16x0",
-            hyst_limit=0, shift_limit=shift_limit, part_start=pstart)
+            hyst_limit=hyst_limit, shift_limit=shift_limit,
+            part_start=pstart)
         w, c = _p16.data_bits_to_words(bits)
         per_part.append((w, c, valid))
     words = jnp.stack([p[0] for p in per_part], axis=2)

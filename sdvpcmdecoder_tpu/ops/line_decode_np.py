@@ -353,8 +353,8 @@ def _crc_stats_filter(trials):
 
 
 def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
-                        shift_limit=SHIFT_STAGES_SAFE, span=8, step=2,
-                        max_lines=256):
+                        shift_limit=SHIFT_STAGES_SAFE, hyst_limit=0,
+                        span=8, step=2, max_lines=256):
     """Per-line coordinate refinement for lines that failed the shared
     frame coordinates — the batch analog of the reference's per-line
     findPCM1Coordinates/findPCM16X0Coordinates (binarizer.cpp:5601/:5819)
@@ -398,7 +398,7 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
         if use_native:
             got = _nat.linegrid_coord_sweep(
                 px, ds, de, ref, black, white, fmt, part,
-                deltas, deltas, 0, shift_limit)
+                deltas, deltas, hyst_limit, shift_limit)
             if got is None:
                 return None
             words, _sel = got
@@ -408,11 +408,12 @@ def refine_failed_lines(lines, valid, coords, ref, black, white, fmt,
                 if fmt == "pcm1":
                     w, cr, calc, ok, d, s = read_pcm_grid(
                         decode_trial_pcm1, px, ds + d1, de + d2,
-                        ref, black, white, W, 0, shift_limit)
+                        ref, black, white, W, hyst_limit, shift_limit)
                 else:
                     w, cr, calc, ok, d, s = read_pcm_grid(
                         decode_trial_pcm16x0, px, ds + d1, de + d2,
-                        ref, black, white, W, 0, shift_limit, part=part)
+                        ref, black, white, W, hyst_limit, shift_limit,
+                        part=part)
                 if ok:
                     return tuple(int(x) for x in w), int(cr)
         return None

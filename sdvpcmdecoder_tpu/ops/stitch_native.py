@@ -143,7 +143,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         L.pcm1_binarize_frames.argtypes = list(_frame_dec)
         L.pcm16x0_binarize_frames.argtypes = list(_frame_dec) + \
@@ -1054,7 +1054,8 @@ def binarize_frames(pixels, coords, ref, black, white, hyst_limit,
             valid.view(bool), hyst, shift)
 
 
-def pcm1_binarize_frames(pixels, coords, ref, black, white, shift_limit):
+def pcm1_binarize_frames(pixels, coords, ref, black, white, shift_limit,
+                         hyst_limit=0):
     """Native PCM-1 frame decode (twin of binarize.pcm1_frame_decode).
 
     pixels [F, L, W] uint8 (any strides, contiguous rows); coords [F,2];
@@ -1074,14 +1075,15 @@ def pcm1_binarize_frames(pixels, coords, ref, black, white, shift_limit):
     L.pcm1_binarize_frames(
         pixels.ctypes.data, F, Ln, W, pixels.strides[0],
         pixels.strides[1], cds.ctypes.data, rf.ctypes.data,
-        bk.ctypes.data, wt.ctypes.data, int(shift_limit),
+        bk.ctypes.data, wt.ctypes.data, int(hyst_limit),
+        int(shift_limit),
         words.ctypes.data, crc.ctypes.data, valid.ctypes.data)
     return (words.astype(np.int64), crc.astype(np.int64),
             valid.astype(bool))
 
 
 def pcm16x0_binarize_frames(pixels, coords, ref, black, white,
-                            shift_limit):
+                            shift_limit, hyst_limit=0):
     """Native PCM-16x0 frame decode (twin of
     binarize.pcm16x0_frame_decode).  Returns (words [F,L,3,3] i64,
     crc [F,L,3] i64, valid [F,L,3] bool, ctrl [F,L] bool)."""
@@ -1100,7 +1102,8 @@ def pcm16x0_binarize_frames(pixels, coords, ref, black, white,
     L.pcm16x0_binarize_frames(
         pixels.ctypes.data, F, Ln, W, pixels.strides[0],
         pixels.strides[1], cds.ctypes.data, rf.ctypes.data,
-        bk.ctypes.data, wt.ctypes.data, int(shift_limit),
+        bk.ctypes.data, wt.ctypes.data, int(hyst_limit),
+        int(shift_limit),
         words.ctypes.data, crc.ctypes.data, valid.ctypes.data,
         ctrl.ctypes.data)
     return (words.astype(np.int64), crc.astype(np.int64),

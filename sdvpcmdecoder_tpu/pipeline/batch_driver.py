@@ -106,11 +106,11 @@ class BatchDecoder:
         from ..ops import stitch_native as sn
         if backend == "auto":
             backend = "native" if sn.available() else "tpu"
-        elif backend == "native" and fmt == "stc007" \
-                and not sn.available():
+        elif backend == "native" and not sn.available():
             # Explicit native without a compiler: degrade to the device
             # backend instead of failing mid-decode.
             backend = "tpu"
+        line_backend = backend   # what the per-frame binarizer runs on
         if fmt != "stc007":
             backend = "native"  # round loop; the driver splits internally
         self.backend = backend
@@ -134,13 +134,15 @@ class BatchDecoder:
                 from . import stitcher_pcm1 as sp1
                 from . import v2d_other
                 j.driver = v2d_other.PCMFrameDriver(
-                    "pcm1", shift_limit=shift_limit)
+                    "pcm1", shift_limit=shift_limit,
+                    hyst_limit=hyst_limit, backend=line_backend)
                 j.stitcher = sp1.PCM1Stitcher()
             elif fmt in ("pcm16x0", "pcm1630"):
                 from . import stitcher_pcm16x0 as sp16
                 from . import v2d_other
                 j.driver = v2d_other.PCMFrameDriver(
-                    "pcm16x0", shift_limit=shift_limit)
+                    "pcm16x0", shift_limit=shift_limit,
+                    hyst_limit=hyst_limit, backend=line_backend)
                 j.stitcher = sp16.PCM16X0Stitcher(
                     fmt=sp16.FORMAT_EI if fmt == "pcm1630"
                     else sp16.FORMAT_SI,

@@ -52,11 +52,12 @@ class PCMFrameDriver:
     """Batched PCM-1/16x0 frame decoder with prescan + damping +
     per-line refinement (V2DDriver counterpart)."""
 
-    def __init__(self, fmt: str, shift_limit=2, refine=True,
+    def __init__(self, fmt: str, shift_limit=2, hyst_limit=0, refine=True,
                  preset: agc.BinPreset | None = None, backend="auto"):
         assert fmt in ("pcm1", "pcm16x0")
         self.fmt = fmt
         self.shift_limit = shift_limit
+        self.hyst_limit = hyst_limit   # binarizer.h:235-241 depth sweep
         self.refine = refine            # normal/insane per-line sweep
         self.preset = preset or agc.BinPreset()
         if backend == "auto":
@@ -178,10 +179,11 @@ class PCMFrameDriver:
             if self.fmt == "pcm1":
                 w, c, v = sn.pcm1_binarize_frames(
                     pixels, coords, refs, blacks, whites,
-                    self.shift_limit)
+                    self.shift_limit, hyst_limit=self.hyst_limit)
                 return w, c, v, None
             return sn.pcm16x0_binarize_frames(
-                pixels, coords, refs, blacks, whites, self.shift_limit)
+                pixels, coords, refs, blacks, whites, self.shift_limit,
+                hyst_limit=self.hyst_limit)
         import jax.numpy as jnp
         from ..ops import binarize as bz
         px = jnp.asarray(np.ascontiguousarray(pixels))
@@ -189,10 +191,12 @@ class PCMFrameDriver:
                 jnp.asarray(blacks), jnp.asarray(whites))
         if self.fmt == "pcm1":
             w, c, v = bz.pcm1_frame_decode(*args,
-                                           shift_limit=self.shift_limit)
+                                           shift_limit=self.shift_limit,
+                                           hyst_limit=self.hyst_limit)
             return (np.asarray(w), np.asarray(c), np.asarray(v), None)
         w, c, v, cb = bz.pcm16x0_frame_decode(
-            *args, shift_limit=self.shift_limit)
+            *args, shift_limit=self.shift_limit,
+            hyst_limit=self.hyst_limit)
         return (np.asarray(w), np.asarray(c), np.asarray(v),
                 np.asarray(cb))
 
@@ -243,7 +247,8 @@ class PCMFrameDriver:
                     else np.ascontiguousarray(pixels[f][np.asarray(perm)])
                 fixed = ld.refine_failed_lines(
                     rows, valid[f], cds, ref, black, white, self.fmt,
-                    shift_limit=self.shift_limit)
+                    shift_limit=self.shift_limit,
+                    hyst_limit=self.hyst_limit)
                 if self.fmt == "pcm1":
                     for li, (fw, fc) in fixed.items():
                         wl[li] = fw
