@@ -100,6 +100,9 @@ def _ensure_decodable_input(args):
     src = args.input
     if src.lower().endswith(".y4m") or args.raw_size:
         return src
+    from .pipeline import ingest
+    if ingest._is_stream(src):
+        return src  # live FIFO/device: StreamReader pulls it directly
     if src.lower().endswith(".avi"):
         # AVI decodes in-process (pipeline/avi.py) unless the codec is
         # outside the built-in set, in which case fall through to the
@@ -133,6 +136,27 @@ def _ensure_decodable_input(args):
     return dst
 
 
+
+def _frame_batches(rd, start, frames_arg, batch):
+    """(base, frame_batch) pairs; handles live streams whose n_frames is
+    unknown (ingest.StreamReader) by pulling until EOF."""
+    if rd.n_frames is None:
+        base = start
+        while frames_arg is None or base < frames_arg:
+            cnt = batch if frames_arg is None \
+                else min(batch, frames_arg - base)
+            b = rd.read_frames(base, cnt)
+            if b.shape[0] == 0:
+                return
+            yield base, b
+            base += b.shape[0]
+        return
+    n_frames = rd.n_frames if frames_arg is None \
+        else min(frames_arg, rd.n_frames)
+    for base in range(start, n_frames, batch):
+        yield base, rd.read_frames(base, min(batch, n_frames - base))
+
+
 QUALITY_LIMITS = {  # (hyst_limit, shift_limit); binarizer.h:207-241
     "draft": (0, 0), "fast": (2, 1), "normal": (4, 2), "insane": (10, 4),
 }
@@ -154,11 +178,8 @@ def _decode_arvid(args, raw_size):
     done = 0
     with ingest.open_capture(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
-        n_frames = rd.n_frames if args.frames is None \
-            else min(args.frames, rd.n_frames)
-        for base in range(0, n_frames, args.batch):
-            batch = rd.read_frames(base, min(args.batch,
-                                             n_frames - base))
+        for base, batch in _frame_batches(rd, 0, args.frames,
+                                          args.batch):
             if batch.shape[0] == 0:
                 continue
             lines_b, _nums = ingest.split_fields_batch(batch)
@@ -241,9 +262,9 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     with ingest.open_capture(args.input, raw_size=raw_size) as rd:
-        print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
-        n_frames = rd.n_frames if args.frames is None \
-            else min(args.frames, rd.n_frames)
+        print(f"input: {rd.width}x{rd.height}, "
+              f"{'live stream' if rd.n_frames is None else rd.n_frames} "
+              "frames")
         preset_video = {"auto": st.VID_UNKNOWN, "pal": st.VID_PAL,
                         "ntsc": st.VID_NTSC}[args.standard]
         if preset_video == st.VID_UNKNOWN:
@@ -443,9 +464,9 @@ def main(argv=None):
         from concurrent.futures import ThreadPoolExecutor
         stitch_pool = ThreadPoolExecutor(1)
         pending = []
-        for base in range(start_base, n_frames, args.batch):
+        for base, batch in _frame_batches(rd, start_base, args.frames,
+                                          args.batch):
             t_rd = time.perf_counter()
-            batch = rd.read_frames(base, min(args.batch, n_frames - base))
             if batch.shape[0] == 0:
                 stage_t["read"] += time.perf_counter() - t_rd
                 continue
@@ -559,10 +580,8 @@ def _decode_other_format(args, raw_size, mask_map, hyst, shift, out_path):
                   f"{audio_out} samples written")
     with ingest.open_capture(args.input, raw_size=raw_size) as rd:
         print(f"input: {rd.width}x{rd.height}, {rd.n_frames} frames")
-        n_frames = rd.n_frames if args.frames is None \
-            else min(args.frames, rd.n_frames)
-        for base in range(start_base, n_frames, args.batch):
-            batch = rd.read_frames(base, min(args.batch, n_frames - base))
+        for base, batch in _frame_batches(rd, start_base, args.frames,
+                                          args.batch):
             if batch.shape[0] == 0:
                 continue
             lines_b, nums = ingest.split_fields_batch(batch)

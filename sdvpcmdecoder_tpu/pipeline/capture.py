@@ -164,3 +164,23 @@ class CaptureSelector:
         if not self.config.device:
             raise ValueError("no capture device selected")
         return self.config
+
+    def open_stream(self):
+        """Open the saved selection as a live frame stream feeding the
+        decode pipeline (the reference's capture start: capt_sel accept
+        -> VIP runFrameDecode capture events, vin_ffmpeg.cpp:817).
+
+        The device node is read as a sequential stream: Y4M when the
+        producer emits Y4M (e.g. a FIFO fed by a capture tool), raw
+        gray8 frames of the preset dimensions otherwise.  Character
+        devices must already be format-configured (UVC read() mode);
+        FIFOs work anywhere and are the tested transport."""
+        from . import ingest
+        cfg = self.save()
+        is_y4m = cfg.device.endswith((".y4m", ".Y4M"))
+        # Opening a FIFO for read blocks until the producer connects —
+        # that IS live behavior (the reference's VIP waits in LOADING
+        # until frames arrive, vin_ffmpeg.h:92-103).
+        return ingest.StreamReader(
+            cfg.device,
+            raw_size=None if is_y4m else (cfg.width, cfg.height))

