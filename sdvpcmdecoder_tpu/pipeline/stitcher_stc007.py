@@ -1810,8 +1810,10 @@ class STC007Stitcher:
         tests/test_steady_pair.py."""
         from ..ops import stitch_native as _sn
         fa, fb, f0 = self.frasm_f1, self.frasm_f2, self.frasm_f0
-        if not self._steady_globals_ok():
+        if not self._steady_globals_ok(allow_cwd=True):
             return False
+        if self.en_cwd and bool(self.conv_queue.is_fixed_by_cwd().any()):
+            return False  # carried CWD fixes: the eval would diverge
         # TRY_PREVIOUS entry conditions.
         if not (f0.odd_data_lines == fa.odd_data_lines
                 and f0.even_data_lines == fa.even_data_lines
@@ -2011,6 +2013,10 @@ class STC007Stitcher:
                                 f2e._fieldres)
         if rc < 0:
             return False  # a seam verdict failed: full machine decides
+        if self.en_cwd and not self._cwd_prescan_is_noop(
+                conv, field1, c1, field2, c2, padI, padO, f2f,
+                conv_mode):
+            return False  # CWD would write fixes: full machine does it
 
         # Steady frame confirmed: replay the stage machine's state
         # transitions exactly (detect_audio_resolution first, as in
@@ -2084,12 +2090,21 @@ class STC007Stitcher:
                 (c1, c2, padI, padO, tff, target)) if plain else None
         return True
 
-    def _steady_globals_ok(self):
+    def _steady_globals_ok(self, allow_cwd=False):
         from ..ops import stitch_native as _sn
         if not (self.seam_backend == "tpu" or _sn.available()):
             return False
+        if self.en_cwd:
+            # en_cwd is admitted to the steady PAIR path (native tail
+            # only): the pair defers unless the CWD pre-scan is a
+            # provable no-op (_cwd_prescan_is_noop).  The round path and
+            # the device replay keep the bail — their C-side carry roll
+            # cannot see per-pair CWD candidates.
+            if not (allow_cwd and _sn.available()
+                    and self.seam_backend not in ("tpu", "tpu-spec")):
+                return False
         return (not self.record_views
-                and not self.en_cwd and not self.ignore_crc
+                and not self.ignore_crc
                 and not self.file_start and not self.file_end)
 
     def _finalize_blocks_steady(self, flags, valid, lcrc, samples):
@@ -3286,6 +3301,36 @@ class STC007Stitcher:
             self._pad_master = master
             self._pad_master_m2 = self.mode_m2
         return master.view_slice(0, count)
+
+    def _cwd_prescan_is_noop(self, conv, field1, c1, field2, c2,
+                             padI, padO, f2f, conv_mode):
+        """True when the slow path's CWD pre-scan (prescan_frame ->
+        perform_cwd) would find NO candidate blocks over the assembled
+        conv queue extended with frame 2's field head — i.e. the pass
+        mutates nothing and the steady fast path stays bit-identical.
+        Any valid P/Q-fixed block defers the pair to the full machine,
+        which then performs the real write-back fixpoint.  The eval here
+        is the exact eval perform_cwd runs (same queue, same single
+        res mode from row 0, en_cwd with an all-false fixed mask)."""
+        cnt = min(len(f2f), stc007.MIN_DEINT_DATA)
+        segs = [conv, field1.view_slice(0, c1)]
+        if padI:
+            segs.append(self._pad_view(padI))
+        segs.append(field2.view_slice(0, c2))
+        if padO:
+            segs.append(self._pad_view(padO))
+        if cnt:
+            segs.append(f2f.view_slice(0, cnt))
+        q = LineStore.concat(segs)
+        batch, _cwd_app, _aux = eval_blocks(
+            q, conv_mode, force_ecc=True, en_p=self.en_p, en_q=self.en_q,
+            en_cwd=True, m2=self.mode_m2)
+        if batch is None:
+            return True
+        fixed = (batch.audio_state == di.AUD_FIX_P) \
+            | (batch.audio_state == di.AUD_FIX_Q)
+        block_valid = batch.valid[:, :6].all(axis=-1)
+        return not bool((block_valid & fixed).any())
 
     # -- CWD pre-scan (prescanFrame :6401-6455, performCWD :5905-6401) ----
     def prescan_frame(self, conv: LineStore) -> LineStore:

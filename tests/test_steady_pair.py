@@ -140,16 +140,13 @@ def test_mid_stream_disturbance_recovers():
         assert dataclasses.asdict(ff) == dataclasses.asdict(fr_)
 
 
-def test_cwd_bails():
-    """en_cwd (the one remaining exclusion) never takes the fast path."""
+def test_cwd_admitted_when_noop():
+    """en_cwd rides the fast path on clean pairs (the CWD pre-scan is a
+    provable no-op there) and stays bit-identical; the full en_cwd
+    differential lives in tests/test_steady_cwd.py."""
     frames = _capture(n_frames=4, seed=10)
-    kw = dict(en_cwd=True)
-    s_f, a_f, hits = _run(frames, 0, False, **kw)
-    assert hits == 0, kw
-    s_r, a_r, _ = _run(frames, 0, True, **kw)
-    if a_f is not None:
-        for x, y in zip(a_f[:3], a_r[:3]):
-            np.testing.assert_array_equal(x, y)
+    hits = _assert_same(frames, corrupt=0, want_hits=1, en_cwd=True)
+    assert hits >= 1
 
 
 def test_resolution_presets_engage_and_match():
