@@ -1353,6 +1353,537 @@ int64_t stc007_steady_round(
     return pair;
 }
 
+// ---------------------------------------------------------------------------
+// Device-spec steady round: the stc007_steady_round state machine with
+// every signal-path eval consumed from the DEVICE round dispatch's
+// packed dual-resolution results (ops/device_stitch
+// .steady_round_packed) instead of re-deriving them from line words.
+// The chip does the binarize/ECC/seam/deint math; this is the host
+// runtime's verify-and-consume loop (the C form of stitcher_stc007
+// ._replay_spec_tail, one call per ROUND instead of per pair).
+//
+// packed1 [B1, 2] u32 per seam/conv block (14-bit result in [,0],
+// 16-bit in [,1]; bit layout valid[0:8] | line_crc[8:16] | flags[16:22]
+// | STG_BAD_BLOCK at 22), conv_samples [Bc, 2, 6] i16, packed2 [B2, 2]
+// u32 for the fresh-field resolution queues.  seam_meta [n_pairs, 11]
+// i64 per pair: inner(ofs,n) outer(ofs,n) conv(ofs,n) conv_samples_ofs
+// res_odd(ofs,n) res_even(ofs,n); a row with ofs < 0 has no spec.
+// dev_plain [n_frames] u8: store words came straight from this device
+// round (length 2*lpf, untouched).  The spec geometry (c1, c2, padI,
+// padO, tff, target) is what the device's row maps assumed — any pair
+// whose state-machine-derived geometry differs bails with BS_SPEC and
+// the Python per-pair path decides.
+// ---------------------------------------------------------------------------
+namespace {
+inline bool spec_use16(uint32_t p14, uint32_t p16, int mode) {
+    const bool bad14 = (p14 >> 22) & 1, bad16 = (p16 >> 22) & 1;
+    return mode == M16 || (mode == M16A && !(bad16 && !bad14))
+        || (mode == M14A && bad14 && !bad16);
+}
+
+// getFieldResolution's floored-decrement block counter (:1090-1140)
+// over packed device flags (twin of stitcher_stc007
+// ._res_counts_from_flags).
+inline int64_t spec_res_count(const uint32_t* packed, int64_t ofs,
+                              int64_t n, int sel) {
+    int64_t cum = 0, mn = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t f = (packed[(ofs + i) * 2 + sel] >> 16) & 0x3F;
+        const bool good = (f & 2) && (f & 4) && !(f & 8);
+        if (good) ++cum;
+        else if (f & 1) --cum;
+        if (cum < mn) mn = cum;
+    }
+    return cum - (mn < 0 ? mn : 0);
+}
+}  // namespace
+
+int64_t stc007_spec_round(
+    const int64_t* frames, int64_t n_frames,
+    const int32_t* carry_w_in, const uint8_t* carry_c_in,
+    const int64_t* carry_ln_in, const int64_t* carry_fn_in, int64_t n0_in,
+    const int32_t* silent_w,
+    int32_t en_q, int32_t unch_lim,
+    int32_t max_burst_silence, int32_t max_burst_broken,
+    int32_t broken_mask_dur, int32_t auto_m2, int32_t m2,
+    int32_t fixed_mode,
+    int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
+    const uint32_t* packed1, const int16_t* conv_samples,
+    const uint32_t* packed2, const int64_t* seam_meta,
+    const uint8_t* dev_plain,
+    int64_t spec_c1, int64_t spec_c2, int64_t spec_padI,
+    int64_t spec_padO, int32_t spec_tff, int64_t spec_target,
+    int64_t lpf,
+    const int32_t* spec_carry_w, const uint8_t* spec_carry_ok,
+    int64_t spec_n0,
+    int64_t* state, int64_t* records,
+    int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid) {
+    const int64_t n_pairs = n_frames - 1;
+    if (n_pairs <= 0 || !g_tables_set) return 0;
+    constexpr int BS_SPEC = 11;
+
+    thread_local std::vector<int64_t> cln, cfn;
+    thread_local std::vector<uint8_t> fl, va, lc, ovalid, maskb;
+    thread_local std::vector<int32_t> resb;
+    const int64_t conv_cap = MDD + 2 * LPF_PAL + 8;
+    if ((int64_t)cln.size() < conv_cap) {
+        cln.resize((size_t)conv_cap);
+        cfn.resize((size_t)conv_cap);
+    }
+    const int64_t bmax = conv_cap;
+    if ((int64_t)fl.size() < bmax) {
+        fl.resize((size_t)bmax);
+        maskb.resize((size_t)bmax);
+        resb.resize((size_t)bmax);
+        va.resize((size_t)bmax * 8);
+        lc.resize((size_t)bmax * 8);
+        ovalid.resize((size_t)bmax * 8);
+    }
+    int64_t n0 = n0_in;
+    if (n0 > MDD) return 0;
+    if (n0) {
+        memcpy(cln.data(), carry_ln_in, (size_t)n0 * sizeof(int64_t));
+        memcpy(cfn.data(), carry_fn_in, (size_t)n0 * sizeof(int64_t));
+    }
+    int64_t out_ofs = 0;
+    int64_t f1_max_line = -1;
+
+    int64_t pair = 0;
+    for (; pair < n_pairs; ++pair) {
+        int64_t* rec = records + pair * RC_N;
+        for (int i = 0; i < RC_N; ++i) rec[i] = 0;
+        rec[RC_CB] = -1;
+        const int64_t* f1p = frames + pair * FP_N;
+        const int64_t* f2p = frames + (pair + 1) * FP_N;
+        const int64_t fa_frno = f1p[FP_FRNO];
+        const int64_t fb_frno = f2p[FP_FRNO];
+        const int64_t* sm = seam_meta + pair * 11;
+        if (fa_frno == fb_frno || fa_frno == state[ST_F0_FRNO]) {
+            rec[RC_STATUS] = BS_CONV;
+            rec[RC_CB] = -2;
+            break;
+        }
+        // spec coverage + untouched device stores
+        if (sm[0] < 0 || !dev_plain[pair] || !dev_plain[pair + 1]
+                || f1p[FP_LEN] != 2 * lpf || f2p[FP_LEN] != 2 * lpf) {
+            rec[RC_STATUS] = BS_SPEC;
+            rec[RC_CB] = -2;
+            break;
+        }
+        // pair 0: the live conv carry must equal the carry the device
+        // round speculated with (stitcher_stc007._match_spec_entry).
+        // spec_n0 < 0 = mid-round entry with the steady chain already
+        // verified by Python (the device assumed the standard MDD-row
+        // chained carry there, _match_spec_entry's pairs>0 rule).
+        if (pair == 0) {
+            if (spec_n0 < 0) {
+                if (n0 != MDD) {
+                    rec[RC_STATUS] = BS_SPEC;
+                    rec[RC_CB] = -2;
+                    break;
+                }
+            } else if (n0 != spec_n0
+                    || (n0 && memcmp(carry_w_in, spec_carry_w,
+                                     (size_t)n0 * 8 * sizeof(int32_t)))
+                    || (n0 && memcmp(carry_c_in, spec_carry_ok,
+                                     (size_t)n0 * 8))) {
+                rec[RC_STATUS] = BS_SPEC;
+                rec[RC_CB] = -2;
+                break;
+            }
+        }
+        // --- frame B trim scan (find_frames_trim) ---
+        int64_t tb[14];
+        stc007_trim_scan((const int64_t*)f2p[FP_LN],
+                         (const int64_t*)f2p[FP_FN],
+                         (const int8_t*)f2p[FP_SVC],
+                         (const uint8_t*)f2p[FP_CRCV],
+                         (const uint8_t*)f2p[FP_FORCED],
+                         (const uint8_t*)f2p[FP_MARK],
+                         f2p[FP_LEN], fb_frno, 1, tb);
+        for (int i = 0; i < 14; ++i) rec[RC_TRIM + i] = tb[i];
+        rec[RC_NEW] = tb[8];
+        rec[RC_END] = tb[9];
+        const bool cb_hit = tb[10] >= 0 && (tb[11] < 0 || tb[10] < tb[11]);
+        rec[RC_CB] = cb_hit ? tb[10] : -1;
+        if (state[ST_FA_NEW] || state[ST_FA_END] || tb[8] || tb[9]) {
+            rec[RC_STATUS] = BS_FILE;
+            break;
+        }
+        if (cb_hit && auto_m2) {
+            rec[RC_STATUS] = BS_CB_AUTO_M2;
+            break;
+        }
+        const int64_t* lnb = (const int64_t*)f2p[FP_LN];
+        int64_t fb_top[2] = {0, 0}, fb_bot[2] = {0, 0};
+        bool fb_found[2] = {false, false};
+        for (int p = 0; p < 2; ++p) {
+            const int base = p == 0 ? 0 : 4;
+            const int good = p == 0 ? 12 : 13;
+            const int o = tb[good] > MIN_GOOD ? base : base + 2;
+            if (tb[o] >= 0) {
+                fb_found[p] = true;
+                fb_top[p] = lnb[tb[o]];
+                fb_bot[p] = lnb[tb[o + 1]];
+            }
+        }
+        // --- field splits ---
+        int64_t s1[13], s2[13];
+        const int64_t fa_et = state[ST_FA_ETOP], fa_eb = state[ST_FA_EBOT];
+        const int64_t fa_ot = state[ST_FA_OTOP], fa_ob = state[ST_FA_OBOT];
+        stc007_split_scan((const int64_t*)f1p[FP_LN],
+                          (const int64_t*)f1p[FP_FN],
+                          (const int8_t*)f1p[FP_SVC],
+                          (const uint8_t*)f1p[FP_CRCV],
+                          (const uint8_t*)f1p[FP_FORCED],
+                          f1p[FP_LEN], fa_frno,
+                          fa_et, fa_eb, !(fa_et == 0 && fa_eb == 0),
+                          fa_ot, fa_ob, 1, LPF_PAL, s1, nullptr, nullptr);
+        stc007_split_scan((const int64_t*)f2p[FP_LN],
+                          (const int64_t*)f2p[FP_FN],
+                          (const int8_t*)f2p[FP_SVC],
+                          (const uint8_t*)f2p[FP_CRCV],
+                          (const uint8_t*)f2p[FP_FORCED],
+                          f2p[FP_LEN], fb_frno,
+                          fb_top[0], fb_bot[0],
+                          !(fb_top[0] == 0 && fb_bot[0] == 0),
+                          fb_top[1], fb_bot[1], 1, LPF_PAL, s2,
+                          nullptr, nullptr);
+        for (int i = 0; i < 13; ++i) rec[RC_SPLIT + i] = s2[i];
+        // plain splits: the device's row maps assumed odd = store rows
+        // [0, lpf), even = [lpf, 2*lpf), unit stride, for BOTH frames.
+        // (split layout per parity, base=1+p*6: +0 first, +2 count,
+        //  +3 step; p=0 even, p=1 odd.)
+        bool plain = true;
+        for (const int64_t* s : {(const int64_t*)s1, (const int64_t*)s2}) {
+            if (!(s[1 + 0 * 6 + 0] == lpf && s[1 + 0 * 6 + 2] == lpf
+                  && s[1 + 0 * 6 + 3] == 1
+                  && s[1 + 1 * 6 + 0] == 0 && s[1 + 1 * 6 + 2] == lpf
+                  && s[1 + 1 * 6 + 3] == 1))
+                plain = false;
+        }
+        if (!plain) {
+            rec[RC_STATUS] = BS_SPEC;
+            break;
+        }
+        f1_max_line = s1[0];
+        const int64_t fa_even_data = lpf, fa_odd_data = lpf;
+        const int64_t fb_even_data = lpf, fb_odd_data = lpf;
+        // --- detectVideoStandard core ---
+        int vstd = VID_UNK;
+        if (preset_vid == VID_UNK) {
+            const int64_t mx = lpf;
+            if (mx > LPF_MAX_PAL) vstd = VID_UNK;
+            else if (mx > LPF_MAX_NTSC) vstd = VID_PAL_C;
+            else if (f1_max_line <= (LPF_PAL - 16) * 2) vstd = VID_NTSC_C;
+            else vstd = VID_PAL_C;
+        } else {
+            vstd = preset_vid;
+        }
+        if (vstd == VID_UNK) vstd = (int)state[ST_F0_VID_STD];
+        rec[RC_VSTD] = vstd;
+        // --- TRY_PREVIOUS preconditions ---
+        const int f0_order = (int)state[ST_F0_ORDER];
+        const int fa_order_eff = preset_order ? preset_order
+                                              : (int)state[ST_FA_ORDER];
+        if (!(state[ST_F0_ODD_DATA] == fa_odd_data
+              && state[ST_F0_EVEN_DATA] == fa_even_data
+              && state[ST_F0_INNER_OK] && state[ST_F0_OUTER_OK])) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (fa_order_preset && f0_order != fa_order_eff) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (f0_order != ORD_TFF && f0_order != ORD_BFF) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        if (fa_odd_data < MIN_FILL && fa_even_data < MIN_FILL) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        const bool tff = f0_order == ORD_TFF;
+        if (tff ? fb_odd_data < MIN_FILL : fb_even_data < MIN_FILL) {
+            rec[RC_STATUS] = BS_TRY;
+            break;
+        }
+        const int64_t res1o = state[ST_RES1O], res1e = state[ST_RES1E];
+        if (fixed_mode < 0 && ((res1o != 14 && res1o != 16)
+                               || (res1e != 14 && res1e != 16))) {
+            rec[RC_STATUS] = BS_RES_UNK;
+            break;
+        }
+        const int fa_odd_mode = fixed_mode >= 0 ? fixed_mode
+            : (res1o == 16 ? M16 : M14);
+        const int fa_even_mode = fixed_mode >= 0 ? fixed_mode
+            : (res1e == 16 ? M16 : M14);
+        // plain field row->line maps: odd field k -> line 1+2k of frame
+        // A (store rows [0, lpf)), even -> 2+2k (rows [lpf, 2lpf)).
+        const int64_t* ln1 = (const int64_t*)f1p[FP_LN];
+        const int64_t* ln2 = (const int64_t*)f2p[FP_LN];
+        const int64_t fld1_row0 = tff ? 0 : lpf;    // leading field of A
+        const int64_t fld2_row0 = tff ? lpf : 0;
+        const int64_t f2f_row0 = tff ? 0 : lpf;     // leading field of B
+        // --- fresh-field resolution counts from packed2 flags ---
+        if (!m2) {
+            rec[RC_RES] = spec_res_count(packed2, sm[7], sm[8], 0);
+            rec[RC_RES + 1] = spec_res_count(packed2, sm[7], sm[8], 1);
+            rec[RC_RES + 2] = spec_res_count(packed2, sm[9], sm[10], 0);
+            rec[RC_RES + 3] = spec_res_count(packed2, sm[9], sm[10], 1);
+        }
+        // --- assembly sizing + spec geometry verification ---
+        const int64_t target = vstd == VID_PAL_C ? LPF_PAL
+                               : (vstd == VID_NTSC_C ? LPF_NTSC
+                                                     : LPF_DEFAULT);
+        rec[RC_TARGET] = target;
+        const int64_t c1 = std::min(lpf, target);
+        const int64_t c2 = std::min(lpf, target);
+        const int64_t padI = state[ST_F0_INNER_PAD];
+        const int64_t padO = state[ST_F0_OUTER_PAD];
+        if (c1 == 0 || c2 == 0 || padI < 0 || padO < 0
+                || c1 + c2 + padI + padO != target * 2) {
+            rec[RC_STATUS] = BS_FIT;
+            break;
+        }
+        if (c1 != spec_c1 || c2 != spec_c2 || padI != spec_padI
+                || padO != spec_padO || (int32_t)tff != spec_tff
+                || target != spec_target) {
+            rec[RC_STATUS] = BS_SPEC;
+            break;
+        }
+        // --- seam resolution modes (fixed under M2/preset) ---
+        auto fa_mode_of = [&](int parity_odd) {
+            return parity_odd ? fa_odd_mode : fa_even_mode;
+        };
+        auto fld_ln = [&](const int64_t* ln, int64_t row0, int64_t k) {
+            return ln[row0 + k];
+        };
+        int inner_mode = fixed_mode >= 0 ? fixed_mode : M14;
+        if (fixed_mode < 0) {
+            const int64_t st1 = std::max<int64_t>(0, lpf - (KEEP - padI));
+            const int64_t len1 = lpf - st1;
+            const int pf = (int)(fld_ln(ln1, fld1_row0, st1) & 1);
+            int pl;
+            if (MDD < len1)
+                pl = (int)(fld_ln(ln1, fld1_row0, st1 + MDD) & 1);
+            else if (MDD < len1 + padI)
+                pl = (int)(fld_ln(ln1, fld1_row0, lpf - 1) & 1);
+            else {
+                const int64_t i2 = MDD - len1 - padI;
+                if (i2 >= lpf) {
+                    rec[RC_STATUS] = BS_FIT;
+                    break;
+                }
+                pl = (int)(fld_ln(ln1, fld2_row0, i2) & 1);
+            }
+            inner_mode = res_mode_combine(fa_mode_of(pf), fa_mode_of(pl));
+        }
+        int outer_mode = fixed_mode >= 0 ? fixed_mode : M14;
+        if (fixed_mode < 0) {
+            const int64_t st1 = std::max<int64_t>(0, lpf - (KEEP - padO));
+            const int64_t len1 = lpf - st1;
+            const int pf = (int)(fld_ln(ln1, fld2_row0, st1) & 1);
+            const int first_mode = fa_mode_of(pf);
+            if (MDD < len1) {
+                outer_mode = res_mode_combine(
+                    first_mode,
+                    fa_mode_of((int)(fld_ln(ln1, fld2_row0, st1 + MDD)
+                                     & 1)));
+            } else if (MDD < len1 + padO) {
+                outer_mode = res_mode_combine(
+                    first_mode,
+                    fa_mode_of((int)(fld_ln(ln1, fld2_row0, lpf - 1)
+                                     & 1)));
+            } else {
+                const int64_t i2 = MDD - len1 - padO;
+                if (i2 >= lpf) {
+                    rec[RC_STATUS] = BS_FIT;
+                    break;
+                }
+                const int plo = (int)(fld_ln(ln2, f2f_row0, i2) & 1);
+                const int ra = res_from_counts(rec[RC_RES],
+                                               rec[RC_RES + 1]);
+                const int rb = res_from_counts(rec[RC_RES + 2],
+                                               rec[RC_RES + 3]);
+                int fb_odd_m, fb_even_m;
+                if (ra == 0 && rb == 0) {
+                    rec[RC_STATUS] = BS_RES_UNK;
+                    break;
+                } else if (ra == 0) {
+                    fb_even_m = rb == 16 ? M16 : M14;
+                    fb_odd_m = rb == 16 ? M16A : M14A;
+                } else if (rb == 0) {
+                    fb_odd_m = ra == 16 ? M16 : M14;
+                    fb_even_m = ra == 16 ? M16A : M14A;
+                } else {
+                    fb_odd_m = ra == 16 ? M16 : M14;
+                    fb_even_m = rb == 16 ? M16 : M14;
+                }
+                outer_mode = res_mode_combine(first_mode,
+                                              plo ? fb_odd_m : fb_even_m);
+            }
+        }
+        // --- seam verdicts from the device's packed dual evals ---
+        auto seam_from_spec = [&](int64_t ofs, int64_t nb, int mode,
+                                  int32_t* st4) {
+            for (int64_t i = 0; i < nb; ++i) {
+                const uint32_t p14 = packed1[(ofs + i) * 2];
+                const uint32_t p16 = packed1[(ofs + i) * 2 + 1];
+                fl[i] = ((spec_use16(p14, p16, mode) ? p16 : p14) >> 16)
+                        & 0x3F;
+            }
+            stc007_burst_stats(fl.data(), nb, unch_lim, en_q,
+                               max_burst_silence, max_burst_broken, st4);
+            return nb > 0 && seam_ok(st4, unch_lim, max_burst_silence,
+                                     max_burst_broken);
+        };
+        int32_t st4[4];
+        if (!seam_from_spec(sm[0], sm[1], inner_mode, st4)) {
+            rec[RC_STATUS] = BS_SEAM_IN;
+            break;
+        }
+        if (!seam_from_spec(sm[2], sm[3], outer_mode, st4)) {
+            rec[RC_STATUS] = BS_SEAM_OUT;
+            break;
+        }
+        // --- frame A ref-level averages (for the replay) ---
+        {
+            const int64_t* ref1 = (const int64_t*)f1p[FP_REF];
+            const uint8_t* crcv1 = (const uint8_t*)f1p[FP_CRCV];
+            const uint8_t* forced1 = (const uint8_t*)f1p[FP_FORCED];
+            for (int p = 0; p < 2; ++p) {
+                const int64_t first = p == 0 ? lpf : 0;  // even | odd
+                int64_t sum = 0, vsum = 0, vcnt = 0;
+                for (int64_t k = 0; k < lpf; ++k) {
+                    const int64_t r = first + k;
+                    sum += ref1[r];
+                    if (crcv1[r] && !forced1[r]) {
+                        vsum += ref1[r];
+                        ++vcnt;
+                    }
+                }
+                const int64_t avg = vcnt ? vsum / vcnt
+                                         : (lpf ? sum / lpf : 0);
+                rec[p == 0 ? RC_EREF : RC_OREF] = avg;
+            }
+        }
+        // --- conv line/frame numbers (mode lookups + the carry roll) --
+        const int64_t L = n0 + target * 2;
+        const int64_t B = L - MDD;
+        if (sm[5] != B || B <= 0) {
+            rec[RC_STATUS] = BS_SPEC;
+            break;
+        }
+        int64_t pos = n0;
+        auto put_field_ln = [&](const int64_t* ln, int64_t row0,
+                                int64_t cnt) {
+            for (int64_t k = 0; k < cnt; ++k) {
+                cln[pos + k] = ln[row0 + k];
+                cfn[pos + k] = fa_frno;
+            }
+            pos += cnt;
+        };
+        auto put_pad_ln = [&](int64_t cnt, int64_t base_ln) {
+            for (int64_t k = 0; k < cnt; ++k) {
+                cln[pos + k] = base_ln + 2 * k;
+                cfn[pos + k] = fa_frno;
+            }
+            pos += cnt;
+        };
+        put_field_ln(ln1, fld1_row0, c1);
+        put_pad_ln(padI, c1 ? fld_ln(ln1, fld1_row0, c1 - 1) + 2 : 0);
+        put_field_ln(ln1, fld2_row0, c2);
+        put_pad_ln(padO, c2 ? fld_ln(ln1, fld2_row0, c2 - 1) + 2 : 0);
+        auto conv_res_of = [&](int64_t r) -> int {
+            const int64_t fno = cfn[r];
+            const int odd_p = (int)(cln[r] & 1);
+            if (fno == fb_frno) return -1;
+            if (fno == fa_frno) return fa_mode_of(odd_p);
+            if (fno == state[ST_F0_FRNO])
+                return (int)(odd_p ? state[ST_F0_ODD_MODE]
+                                   : state[ST_F0_EVEN_MODE]);
+            return M14;
+        };
+        const int cm0 = fixed_mode >= 0 ? fixed_mode : conv_res_of(0);
+        const int cml = fixed_mode >= 0 ? fixed_mode : conv_res_of(MDD);
+        if (cm0 < 0 || cml < 0) {
+            rec[RC_STATUS] = BS_CONV;
+            break;
+        }
+        const int conv_mode = fixed_mode >= 0 ? fixed_mode
+            : res_mode_combine(cm0, cml);
+        // --- conv finalize from the device's packed eval ---
+        const int64_t c_ofs = sm[4], cs_ofs = sm[6];
+        for (int64_t i = 0; i < B; ++i) {
+            const uint32_t p14 = packed1[(c_ofs + i) * 2];
+            const uint32_t p16 = packed1[(c_ofs + i) * 2 + 1];
+            const bool u16 = spec_use16(p14, p16, conv_mode);
+            const uint32_t sel = u16 ? p16 : p14;
+            fl[i] = (sel >> 16) & 0x3F;
+            resb[i] = u16 ? 1 : 0;
+            for (int k = 0; k < 8; ++k) {
+                va[i * 8 + k] = (sel >> k) & 1;
+                lc[i * 8 + k] = (sel >> (8 + k)) & 1;
+            }
+            memcpy(samples + (out_ofs + i) * 6,
+                   conv_samples + ((cs_ofs + i) * 2 + (u16 ? 1 : 0)) * 6,
+                   6 * sizeof(int16_t));
+        }
+        int64_t cnt6[6];
+        const int32_t cd = stc007_finalize_blocks(
+            fl.data(), va.data(), lc.data(), resb.data(), nullptr,
+            nullptr, nullptr, B, 0, 0, 0, 0, 0, 0,
+            broken_mask_dur, (int32_t)state[ST_COUNTDOWN], 0, 0,
+            ovalid.data(), wvalid + out_ofs * 6, wfixed + out_ofs * 6,
+            bvalid + out_ofs, maskb.data(), cnt6);
+        if (cd < 0) {
+            rec[RC_STATUS] = BS_ERR;
+            break;
+        }
+        for (int i = 0; i < 6; ++i) rec[RC_CNT + i] = cnt6[i];
+        rec[RC_CD] = cd;
+        rec[RC_NBLK] = B;
+        rec[RC_OFS] = out_ofs;
+        out_ofs += B;
+        // --- carry roll: conv tail MDD rows (numbers only) ---
+        {
+            const int64_t from = L - MDD;
+            memmove(cln.data(), &cln[from], (size_t)MDD * sizeof(int64_t));
+            memmove(cfn.data(), &cfn[from], (size_t)MDD * sizeof(int64_t));
+            n0 = MDD;
+        }
+        // --- state roll ---
+        state[ST_COUNTDOWN] = cd;
+        state[ST_F0_ODD_DATA] = fa_odd_data;
+        state[ST_F0_EVEN_DATA] = fa_even_data;
+        state[ST_F0_INNER_PAD] = padI;
+        state[ST_F0_OUTER_PAD] = padO;
+        state[ST_F0_INNER_OK] = 1;
+        state[ST_F0_OUTER_OK] = 1;
+        state[ST_F0_ORDER] = f0_order;
+        state[ST_F0_VID_STD] = vstd;
+        state[ST_F0_FRNO] = fa_frno;
+        state[ST_F0_ODD_MODE] = fa_odd_mode;
+        state[ST_F0_EVEN_MODE] = fa_even_mode;
+        state[ST_FA_FRNO] = fb_frno;
+        state[ST_FA_TRIM_OK] = fb_found[0] && fb_found[1];
+        state[ST_FA_ETOP] = fb_top[0];
+        state[ST_FA_EBOT] = fb_bot[0];
+        state[ST_FA_OTOP] = fb_top[1];
+        state[ST_FA_OBOT] = fb_bot[1];
+        state[ST_RES1O] = fixed_mode >= 0 ? (fixed_mode == M16 ? 16 : 14)
+            : res_from_counts(rec[RC_RES], rec[RC_RES + 1]);
+        state[ST_RES1E] = fixed_mode >= 0 ? (fixed_mode == M16 ? 16 : 14)
+            : res_from_counts(rec[RC_RES + 2], rec[RC_RES + 3]);
+        state[ST_FA_ORDER] = f0_order;
+        state[ST_FA_NEW] = tb[8];
+        state[ST_FA_END] = tb[9];
+    }
+    return pair;
+}
+
 // Accumulated per-line region histograms (ops/agc.py
 // region_histograms twin): line i accumulates pixels[i, lo:hi) over
 // ns spans -> out [N,256].  Overlapping spans count once, exactly as

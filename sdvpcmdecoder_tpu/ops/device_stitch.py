@@ -343,14 +343,11 @@ def _dup_device(words, crc_read, valid, m2):
     return valid & (prev >= 0) & (diff <= thres) & ~almost_silent
 
 
-@functools.partial(
-    jax.jit, static_argnames=("en_p", "en_q", "m2", "hyst_limit",
-                              "shift_limit", "use_pallas"))
-def steady_round_dispatch(pixels, coords, refs, blacks, whites, usable,
-                          prev_words, prev_ok8, carry_w, carry_ok8,
-                          rows_g1, rows_g2, silent_w,
-                          en_p, en_q, m2, hyst_limit, shift_limit,
-                          use_pallas):
+def _steady_round_core(pixels, coords, refs, blacks, whites, usable,
+                       prev_words, prev_ok8, carry_w, carry_ok8,
+                       rows_g1, rows_g2, silent_w,
+                       en_p, en_q, m2, hyst_limit, shift_limit,
+                       use_pallas):
     """The chip-resident production round: binarize a round of frames
     from HBM-resident pixels, run duplicate detection, and dual-eval
     every speculated seam/res/conv queue — one dispatch, outputs read
@@ -392,6 +389,103 @@ def steady_round_dispatch(pixels, coords, refs, blacks, whites, usable,
     packed2, _ = _dual_eval(words_all, ok_all, rows_g2, True, False, m2)
     return (words, crc_read, valid, dup, packed1, samples1, packed2,
             wflat, ok8)
+
+
+steady_round_dispatch = functools.partial(
+    jax.jit, static_argnames=("en_p", "en_q", "m2", "hyst_limit",
+                              "shift_limit", "use_pallas"))(
+    _steady_round_core)
+
+
+MDD_ = stc007.MIN_DEINT_DATA
+
+
+def round_param_layout(F):
+    """Offsets into the packed per-round i32 parameter vector (ONE
+    host->device upload per round instead of seven ~31 ms-RTT tunnel
+    transfers)."""
+    o, n = {}, 0
+    for key, sz in (("coords", 2 * F), ("refs", F), ("blacks", F),
+                    ("whites", F), ("usable", F),
+                    ("carry_w", MDD_ * 8), ("carry_ok", MDD_ * 8)):
+        o[key] = n
+        n += sz
+    return o, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("en_p", "en_q", "m2", "hyst_limit",
+                              "shift_limit", "use_pallas"))
+def steady_round_packed(pixels, params, prev_words, prev_ok8,
+                        rows_g1, rows_g2, conv_sel, silent_w,
+                        en_p, en_q, m2, hyst_limit, shift_limit,
+                        use_pallas):
+    """One-upload / one-read steady round for tunneled accelerators.
+
+    Identical compute to steady_round_dispatch, but every per-round
+    scalar input arrives in ONE i32 vector (round_param_layout) and
+    every host-bound output leaves in ONE i32 buffer: words as u16
+    pairs (they are 14-bit), crc|valid|dup as one word per line, the
+    dual-eval packs raw, and ONLY the conv queues' samples (the inner/
+    outer seam evals never need samples — stitcher_stc007
+    ._replay_spec_tail reads entry["conv_samples"] alone).  The tunnel
+    is ~43 MB/s with a ~31 ms RTT: bytes and round trips are the
+    production constraint, not FLOPs.  Returns (out i32 [N],
+    words_tail [Ls, 8], ok8_tail [Ls, 8]) — the tails stay on device
+    as the next round's prev_* inputs."""
+    F, Ls, _ = pixels.shape
+    o, _n = round_param_layout(F)
+
+    def cut(key, sz):
+        return jax.lax.slice_in_dim(params, o[key], o[key] + sz)
+
+    coords = cut("coords", 2 * F).reshape(F, 2)
+    refs = cut("refs", F)
+    blacks = cut("blacks", F)
+    whites = cut("whites", F)
+    usable = cut("usable", F).astype(bool)
+    carry_w = cut("carry_w", MDD_ * 8).reshape(MDD_, 8)
+    carry_ok = cut("carry_ok", MDD_ * 8).reshape(MDD_, 8).astype(bool)
+    (words, crc_read, valid, dup, packed1, samples1, packed2,
+     wflat, ok8) = _steady_round_core(
+        pixels, coords, refs, blacks, whites, usable,
+        prev_words, prev_ok8, carry_w, carry_ok, rows_g1, rows_g2,
+        silent_w, en_p, en_q, m2, hyst_limit, shift_limit, use_pallas)
+    wp = words.reshape(-1, 2)
+    w_pack = (wp[:, 0] & 0xFFFF) | (wp[:, 1] << 16)
+    meta = (crc_read & 0xFFFF
+            | (valid.astype(jnp.int32) << 16)
+            | (dup.astype(jnp.int32) << 17)).reshape(-1)
+    p1 = jax.lax.bitcast_convert_type(packed1, jnp.int32).reshape(-1)
+    cs = jax.lax.bitcast_convert_type(
+        samples1[conv_sel].reshape(-1, 2), jnp.int32)
+    p2 = jax.lax.bitcast_convert_type(packed2, jnp.int32).reshape(-1)
+    out = jnp.concatenate([w_pack, meta, p1, cs, p2])
+    return out, wflat[-Ls:], ok8[-Ls:]
+
+
+def unpack_round(buf, F, Ls, B1, Bc, B2):
+    """Host-side split of steady_round_packed's output buffer.  Returns
+    (words [F,Ls,8] i32, crc_read [F,Ls] i32, valid, dup [F,Ls] bool,
+    packed1 [B1,2] u32, samples_conv [Bc,2,6] i16, packed2 [B2,2] u32).
+    """
+    n_w, n_m = F * Ls * 4, F * Ls
+    pos = 0
+    words = buf[pos:pos + n_w].view(np.uint16) \
+        .reshape(F, Ls, 8).astype(np.int32)
+    pos += n_w
+    meta = buf[pos:pos + n_m].reshape(F, Ls)
+    pos += n_m
+    crc_read = meta & 0xFFFF
+    valid = (meta & (1 << 16)) != 0
+    dup = (meta & (1 << 17)) != 0
+    packed1 = buf[pos:pos + 2 * B1].view(np.uint32).reshape(B1, 2)
+    pos += 2 * B1
+    samples_conv = buf[pos:pos + 6 * Bc].view(np.int16) \
+        .reshape(Bc, 2, 6)
+    pos += 6 * Bc
+    packed2 = buf[pos:pos + 2 * B2].view(np.uint32).reshape(B2, 2)
+    return words, crc_read, valid, dup, packed1, samples_conv, packed2
 
 
 def select_dual_host(packed, mode, samples=None):

@@ -197,6 +197,25 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.stc007_spec_round.restype = ctypes.c_int64
+        L.stc007_spec_round.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.stc007_steady_tail.restype = ctypes.c_int64
         L.stc007_steady_tail.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -494,6 +513,83 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         int(broken_mask_dur), int(bool(auto_m2)), int(bool(m2)),
         int(fixed_mode),
         int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
+        state.ctypes.data, records.ctypes.data,
+        samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
+        bvalid.ctypes.data)
+    return int(n_done), records, samples, wvalid, wfixed, bvalid
+
+
+BS_SPEC = 11   # spec_round bail: device-round speculation did not match
+
+
+def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
+               silent_w32, en_q, unch_lim, max_burst_silence,
+               max_burst_broken, broken_mask_dur, auto_m2, m2,
+               fixed_mode, preset_order, preset_vid, fa_order_preset,
+               packed1, conv_samples, packed2, seam_meta, dev_plain,
+               spec_geom, lpf, spec_carry_w, spec_carry_ok, spec_n0,
+               state):
+    """stc007_spec_round: the steady-round state machine consuming the
+    DEVICE round dispatch's packed dual-resolution evals (ops/
+    device_stitch.steady_round_packed) — trim/split/state in C, signal
+    math from the chip.  Record/output contract identical to
+    steady_round; a pair whose geometry, carry, or store provenance
+    differs from what the device speculated bails with BS_SPEC and the
+    per-pair Python path decides.  spec_geom = (c1, c2, padI, padO,
+    tff, target)."""
+    L = _load()
+    M = len(stores)
+    n_pairs = M - 1
+    fp = np.empty((M, _ROUND_FP_N), np.int64)
+    keep = []
+    for i, (fno, s) in enumerate(stores):
+        crcv = s.crc_valid_ignore_forced()
+        if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
+            crcv = np.ascontiguousarray(crcv, bool)
+            keep.append(crcv)
+        fp[i, 0] = s.words.ctypes.data
+        fp[i, 1] = s.word_crc.ctypes.data
+        fp[i, 2] = s.forced_bad.ctypes.data
+        fp[i, 3] = s.line_number.ctypes.data
+        fp[i, 4] = s.frame_number.ctypes.data
+        fp[i, 5] = s.service.ctypes.data
+        fp[i, 6] = crcv.ctypes.data
+        fp[i, 7] = s.ref_level.ctypes.data
+        fp[i, 8] = s.has_markers.ctypes.data
+        fp[i, 9] = len(s)
+        fp[i, 10] = fno
+    cap = n_pairs * 2 * 294 + 8
+    records = np.zeros((n_pairs, REC_N), np.int64)
+    records[:, REC_CB] = -2
+    samples = np.empty((cap, 6), np.int16)
+    wvalid = np.empty((cap, 6), bool)
+    wfixed = np.empty((cap, 6), bool)
+    bvalid = np.empty(cap, bool)
+    c1, c2, padI, padO, tff, target = spec_geom
+    packed1 = np.ascontiguousarray(packed1, np.uint32)
+    conv_samples = np.ascontiguousarray(conv_samples, np.int16)
+    packed2 = np.ascontiguousarray(packed2, np.uint32)
+    seam_meta = np.ascontiguousarray(seam_meta, np.int64)
+    dev_plain = _as_u8(dev_plain)
+    spec_carry_w = np.ascontiguousarray(spec_carry_w, np.int32)
+    spec_carry_ok = _as_u8(spec_carry_ok)
+    n_done = L.stc007_spec_round(
+        fp.ctypes.data, M,
+        carry_w32.ctypes.data, carry_crc8.ctypes.data,
+        carry_ln.ctypes.data, carry_fn.ctypes.data, carry_w32.shape[0],
+        silent_w32.ctypes.data,
+        int(bool(en_q)), int(unch_lim),
+        int(max_burst_silence), int(max_burst_broken),
+        int(broken_mask_dur), int(bool(auto_m2)), int(bool(m2)),
+        int(fixed_mode),
+        int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
+        packed1.ctypes.data, conv_samples.ctypes.data,
+        packed2.ctypes.data, seam_meta.ctypes.data,
+        dev_plain.ctypes.data,
+        int(c1), int(c2), int(padI), int(padO), int(bool(tff)),
+        int(target), int(lpf),
+        spec_carry_w.ctypes.data, spec_carry_ok.ctypes.data,
+        int(spec_n0),
         state.ctypes.data, records.ctypes.data,
         samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
         bvalid.ctypes.data)

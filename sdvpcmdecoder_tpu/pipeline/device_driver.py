@@ -126,6 +126,19 @@ class _RoundRows:
         self.g2 = jnp.asarray(
             np.concatenate(g2).astype(np.int32) if g2
             else np.zeros((1, 8), np.int32))
+        # Conv-queue block selector + per-frame offsets into the packed
+        # round's samples section (only conv samples cross the tunnel).
+        sel, meta_c, ofs_c = [], [], 0
+        for m in meta1:
+            o, n = m["conv"]
+            sel.append(np.arange(o, o + n, dtype=np.int64))
+            meta_c.append((ofs_c, n))
+            ofs_c += n
+        self.meta_conv = meta_c
+        self.conv_sel = jnp.asarray(np.concatenate(sel).astype(np.int32))
+        self.B1 = int(self.g1.shape[0])
+        self.Bc = ofs_c
+        self.B2 = int(self.g2.shape[0])
 
 
 class DeviceBatchDecoder(batch_driver.BatchDecoder):
@@ -192,6 +205,12 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                     jnp.asarray(idx))
                 s0.copy_to_host_async()
                 j.next_sample = (0, s0)
+        # Staging is part of setup, not decode: wait for the uploads so
+        # the first round's reads don't absorb the staging transfers
+        # (bench reports staging seconds separately).
+        for j in self.jobs:
+            if j.total_frames:
+                jax.block_until_ready(j.px_dev)
 
     def _silent_dev(self, m2):
         if self._sil is None or self._sil[0] != m2:
@@ -263,18 +282,24 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                                       j.frames_read + F)
             idx = v2d.prescan_rows(Ls)
             with self._stage("prescan"):
-                if j.next_sample_host is not None \
-                        and j.next_sample_host[0] == j.frames_read:
-                    sample = j.next_sample_host[1]
-                elif j.next_sample is not None \
-                        and j.next_sample[0] == j.frames_read:
-                    sample = np.asarray(j.next_sample[1])
+                if not j.driver.search_needed():
+                    # Good-params skip: no sample gather, no read-back,
+                    # no host AGC/marker/sweep this round.
+                    prep = j.driver.prepare_frames(None,
+                                                   shape=(F, Ls, W))
                 else:
-                    sample = np.asarray(
-                        _gather_sample_j(px, jnp.asarray(idx)))
-                sample = sample.reshape(F * len(idx), W)
-                prep = j.driver.prepare_frames(None, sample=sample,
-                                               shape=(F, Ls, W))
+                    if j.next_sample_host is not None \
+                            and j.next_sample_host[0] == j.frames_read:
+                        sample = j.next_sample_host[1]
+                    elif j.next_sample is not None \
+                            and j.next_sample[0] == j.frames_read:
+                        sample = np.asarray(j.next_sample[1])
+                    else:
+                        sample = np.asarray(
+                            _gather_sample_j(px, jnp.asarray(idx)))
+                    sample = sample.reshape(F * len(idx), W)
+                    prep = j.driver.prepare_frames(None, sample=sample,
+                                                   shape=(F, Ls, W))
             sti = j.stitcher
             padI, padO, target, tff, n0 = self._predict_geometry(j, lpf)
             rows = self._rows(F, lpf, n0, padI, padO, target, tff)
@@ -284,29 +309,41 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             if n0:
                 carry_w[:n0] = conv.words_i32()
                 carry_ok[:n0] = conv.crc_ok8()
-            out = ds.steady_round_dispatch(
-                px, jnp.asarray(prep["coords"], jnp.int32),
-                jnp.asarray(np.maximum(prep["refs"], 1), jnp.int32),
-                jnp.asarray(np.clip(prep["blacks"], 0, 254), jnp.int32),
-                jnp.asarray(np.clip(prep["whites"], 1, 255), jnp.int32),
-                jnp.asarray(prep["usable"]),
-                j.prev_words, j.prev_ok8,
-                jnp.asarray(carry_w), jnp.asarray(carry_ok),
-                rows.g1, rows.g2, self._silent_dev(sti.mode_m2),
+            layout, n_par = ds.round_param_layout(F)
+            params = np.empty(n_par, np.int32)
+
+            def put(key, arr):
+                a = np.asarray(arr).ravel()
+                params[layout[key]:layout[key] + a.size] = a
+
+            put("coords", prep["coords"])
+            put("refs", np.maximum(prep["refs"], 1))
+            put("blacks", np.clip(prep["blacks"], 0, 254))
+            put("whites", np.clip(prep["whites"], 1, 255))
+            put("usable", prep["usable"])
+            put("carry_w", carry_w)
+            put("carry_ok", carry_ok)
+            out, wtail, oktail = ds.steady_round_packed(
+                px, jnp.asarray(params), j.prev_words, j.prev_ok8,
+                rows.g1, rows.g2, rows.conv_sel,
+                self._silent_dev(sti.mode_m2),
                 en_p=sti.en_p, en_q=sti.en_q, m2=sti.mode_m2,
                 hyst_limit=self.hyst_limit, shift_limit=self.shift_limit,
                 use_pallas=self.use_pallas)
-            for o in out[:7]:
-                o.copy_to_host_async()
-            j.prev_words = out[7][-Ls:]
-            j.prev_ok8 = out[8][-Ls:]
+            out.copy_to_host_async()
+            j.prev_words = wtail
+            j.prev_ok8 = oktail
             j.pending = dict(F=F, start=j.frames_read, prep=prep,
-                             out=out[:7], rows=rows, round_id=j.round_id,
+                             out=out, rows=rows, round_id=j.round_id,
                              carry_w=carry_w, carry_ok=carry_ok, n0=n0)
             j.round_id += 1
             j.frames_read += F
             nxt = j.frames_read
-            if nxt < j.total_frames:
+            d = j.driver
+            search_next = (d.search_needed()
+                           or d._frames_prepared + self.frames_per_round
+                           >= d._next_search)
+            if nxt < j.total_frames and search_next:
                 F2 = min(self.frames_per_round, j.total_frames - nxt)
                 px2 = jax.lax.slice_in_dim(j.px_dev, nxt, nxt + F2)
                 s2 = _gather_sample_j(px2, jnp.asarray(idx))
@@ -319,8 +356,11 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         p = j.pending
         j.pending = None
         with self._stage("materialize"):
-            words, crc_read, valid, dup, packed1, samples1, packed2 = \
-                (np.asarray(o) for o in p["out"])
+            rows_ = p["rows"]
+            words, crc_read, valid, dup, packed1, samples_conv, \
+                packed2 = ds.unpack_round(
+                    np.asarray(p["out"]), p["F"], j.Ls,
+                    rows_.B1, rows_.Bc, rows_.B2)
             # Read the next round's prescan sample HERE: its copy was
             # requested a full cycle ago (right after this round's
             # outputs), so it is local by now — reading it at dispatch
@@ -331,6 +371,8 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 j.next_sample = None
         F, Ls = p["F"], j.Ls
         prep, usable = p["prep"], p["prep"]["usable"]
+        j.driver.note_feedback(bool((~valid[usable]).any())
+                               if usable.any() else True)
         with self._stage("finalize"):
             results = []
             fb_frames = [f for f in range(F)
@@ -377,10 +419,11 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             rows = p["rows"]
             for i in range(F):
                 m1, m2_ = rows.meta1[i], rows.meta2[i]
+                oc, nc = rows.meta_conv[i]
 
-                def cut1(key, arr):
+                def cut1(key):
                     o, n = m1[key]
-                    return arr[o:o + n]
+                    return packed1[o:o + n]
 
                 def cut2(key):
                     o, n = m2_[key]
@@ -391,10 +434,21 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                     geom=rows.geom,
                     carry_n=p["n0"], carry_w=p["carry_w"],
                     carry_ok=p["carry_ok"],
-                    inner=cut1("inner", packed1),
-                    outer=cut1("outer", packed1),
-                    conv=cut1("conv", packed1),
-                    conv_samples=cut1("conv", samples1),
+                    inner=cut1("inner"),
+                    outer=cut1("outer"),
+                    conv=cut1("conv"),
+                    conv_samples=samples_conv[oc:oc + nc],
                     res_odd=cut2("res_odd"), res_even=cut2("res_even"))
             j.stitcher._steady_spec = spec
+            # Round context for the C-side spec replay (ONE
+            # stc007_spec_round call per round instead of per-pair
+            # Python replays; stitcher_stc007._try_steady_run).
+            j.stitcher._steady_round_ctx = dict(
+                pairs={k: i for i, k in enumerate(spec)},
+                meta1=rows.meta1, meta2=rows.meta2,
+                meta_conv=rows.meta_conv,
+                packed1=packed1, samples_conv=samples_conv,
+                packed2=packed2, geom=rows.geom, lpf=rows.lpf,
+                carry_n=p["n0"], carry_w=p["carry_w"],
+                carry_ok=p["carry_ok"])
         self._stitch_and_write(j, stores)

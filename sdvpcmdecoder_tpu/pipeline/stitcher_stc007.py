@@ -2184,6 +2184,50 @@ class STC007Stitcher:
         return (int(fld.line_number[0]) == first
                 and int(fld.line_number[-1]) == first + 2 * (lpf - 1))
 
+    def _spec_round_meta(self, ctx):
+        """Per-pending-pair offsets into the device round's packed
+        buffers for stc007_spec_round (-1 rows = no speculation for
+        that pair, the C call bails there) plus per-frame device-
+        provenance flags.  Returns (None, None, None) when the first
+        pending pair has no usable speculation (the C call would
+        consume nothing).  Third value: the effective spec carry length
+        for pair 0 (-1 = mid-round entry, carry validated through
+        _steady_chain exactly as _match_spec_entry's pairs>0 rule)."""
+        pairs = ctx["pairs"]
+        n_pairs = len(self.pending_frames) - 1
+        seam_meta = np.full((n_pairs, 11), -1, np.int64)
+        dev_plain = np.zeros(len(self.pending_frames), np.uint8)
+        for k, (fno, s) in enumerate(self.pending_frames):
+            dev_plain[k] = getattr(s, "_dev_gid", None) == fno
+        for i in range(n_pairs):
+            key = (self.pending_frames[i][0],
+                   self.pending_frames[i + 1][0])
+            idx = pairs.get(key)
+            if idx is None:
+                continue
+            m1, m2m = ctx["meta1"][idx], ctx["meta2"][idx]
+            oc, _nc = ctx["meta_conv"][idx]
+            seam_meta[i] = (m1["inner"][0], m1["inner"][1],
+                            m1["outer"][0], m1["outer"][1],
+                            m1["conv"][0], m1["conv"][1], oc,
+                            m2m["res_odd"][0], m2m["res_odd"][1],
+                            m2m["res_even"][0], m2m["res_even"][1])
+        if seam_meta[0, 0] < 0:
+            return None, None, None
+        idx0 = pairs[(self.pending_frames[0][0],
+                      self.pending_frames[1][0])]
+        if idx0 == 0:
+            eff_n0 = ctx["carry_n"]
+        else:
+            # Mid-round entry: the device assumed the chained MDD-row
+            # carry; only valid when the previous pair completed the
+            # steady path over plain device frames with this geometry.
+            if getattr(self, "_steady_chain", None) != \
+                    (self.pending_frames[0][0], ctx["lpf"], ctx["geom"]):
+                return None, None, None
+            eff_n0 = -1
+        return seam_meta, dev_plain, eff_n0
+
     def _match_spec_entry(self, c1, c2, padI, padO, tff, target, n0,
                           field1, field2, f2f, f2o, f2e):
         """Return the speculative device-round entry for the current
@@ -2494,9 +2538,21 @@ class STC007Stitcher:
         transitions are replayed here per pair from the returned
         records — identical effects to _try_steady_pair, which remains
         the single-pair form.  Returns False (nothing consumed) when
-        the first pair is not steady."""
-        if self.seam_backend in ("tpu", "tpu-spec"):
-            return False  # tpu backends replay the device round instead
+        the first pair is not steady.
+
+        Under seam_backend='tpu-spec' the SAME round machinery runs as
+        ONE stc007_spec_round call consuming the device dispatch's
+        packed dual evals (the round context pipeline/device_driver
+        installs) — the chip did the binarize/ECC/seam/deint math, C
+        verifies the speculation and rolls the state, and the records
+        are replayed identically either way."""
+        spec_ctx = None
+        if self.seam_backend == "tpu-spec":
+            spec_ctx = getattr(self, "_steady_round_ctx", None)
+            if spec_ctx is None or not _sn_mod().available():
+                return False
+        elif self.seam_backend == "tpu":
+            return False  # per-pair device replay only
         if not self._steady_globals_ok():
             return False
         sn = _sn_mod()
@@ -2553,15 +2609,36 @@ class STC007Stitcher:
         unch_lim = self.max_unch_14 if self.en_q else self.max_unch_16
         order_preset = self.preset_order \
             if self.preset_order in (ORDER_TFF, ORDER_BFF) else 0
-        n_done, rec, samples, wvalid, wfixed, bvalid = sn.steady_round(
-            self.pending_frames, conv.words_i32(), conv.crc_ok8(),
-            np.ascontiguousarray(conv.line_number, np.int64),
-            np.ascontiguousarray(conv.frame_number, np.int64),
-            self._silent_words32(), self.en_p, self.en_q, unch_lim,
-            MAX_BURST_SILENCE, MAX_BURST_BROKEN, self.broken_mask_dur,
-            self.auto_m2, m2, -1 if fixed is None else fixed,
-            order_preset, self.preset_video,
-            bool(order_preset), state)
+        if spec_ctx is not None:
+            seam_meta, dev_plain, eff_n0 = self._spec_round_meta(spec_ctx)
+            if seam_meta is None:
+                return False
+            n_done, rec, samples, wvalid, wfixed, bvalid = sn.spec_round(
+                self.pending_frames, conv.words_i32(), conv.crc_ok8(),
+                np.ascontiguousarray(conv.line_number, np.int64),
+                np.ascontiguousarray(conv.frame_number, np.int64),
+                self._silent_words32(), self.en_q, unch_lim,
+                MAX_BURST_SILENCE, MAX_BURST_BROKEN,
+                self.broken_mask_dur, self.auto_m2, m2,
+                -1 if fixed is None else fixed,
+                order_preset, self.preset_video, bool(order_preset),
+                spec_ctx["packed1"], spec_ctx["samples_conv"],
+                spec_ctx["packed2"], seam_meta, dev_plain,
+                spec_ctx["geom"], spec_ctx["lpf"],
+                spec_ctx["carry_w"], spec_ctx["carry_ok"],
+                eff_n0, state)
+        else:
+            n_done, rec, samples, wvalid, wfixed, bvalid = \
+                sn.steady_round(
+                    self.pending_frames, conv.words_i32(), conv.crc_ok8(),
+                    np.ascontiguousarray(conv.line_number, np.int64),
+                    np.ascontiguousarray(conv.frame_number, np.int64),
+                    self._silent_words32(), self.en_p, self.en_q,
+                    unch_lim, MAX_BURST_SILENCE, MAX_BURST_BROKEN,
+                    self.broken_mask_dur, self.auto_m2, m2,
+                    -1 if fixed is None else fixed,
+                    order_preset, self.preset_video,
+                    bool(order_preset), state)
         if n_done < len(rec):
             # cache the bail pair's frame-B trim scan for the fallback
             self._cache_scan_from_rec(rec[n_done],
@@ -2755,6 +2832,11 @@ class STC007Stitcher:
             segs.append((self._pad_view(padO),
                          int(field2.line_number[c2 - 1]) + 2))
         self.conv_queue = self._build_carry(segs, f0.frame_number)
+        if spec_ctx is not None:
+            # The C round verified every processed store as plain device
+            # output with this geometry — the next pair may chain.
+            self._steady_chain = (self.frasm_f1.frame_number,
+                                  spec_ctx["lpf"], spec_ctx["geom"])
         return True
 
     def find_field_stitching(self):

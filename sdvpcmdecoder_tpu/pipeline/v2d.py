@@ -30,6 +30,10 @@ COORD_CHECK_LINES = 4     # videotodigital.h:98-105
 COORD_CHECK_PARTS = COORD_CHECK_LINES + 1
 COORD_HISTORY_DEPTH = 9
 COORD_LONG_HISTORY = 16
+# Good-params skip cadence: a stable, fully-valid stream re-searches
+# once per this many frames (drift spot check); any surviving invalid
+# line forces an immediate search (V2DDriver.search_needed).
+SEARCH_PERIOD = 256
 BIT_DIFF_THRES_DIV = 4    # videotodigital.h:107-110
 
 
@@ -145,7 +149,7 @@ class V2DDriver:
                  ref_sweep=False, sweep_step=4, min_valid_crcs=5,
                  forced_coords=None, ref_sweep_fallback=False,
                  per_line_agc=False, dup_detect=True, use_pallas=False,
-                 m2=False, normal_sweep_prescan=False):
+                 m2=False, normal_sweep_prescan=False, coord_skip=True):
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
         self.preset = preset or agc.BinPreset()
@@ -184,6 +188,19 @@ class V2DDriver:
         # (data_start, data_stop) pixel coordinates.
         self.forced_coords = forced_coords
         self.state = V2DState()
+        # Good-params search skip, frame scope (binarizer.cpp:1105-1141:
+        # lines with good previous parameters skip the coordinate
+        # search; re-searched on failure).  While the damped histories
+        # are stable and every decoded line stays CRC-valid, rounds
+        # reuse the history medians instead of re-running AGC + marker
+        # search + the NORMAL sweep; any surviving invalid line
+        # (note_feedback) or SEARCH_PERIOD frames force a fresh search.
+        # PCMFrameDriver applies the same policy for PCM-1/16x0.
+        self.coord_skip = coord_skip
+        self._frames_prepared = 0
+        self._next_search = 0
+        self._force_search = False
+        self._bw_last = None
 
     # -- prescan ----------------------------------------------------------
     def prescan(self, pixels: np.ndarray):
@@ -228,6 +245,44 @@ class V2DDriver:
         ref = _imed(list(self.state.ref_history))
         return (start, stop), ref
 
+    # -- good-params search skip ------------------------------------------
+    def search_needed(self) -> bool:
+        """False when the next prepare_frames round may run entirely
+        from the damped histories (callers then skip gathering the
+        prescan sample rows — on the device driver that removes a
+        per-round device gather + read-back)."""
+        if (not self.coord_skip or self._force_search
+                or self.per_line_agc or self._bw_last is None
+                or self._frames_prepared < 4
+                or self._frames_prepared >= self._next_search
+                or len(self.state.coord_history) < 2):
+            return True
+        (a0, a1), (b0, b1) = self.state.coord_history[-1], \
+            self.state.coord_history[-2]
+        return abs(a0 - b0) > 1 or abs(a1 - b1) > 1
+
+    def note_feedback(self, bad: bool):
+        """Decode-quality feedback: any line still invalid after the
+        fallbacks forces a fresh parameter search next round (the
+        reference re-searches failing lines, binarizer.cpp:1137)."""
+        if bad:
+            self._force_search = True
+
+    def _prep_from_history(self, F):
+        hs = self.state.coord_history
+        start = _imed([h[0] for h in hs])
+        stop = _imed([h[1] for h in hs])
+        ref = _imed(list(self.state.ref_history))
+        blk, wht = self._bw_last
+        coords = np.tile(np.array([start, stop], np.int64), (F, 1))
+        if self.forced_coords is not None:
+            coords[:] = self.forced_coords
+        return dict(coords=coords,
+                    refs=np.full(F, ref, np.int64),
+                    blacks=np.full(F, blk, np.int64),
+                    whites=np.full(F, wht, np.int64),
+                    usable=np.ones(F, bool))
+
     # -- batched frame decode (production path) ---------------------------
     def prepare_frames(self, pixels: np.ndarray, perm=None, sample=None,
                        shape=None):
@@ -253,6 +308,9 @@ class V2DDriver:
         F, L, W = shape if shape is not None else pixels.shape
         if sample is not None and self.per_line_agc:
             raise ValueError("per_line_agc needs full pixels")
+        if not self.search_needed():
+            self._frames_prepared += F
+            return self._prep_from_history(F)
         coords = np.zeros((F, 2), np.int64)
         refs = np.zeros(F, np.int64)
         blacks = np.zeros(F, np.int64)
@@ -313,6 +371,12 @@ class V2DDriver:
         if self.per_line_agc and usable.any():
             refs, blacks, whites = self._per_line_levels(
                 pixels, coords, refs, blacks, whites, usable)
+        self._frames_prepared += F
+        if usable.any() and not self.per_line_agc:
+            self._bw_last = (int(np.median(blacks[usable])),
+                             int(np.median(whites[usable])))
+            self._next_search = self._frames_prepared + SEARCH_PERIOD
+            self._force_search = False
         return dict(coords=coords, refs=refs, blacks=blacks,
                     whites=whites, usable=usable)
 
@@ -554,6 +618,8 @@ class V2DDriver:
                 wf, cf, vf, rf, bf, wh,
                 (int(coords[f, 0]), int(coords[f, 1])),
                 dup, ff))
+        self.note_feedback(any(r is not None and not r.valid.all()
+                               for r in out))
         return out
 
     def _sweep_failed_lines(self, pixels, coords, black, white, words,

@@ -73,29 +73,43 @@ def test_device_driver_matches_native(tmp_path, lpf, noise, nf):
 
 def test_device_driver_spec_engagement_counts(tmp_path):
     """On a clean capture nearly every pair must replay from the round
-    dispatch's speculative results (no per-pair device traffic)."""
+    dispatch's speculative results (no per-pair device traffic): the
+    C spec_round consumes whole rounds, the per-pair Python replay
+    covers stragglers, and the per-pair device tail stays exceptional."""
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
     from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
     tmp = str(tmp_path)
     jobs = [(_write_capture(tmp, "c", 14, PAL, seed=3),
              os.path.join(tmp, "o.wav"))]
-    hits = [0, 0]
+    hits = [0, 0, 0]   # [round pairs via spec_round, pair replays, tails]
+    orig_round = sn.spec_round
     orig_replay = st.STC007Stitcher._replay_spec_tail
     orig_tail = st.STC007Stitcher._steady_tail_tpu
 
+    def spy_round(*a, **k):
+        out = orig_round(*a, **k)
+        hits[0] += out[0]
+        return out
+
     def spy_replay(self, *a, **k):
-        hits[0] += 1
+        hits[1] += 1
         return orig_replay(self, *a, **k)
 
     def spy_tail(self, *a, **k):
-        hits[1] += 1
+        hits[2] += 1
         return orig_tail(self, *a, **k)
 
+    sn.spec_round = spy_round
     st.STC007Stitcher._replay_spec_tail = spy_replay
     st.STC007Stitcher._steady_tail_tpu = spy_tail
     try:
         _run(device_driver.DeviceBatchDecoder, jobs, tmp, "dev", PAL)
     finally:
+        sn.spec_round = orig_round
         st.STC007Stitcher._replay_spec_tail = orig_replay
         st.STC007Stitcher._steady_tail_tpu = orig_tail
-    assert hits[0] >= 10, hits   # 13 pairs, the first few settle state
-    assert hits[1] <= 2, hits    # per-pair fallback stays exceptional
+    # 13 pairs; the first few settle state, the rest ride the device
+    # round's speculation — through the C round or the pair replay.
+    assert hits[0] + hits[1] >= 10, hits
+    assert hits[0] >= 5, hits    # the C round path actually engages
+    assert hits[2] <= 2, hits    # per-pair fallback stays exceptional
