@@ -95,14 +95,14 @@ def device_e2e_fps():
     from sdvpcmdecoder_tpu.pipeline import batch_driver, device_driver
 
     n_caps = int(os.environ.get("BENCH_E2E_CAPS", "8"))
-    n_frames = int(os.environ.get("BENCH_DEV_FRAMES", "64"))
+    n_frames = int(os.environ.get("BENCH_DEV_FRAMES", "128"))
     with tempfile.TemporaryDirectory() as tmp:
         jobs = make_captures(tmp, n_caps, n_frames)
 
         def run(tag, cls, **kw):
             t0 = time.perf_counter()
             dec = cls(jobs, hyst_limit=4, shift_limit=2,
-                      frames_per_round=32, **kw)
+                      frames_per_round=64, **kw)
             stage_s = time.perf_counter() - t0
             for k, j in enumerate(dec.jobs):
                 j.out_path = os.path.join(tmp, f"{tag}{k}.wav")

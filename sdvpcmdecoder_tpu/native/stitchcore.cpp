@@ -1364,10 +1364,11 @@ int64_t stc007_steady_round(
 //
 // packed1 [B1, 2] u32 per seam/conv block (14-bit result in [,0],
 // 16-bit in [,1]; bit layout valid[0:8] | line_crc[8:16] | flags[16:22]
-// | STG_BAD_BLOCK at 22), conv_samples [Bc, 2, 6] i16, packed2 [B2, 2]
-// u32 for the fresh-field resolution queues.  seam_meta [n_pairs, 11]
-// i64 per pair: inner(ofs,n) outer(ofs,n) conv(ofs,n) conv_samples_ofs
-// res_odd(ofs,n) res_even(ofs,n); a row with ofs < 0 has no spec.
+// | STG_BAD_BLOCK at 22), conv_samples [Bc, 2, 6] i16, res_counts
+// [n_spec, 4] i64 (device-reduced fresh-field resolution counts).
+// seam_meta [n_pairs, 11] i64 per pair: inner(ofs,n) outer(ofs,n)
+// conv(ofs,n) conv_samples_ofs res_counts_row (pads unused); a row
+// with ofs < 0 has no spec.
 // dev_plain [n_frames] u8: store words came straight from this device
 // round (length 2*lpf, untouched).  The spec geometry (c1, c2, padI,
 // padO, tff, target) is what the device's row maps assumed — any pair
@@ -1379,22 +1380,6 @@ inline bool spec_use16(uint32_t p14, uint32_t p16, int mode) {
     const bool bad14 = (p14 >> 22) & 1, bad16 = (p16 >> 22) & 1;
     return mode == M16 || (mode == M16A && !(bad16 && !bad14))
         || (mode == M14A && bad14 && !bad16);
-}
-
-// getFieldResolution's floored-decrement block counter (:1090-1140)
-// over packed device flags (twin of stitcher_stc007
-// ._res_counts_from_flags).
-inline int64_t spec_res_count(const uint32_t* packed, int64_t ofs,
-                              int64_t n, int sel) {
-    int64_t cum = 0, mn = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        const uint8_t f = (packed[(ofs + i) * 2 + sel] >> 16) & 0x3F;
-        const bool good = (f & 2) && (f & 4) && !(f & 8);
-        if (good) ++cum;
-        else if (f & 1) --cum;
-        if (cum < mn) mn = cum;
-    }
-    return cum - (mn < 0 ? mn : 0);
 }
 }  // namespace
 
@@ -1409,7 +1394,7 @@ int64_t stc007_spec_round(
     int32_t fixed_mode,
     int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
     const uint32_t* packed1, const int16_t* conv_samples,
-    const uint32_t* packed2, const int64_t* seam_meta,
+    const int64_t* res_counts_in, const int64_t* seam_meta,
     const uint8_t* dev_plain,
     int64_t spec_c1, int64_t spec_c2, int64_t spec_padI,
     int64_t spec_padO, int32_t spec_tff, int64_t spec_target,
@@ -1626,12 +1611,10 @@ int64_t stc007_spec_round(
         const int64_t fld1_row0 = tff ? 0 : lpf;    // leading field of A
         const int64_t fld2_row0 = tff ? lpf : 0;
         const int64_t f2f_row0 = tff ? 0 : lpf;     // leading field of B
-        // --- fresh-field resolution counts from packed2 flags ---
+        // --- fresh-field resolution counts (reduced on device) ---
         if (!m2) {
-            rec[RC_RES] = spec_res_count(packed2, sm[7], sm[8], 0);
-            rec[RC_RES + 1] = spec_res_count(packed2, sm[7], sm[8], 1);
-            rec[RC_RES + 2] = spec_res_count(packed2, sm[9], sm[10], 0);
-            rec[RC_RES + 3] = spec_res_count(packed2, sm[9], sm[10], 1);
+            const int64_t* rcs = res_counts_in + sm[7] * 4;
+            for (int i = 0; i < 4; ++i) rec[RC_RES + i] = rcs[i];
         }
         // --- assembly sizing + spec geometry verification ---
         const int64_t target = vstd == VID_PAL_C ? LPF_PAL
@@ -1882,6 +1865,101 @@ int64_t stc007_spec_round(
         state[ST_FA_END] = tb[9];
     }
     return pair;
+}
+
+// ---------------------------------------------------------------------------
+// HuffYUV (HFYU) frame decode — native twin of pipeline/huffyuv.py
+// (_decode_frame_py is the spec; this is the ingest production path,
+// the reference decodes HFYU through libav, ffmpegwrapper.cpp:543).
+// YUY2 left-predictor streams: first 4:2:2 group raw in data[0..3],
+// then Huffman-coded per-channel deltas interleaved Y U Y V, bits
+// MSB-first from 32-bit little-endian words.  Canonical tables built
+// from the three 256-entry code-length vectors.  Writes the LUMA
+// plane only ([H, W]); returns 0 ok, negative on malformed input.
+// ---------------------------------------------------------------------------
+namespace {
+struct HfyuTable {
+    int64_t base[33];      // canonical first code per length
+    int16_t sym[33][256];  // symbols of each length, ascending
+    int16_t cnt[33];
+    void build(const uint8_t* lens) {
+        int64_t count[34] = {0};
+        for (int i = 0; i < 256; ++i) ++count[lens[i]];
+        int64_t codes[34] = {0};
+        for (int len = 32; len > 0; --len)
+            codes[len - 1] = (codes[len] + count[len]) >> 1;
+        for (int len = 1; len <= 32; ++len) {
+            base[len] = codes[len];
+            cnt[len] = 0;
+        }
+        for (int i = 0; i < 256; ++i) {
+            const int len = lens[i];
+            if (len) sym[len][cnt[len]++] = (int16_t)i;
+        }
+    }
+};
+}  // namespace
+
+int hfyu_decode_yuy2(const uint8_t* data, int64_t n_bytes,
+                     const uint8_t* len_y, const uint8_t* len_u,
+                     const uint8_t* len_v,
+                     int64_t W, int64_t H, uint8_t* luma_out) {
+    if (n_bytes < 4 || W <= 0 || (W & 1) || H <= 0) return -1;
+    thread_local HfyuTable ty, tu, tv;
+    ty.build(len_y);
+    tu.build(len_u);
+    tv.build(len_v);
+    const int64_t n_samples = W * H * 2;
+    const uint8_t* bs = data + 4;
+    const int64_t n_words = (n_bytes - 4) / 4;
+    const int64_t n_bits = n_words * 32;
+    int64_t bitpos = 0;
+    uint8_t py = data[2], pu = data[1], pv = data[3];
+    luma_out[0] = data[0];
+    luma_out[1] = data[2];
+    auto read_sym = [&](const HfyuTable& t, int* out_sym) -> bool {
+        int64_t v = 0;
+        for (int len = 1; len <= 32; ++len) {
+            if (bitpos >= n_bits) return false;
+            const int64_t w = bitpos >> 5;
+            const uint32_t word = (uint32_t)bs[w * 4]
+                | ((uint32_t)bs[w * 4 + 1] << 8)
+                | ((uint32_t)bs[w * 4 + 2] << 16)
+                | ((uint32_t)bs[w * 4 + 3] << 24);
+            const int bit = 31 - (int)(bitpos & 31);
+            v = (v << 1) | ((word >> bit) & 1);
+            ++bitpos;
+            if (t.cnt[len]) {
+                const int64_t rel = v - t.base[len];
+                if (rel >= 0 && rel < t.cnt[len]) {
+                    *out_sym = t.sym[len][rel];
+                    return true;
+                }
+            }
+        }
+        return false;
+    };
+    int64_t yi = 2;  // luma samples written
+    for (int64_t i = 4; i < n_samples; ++i) {
+        int d;
+        switch (i & 3) {
+        case 0: case 2:
+            if (!read_sym(ty, &d)) return -2;
+            py = (uint8_t)(py + d);
+            luma_out[yi++] = py;
+            break;
+        case 1:
+            if (!read_sym(tu, &d)) return -2;
+            pu = (uint8_t)(pu + d);
+            break;
+        default:
+            if (!read_sym(tv, &d)) return -2;
+            pv = (uint8_t)(pv + d);
+            break;
+        }
+    }
+    (void)pu; (void)pv;
+    return 0;
 }
 
 // Accumulated per-line region histograms (ops/agc.py

@@ -459,16 +459,32 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     p1 = jax.lax.bitcast_convert_type(packed1, jnp.int32).reshape(-1)
     cs = jax.lax.bitcast_convert_type(
         samples1[conv_sel].reshape(-1, 2), jnp.int32)
-    p2 = jax.lax.bitcast_convert_type(packed2, jnp.int32).reshape(-1)
-    out = jnp.concatenate([w_pack, meta, p1, cs, p2])
+    # Fresh-field resolution counts reduced ON DEVICE: the floored-
+    # decrement block counter (getFieldResolution :1090-1140) is a
+    # cumsum/cummin scan, so only [F, 2 fields, 2 resolutions] i32
+    # counts cross the tunnel instead of every res-queue block's pack.
+    n_res = Ls // 2 - MDD_
+    if n_res > 0:
+        flags2 = (packed2 >> 16).astype(jnp.int32)
+        good = ((flags2 & 2) != 0) & ((flags2 & 4) != 0) \
+            & ((flags2 & 8) == 0)
+        broken = (flags2 & 1) != 0
+        x = good.astype(jnp.int32) - (~good & broken).astype(jnp.int32)
+        x = x.reshape(F, 2, n_res, 2)
+        cum = jnp.cumsum(x, axis=2)
+        mn = jnp.minimum(jnp.min(cum, axis=2), 0)
+        counts = (cum[:, :, -1, :] - mn).reshape(-1)
+    else:
+        counts = jnp.zeros(F * 4, jnp.int32)
+    out = jnp.concatenate([w_pack, meta, p1, cs, counts])
     return out, wflat[-Ls:], ok8[-Ls:]
 
 
-def unpack_round(buf, F, Ls, B1, Bc, B2):
+def unpack_round(buf, F, Ls, B1, Bc):
     """Host-side split of steady_round_packed's output buffer.  Returns
     (words [F,Ls,8] i32, crc_read [F,Ls] i32, valid, dup [F,Ls] bool,
-    packed1 [B1,2] u32, samples_conv [Bc,2,6] i16, packed2 [B2,2] u32).
-    """
+    packed1 [B1,2] u32, samples_conv [Bc,2,6] i16, res_counts [F,2,2]
+    i32 — per frame (odd, even) x (count14, count16))."""
     n_w, n_m = F * Ls * 4, F * Ls
     pos = 0
     words = buf[pos:pos + n_w].view(np.uint16) \
@@ -484,8 +500,8 @@ def unpack_round(buf, F, Ls, B1, Bc, B2):
     samples_conv = buf[pos:pos + 6 * Bc].view(np.int16) \
         .reshape(Bc, 2, 6)
     pos += 6 * Bc
-    packed2 = buf[pos:pos + 2 * B2].view(np.uint32).reshape(B2, 2)
-    return words, crc_read, valid, dup, packed1, samples_conv, packed2
+    res_counts = buf[pos:pos + 4 * F].reshape(F, 2, 2)
+    return words, crc_read, valid, dup, packed1, samples_conv, res_counts
 
 
 def select_dual_host(packed, mode, samples=None):

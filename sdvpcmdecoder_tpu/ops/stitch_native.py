@@ -216,6 +216,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        L.hfyu_decode_yuy2.restype = ctypes.c_int
+        L.hfyu_decode_yuy2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         L.stc007_steady_tail.restype = ctypes.c_int64
         L.stc007_steady_tail.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -522,11 +527,31 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
 BS_SPEC = 11   # spec_round bail: device-round speculation did not match
 
 
+def hfyu_decode_yuy2(data, W, H, lens_y, lens_u, lens_v):
+    """HuffYUV YUY2 left-predictor frame -> luma [H, W] u8, or None
+    when the native core is unavailable (pipeline/huffyuv.py falls back
+    to its Python twin).  Raises ValueError on malformed bitstreams."""
+    L = _load()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty((int(H), int(W)), np.uint8)
+    rc = L.hfyu_decode_yuy2(
+        data.ctypes.data, data.size,
+        _as_u8(np.ascontiguousarray(lens_y, np.uint8)).ctypes.data,
+        _as_u8(np.ascontiguousarray(lens_u, np.uint8)).ctypes.data,
+        _as_u8(np.ascontiguousarray(lens_v, np.uint8)).ctypes.data,
+        int(W), int(H), out.ctypes.data)
+    if rc != 0:
+        raise ValueError(f"HFYU: malformed frame bitstream (rc={rc})")
+    return out
+
+
 def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
                silent_w32, en_q, unch_lim, max_burst_silence,
                max_burst_broken, broken_mask_dur, auto_m2, m2,
                fixed_mode, preset_order, preset_vid, fa_order_preset,
-               packed1, conv_samples, packed2, seam_meta, dev_plain,
+               packed1, conv_samples, res_counts, seam_meta, dev_plain,
                spec_geom, lpf, spec_carry_w, spec_carry_ok, spec_n0,
                state):
     """stc007_spec_round: the steady-round state machine consuming the
@@ -568,7 +593,7 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
     c1, c2, padI, padO, tff, target = spec_geom
     packed1 = np.ascontiguousarray(packed1, np.uint32)
     conv_samples = np.ascontiguousarray(conv_samples, np.int16)
-    packed2 = np.ascontiguousarray(packed2, np.uint32)
+    res_counts = np.ascontiguousarray(res_counts, np.int64)
     seam_meta = np.ascontiguousarray(seam_meta, np.int64)
     dev_plain = _as_u8(dev_plain)
     spec_carry_w = np.ascontiguousarray(spec_carry_w, np.int32)
@@ -584,7 +609,7 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         int(fixed_mode),
         int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
         packed1.ctypes.data, conv_samples.ctypes.data,
-        packed2.ctypes.data, seam_meta.ctypes.data,
+        res_counts.ctypes.data, seam_meta.ctypes.data,
         dev_plain.ctypes.data,
         int(c1), int(c2), int(padI), int(padO), int(bool(tff)),
         int(target), int(lpf),

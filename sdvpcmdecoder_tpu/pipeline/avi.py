@@ -15,9 +15,13 @@ codecs that appear in practice without any external binary:
   * UYVY / HDYC       (packed 4:2:2, luma = odd bytes)
   * I420 / IYUV / YV12 (planar, luma plane first)
   * MJPG               (per-frame JPEG via Pillow, gated on import)
+  * HFYU               (HuffYUV YUY2 left-predictor with extradata
+                        tables — the VirtualDub lossless default; see
+                        pipeline/huffyuv.py for the exact scope)
 
-Compressed codecs outside this set (HuffYUV, Lagarith, x264...) raise a
-clear error pointing at the FFmpeg transcode path.
+Compressed codecs outside this set (Lagarith, x264, exotic HuffYUV
+variants...) raise a clear error pointing at the FFmpeg transcode
+path.
 
 `AVIReader` mirrors `ingest.VideoReader`'s interface (width/height/
 n_frames/read_frames/read_frames_view/close) with the same timeline
@@ -42,6 +46,7 @@ _YUY2_FOURCC = {b"YUY2", b"YUYV", b"V422", b"YUNV"}
 _UYVY_FOURCC = {b"UYVY", b"HDYC", b"UYNV"}
 _I420_FOURCC = {b"I420", b"IYUV", b"YV12"}
 _MJPG_FOURCC = {b"MJPG", b"mjpg", b"dmb1"}
+_HFYU_FOURCC = {b"HFYU", b"hfyu"}
 
 
 class AVIError(ValueError):
@@ -143,6 +148,9 @@ class AVIReader:
             self._bitcount = struct.unpack_from("<H", strf, 14)[0]
             comp = struct.unpack_from("<I", strf, 16)[0]
             self._compression = strf[16:20] if comp else b"\x00\x00\x00\x00"
+            # Codec extradata (HuffYUV tables etc) follows the 40-byte
+            # BITMAPINFOHEADER inside strf.
+            self._extradata = bytes(strf[40:])
 
     def _stream_tag(self):
         return b"%02d" % self._stream_no if self._stream_no is not None \
@@ -267,6 +275,17 @@ class AVIReader:
             self._decode = self._dec_uyvy
         elif comp in _I420_FOURCC:
             self._decode = self._dec_i420
+        elif comp in _HFYU_FOURCC:
+            from . import huffyuv as hf
+            try:
+                self._hfyu_lens = hf.parse_extradata(
+                    getattr(self, "_extradata", b""))
+            except ValueError as e:
+                raise AVIError(
+                    f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                    "-pix_fmt gray out.y4m`")
+            self._hfyu = hf
+            self._decode = self._dec_hfyu
         elif comp in _MJPG_FOURCC:
             try:
                 from PIL import Image  # noqa: F401
@@ -329,6 +348,12 @@ class AVIReader:
         img = self._pil.open(io.BytesIO(self._mm[off:off + size]))
         return np.asarray(img.convert("L"))
 
+    def _dec_hfyu(self, k):
+        off, size = self._entries[k]
+        return self._hfyu.decode_frame(self._mm[off:off + size],
+                                       self.width, self.height,
+                                       self._hfyu_lens)
+
     # -- VideoReader interface --------------------------------------------
     def read_frames(self, first, count):
         """-> uint8 [count, H, W]; dropped slots read all-black."""
@@ -366,12 +391,18 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     """Test/debug AVI writer.
 
     frames: uint8 [F, H, W] luma.  codec: Y800 | YUY2 | UYVY | DIB
-    (24-bit bottom-up BI_RGB) | MJPG (needs Pillow).  drops: optional
+    (24-bit bottom-up BI_RGB) | MJPG (needs Pillow) | HFYU (HuffYUV,
+    adaptive tables in strf extradata).  drops: optional
     sorted timeline slot indices recorded as zero-length idx1 entries
     (the VirtualDub dropped-frame convention)."""
     frames = np.asarray(frames, np.uint8)
     F, H, W = frames.shape
     drops = sorted(set(drops or []))
+    extradata = b""
+    hfyu_payloads = None
+    if codec == "HFYU":
+        from . import huffyuv as hf
+        extradata, hfyu_payloads = hf.encode(frames)
 
     def enc(f):
         if codec == "Y800":
@@ -399,10 +430,12 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
         raise ValueError(codec)
 
     fourcc = {"Y800": b"Y800", "YUY2": b"YUY2", "UYVY": b"UYVY",
-              "DIB": b"\x00\x00\x00\x00", "MJPG": b"MJPG"}[codec]
+              "DIB": b"\x00\x00\x00\x00", "MJPG": b"MJPG",
+              "HFYU": b"HFYU"}[codec]
     bitcount = {"Y800": 8, "YUY2": 16, "UYVY": 16, "DIB": 24,
-                "MJPG": 24}[codec]
-    payloads = [enc(frames[i]) for i in range(F)]
+                "MJPG": 24, "HFYU": 16}[codec]
+    payloads = hfyu_payloads if hfyu_payloads is not None \
+        else [enc(frames[i]) for i in range(F)]
 
     import io as _io
     movi = _io.BytesIO()
@@ -431,9 +464,10 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
             + struct.pack("<i", -1)               # quality
             + struct.pack("<I", 0)                # samplesize
             + struct.pack("<4H", 0, 0, W, H))
-    strf = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, bitcount,
+    strf = struct.pack("<IiiHH4sIiiII", 40 + len(extradata), W, H, 1,
+                       bitcount,
                        fourcc if codec != "DIB" else b"\x00" * 4,
-                       W * H * bitcount // 8, 0, 0, 0, 0)
+                       W * H * bitcount // 8, 0, 0, 0, 0) + extradata
     avih = struct.pack("<IIIIIIIIIIIIII",
                        1000000 // fps, 0, 0, 0x10,  # AVIF_HASINDEX
                        n_slots, 0, 1, 0, W, H, 0, 0, 0, 0)

@@ -358,9 +358,9 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         with self._stage("materialize"):
             rows_ = p["rows"]
             words, crc_read, valid, dup, packed1, samples_conv, \
-                packed2 = ds.unpack_round(
+                res_counts = ds.unpack_round(
                     np.asarray(p["out"]), p["F"], j.Ls,
-                    rows_.B1, rows_.Bc, rows_.B2)
+                    rows_.B1, rows_.Bc)
             # Read the next round's prescan sample HERE: its copy was
             # requested a full cycle ago (right after this round's
             # outputs), so it is local by now — reading it at dispatch
@@ -418,16 +418,12 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             spec = {}
             rows = p["rows"]
             for i in range(F):
-                m1, m2_ = rows.meta1[i], rows.meta2[i]
+                m1 = rows.meta1[i]
                 oc, nc = rows.meta_conv[i]
 
                 def cut1(key):
                     o, n = m1[key]
                     return packed1[o:o + n]
-
-                def cut2(key):
-                    o, n = m2_[key]
-                    return packed2[o:o + n]
 
                 spec[(fno_before + i, fno_before + 1 + i)] = dict(
                     round_id=p["round_id"], pair_idx=i, lpf=rows.lpf,
@@ -438,17 +434,16 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                     outer=cut1("outer"),
                     conv=cut1("conv"),
                     conv_samples=samples_conv[oc:oc + nc],
-                    res_odd=cut2("res_odd"), res_even=cut2("res_even"))
+                    res_counts=res_counts[i])
             j.stitcher._steady_spec = spec
             # Round context for the C-side spec replay (ONE
             # stc007_spec_round call per round instead of per-pair
             # Python replays; stitcher_stc007._try_steady_run).
             j.stitcher._steady_round_ctx = dict(
                 pairs={k: i for i, k in enumerate(spec)},
-                meta1=rows.meta1, meta2=rows.meta2,
-                meta_conv=rows.meta_conv,
+                meta1=rows.meta1, meta_conv=rows.meta_conv,
                 packed1=packed1, samples_conv=samples_conv,
-                packed2=packed2, geom=rows.geom, lpf=rows.lpf,
+                res_counts=res_counts, geom=rows.geom, lpf=rows.lpf,
                 carry_n=p["n0"], carry_w=p["carry_w"],
                 carry_ok=p["carry_ok"])
         self._stitch_and_write(j, stores)

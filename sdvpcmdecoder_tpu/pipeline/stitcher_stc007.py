@@ -2205,13 +2205,12 @@ class STC007Stitcher:
             idx = pairs.get(key)
             if idx is None:
                 continue
-            m1, m2m = ctx["meta1"][idx], ctx["meta2"][idx]
+            m1 = ctx["meta1"][idx]
             oc, _nc = ctx["meta_conv"][idx]
             seam_meta[i] = (m1["inner"][0], m1["inner"][1],
                             m1["outer"][0], m1["outer"][1],
                             m1["conv"][0], m1["conv"][1], oc,
-                            m2m["res_odd"][0], m2m["res_odd"][1],
-                            m2m["res_even"][0], m2m["res_even"][1])
+                            idx, 0, 0, 0)
         if seam_meta[0, 0] < 0:
             return None, None, None
         idx0 = pairs[(self.pending_frames[0][0],
@@ -2286,12 +2285,10 @@ class STC007Stitcher:
         m2 = self.mode_m2
         res_counts = np.zeros(4, np.int64)
         if not m2:
-            for k, key in ((0, "res_odd"), (2, "res_even")):
-                packed = entry[key]
-                for j in (0, 1):
-                    flags_j = ((packed[:, j] >> 16) & 0x3F).astype(np.uint8)
-                    res_counts[k + j] = self._res_counts_from_flags(
-                        flags_j, packed.shape[0])
+            # [2 fields, 2 resolutions] counts, reduced on device
+            # (steady_round_packed) with _res_counts_from_flags' math.
+            res_counts[:] = np.asarray(entry["res_counts"],
+                                       np.int64).ravel()
         seam_stats = np.zeros(8, np.int32)
 
         def seam(packed, mode):
@@ -2623,7 +2620,7 @@ class STC007Stitcher:
                 -1 if fixed is None else fixed,
                 order_preset, self.preset_video, bool(order_preset),
                 spec_ctx["packed1"], spec_ctx["samples_conv"],
-                spec_ctx["packed2"], seam_meta, dev_plain,
+                spec_ctx["res_counts"], seam_meta, dev_plain,
                 spec_ctx["geom"], spec_ctx["lpf"],
                 spec_ctx["carry_w"], spec_ctx["carry_ok"],
                 eff_n0, state)
@@ -2657,6 +2654,17 @@ class STC007Stitcher:
 
         r1o_cur, r1e_cur = r1o, r1e
         last = None
+        chunk_run = None
+
+        def flush_run():
+            o, nb_, rate_, emp_ = chunk_run
+            self.out_chunks.append(SampleChunk(
+                samples=samples[o:o + nb_].reshape(nb_ * 3, 2),
+                valid=wvalid[o:o + nb_].reshape(nb_ * 3, 2),
+                fixed=wfixed[o:o + nb_].reshape(nb_ * 3, 2),
+                block_ok=np.repeat(bvalid[o:o + nb_], 3),
+                sample_rate=rate_, emphasis=emp_))
+
         for i in range(n_done):
             r = rec[i]
             fno1, store1 = self.pending_frames[0]
@@ -2791,12 +2799,19 @@ class STC007Stitcher:
             self.broken_countdown = int(r[sn.REC_CD])
             emphasis = fa.ctrl_emphasis if fa.ctrl_seen \
                 else (f0.ctrl_emphasis if f0.ctrl_seen else False)
-            self.out_chunks.append(SampleChunk(
-                samples=samples[ofs:ofs + nb].reshape(nb * 3, 2),
-                valid=wvalid[ofs:ofs + nb].reshape(nb * 3, 2),
-                fixed=wfixed[ofs:ofs + nb].reshape(nb * 3, 2),
-                block_ok=np.repeat(bvalid[ofs:ofs + nb], 3),
-                sample_rate=rate, emphasis=emphasis))
+            # Coalesce contiguous same-rate/emphasis pairs into ONE
+            # SampleChunk (the outputs are offset-packed, so a run is a
+            # single slice): a steady round otherwise allocates five
+            # arrays per pair just to re-concatenate them in the audio
+            # stage.
+            if chunk_run is not None and chunk_run[2] == rate \
+                    and chunk_run[3] == emphasis \
+                    and chunk_run[0] + chunk_run[1] == ofs:
+                chunk_run[1] += nb
+            else:
+                if chunk_run is not None:
+                    flush_run()
+                chunk_run = [ofs, nb, rate, emphasis]
             # the _pump roll
             self.frame_log.append(fa.snapshot())
             self.pending_frames.pop(0)
@@ -2806,6 +2821,8 @@ class STC007Stitcher:
             self._steady_res = (fno2, ra, rb_)
             r1o_cur, r1e_cur = ra, rb_
             last = (store1, tff, int(r[sn.REC_TARGET]))
+        if chunk_run is not None:
+            flush_run()
 
         # Rebuild the conv carry from the LAST processed pair's frame-A
         # segments (the tail never reaches further back: 2*target rows

@@ -87,10 +87,79 @@ def test_unsupported_codec_raises(tmp_path):
     raw = bytearray(p.read_bytes())
     i = raw.find(b"Y800")          # strh fccHandler
     j = raw.find(b"Y800", i + 1)   # strf biCompression
-    raw[i:i + 4] = b"HFYU"
-    raw[j:j + 4] = b"HFYU"
+    raw[i:i + 4] = b"LAGS"         # Lagarith: genuinely unsupported
+    raw[j:j + 4] = b"LAGS"
     p.write_bytes(bytes(raw))
-    with pytest.raises(avi.AVIError, match="HFYU"):
+    with pytest.raises(avi.AVIError, match="LAGS"):
+        avi.AVIReader(p)
+
+
+def test_hfyu_round_trip(tmp_path):
+    """In-process HuffYUV (ffmpegwrapper.cpp:543 parity): write_avi's
+    HFYU encoder -> AVIReader decodes bit-exact luma, via the native
+    core AND the Python fallback."""
+    import os
+    from sdvpcmdecoder_tpu.pipeline import huffyuv as hf
+    rng = np.random.default_rng(5)
+    frames = np.clip(rng.normal(60, 25, (3, 24, 64)), 0,
+                     255).astype(np.uint8)
+    frames[:, :, 30:50] = 190      # PCM-ish bright band
+    p = tmp_path / "h.avi"
+    avi.write_avi(p, frames, codec="HFYU")
+    with avi.AVIReader(p) as rd:
+        np.testing.assert_array_equal(rd.read_frames(0, 3), frames)
+    # Python fallback decodes the same bytes identically
+    extra, payloads = hf.encode(frames)
+    lens3 = hf.parse_extradata(extra)
+    got = hf._decode_frame_py(payloads[1], 64, 24, lens3)
+    np.testing.assert_array_equal(got, frames[1])
+
+
+def test_hfyu_capture_decodes_like_uncompressed(tmp_path):
+    """A real PCM capture wrapped in HuffYUV produces the same WAV as
+    the same frames wrapped uncompressed (full-pipeline parity for the
+    in-process codec)."""
+    import os
+    from sdvpcmdecoder_tpu.pipeline import batch_driver
+    from sdvpcmdecoder_tpu.synth import encoder as enc
+    rng = np.random.default_rng(11)
+    lpf, W, nf = 294, 1152, 6
+    n = 3 * nf * 2 * lpf
+    fr = enc.encode_fields(rng.integers(1, 1 << 14, n),
+                           rng.integers(1, 1 << 14, n), nf, lines_pf=lpf)
+    vids = []
+    for f in fr:
+        px, _ = enc.render_lines(f["line_words"], f["crcs"], width=W,
+                                 ppb=8.0)
+        L = px.shape[0]
+        img = np.zeros((L, W), np.uint8)
+        img[0::2] = px[:L // 2]
+        img[1::2] = px[L // 2:]
+        vids.append(img)
+    vids = np.stack(vids)
+    wavs = {}
+    for codec in ("Y800", "HFYU"):
+        p = tmp_path / f"c_{codec}.avi"
+        avi.write_avi(p, vids, codec=codec)
+        out = tmp_path / f"o_{codec}.wav"
+        dec = batch_driver.BatchDecoder([(str(p), str(out))],
+                                        lines_per_field=lpf,
+                                        hyst_limit=2, shift_limit=1)
+        dec.run()
+        wavs[codec] = out.read_bytes()
+    assert wavs["HFYU"] == wavs["Y800"] and len(wavs["Y800"]) > 1000
+
+
+def test_hfyu_unsupported_predictor_raises(tmp_path):
+    frames = _frames(F=2)
+    p = tmp_path / "m.avi"
+    avi.write_avi(p, frames, codec="HFYU")
+    raw = bytearray(p.read_bytes())
+    i = raw.find(b"strf")
+    # method byte = extradata[0] = strf body offset 40
+    raw[i + 8 + 40] = 2            # "median" predictor: out of scope
+    p.write_bytes(bytes(raw))
+    with pytest.raises(avi.AVIError, match="predictor"):
         avi.AVIReader(p)
 
 
