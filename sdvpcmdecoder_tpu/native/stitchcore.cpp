@@ -1364,11 +1364,16 @@ int64_t stc007_steady_round(
 //
 // packed1 [B1, 2] u32 per seam/conv block (14-bit result in [,0],
 // 16-bit in [,1]; bit layout valid[0:8] | line_crc[8:16] | flags[16:22]
-// | STG_BAD_BLOCK at 22), conv_samples [Bc, 2, 6] i16, res_counts
-// [n_spec, 4] i64 (device-reduced fresh-field resolution counts).
-// seam_meta [n_pairs, 11] i64 per pair: inner(ofs,n) outer(ofs,n)
-// conv(ofs,n) conv_samples_ofs res_counts_row (pads unused); a row
-// with ofs < 0 has no spec.
+// | STG_BAD_BLOCK at 22; CONV blocks only — the seam queues are
+// reduced on device), conv_samples [Bc, 6] i16 (resolution-selected
+// on device with pred_mode; a pair whose conv/seam mode differs bails
+// BS_SPEC), res_counts [n_spec, 4] i64 (device-reduced fresh-field
+// resolution counts), seam_stats [n_spec, 2, 4] i32 (device-reduced
+// inner/outer burst counters under pred_mode + the dispatch
+// unch_lim).
+// seam_meta [n_pairs, 11] i64 per pair: (stats_row, inner_nb,
+// stats_row, outer_nb, conv_ofs, conv_n, conv_samples_ofs,
+// res_counts_row) (pads unused); a row with ofs < 0 has no spec.
 // dev_plain [n_frames] u8: store words came straight from this device
 // round (length 2*lpf, untouched).  The spec geometry (c1, c2, padI,
 // padO, tff, target) is what the device's row maps assumed — any pair
@@ -1394,11 +1399,12 @@ int64_t stc007_spec_round(
     int32_t fixed_mode,
     int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
     const uint32_t* packed1, const int16_t* conv_samples,
-    const int64_t* res_counts_in, const int64_t* seam_meta,
+    const int64_t* res_counts_in, const int32_t* seam_stats_in,
+    const int64_t* seam_meta,
     const uint8_t* dev_plain,
     int64_t spec_c1, int64_t spec_c2, int64_t spec_padI,
     int64_t spec_padO, int32_t spec_tff, int64_t spec_target,
-    int64_t lpf,
+    int64_t lpf, int32_t pred_mode,
     const int32_t* spec_carry_w, const uint8_t* spec_carry_ok,
     int64_t spec_n0,
     int64_t* state, int64_t* records,
@@ -1708,26 +1714,27 @@ int64_t stc007_spec_round(
                                               plo ? fb_odd_m : fb_even_m);
             }
         }
-        // --- seam verdicts from the device's packed dual evals ---
-        auto seam_from_spec = [&](int64_t ofs, int64_t nb, int mode,
+        // --- seam verdicts from the device-reduced burst counters ---
+        // (computed on device under pred_mode with the dispatch's
+        // unch_lim; any seam whose replay mode disagrees makes the
+        // speculation unusable for this pair.)
+        if (inner_mode != pred_mode || outer_mode != pred_mode) {
+            rec[RC_STATUS] = BS_SPEC;
+            break;
+        }
+        auto seam_from_spec = [&](int64_t srow, int sel, int64_t nb,
                                   int32_t* st4) {
-            for (int64_t i = 0; i < nb; ++i) {
-                const uint32_t p14 = packed1[(ofs + i) * 2];
-                const uint32_t p16 = packed1[(ofs + i) * 2 + 1];
-                fl[i] = ((spec_use16(p14, p16, mode) ? p16 : p14) >> 16)
-                        & 0x3F;
-            }
-            stc007_burst_stats(fl.data(), nb, unch_lim, en_q,
-                               max_burst_silence, max_burst_broken, st4);
+            const int32_t* s = seam_stats_in + (srow * 2 + sel) * 4;
+            for (int i = 0; i < 4; ++i) st4[i] = s[i];
             return nb > 0 && seam_ok(st4, unch_lim, max_burst_silence,
                                      max_burst_broken);
         };
         int32_t st4[4];
-        if (!seam_from_spec(sm[0], sm[1], inner_mode, st4)) {
+        if (!seam_from_spec(sm[0], 0, sm[1], st4)) {
             rec[RC_STATUS] = BS_SEAM_IN;
             break;
         }
-        if (!seam_from_spec(sm[2], sm[3], outer_mode, st4)) {
+        if (!seam_from_spec(sm[2], 1, sm[3], st4)) {
             rec[RC_STATUS] = BS_SEAM_OUT;
             break;
         }
@@ -1797,7 +1804,16 @@ int64_t stc007_spec_round(
         }
         const int conv_mode = fixed_mode >= 0 ? fixed_mode
             : res_mode_combine(cm0, cml);
+        if (conv_mode != pred_mode) {
+            // The device pre-selected samples for a different mode:
+            // this pair's speculation is unusable.
+            rec[RC_STATUS] = BS_SPEC;
+            break;
+        }
         // --- conv finalize from the device's packed eval ---
+        // (samples were resolution-selected ON DEVICE with pred_mode
+        // == conv_mode and the same use16 math over the bad bits, so
+        // the single-res stream corresponds per block.)
         const int64_t c_ofs = sm[4], cs_ofs = sm[6];
         for (int64_t i = 0; i < B; ++i) {
             const uint32_t p14 = packed1[(c_ofs + i) * 2];
@@ -1810,10 +1826,9 @@ int64_t stc007_spec_round(
                 va[i * 8 + k] = (sel >> k) & 1;
                 lc[i * 8 + k] = (sel >> (8 + k)) & 1;
             }
-            memcpy(samples + (out_ofs + i) * 6,
-                   conv_samples + ((cs_ofs + i) * 2 + (u16 ? 1 : 0)) * 6,
-                   6 * sizeof(int16_t));
         }
+        memcpy(samples + out_ofs * 6, conv_samples + cs_ofs * 6,
+               (size_t)B * 6 * sizeof(int16_t));
         int64_t cnt6[6];
         const int32_t cd = stc007_finalize_blocks(
             fl.data(), va.data(), lc.data(), resb.data(), nullptr,

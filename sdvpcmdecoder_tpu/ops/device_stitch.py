@@ -407,17 +407,18 @@ def round_param_layout(F):
     o, n = {}, 0
     for key, sz in (("coords", 2 * F), ("refs", F), ("blacks", F),
                     ("whites", F), ("usable", F),
-                    ("carry_w", MDD_ * 8), ("carry_ok", MDD_ * 8)):
+                    ("carry_w", MDD_ * 8), ("carry_ok", MDD_ * 8),
+                    ("pred_mode", 1), ("unch_lim", 1)):
         o[key] = n
         n += sz
     return o, n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("en_p", "en_q", "m2", "hyst_limit",
-                              "shift_limit", "use_pallas"))
+    jax.jit, static_argnames=("B_conv", "en_p", "en_q", "m2",
+                              "hyst_limit", "shift_limit", "use_pallas"))
 def steady_round_packed(pixels, params, prev_words, prev_ok8,
-                        rows_g1, rows_g2, conv_sel, silent_w,
+                        rows_g1, rows_g2, nb_seam, silent_w, B_conv,
                         en_p, en_q, m2, hyst_limit, shift_limit,
                         use_pallas):
     """One-upload / one-read steady round for tunneled accelerators.
@@ -426,13 +427,16 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     scalar input arrives in ONE i32 vector (round_param_layout) and
     every host-bound output leaves in ONE i32 buffer: words as u16
     pairs (they are 14-bit), crc|valid|dup as one word per line, the
-    dual-eval packs raw, and ONLY the conv queues' samples (the inner/
-    outer seam evals never need samples — stitcher_stc007
-    ._replay_spec_tail reads entry["conv_samples"] alone).  The tunnel
-    is ~43 MB/s with a ~31 ms RTT: bytes and round trips are the
-    production constraint, not FLOPs.  Returns (out i32 [N],
-    words_tail [Ls, 8], ok8_tail [Ls, 8]) — the tails stay on device
-    as the next round's prev_* inputs."""
+    conv queues' dual packs raw plus their samples PRE-SELECTED by the
+    predicted resolution mode, and the inner/outer seam queues fully
+    reduced to their 4 burst counters each (only [F, 2, 4] i32 cross).
+    The tunnel is ~43 MB/s with a ~31 ms RTT: bytes and round trips
+    are the production constraint, not FLOPs.  rows_g1 lays out ALL
+    conv blocks first (B_conv of them), then per pair the inner and
+    outer seam queues padded to B_MAX blocks (nb_seam [2F] i32 real
+    lengths).  Returns (out i32 [N], words_tail [Ls, 8], ok8_tail
+    [Ls, 8]) — the tails stay on device as the next round's prev_*
+    inputs."""
     F, Ls, _ = pixels.shape
     o, _n = round_param_layout(F)
 
@@ -446,6 +450,8 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     usable = cut("usable", F).astype(bool)
     carry_w = cut("carry_w", MDD_ * 8).reshape(MDD_, 8)
     carry_ok = cut("carry_ok", MDD_ * 8).reshape(MDD_, 8).astype(bool)
+    pred_mode = cut("pred_mode", 1)[0]
+    unch_lim = cut("unch_lim", 1)[0]
     (words, crc_read, valid, dup, packed1, samples1, packed2,
      wflat, ok8) = _steady_round_core(
         pixels, coords, refs, blacks, whites, usable,
@@ -456,9 +462,40 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     meta = (crc_read & 0xFFFF
             | (valid.astype(jnp.int32) << 16)
             | (dup.astype(jnp.int32) << 17)).reshape(-1)
-    p1 = jax.lax.bitcast_convert_type(packed1, jnp.int32).reshape(-1)
+
+    def use16_of(pk):
+        """spec_use16's exact math over the dual-eval bad bits."""
+        bad14 = (pk[:, 0] >> PACK_BAD_BIT) & 1
+        bad16 = (pk[:, 1] >> PACK_BAD_BIT) & 1
+        return ((pred_mode == di.RES_MODE_16BIT)
+                | ((pred_mode == di.RES_MODE_16BIT_AUTO)
+                   & ~((bad16 == 1) & (bad14 == 0)))
+                | ((pred_mode == di.RES_MODE_14BIT_AUTO)
+                   & (bad14 == 1) & (bad16 == 0)))
+
+    # Conv queues: dual packs raw + samples selected ON DEVICE by the
+    # predicted resolution mode (half the bytes of a dual readback).
+    # The replay verifies its actual conv mode equals pred_mode or
+    # bails the pair (BS_SPEC).
+    pk_conv = packed1[:B_conv]
+    p1 = jax.lax.bitcast_convert_type(pk_conv, jnp.int32).reshape(-1)
+    u16c = use16_of(pk_conv)
+    cs_sel = jnp.take_along_axis(
+        samples1[:B_conv], u16c.astype(jnp.int32)[:, None, None],
+        axis=1)[:, 0]                                        # [Bc, 6]
     cs = jax.lax.bitcast_convert_type(
-        samples1[conv_sel].reshape(-1, 2), jnp.int32)
+        cs_sel.reshape(-1, 2), jnp.int32)
+    # Inner/outer seam queues: burst counters reduced ON DEVICE under
+    # the same predicted mode (the serial tryPadding counters are a
+    # cumulative-scan formulation, burst_stats_batch) — [2F, 4] i32
+    # instead of every seam block's dual pack.
+    pk_seam = packed1[B_conv:]                               # [2F*B_MAX, 2]
+    u16s = use16_of(pk_seam).astype(jnp.int64)
+    sel = jnp.take_along_axis(pk_seam, u16s[:, None], axis=1)[:, 0]
+    sflags = ((sel >> 16) & 0x3F).astype(jnp.uint8).reshape(-1, B_MAX)
+    seam_stats = burst_stats_batch(
+        sflags, nb_seam, jnp.broadcast_to(unch_lim, nb_seam.shape),
+        en_q, MAX_BURST_SILENCE, MAX_BURST_BROKEN).reshape(-1)
     # Fresh-field resolution counts reduced ON DEVICE: the floored-
     # decrement block counter (getFieldResolution :1090-1140) is a
     # cumsum/cummin scan, so only [F, 2 fields, 2 resolutions] i32
@@ -476,15 +513,17 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
         counts = (cum[:, :, -1, :] - mn).reshape(-1)
     else:
         counts = jnp.zeros(F * 4, jnp.int32)
-    out = jnp.concatenate([w_pack, meta, p1, cs, counts])
+    out = jnp.concatenate([w_pack, meta, p1, cs, counts, seam_stats])
     return out, wflat[-Ls:], ok8[-Ls:]
 
 
-def unpack_round(buf, F, Ls, B1, Bc):
+def unpack_round(buf, F, Ls, Bc):
     """Host-side split of steady_round_packed's output buffer.  Returns
     (words [F,Ls,8] i32, crc_read [F,Ls] i32, valid, dup [F,Ls] bool,
-    packed1 [B1,2] u32, samples_conv [Bc,2,6] i16, res_counts [F,2,2]
-    i32 — per frame (odd, even) x (count14, count16))."""
+    packed_conv [Bc,2] u32, samples_conv [Bc,6] i16 (pred_mode-
+    selected), res_counts [F,2,2] i32 — per frame (odd, even) x
+    (count14, count16), seam_stats [F,2,4] i32 — per pair (inner,
+    outer) x (valid_max, silent_max, unch_max, broken))."""
     n_w, n_m = F * Ls * 4, F * Ls
     pos = 0
     words = buf[pos:pos + n_w].view(np.uint16) \
@@ -495,13 +534,16 @@ def unpack_round(buf, F, Ls, B1, Bc):
     crc_read = meta & 0xFFFF
     valid = (meta & (1 << 16)) != 0
     dup = (meta & (1 << 17)) != 0
-    packed1 = buf[pos:pos + 2 * B1].view(np.uint32).reshape(B1, 2)
-    pos += 2 * B1
-    samples_conv = buf[pos:pos + 6 * Bc].view(np.int16) \
-        .reshape(Bc, 2, 6)
-    pos += 6 * Bc
+    packed_conv = buf[pos:pos + 2 * Bc].view(np.uint32).reshape(Bc, 2)
+    pos += 2 * Bc
+    samples_conv = buf[pos:pos + 3 * Bc].view(np.int16) \
+        .reshape(Bc, 6)
+    pos += 3 * Bc
     res_counts = buf[pos:pos + 4 * F].reshape(F, 2, 2)
-    return words, crc_read, valid, dup, packed1, samples_conv, res_counts
+    pos += 4 * F
+    seam_stats = buf[pos:pos + 8 * F].reshape(F, 2, 4)
+    return (words, crc_read, valid, dup, packed_conv, samples_conv,
+            res_counts, seam_stats)
 
 
 def select_dual_host(packed, mode, samples=None):

@@ -208,10 +208,10 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -551,9 +551,9 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
                silent_w32, en_q, unch_lim, max_burst_silence,
                max_burst_broken, broken_mask_dur, auto_m2, m2,
                fixed_mode, preset_order, preset_vid, fa_order_preset,
-               packed1, conv_samples, res_counts, seam_meta, dev_plain,
-               spec_geom, lpf, spec_carry_w, spec_carry_ok, spec_n0,
-               state):
+               packed1, conv_samples, res_counts, seam_stats, seam_meta,
+               dev_plain, spec_geom, lpf, pred_mode, spec_carry_w,
+               spec_carry_ok, spec_n0, state):
     """stc007_spec_round: the steady-round state machine consuming the
     DEVICE round dispatch's packed dual-resolution evals (ops/
     device_stitch.steady_round_packed) — trim/split/state in C, signal
@@ -594,6 +594,7 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
     packed1 = np.ascontiguousarray(packed1, np.uint32)
     conv_samples = np.ascontiguousarray(conv_samples, np.int16)
     res_counts = np.ascontiguousarray(res_counts, np.int64)
+    seam_stats = np.ascontiguousarray(seam_stats, np.int32)
     seam_meta = np.ascontiguousarray(seam_meta, np.int64)
     dev_plain = _as_u8(dev_plain)
     spec_carry_w = np.ascontiguousarray(spec_carry_w, np.int32)
@@ -609,10 +610,10 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         int(fixed_mode),
         int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
         packed1.ctypes.data, conv_samples.ctypes.data,
-        res_counts.ctypes.data, seam_meta.ctypes.data,
-        dev_plain.ctypes.data,
+        res_counts.ctypes.data, seam_stats.ctypes.data,
+        seam_meta.ctypes.data, dev_plain.ctypes.data,
         int(c1), int(c2), int(padI), int(padO), int(bool(tff)),
-        int(target), int(lpf),
+        int(target), int(lpf), int(pred_mode),
         spec_carry_w.ctypes.data, spec_carry_ok.ctypes.data,
         int(spec_n0),
         state.ctypes.data, records.ctypes.data,

@@ -80,15 +80,34 @@ class _RoundRows:
 
         pad_i = np.full(padI, sil, np.int64)
         pad_o = np.full(padO, sil, np.int64)
-        g1, meta1, ofs = [], [], 0
+        # g1 layout: ALL conv blocks first (their packed evals + device-
+        # selected samples cross the tunnel), then the seam queues
+        # (inner, outer per pair) padded to B_SEAM blocks — their burst
+        # stats are reduced ON DEVICE, only [F, 2, 4] counters return.
+        from ..ops import device_stitch as _dsx
+        B_SEAM = _dsx.B_MAX
+        g_conv, g_seam, meta1, ofs = [], [], [], 0
+        nb_seam = np.zeros(2 * F, np.int32)
         head = min(lpf, KEEP)
         len1 = min(lpf, KEEP - padI)
         len1o = min(lpf, KEEP - padO)
+
+        def seam_blocks(queue):
+            b = blocks(queue) if len(queue) > MDD \
+                else np.zeros((0, 8), np.int64)
+            full = np.full((B_SEAM, 8), sil, np.int64)
+            full[:min(b.shape[0], B_SEAM)] = b[:B_SEAM]
+            return full, b.shape[0]
+
         for i in range(F):
             f1, f2 = fields(i - 1)
             fb1 = fields(i)[0]
             inner = np.concatenate([f1[lpf - len1:], pad_i, f2[:head]])
             outer = np.concatenate([f2[lpf - len1o:], pad_o, fb1[:head]])
+            bi, nbi = seam_blocks(inner)
+            bo, nbo = seam_blocks(outer)
+            g_seam += [bi, bo]
+            nb_seam[2 * i], nb_seam[2 * i + 1] = nbi, nbo
             tail = np.concatenate([f1[:c1], pad_i, f2[:c2], pad_o])
             if i == 0:
                 carry = np.arange(carry_ofs, carry_ofs + n0,
@@ -99,14 +118,14 @@ class _RoundRows:
                     [p1[:c1], pad_i, p2[:c2], pad_o])
                 carry = prev_tail[-MDD:]
             conv = np.concatenate([carry, tail])
-            m = {}
-            for key, q in (("inner", inner), ("outer", outer),
-                           ("conv", conv)):
-                b = blocks(q)
-                m[key] = (ofs, b.shape[0])
-                g1.append(b)
-                ofs += b.shape[0]
-            meta1.append(m)
+            b = blocks(conv)
+            meta1.append({"conv": (ofs, b.shape[0]),
+                          "inner_nb": nbi, "outer_nb": nbo})
+            g_conv.append(b)
+            ofs += b.shape[0]
+        g1 = g_conv + g_seam
+        self.nb_seam = jnp.asarray(nb_seam)
+        self.B_conv = ofs
         g2, meta2, ofs2 = [], [], 0
         for i in range(F):
             o = (i + 1) * Ls
@@ -126,18 +145,11 @@ class _RoundRows:
         self.g2 = jnp.asarray(
             np.concatenate(g2).astype(np.int32) if g2
             else np.zeros((1, 8), np.int32))
-        # Conv-queue block selector + per-frame offsets into the packed
-        # round's samples section (only conv samples cross the tunnel).
-        sel, meta_c, ofs_c = [], [], 0
-        for m in meta1:
-            o, n = m["conv"]
-            sel.append(np.arange(o, o + n, dtype=np.int64))
-            meta_c.append((ofs_c, n))
-            ofs_c += n
-        self.meta_conv = meta_c
-        self.conv_sel = jnp.asarray(np.concatenate(sel).astype(np.int32))
+        # conv blocks lead the g1 layout, so the packed round's samples
+        # section is just packed1[:B_conv]'s blocks in order.
+        self.meta_conv = [m["conv"] for m in meta1]
         self.B1 = int(self.g1.shape[0])
-        self.Bc = ofs_c
+        self.Bc = self.B_conv
         self.B2 = int(self.g2.shape[0])
 
 
@@ -273,6 +285,20 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             n0 = 0
         return padI, padO, target, tff, n0
 
+    def _predict_conv_mode(self, sti):
+        """The conv resolution mode the steady replay will compute —
+        fixed under M2/preset, else the settled majority resolution
+        (res_mode_combine of two equal plain modes is that mode).  A
+        wrong prediction only costs the speculation: the replay bails
+        the pair (BS_SPEC) and the native tail decodes it."""
+        from ..ops import deinterleave as di
+        fixed = sti._fixed_res_mode()
+        if fixed is not None:
+            return fixed
+        return (di.RES_MODE_16BIT
+                if sti.get_probable_resolution() == st.SAMPLE_RES_16BIT
+                else di.RES_MODE_14BIT)
+
     def _dispatch(self, j):
         with self._stage("dispatch"):
             F = min(self.frames_per_round, j.total_frames - j.frames_read)
@@ -323,10 +349,14 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             put("usable", prep["usable"])
             put("carry_w", carry_w)
             put("carry_ok", carry_ok)
+            pred_mode = self._predict_conv_mode(sti)
+            put("pred_mode", pred_mode)
+            unch_lim = sti.max_unch_14 if sti.en_q else sti.max_unch_16
+            put("unch_lim", unch_lim)
             out, wtail, oktail = ds.steady_round_packed(
                 px, jnp.asarray(params), j.prev_words, j.prev_ok8,
-                rows.g1, rows.g2, rows.conv_sel,
-                self._silent_dev(sti.mode_m2),
+                rows.g1, rows.g2, rows.nb_seam,
+                self._silent_dev(sti.mode_m2), B_conv=rows.B_conv,
                 en_p=sti.en_p, en_q=sti.en_q, m2=sti.mode_m2,
                 hyst_limit=self.hyst_limit, shift_limit=self.shift_limit,
                 use_pallas=self.use_pallas)
@@ -335,7 +365,8 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             j.prev_ok8 = oktail
             j.pending = dict(F=F, start=j.frames_read, prep=prep,
                              out=out, rows=rows, round_id=j.round_id,
-                             carry_w=carry_w, carry_ok=carry_ok, n0=n0)
+                             carry_w=carry_w, carry_ok=carry_ok, n0=n0,
+                             pred_mode=pred_mode)
             j.round_id += 1
             j.frames_read += F
             nxt = j.frames_read
@@ -357,10 +388,9 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         j.pending = None
         with self._stage("materialize"):
             rows_ = p["rows"]
-            words, crc_read, valid, dup, packed1, samples_conv, \
-                res_counts = ds.unpack_round(
-                    np.asarray(p["out"]), p["F"], j.Ls,
-                    rows_.B1, rows_.Bc)
+            (words, crc_read, valid, dup, packed1, samples_conv,
+             res_counts, seam_stats) = ds.unpack_round(
+                np.asarray(p["out"]), p["F"], j.Ls, rows_.Bc)
             # Read the next round's prescan sample HERE: its copy was
             # requested a full cycle ago (right after this round's
             # outputs), so it is local by now — reading it at dispatch
@@ -419,20 +449,15 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             rows = p["rows"]
             for i in range(F):
                 m1 = rows.meta1[i]
-                oc, nc = rows.meta_conv[i]
-
-                def cut1(key):
-                    o, n = m1[key]
-                    return packed1[o:o + n]
-
+                oc, nc = m1["conv"]
                 spec[(fno_before + i, fno_before + 1 + i)] = dict(
                     round_id=p["round_id"], pair_idx=i, lpf=rows.lpf,
-                    geom=rows.geom,
+                    geom=rows.geom, pred_mode=p["pred_mode"],
                     carry_n=p["n0"], carry_w=p["carry_w"],
                     carry_ok=p["carry_ok"],
-                    inner=cut1("inner"),
-                    outer=cut1("outer"),
-                    conv=cut1("conv"),
+                    seam_stats=seam_stats[i],
+                    seam_nb=(m1["inner_nb"], m1["outer_nb"]),
+                    conv=packed1[oc:oc + nc],
                     conv_samples=samples_conv[oc:oc + nc],
                     res_counts=res_counts[i])
             j.stitcher._steady_spec = spec
@@ -443,7 +468,9 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 pairs={k: i for i, k in enumerate(spec)},
                 meta1=rows.meta1, meta_conv=rows.meta_conv,
                 packed1=packed1, samples_conv=samples_conv,
-                res_counts=res_counts, geom=rows.geom, lpf=rows.lpf,
+                res_counts=res_counts, seam_stats=seam_stats,
+                geom=rows.geom, lpf=rows.lpf,
+                pred_mode=p["pred_mode"],
                 carry_n=p["n0"], carry_w=p["carry_w"],
                 carry_ok=p["carry_ok"])
         self._stitch_and_write(j, stores)

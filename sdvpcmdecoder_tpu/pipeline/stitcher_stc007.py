@@ -1971,12 +1971,22 @@ class STC007Stitcher:
         entry = self._match_spec_entry(c1, c2, padI, padO, tff,
                                        target, n0, field1, field2,
                                        f2f, f2o, f2e) if on_tpu else None
+        if entry is not None and entry["pred_mode"] != conv_mode:
+            # The device pre-selected conv samples for a different
+            # resolution mode: the speculation is unusable.
+            entry = None
         if entry is not None:
             rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
                 counters = self._replay_spec_tail(
                     entry, inner_mode, outer_first, outer_full,
                     outer_last_even, fb_unk_mode, unch_lim,
                     conv_mode)
+            if rc == -9:
+                # A seam mode disagreed with the device's prediction:
+                # fall through to a full recompute.
+                entry = None
+        if entry is not None:
+            pass  # spec replay produced the tail
         elif self.seam_backend == "tpu":
             rc, res_counts, _, samples, wvalid, wfixed, bvalid, \
                 counters = self._steady_tail_tpu(
@@ -2206,11 +2216,11 @@ class STC007Stitcher:
             if idx is None:
                 continue
             m1 = ctx["meta1"][idx]
-            oc, _nc = ctx["meta_conv"][idx]
-            seam_meta[i] = (m1["inner"][0], m1["inner"][1],
-                            m1["outer"][0], m1["outer"][1],
-                            m1["conv"][0], m1["conv"][1], oc,
-                            idx, 0, 0, 0)
+            oc, nc = m1["conv"]
+            # (seam_stats row, inner_nb, seam_stats row, outer_nb,
+            #  conv ofs, conv n, conv samples ofs, res/seam row idx)
+            seam_meta[i] = (idx, m1["inner_nb"], idx, m1["outer_nb"],
+                            oc, nc, oc, idx, 0, 0, 0)
         if seam_meta[0, 0] < 0:
             return None, None, None
         idx0 = pairs[(self.pending_frames[0][0],
@@ -2291,28 +2301,43 @@ class STC007Stitcher:
                                        np.int64).ravel()
         seam_stats = np.zeros(8, np.int32)
 
-        def seam(packed, mode):
-            flags, _, _, _ = _ds.select_dual_host(packed, mode)
-            vmax, smax, umax, bcnt = self._burst_from_aux(
-                dict(flags=flags), unch_lim)
-            st = StitchStats(index=0, valid=vmax, silent=smax,
-                             unchecked=umax, broken=bcnt)
-            return (np.array([vmax, smax, umax, bcnt], np.int32),
-                    self._stats_verdict(st, unch_lim))
+        def seam(k, mode):
+            # Burst counters were reduced ON DEVICE with pred_mode and
+            # the dispatch's unch_lim; valid only when the replay's
+            # actual mode agrees (else the whole entry is unusable).
+            if mode != entry["pred_mode"]:
+                return None, None
+            st4 = np.asarray(entry["seam_stats"][k], np.int32)
+            st = StitchStats(index=0, valid=int(st4[0]),
+                             silent=int(st4[1]), unchecked=int(st4[2]),
+                             broken=int(st4[3]))
+            return st4, self._stats_verdict(st, unch_lim)
 
-        seam_stats[:4], verdict = seam(entry["inner"], inner_mode)
+        st4, verdict = seam(0, inner_mode)
+        if st4 is None:
+            return (-9, res_counts, seam_stats, None, None, None, None,
+                    None)
+        seam_stats[:4] = st4
         if verdict != DS_RET_OK:
             return (-2, res_counts, seam_stats, None, None, None, None,
                     None)
         outer_mode = self._outer_mode_from_counts(
             outer_full, outer_first, outer_last_even, fb_unk_mode,
             res_counts)
-        seam_stats[4:], verdict = seam(entry["outer"], outer_mode)
+        st4, verdict = seam(1, outer_mode)
+        if st4 is None:
+            return (-9, res_counts, seam_stats, None, None, None, None,
+                    None)
+        seam_stats[4:] = st4
         if verdict != DS_RET_OK:
             return (-3, res_counts, seam_stats, None, None, None, None,
                     None)
-        flags, valid, lcrc, samples = _ds.select_dual_host(
-            entry["conv"], conv_mode, entry["conv_samples"])
+        # Samples were pre-selected on device with pred_mode == conv_mode
+        # (verified by the caller); the flag/valid select over the dual
+        # packs uses the same use16 math, so they correspond per block.
+        flags, valid, lcrc, _ = _ds.select_dual_host(
+            entry["conv"], conv_mode)
+        samples = np.asarray(entry["conv_samples"])
         samples, wvalid, wfixed, bvalid, counters, countdown = \
             self._finalize_blocks_steady(flags, valid, lcrc, samples)
         return (countdown, res_counts, seam_stats, samples, wvalid,
@@ -2620,8 +2645,10 @@ class STC007Stitcher:
                 -1 if fixed is None else fixed,
                 order_preset, self.preset_video, bool(order_preset),
                 spec_ctx["packed1"], spec_ctx["samples_conv"],
-                spec_ctx["res_counts"], seam_meta, dev_plain,
+                spec_ctx["res_counts"], spec_ctx["seam_stats"],
+                seam_meta, dev_plain,
                 spec_ctx["geom"], spec_ctx["lpf"],
+                spec_ctx["pred_mode"],
                 spec_ctx["carry_w"], spec_ctx["carry_ok"],
                 eff_n0, state)
         else:
