@@ -1362,11 +1362,11 @@ int64_t stc007_steady_round(
 // runtime's verify-and-consume loop (the C form of stitcher_stc007
 // ._replay_spec_tail, one call per ROUND instead of per pair).
 //
-// packed1 [B1, 2] u32 per seam/conv block (14-bit result in [,0],
-// 16-bit in [,1]; bit layout valid[0:8] | line_crc[8:16] | flags[16:22]
-// | STG_BAD_BLOCK at 22; CONV blocks only — the seam queues are
-// reduced on device), conv_samples [Bc, 6] i16 (resolution-selected
-// on device with pred_mode; a pair whose conv/seam mode differs bails
+// packed1 [Bc] u32 per CONV block, resolution-SELECTED on device with
+// pred_mode (bit layout valid[0:8] | line_crc[8:16] | flags[16:22] |
+// STG_BAD_BLOCK at 22 | chosen-res at 23; the seam queues are reduced
+// on device), conv_samples [Bc, 6] i16 (resolution-selected on device
+// with the same pred_mode; a pair whose conv/seam mode differs bails
 // BS_SPEC), res_counts [n_spec, 4] i64 (device-reduced fresh-field
 // resolution counts), seam_stats [n_spec, 2, 4] i32 (device-reduced
 // inner/outer burst counters under pred_mode + the dispatch
@@ -1380,14 +1380,6 @@ int64_t stc007_steady_round(
 // whose state-machine-derived geometry differs bails with BS_SPEC and
 // the Python per-pair path decides.
 // ---------------------------------------------------------------------------
-namespace {
-inline bool spec_use16(uint32_t p14, uint32_t p16, int mode) {
-    const bool bad14 = (p14 >> 22) & 1, bad16 = (p16 >> 22) & 1;
-    return mode == M16 || (mode == M16A && !(bad16 && !bad14))
-        || (mode == M14A && bad14 && !bad16);
-}
-}  // namespace
-
 int64_t stc007_spec_round(
     const int64_t* frames, int64_t n_frames,
     const int32_t* carry_w_in, const uint8_t* carry_c_in,
@@ -1811,17 +1803,13 @@ int64_t stc007_spec_round(
             break;
         }
         // --- conv finalize from the device's packed eval ---
-        // (samples were resolution-selected ON DEVICE with pred_mode
-        // == conv_mode and the same use16 math over the bad bits, so
-        // the single-res stream corresponds per block.)
+        // (pack AND samples were resolution-selected ON DEVICE with
+        // pred_mode == conv_mode; the chosen resolution rides bit 23.)
         const int64_t c_ofs = sm[4], cs_ofs = sm[6];
         for (int64_t i = 0; i < B; ++i) {
-            const uint32_t p14 = packed1[(c_ofs + i) * 2];
-            const uint32_t p16 = packed1[(c_ofs + i) * 2 + 1];
-            const bool u16 = spec_use16(p14, p16, conv_mode);
-            const uint32_t sel = u16 ? p16 : p14;
+            const uint32_t sel = packed1[c_ofs + i];
             fl[i] = (sel >> 16) & 0x3F;
-            resb[i] = u16 ? 1 : 0;
+            resb[i] = (sel >> 23) & 1;
             for (int k = 0; k < 8; ++k) {
                 va[i * 8 + k] = (sel >> k) & 1;
                 lc[i * 8 + k] = (sel >> (8 + k)) & 1;

@@ -285,6 +285,7 @@ def _top_aligned_head(words, crc8, cap=KEEP):
 # packed u32 block word: valid[0:8] | line_crc[8:16] | flags[16:22]
 # (FLAG_* order) | stage==BAD_BLOCK at bit 22.
 PACK_BAD_BIT = 22
+PACK_U16_BIT = 23   # selected-pack readback: 1 = 16-bit eval chosen
 
 
 def _dual_eval(words_all, crc_all, rows, en_p, en_q, m2):
@@ -473,13 +474,18 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
                 | ((pred_mode == di.RES_MODE_14BIT_AUTO)
                    & (bad14 == 1) & (bad16 == 0)))
 
-    # Conv queues: dual packs raw + samples selected ON DEVICE by the
-    # predicted resolution mode (half the bytes of a dual readback).
-    # The replay verifies its actual conv mode equals pred_mode or
-    # bails the pair (BS_SPEC).
+    # Conv queues: pack AND samples selected ON DEVICE by the
+    # predicted resolution mode (one u32 + 6 i16 per block instead of
+    # the dual readback).  The chosen resolution is recorded at bit 23
+    # of the selected pack (PACK_U16_BIT) for the host finalize.  The
+    # replay verifies its actual conv mode equals pred_mode or bails
+    # the pair (BS_SPEC).
     pk_conv = packed1[:B_conv]
-    p1 = jax.lax.bitcast_convert_type(pk_conv, jnp.int32).reshape(-1)
     u16c = use16_of(pk_conv)
+    sel_c = jnp.take_along_axis(
+        pk_conv, u16c.astype(jnp.int32)[:, None], axis=1)[:, 0]
+    sel_c = sel_c | (u16c.astype(jnp.uint32) << PACK_U16_BIT)
+    p1 = jax.lax.bitcast_convert_type(sel_c, jnp.int32)
     cs_sel = jnp.take_along_axis(
         samples1[:B_conv], u16c.astype(jnp.int32)[:, None, None],
         axis=1)[:, 0]                                        # [Bc, 6]
@@ -520,10 +526,11 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
 def unpack_round(buf, F, Ls, Bc):
     """Host-side split of steady_round_packed's output buffer.  Returns
     (words [F,Ls,8] i32, crc_read [F,Ls] i32, valid, dup [F,Ls] bool,
-    packed_conv [Bc,2] u32, samples_conv [Bc,6] i16 (pred_mode-
-    selected), res_counts [F,2,2] i32 — per frame (odd, even) x
-    (count14, count16), seam_stats [F,2,4] i32 — per pair (inner,
-    outer) x (valid_max, silent_max, unch_max, broken))."""
+    packed_conv [Bc] u32 (pred_mode-selected, chosen resolution at
+    PACK_U16_BIT), samples_conv [Bc,6] i16 (pred_mode-selected),
+    res_counts [F,2,2] i32 — per frame (odd, even) x (count14,
+    count16), seam_stats [F,2,4] i32 — per pair (inner, outer) x
+    (valid_max, silent_max, unch_max, broken))."""
     n_w, n_m = F * Ls * 4, F * Ls
     pos = 0
     words = buf[pos:pos + n_w].view(np.uint16) \
@@ -534,8 +541,8 @@ def unpack_round(buf, F, Ls, Bc):
     crc_read = meta & 0xFFFF
     valid = (meta & (1 << 16)) != 0
     dup = (meta & (1 << 17)) != 0
-    packed_conv = buf[pos:pos + 2 * Bc].view(np.uint32).reshape(Bc, 2)
-    pos += 2 * Bc
+    packed_conv = buf[pos:pos + Bc].view(np.uint32)
+    pos += Bc
     samples_conv = buf[pos:pos + 3 * Bc].view(np.int16) \
         .reshape(Bc, 6)
     pos += 3 * Bc
@@ -544,6 +551,18 @@ def unpack_round(buf, F, Ls, Bc):
     seam_stats = buf[pos:pos + 8 * F].reshape(F, 2, 4)
     return (words, crc_read, valid, dup, packed_conv, samples_conv,
             res_counts, seam_stats)
+
+
+def unpack_eval_host(sel):
+    """Decode device-selected single-pack evals (steady_round_packed's
+    conv section): sel [B] u32 with valid[0:8] | line_crc[8:16] |
+    flags[16:22] | bad at 22 | chosen-res at PACK_U16_BIT.  Returns
+    (flags u8 [B], valid [B,8] bool, lcrc [B,8] bool)."""
+    flags = ((sel >> 16) & 0x3F).astype(np.uint8)
+    bits = np.arange(8, dtype=np.uint32)
+    valid = ((sel[:, None] >> bits) & 1).astype(bool)
+    lcrc = ((sel[:, None] >> (8 + bits)) & 1).astype(bool)
+    return flags, valid, lcrc
 
 
 def select_dual_host(packed, mode, samples=None):

@@ -2332,11 +2332,11 @@ class STC007Stitcher:
         if verdict != DS_RET_OK:
             return (-3, res_counts, seam_stats, None, None, None, None,
                     None)
-        # Samples were pre-selected on device with pred_mode == conv_mode
-        # (verified by the caller); the flag/valid select over the dual
-        # packs uses the same use16 math, so they correspond per block.
-        flags, valid, lcrc, _ = _ds.select_dual_host(
-            entry["conv"], conv_mode)
+        # Pack and samples were both pre-selected on device with
+        # pred_mode == conv_mode (verified by the caller), so they
+        # correspond per block.
+        flags, valid, lcrc = _ds.unpack_eval_host(
+            np.asarray(entry["conv"]))
         samples = np.asarray(entry["conv_samples"])
         samples, wvalid, wfixed, bvalid, counters, countdown = \
             self._finalize_blocks_steady(flags, valid, lcrc, samples)
