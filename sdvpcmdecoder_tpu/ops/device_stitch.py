@@ -426,18 +426,19 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
 
     Identical compute to steady_round_dispatch, but every per-round
     scalar input arrives in ONE i32 vector (round_param_layout) and
-    every host-bound output leaves in ONE i32 buffer: words as u16
-    pairs (they are 14-bit), crc|valid|dup as one word per line, the
-    conv queues' dual packs raw plus their samples PRE-SELECTED by the
-    predicted resolution mode, and the inner/outer seam queues fully
-    reduced to their 4 burst counters each (only [F, 2, 4] i32 cross).
-    The tunnel is ~43 MB/s with a ~31 ms RTT: bytes and round trips
-    are the production constraint, not FLOPs.  rows_g1 lays out ALL
-    conv blocks first (B_conv of them), then per pair the inner and
-    outer seam queues padded to B_MAX blocks (nb_seam [2F] i32 real
-    lengths).  Returns (out i32 [N], words_tail [Ls, 8], ok8_tail
-    [Ls, 8]) — the tails stay on device as the next round's prev_*
-    inputs."""
+    every host-bound output leaves in ONE i32 buffer:
+    crc|valid|dup|cb|crcm as one word per line (the word VALUES never
+    cross — they stay resident and LineStore fetches rows lazily on a
+    fallback), the conv queues' pred-mode-selected pack + samples, and
+    the inner/outer seam queues fully reduced to their 4 burst
+    counters each (only [F, 2, 4] i32 cross).  The tunnel is
+    ~43 MB/s with a ~31 ms RTT: bytes and round trips are the
+    production constraint, not FLOPs.  rows_g1 lays out ALL conv
+    blocks first (B_conv of them), then per pair the inner and outer
+    seam queues padded to B_MAX blocks (nb_seam [2F] i32 real
+    lengths).  Returns (out i32 [N], words_flat [F*Ls, 8] resident
+    CB-rewritten words, words_tail [Ls, 8], ok8_tail [Ls, 8]) — the
+    tails stay on device as the next round's prev_* inputs."""
     F, Ls, _ = pixels.shape
     o, _n = round_param_layout(F)
 
@@ -458,11 +459,24 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
         pixels, coords, refs, blacks, whites, usable,
         prev_words, prev_ok8, carry_w, carry_ok, rows_g1, rows_g2,
         silent_w, en_p, en_q, m2, hyst_limit, shift_limit, use_pallas)
-    wp = words.reshape(-1, 2)
-    w_pack = (wp[:, 0] & 0xFFFF) | (wp[:, 1] << 16)
-    meta = (crc_read & 0xFFFF
+    # The word VALUES stay in HBM (wflat returns as a resident array;
+    # LineStore materializes rows lazily on a fallback).  What crosses
+    # is one i32 of per-line facts: the source CRC — REWRITTEN for
+    # Control-Block lines exactly as LineStore.from_decoded would
+    # (zero the cue words, re-CRC; stc007line.cpp:101-129) — plus
+    # valid/dup/cb/crc-match bits.
+    cb = valid & stc007.is_control_block(words, xp=jnp)       # [F, Ls]
+    words_rw = jnp.where(cb[..., None] & (jnp.arange(8) < 4),
+                         0, words)
+    crc_calc = stc007.calc_crc(words_rw, xp=jnp).astype(jnp.int32)
+    crc_out = jnp.where(cb, crc_calc, crc_read)
+    crcm = crc_calc == crc_out
+    meta = (crc_out & 0xFFFF
             | (valid.astype(jnp.int32) << 16)
-            | (dup.astype(jnp.int32) << 17)).reshape(-1)
+            | (dup.astype(jnp.int32) << 17)
+            | (cb.astype(jnp.int32) << 18)
+            | (crcm.astype(jnp.int32) << 19)).reshape(-1)
+    wflat_rw = words_rw.reshape(-1, 8)
 
     def use16_of(pk):
         """spec_use16's exact math over the dual-eval bad bits."""
@@ -519,28 +533,28 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
         counts = (cum[:, :, -1, :] - mn).reshape(-1)
     else:
         counts = jnp.zeros(F * 4, jnp.int32)
-    out = jnp.concatenate([w_pack, meta, p1, cs, counts, seam_stats])
-    return out, wflat[-Ls:], ok8[-Ls:]
+    out = jnp.concatenate([meta, p1, cs, counts, seam_stats])
+    return out, wflat_rw, wflat_rw[-Ls:], ok8[-Ls:]
 
 
 def unpack_round(buf, F, Ls, Bc):
     """Host-side split of steady_round_packed's output buffer.  Returns
-    (words [F,Ls,8] i32, crc_read [F,Ls] i32, valid, dup [F,Ls] bool,
-    packed_conv [Bc] u32 (pred_mode-selected, chosen resolution at
-    PACK_U16_BIT), samples_conv [Bc,6] i16 (pred_mode-selected),
+    (crc_read [F,Ls] i32 (CB-rewritten), valid, dup, cb, crcm [F,Ls]
+    bool, packed_conv [Bc] u32 (pred_mode-selected, chosen resolution
+    at PACK_U16_BIT), samples_conv [Bc,6] i16 (pred_mode-selected),
     res_counts [F,2,2] i32 — per frame (odd, even) x (count14,
     count16), seam_stats [F,2,4] i32 — per pair (inner, outer) x
-    (valid_max, silent_max, unch_max, broken))."""
-    n_w, n_m = F * Ls * 4, F * Ls
+    (valid_max, silent_max, unch_max, broken)).  The word values do
+    NOT cross: they stay in the round's resident words_flat array."""
+    n_m = F * Ls
     pos = 0
-    words = buf[pos:pos + n_w].view(np.uint16) \
-        .reshape(F, Ls, 8).astype(np.int32)
-    pos += n_w
     meta = buf[pos:pos + n_m].reshape(F, Ls)
     pos += n_m
     crc_read = meta & 0xFFFF
     valid = (meta & (1 << 16)) != 0
     dup = (meta & (1 << 17)) != 0
+    cb = (meta & (1 << 18)) != 0
+    crcm = (meta & (1 << 19)) != 0
     packed_conv = buf[pos:pos + Bc].view(np.uint32)
     pos += Bc
     samples_conv = buf[pos:pos + 3 * Bc].view(np.int16) \
@@ -549,7 +563,7 @@ def unpack_round(buf, F, Ls, Bc):
     res_counts = buf[pos:pos + 4 * F].reshape(F, 2, 2)
     pos += 4 * F
     seam_stats = buf[pos:pos + 8 * F].reshape(F, 2, 4)
-    return (words, crc_read, valid, dup, packed_conv, samples_conv,
+    return (crc_read, valid, dup, cb, crcm, packed_conv, samples_conv,
             res_counts, seam_stats)
 
 

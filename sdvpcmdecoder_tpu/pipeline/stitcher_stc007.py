@@ -78,11 +78,41 @@ SRV_NO, SRV_NEW_FILE, SRV_END_FILE, SRV_FILLER, SRV_END_FIELD, \
 # Line storage
 # ---------------------------------------------------------------------------
 class LineStore:
-    """Struct-of-arrays container of binarized STC-007 lines."""
+    """Struct-of-arrays container of binarized STC-007 lines.
+
+    `words` may be LAZY: a store built by `from_decoded_spec` (the
+    chip-resident driver, pipeline/device_driver) holds a fetch
+    closure instead of the [n, 8] array, and the first `.words` read
+    materializes it (pulling the rows from the device buffer).  Every
+    per-line fact the steady machinery needs (CRC validity, service
+    tags, duplicate flags) is carried by eager arrays, so steady
+    rounds never touch `.words` and the word values never cross the
+    tunnel; fallback pairs, CWD, Control-Block parsing and rendering
+    materialize transparently.  take/view/concat propagate laziness."""
 
     FIELDS = ("words", "source_crc", "word_crc", "word_valid",
               "frame_number", "line_number", "ref_level", "forced_bad",
               "coords_valid", "bw_set", "service", "has_markers")
+
+    @property
+    def words(self):
+        w = self._words
+        if w is None:
+            w = self._words = np.asarray(self._words_fetch(), np.int64)
+            self._words_fetch = None
+        return w
+
+    @words.setter
+    def words(self, v):
+        self._words = v
+        self._words_fetch = None
+
+    def _set_lazy_words(self, fetch):
+        self._words = None
+        self._words_fetch = fetch
+
+    def words_materialized(self):
+        return self._words is not None
 
     def __init__(self, n: int):
         self.words = np.zeros((n, 8), dtype=np.int64)
@@ -112,12 +142,19 @@ class LineStore:
     def copy(self):
         out = LineStore._blank()
         for f in self.FIELDS:
+            if f == "words" and self._words is None:
+                out._set_lazy_words(lambda s=self: s.words.copy())
+                continue
             setattr(out, f, getattr(self, f).copy())
         return out
 
     def take(self, idx) -> "LineStore":
         out = LineStore._blank()
         for f in self.FIELDS:
+            if f == "words" and self._words is None:
+                ix = np.asarray(idx).copy()
+                out._set_lazy_words(lambda s=self, ix=ix: s.words[ix])
+                continue
             a = getattr(self, f)[idx]
             # Fancy indexing already copied; only slices are views.
             setattr(out, f, a.copy() if a.base is not None else a)
@@ -144,6 +181,9 @@ class LineStore:
         immutable."""
         out = LineStore._blank()
         for f in self.FIELDS:
+            if f == "words" and self._words is None:
+                out._set_lazy_words(lambda s=self, sl=sl: s.words[sl])
+                continue
             setattr(out, f, getattr(self, f)[sl])
         cached = getattr(self, "_crcv", None)
         if cached is not None:
@@ -155,6 +195,9 @@ class LineStore:
         (which copies); the view itself must not outlive the source."""
         out = LineStore._blank()
         for f in self.FIELDS:
+            if f == "words" and self._words is None:
+                out._set_lazy_words(lambda s=self, a=a, b=b: s.words[a:b])
+                continue
             setattr(out, f, getattr(self, f)[a:b])
         cached = getattr(self, "_crcv", None)
         if cached is not None:
@@ -165,6 +208,11 @@ class LineStore:
     def concat(stores) -> "LineStore":
         out = LineStore._blank()
         for f in LineStore.FIELDS:
+            if f == "words" and any(s._words is None for s in stores):
+                parts = list(stores)
+                out._set_lazy_words(lambda ps=parts: np.concatenate(
+                    [p.words for p in ps]))
+                continue
             setattr(out, f, np.concatenate([getattr(s, f) for s in stores]))
         # The CRC-valid cache composes: avoids re-CRC'ing every frame pair
         # (each frame is otherwise CRC'd once as frame 2, again as frame 1).
@@ -295,6 +343,41 @@ class LineStore:
                 if _sn.available() else stc007.calc_crc(w_inv, xp=np)
             crcv[inv] = calc == out.source_crc[inv]
         out._crcv = crcv
+        return out
+
+    @staticmethod
+    def from_decoded_spec(fetch, crc_read, valid, cb, crcm,
+                          frame_number, line_number, ref_level=None):
+        """from_decoded for the chip-resident driver: the per-line
+        facts (crc_read ALREADY rewritten for Control-Block lines,
+        valid, cb = valid CB line, crcm = calc_crc(words) == crc_read)
+        were computed ON DEVICE (ops/device_stitch.steady_round_packed)
+        and the word values stay in HBM — `fetch` materializes them
+        (CB-rewritten, matching from_decoded's store content exactly)
+        only if a fallback/CWD/render path reads `.words`."""
+        n = len(crc_read)
+        out = LineStore._blank()
+        out._set_lazy_words(fetch)
+        out.forced_bad = np.zeros(n, bool)
+        out.source_crc = np.array(crc_read, np.int64)
+        v = np.asarray(valid, bool)
+        out.word_crc = np.repeat(v[:, None], 9, axis=1)
+        out.word_valid = out.word_crc.copy()
+        out.frame_number = np.array(frame_number, np.int64)
+        out.line_number = np.array(line_number, np.int64)
+        out.ref_level = np.zeros(n, np.int64) if ref_level is None \
+            else np.asarray(ref_level, np.int64).copy()
+        out.coords_valid = np.ones(n, bool)
+        out.bw_set = np.ones(n, bool)
+        out.service = np.zeros(n, np.int8)
+        out.has_markers = v.copy()
+        cb = np.asarray(cb, bool)
+        if cb.any():
+            out.service[cb] = SRV_CTRL_BLOCK
+        # crcm is calc==read over the (CB-rewritten) device words: True
+        # by construction for valid rows, the from_decoded re-CRC
+        # verdict for the rest.
+        out._crcv = np.asarray(crcm, bool) | v
         return out
 
 
