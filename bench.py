@@ -85,6 +85,40 @@ def device_only_fps():
     return frames_per_call * n_iter / dt
 
 
+def device_smoke():
+    """Seconds-fast sanity pass of the chip-resident driver (2 captures
+    x 8 frames through DeviceBatchDecoder, WAV-identical to native) so
+    a broken flagship surfaces as a traceback in `extra`, not as a
+    silent null after a 30-minute bench.  Returns (ok, note)."""
+    import traceback
+    from sdvpcmdecoder_tpu.pipeline import batch_driver, device_driver
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            jobs = make_captures(tmp, 2, 8)
+
+            def run(tag, cls, **kw):
+                dec = cls(jobs, hyst_limit=4, shift_limit=2,
+                          frames_per_round=4, **kw)
+                for k, j in enumerate(dec.jobs):
+                    j.out_path = os.path.join(tmp, f"{tag}{k}.wav")
+                dec.run()
+                return [open(j.out_path, "rb").read() for j in dec.jobs]
+
+            dev = run("d", device_driver.DeviceBatchDecoder)
+            nat = run("n", batch_driver.BatchDecoder, backend="native")
+            if dev != nat:
+                return False, "smoke WAVs differ from native"
+            return True, None
+    except Exception:
+        return False, traceback.format_exc().strip().splitlines()[-1]
+
+
+def _med_cv(vals):
+    med = float(np.median(vals))
+    cv = float(np.std(vals) / np.mean(vals)) if len(vals) > 1 else 0.0
+    return round(med, 2), round(cv, 3)
+
+
 def device_e2e_fps():
     """Chip-resident e2e: pixels staged in HBM once, the full decode
     (binarize + seam scoring + deinterleave/ECC + sample assembly) runs
@@ -113,15 +147,19 @@ def device_e2e_fps():
                                   for j in dec.jobs]
 
         run("w", device_driver.DeviceBatchDecoder)  # compile warm-up
-        best, stage_s, dev_wavs = 0.0, 0.0, None
+        best, stage_s, dev_wavs, fpss = 0.0, 0.0, None, []
         for t in "abc":
             fps, ss, wavs = run(t, device_driver.DeviceBatchDecoder)
+            fpss.append(fps)
             if fps > best:
                 best, stage_s, dev_wavs = fps, ss, wavs
         _, _, nat_wavs = run("n", batch_driver.BatchDecoder,
                              backend="native")
         ident = all(a == b for a, b in zip(dev_wavs, nat_wavs))
-        return best, stage_s, ident
+        med, cv = _med_cv(fpss)
+        return dict(best=round(best, 2), median=med, cv=cv,
+                    staging_seconds=round(stage_s, 3),
+                    wav_identical=bool(ident))
 
 
 def make_captures(tmp, n_caps, n_frames):
@@ -175,12 +213,15 @@ def e2e_fps(tmp):
         return fps
 
     run("warm", record=False)          # compile / cache warm-up
-    # Best-of-5: this 1-core host shows +/-40% run-to-run noise, and the
-    # stage table always belongs to the run behind the headline number.
-    fps = max(run(t) for t in "abcde")
+    # Median-of-5 is the recorded number (this 1-core host shows big
+    # run-to-run noise; a best-of hides regressions); best + CV ride
+    # along so round-over-round comparisons carry their error bars.
+    fpss = [run(t) for t in "abcde"]
+    med, cv = _med_cv(fpss)
     backend = stage.pop("_backend", "?")
     stage.pop("_fps", None)
-    return fps, backend, stage
+    return dict(median=med, cv=cv, best=round(max(fpss), 2),
+                backend=backend, stage=stage)
 
 
 def make_pcm1_captures(tmp, n_caps, n_frames):
@@ -319,14 +360,22 @@ def main():
         return
     if "--device-bench" in sys.argv:
         jaxcache.enable()
-        dev = device_only_fps()
-        e2e, stage_s, ident = device_e2e_fps()
-        print(json.dumps({
-            "device_decode_frames_per_sec": round(dev, 2),
-            "device_e2e_frames_per_sec": round(e2e, 2),
-            "device_e2e_staging_seconds": round(stage_s, 3),
-            "device_e2e_wav_identical": bool(ident),
-        }))
+        smoke_ok, smoke_note = device_smoke()
+        out = {"device_smoke_ok": bool(smoke_ok)}
+        if smoke_note:
+            out["device_smoke_note"] = smoke_note
+        if smoke_ok:
+            dev = device_only_fps()
+            e2e = device_e2e_fps()
+            out.update({
+                "device_decode_frames_per_sec": round(dev, 2),
+                "device_e2e_frames_per_sec": e2e["median"],
+                "device_e2e_best_frames_per_sec": e2e["best"],
+                "device_e2e_cv": e2e["cv"],
+                "device_e2e_staging_seconds": e2e["staging_seconds"],
+                "device_e2e_wav_identical": e2e["wav_identical"],
+            })
+        print(json.dumps(out))
         return
     # The e2e paths run the host-native backend.  A wedged accelerator
     # tunnel hangs JAX initialization in-process even under
@@ -343,13 +392,16 @@ def main():
     jaxcache.enable()
     dev_fps, dev_note = device_fps_subprocess(env=device_env)
     with tempfile.TemporaryDirectory() as tmp:
-        fps, backend, stage = e2e_fps(tmp)
+        host = e2e_fps(tmp)
         p1_fps = other_fmt_fps(tmp, "pcm1", make_pcm1_captures)
         p16_fps = other_fmt_fps(tmp, "pcm16x0", make_pcm16x0_captures)
     extra = {"pcm1_e2e_frames_per_sec": round(p1_fps, 2),
              "pcm16x0_e2e_frames_per_sec": round(p16_fps, 2),
-             "backend": backend,
-             "stage_seconds": stage,
+             "host_e2e_frames_per_sec": host["median"],
+             "host_e2e_best_frames_per_sec": host["best"],
+             "host_e2e_cv": host["cv"],
+             "host_backend": host["backend"],
+             "stage_seconds": host["stage"],
              "e2e_scope": "y4m ingest + v2d prescan + trial-grid "
                           "binarize + host stitch + P/Q ECC + audio "
                           "mask + wav, 8 concurrent captures"}
@@ -359,6 +411,16 @@ def main():
         extra["device_decode_frames_per_sec"] = None
         extra["device_e2e_frames_per_sec"] = None
         extra["device_bench_note"] = dev_note
+    # Headline: the better full-pipeline e2e of the two engines — the
+    # chip-resident driver when the accelerator is reachable and
+    # WAV-identical, else the host-native streaming backend.  Both are
+    # medians with CV recorded in extra.
+    fps, backend = host["median"], host["backend"]
+    dev_e2e = (dev_fps or {}).get("device_e2e_frames_per_sec")
+    if dev_e2e and (dev_fps or {}).get("device_e2e_wav_identical") \
+            and dev_e2e > fps:
+        fps, backend = dev_e2e, "device"
+    extra["backend"] = backend
     print(json.dumps({
         "metric": "stc007_pal_e2e_frames_per_sec",
         "value": round(fps, 2),

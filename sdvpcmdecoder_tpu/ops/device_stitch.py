@@ -417,11 +417,13 @@ def round_param_layout(F):
 
 @functools.partial(
     jax.jit, static_argnames=("B_conv", "en_p", "en_q", "m2",
-                              "hyst_limit", "shift_limit", "use_pallas"))
+                              "hyst_limit", "shift_limit", "use_pallas",
+                              "chained"))
 def steady_round_packed(pixels, params, prev_words, prev_ok8,
+                        carry_w_dev, carry_ok_dev, carry_next_rows,
                         rows_g1, rows_g2, nb_seam, silent_w, B_conv,
                         en_p, en_q, m2, hyst_limit, shift_limit,
-                        use_pallas):
+                        use_pallas, chained=False):
     """One-upload / one-read steady round for tunneled accelerators.
 
     Identical compute to steady_round_dispatch, but every per-round
@@ -450,8 +452,17 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     blacks = cut("blacks", F)
     whites = cut("whites", F)
     usable = cut("usable", F).astype(bool)
-    carry_w = cut("carry_w", MDD_ * 8).reshape(MDD_, 8)
-    carry_ok = cut("carry_ok", MDD_ * 8).reshape(MDD_, 8).astype(bool)
+    if chained:
+        # The pair-0 carry is the PREVIOUS round's device-computed
+        # chain carry (carry_next_* outputs) — nothing was uploaded and
+        # the host never materialized its conv words.  The replay
+        # verifies via the _steady_chain rule (carry_n = -1).
+        carry_w = carry_w_dev
+        carry_ok = carry_ok_dev
+    else:
+        carry_w = cut("carry_w", MDD_ * 8).reshape(MDD_, 8)
+        carry_ok = cut("carry_ok", MDD_ * 8).reshape(MDD_, 8) \
+            .astype(bool)
     pred_mode = cut("pred_mode", 1)[0]
     unch_lim = cut("unch_lim", 1)[0]
     (words, crc_read, valid, dup, packed1, samples1, packed2,
@@ -534,7 +545,18 @@ def steady_round_packed(pixels, params, prev_words, prev_ok8,
     else:
         counts = jnp.zeros(F * 4, jnp.int32)
     out = jnp.concatenate([meta, p1, cs, counts, seam_stats])
-    return out, wflat_rw, wflat_rw[-Ls:], ok8[-Ls:]
+    # The NEXT round's chained pair-0 carry, computed here so steady
+    # chains never upload a carry or materialize host conv words:
+    # the end-of-round conv tail rows gathered over the CB-REWRITTEN
+    # buffer (= the host store/conv content by construction).
+    words_all_rw = jnp.concatenate([prev_words, wflat_rw, carry_w,
+                                    silent_w[None, :]])
+    ok_all = jnp.concatenate([prev_ok8, ok8, carry_ok,
+                              jnp.zeros((1, 8), bool)])
+    carry_next_w = words_all_rw[carry_next_rows]
+    carry_next_ok = ok_all[carry_next_rows]
+    return (out, wflat_rw, wflat_rw[-Ls:], ok8[-Ls:],
+            carry_next_w, carry_next_ok)
 
 
 def unpack_round(buf, F, Ls, Bc):

@@ -572,7 +572,10 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
             crcv = np.ascontiguousarray(crcv, bool)
             keep.append(crcv)
-        fp[i, 0] = s.words.ctypes.data
+        # stc007_spec_round never reads FP_WORDS (its evals come from
+        # the device's packed buffers) — keep lazy stores lazy instead
+        # of materializing a full device readback for an unused pointer.
+        fp[i, 0] = s.words.ctypes.data if s.words_materialized() else 0
         fp[i, 1] = s.word_crc.ctypes.data
         fp[i, 2] = s.forced_bad.ctypes.data
         fp[i, 3] = s.line_number.ctypes.data

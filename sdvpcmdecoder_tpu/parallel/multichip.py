@@ -44,14 +44,18 @@ class ShardedBatchDecoder:
 
     def _run_shard(self, dev, shard_jobs, out, idx):
         from ..pipeline import batch_driver
-        with jax.default_device(dev):
-            dec = batch_driver.BatchDecoder(shard_jobs, fmt=self.fmt,
-                                            **self.kw)
-            res = dec.run()
-        frames = sum(j.stats.frames_total for j in dec.jobs)
-        samples = sum(j.stats.samples_out for j in dec.jobs)
-        masked = sum(j.stats.samples_masked for j in dec.jobs)
-        out[idx] = (res, np.array([frames, samples, masked], np.int64))
+        try:
+            with jax.default_device(dev):
+                dec = batch_driver.BatchDecoder(shard_jobs, fmt=self.fmt,
+                                                **self.kw)
+                res = dec.run()
+            frames = sum(j.stats.frames_total for j in dec.jobs)
+            samples = sum(j.stats.samples_out for j in dec.jobs)
+            masked = sum(j.stats.samples_masked for j in dec.jobs)
+            out[idx] = (res, np.array([frames, samples, masked],
+                                      np.int64))
+        except BaseException as e:   # noqa: BLE001 — re-raised in run()
+            out[idx] = e
 
     def run(self):
         n = max(1, min(len(self.devices), len(self.jobs)))
@@ -68,8 +72,11 @@ class ShardedBatchDecoder:
         for t in threads:
             t.join()
         for i, o in enumerate(out):
+            if isinstance(o, BaseException):
+                raise RuntimeError(
+                    f"shard {i} ({shards[i]}) failed: {o!r}") from o
             if o is None:
-                raise RuntimeError(f"shard {i} failed")
+                raise RuntimeError(f"shard {i} produced no result")
         self.shard_stats = np.stack([o[1] for o in out])
         self.stats = self._reduce_stats(self.shard_stats, n)
         merged = {}

@@ -347,7 +347,8 @@ class LineStore:
 
     @staticmethod
     def from_decoded_spec(fetch, crc_read, valid, cb, crcm,
-                          frame_number, line_number, ref_level=None):
+                          frame_number, line_number, ref_level=None,
+                          forced_bad=None):
         """from_decoded for the chip-resident driver: the per-line
         facts (crc_read ALREADY rewritten for Control-Block lines,
         valid, cb = valid CB line, crcm = calc_crc(words) == crc_read)
@@ -358,7 +359,8 @@ class LineStore:
         n = len(crc_read)
         out = LineStore._blank()
         out._set_lazy_words(fetch)
-        out.forced_bad = np.zeros(n, bool)
+        out.forced_bad = np.zeros(n, bool) if forced_bad is None \
+            else np.asarray(forced_bad, bool).copy()
         out.source_crc = np.array(crc_read, np.int64)
         v = np.asarray(valid, bool)
         out.word_crc = np.repeat(v[:, None], 9, axis=1)
@@ -2308,7 +2310,7 @@ class STC007Stitcher:
             return None, None, None
         idx0 = pairs[(self.pending_frames[0][0],
                       self.pending_frames[1][0])]
-        if idx0 == 0:
+        if idx0 == 0 and ctx["carry_n"] >= 0:
             eff_n0 = ctx["carry_n"]
         else:
             # Mid-round entry: the device assumed the chained MDD-row
@@ -2347,7 +2349,7 @@ class STC007Stitcher:
                 and self._plain_field_ok(f2o, lpf, True)
                 and self._plain_field_ok(f2e, lpf, False)):
             return None
-        if entry["pair_idx"] == 0:
+        if entry["pair_idx"] == 0 and entry["carry_n"] >= 0:
             conv = self.conv_queue
             if len(conv) != n0 or entry["carry_n"] != n0:
                 return None
@@ -2718,8 +2720,15 @@ class STC007Stitcher:
             seam_meta, dev_plain, eff_n0 = self._spec_round_meta(spec_ctx)
             if seam_meta is None:
                 return False
+            # Chain-verified entry (eff_n0 < 0): C only memcmps the
+            # carry under eff_n0 >= 0, so a lazy conv stays lazy — no
+            # device readback just to fill an unread argument.
+            if eff_n0 < 0 and not conv.words_materialized():
+                carry_w32 = np.zeros((len(conv), 8), np.int32)
+            else:
+                carry_w32 = conv.words_i32()
             n_done, rec, samples, wvalid, wfixed, bvalid = sn.spec_round(
-                self.pending_frames, conv.words_i32(), conv.crc_ok8(),
+                self.pending_frames, carry_w32, conv.crc_ok8(),
                 np.ascontiguousarray(conv.line_number, np.int64),
                 np.ascontiguousarray(conv.frame_number, np.int64),
                 self._silent_words32(), self.en_q, unch_lim,

@@ -113,3 +113,67 @@ def test_device_driver_spec_engagement_counts(tmp_path):
     assert hits[0] + hits[1] >= 10, hits
     assert hits[0] >= 5, hits    # the C round path actually engages
     assert hits[2] <= 2, hits    # per-pair fallback stays exceptional
+
+
+def test_device_driver_chained_carry(tmp_path):
+    """On a clean capture, every round after the first must dispatch
+    CHAINED: the pair-0 carry comes from the device's own carry_next
+    output (no upload, no host conv-word materialization) and the WAV
+    still equals the native decoder byte for byte."""
+    from sdvpcmdecoder_tpu.ops import device_stitch as ds
+    tmp = str(tmp_path)
+    jobs = [(_write_capture(tmp, "c", 12, PAL, seed=1),
+             os.path.join(tmp, "o.wav"))]
+    ref, _ = _run(batch_driver.BatchDecoder, jobs, tmp, "ref", PAL,
+                  backend="native")
+    calls = {"chained": 0, "uploaded": 0}
+    orig = ds.steady_round_packed
+
+    def spy(*a, **k):
+        calls["chained" if k.get("chained") else "uploaded"] += 1
+        return orig(*a, **k)
+
+    device_driver.ds.steady_round_packed = spy
+    try:
+        dev, dec = _run(device_driver.DeviceBatchDecoder, jobs, tmp,
+                        "dev", PAL)
+    finally:
+        device_driver.ds.steady_round_packed = orig
+    assert ref[0] == dev[0]
+    # 12 frames / 5 per round = 3 rounds; only round 0 may upload.
+    assert calls["uploaded"] == 1, calls
+    assert calls["chained"] >= 2, calls
+
+
+def test_device_driver_steady_rounds_never_materialize(tmp_path):
+    """Lazy-words invariant: on a clean capture the number of device
+    word materializations is a PER-CAPTURE constant (settle-in pairs +
+    the finish tail) — steady chained rounds add zero, so doubling the
+    frame count must not change the count."""
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    tmp = str(tmp_path)
+    counts = {}
+    orig_get = st.LineStore.words.fget
+
+    def run_counted(nf):
+        n = [0]
+
+        def spy_get(self):
+            if self._words is None:
+                n[0] += 1
+            return orig_get(self)
+
+        st.LineStore.words = property(spy_get, st.LineStore.words.fset)
+        try:
+            jobs = [(_write_capture(tmp, f"c{nf}", nf, PAL, seed=1),
+                     os.path.join(tmp, f"o{nf}.wav"))]
+            _run(device_driver.DeviceBatchDecoder, jobs, tmp,
+                 f"dev{nf}", PAL)
+        finally:
+            st.LineStore.words = property(orig_get,
+                                          st.LineStore.words.fset)
+        return n[0]
+
+    counts[10] = run_counted(10)
+    counts[20] = run_counted(20)
+    assert counts[20] == counts[10], counts
