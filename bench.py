@@ -162,6 +162,36 @@ def device_e2e_fps():
                     wav_identical=bool(ident))
 
 
+def device_pcm_fps(fmt, make, n_caps=4, n_frames=24):
+    """Chip-resident PCM-1/16x0 e2e (pipeline/device_pcm): fps median
+    over 3 runs + WAV identity vs the native batch driver."""
+    from sdvpcmdecoder_tpu.pipeline import batch_driver, device_pcm
+    with tempfile.TemporaryDirectory() as tmp:
+        jobs = make(tmp, n_caps, n_frames)
+
+        def run(tag, cls, **kw):
+            dec = cls(jobs, shift_limit=1, frames_per_round=8,
+                      fmt=fmt, **kw)
+            for k, j in enumerate(dec.jobs):
+                j.out_path = os.path.join(tmp, f"{fmt}{tag}{k}.wav")
+            t0 = time.perf_counter()
+            dec.run()
+            fps = n_caps * n_frames / (time.perf_counter() - t0)
+            return fps, [open(j.out_path, "rb").read()
+                         for j in dec.jobs]
+
+        run("w", device_pcm.DevicePCMBatchDecoder)   # warm-up
+        fpss, wavs = [], None
+        for t in "abc":
+            fps, wavs = run(t, device_pcm.DevicePCMBatchDecoder)
+            fpss.append(fps)
+        _, nat = run("n", batch_driver.BatchDecoder, backend="native")
+        med, cv = _med_cv(fpss)
+        return dict(median=med, cv=cv,
+                    wav_identical=bool(all(a == b
+                                           for a, b in zip(wavs, nat))))
+
+
 def make_captures(tmp, n_caps, n_frames):
     from sdvpcmdecoder_tpu.synth import encoder as enc
     from sdvpcmdecoder_tpu.pipeline import ingest
@@ -374,6 +404,16 @@ def main():
                 "device_e2e_cv": e2e["cv"],
                 "device_e2e_staging_seconds": e2e["staging_seconds"],
                 "device_e2e_wav_identical": e2e["wav_identical"],
+            })
+            p1 = device_pcm_fps("pcm1", make_pcm1_captures)
+            p16 = device_pcm_fps("pcm16x0", make_pcm16x0_captures)
+            out.update({
+                "device_pcm1_e2e_frames_per_sec": p1["median"],
+                "device_pcm1_e2e_cv": p1["cv"],
+                "device_pcm1_wav_identical": p1["wav_identical"],
+                "device_pcm16x0_e2e_frames_per_sec": p16["median"],
+                "device_pcm16x0_e2e_cv": p16["cv"],
+                "device_pcm16x0_wav_identical": p16["wav_identical"],
             })
         print(json.dumps(out))
         return

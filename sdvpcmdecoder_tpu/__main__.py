@@ -71,10 +71,13 @@ def build_parser():
                         "as CRC-annotated bit dumps (dumpWordsString "
                         "analog, pcmline.h DUMP_* legend)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "native", "tpu"],
+                   choices=["auto", "native", "tpu", "device"],
                    help="binarizer backend: the in-place native trial "
-                        "grid, the TPU batch grid, or transport-aware "
-                        "auto (default)")
+                        "grid, the TPU batch grid (pixels streamed per "
+                        "round), transport-aware auto (default), or "
+                        "'device' — the chip-resident drivers (pixels "
+                        "staged in HBM chunks, one fused dispatch per "
+                        "round; pipeline/device_driver, device_pcm)")
     p.add_argument("--per-line-agc", action="store_true",
                    help="per-LINE black/white/reference via the "
                         "format-aware histogram AGC (findSTC007BW) "
@@ -135,6 +138,56 @@ def _ensure_decodable_input(args):
           f"re-inserted via .pts sidecar)")
     return dst
 
+
+
+def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
+    """--backend device: the chip-resident batch drivers through the
+    single-capture CLI — pixels staged into HBM in bounded chunks, one
+    fused dispatch per round (pipeline/device_driver.DeviceBatchDecoder
+    for STC-007/M2, pipeline/device_pcm.DevicePCMBatchDecoder for
+    PCM-1/16x0)."""
+    unsupported = [flag for flag, on in (
+        ("--raw-size", bool(raw_size)),
+        ("--no-ecc", args.no_ecc), ("--cwd", args.cwd),
+        ("--render-dir", bool(args.render_dir)),
+        ("--frames", args.frames is not None),
+        ("--force-coords", bool(args.force_coords)),
+        ("--live-audio", args.live_audio is not None),
+        ("--checkpoint", bool(args.checkpoint)),
+        ("--dump-lines", bool(args.dump_lines)),
+        ("--stats", args.stats)) if on]
+    if args.format == "arvid" or unsupported:
+        why = "arvid format" if args.format == "arvid" else \
+            " ".join(unsupported)
+        print(f"error: --backend device does not support {why}; "
+              "use --backend auto/native/tpu", file=sys.stderr)
+        return 2
+    mask_mode = mask_map[(args.mask, args.mask_scope)]
+    t0 = time.perf_counter()
+    jobs = [(args.input, out_path)]
+    if args.format in ("stc007", "m2"):
+        from .pipeline import device_driver, ingest
+        with ingest.open_capture(args.input) as rd:
+            lpf = rd.height // 2
+        dec = device_driver.DeviceBatchDecoder(
+            jobs, lines_per_field=lpf, hyst_limit=hyst,
+            shift_limit=shift, frames_per_round=args.batch,
+            mask_mode=mask_mode, use_pallas=args.pallas or None)
+    else:
+        from .pipeline import device_pcm
+        dec = device_pcm.DevicePCMBatchDecoder(
+            jobs, fmt=args.format, hyst_limit=hyst, shift_limit=shift,
+            frames_per_round=args.batch, mask_mode=mask_mode)
+    stats = dec.run()
+    s = list(stats.values())[0]
+    dt = max(time.perf_counter() - t0, 1e-9)
+    frames = s.frames_total
+    print(f"decoded {frames} frames in {dt:.2f}s "
+          f"({frames / dt:.1f} fps, chip-resident), "
+          f"{s.lines_valid}/{s.lines_total} lines valid, "
+          f"{s.samples_out} samples ({s.samples_masked} masked) "
+          f"-> {out_path}")
+    return 0
 
 
 def _frame_batches(rd, start, frames_arg, batch):
@@ -255,6 +308,10 @@ def main(argv=None):
 
     if args.format == "arvid":
         return _decode_arvid(args, raw_size)
+
+    if args.backend == "device":
+        return _decode_device(args, raw_size, mask_map, hyst, shift,
+                              out_path)
 
     if args.format in ("pcm1", "pcm16x0", "pcm1630"):
         return _decode_other_format(args, raw_size, mask_map, hyst, shift,

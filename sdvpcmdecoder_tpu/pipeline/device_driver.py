@@ -166,14 +166,17 @@ class _RoundRows:
 class DeviceBatchDecoder(batch_driver.BatchDecoder):
     """BatchDecoder with the decode chain resident on the device.
 
-    STC-007 only; requires captures that fit HBM (frames are staged
-    once).  Host work per round: prescan medians, store assembly from
-    the read-back words, stage-machine replay, audio masking, WAV.
+    STC-007 only.  Pixels are staged into HBM in bounded chunks of
+    `hbm_frames` frames (capture length is unbounded; decode state
+    crosses chunk boundaries through the device-resident prev/carry
+    arrays, so no pixel halo is needed).  Host work per round: prescan
+    medians, store assembly from the read-back facts, stage-machine
+    replay, audio masking, WAV.
     """
 
     def __init__(self, jobs, lines_per_field=294, hyst_limit=2,
                  shift_limit=1, frames_per_round=16, use_pallas=None,
-                 **kw):
+                 hbm_frames=256, **kw):
         kw.setdefault("backend", "tpu")
         kw.setdefault("fmt", "stc007")
         from ..ops import stitch_native as _sn
@@ -188,6 +191,10 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                          else "tpu", **kw)
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
+        # Rounds never straddle a staging chunk.
+        self.hbm_frames = max(frames_per_round,
+                              -(-hbm_frames // frames_per_round)
+                              * frames_per_round)
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
@@ -196,23 +203,15 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         self._zero_carry = (jnp.zeros((MDD, 8), jnp.int32),
                             jnp.zeros((MDD, 8), bool))
         for j in self.jobs:
-            with self._stage("stage_hbm"):
-                frames = []
-                while True:
-                    batch = j.reader.read_frames(
-                        sum(b.shape[0] for b in frames), 64)
-                    if batch.shape[0] == 0:
-                        break
-                    frames.append(batch)
-                raw = np.concatenate(frames) if frames else \
-                    np.zeros((0, 2, 2), np.uint8)
-                lines_b, nums = ingest.split_fields_batch(raw)
-                j.px_dev = jax.device_put(lines_b)
-                j.nums = nums
-                j.total_frames = lines_b.shape[0]
-            Ls = lines_b.shape[1] if j.total_frames else 0
-            j.Ls = Ls
-            j.W = lines_b.shape[2] if j.total_frames else 0
+            j.chunk_base = 0
+            j.chunk_len = 0
+            j.stage_next = 0
+            j.exhausted = False
+            j.px_dev = None
+            j.nums = None
+            j.Ls = j.W = 0
+            self._stage_chunk(j, block=False)
+            Ls = j.Ls
             j.prev_words = jnp.zeros((Ls, 8), jnp.int32)
             j.prev_ok8 = jnp.zeros((Ls, 8), bool)
             j.carry_dev = None
@@ -221,10 +220,10 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             j.round_id = 0
             j.next_sample = None
             j.next_sample_host = None
-            if j.total_frames:
+            if j.chunk_len:
                 # Pre-gather round 0's prescan rows now; the async
                 # copies complete while the other captures stage.
-                F0 = min(frames_per_round, j.total_frames)
+                F0 = min(frames_per_round, j.chunk_len)
                 idx = v2d.prescan_rows(Ls)
                 s0 = _gather_sample_j(
                     jax.lax.slice_in_dim(j.px_dev, 0, F0),
@@ -235,8 +234,28 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         # the first round's reads don't absorb the staging transfers
         # (bench reports staging seconds separately).
         for j in self.jobs:
-            if j.total_frames:
+            if j.px_dev is not None:
                 jax.block_until_ready(j.px_dev)
+
+    def _stage_chunk(self, j, block=True):
+        """Stage the next bounded chunk of frames into HBM.  Returns
+        False at EOF (j.exhausted set)."""
+        with self._stage("stage_hbm"):
+            batch = j.reader.read_frames(j.stage_next, self.hbm_frames)
+            if batch.shape[0] == 0:
+                j.exhausted = True
+                return False
+            lines_b, nums = ingest.split_fields_batch(batch)
+            j.px_dev = jax.device_put(lines_b)
+            j.chunk_base = j.stage_next
+            j.chunk_len = lines_b.shape[0]
+            j.stage_next += j.chunk_len
+            j.nums = nums
+            j.Ls = lines_b.shape[1]
+            j.W = lines_b.shape[2]
+            if block:
+                jax.block_until_ready(j.px_dev)
+        return True
 
     def _silent_dev(self, m2):
         if self._sil is None or self._sil[0] != m2:
@@ -267,12 +286,15 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             self._complete(j)
         if j.done:
             return
-        if j.frames_read >= j.total_frames:
-            if j.pending is None:
-                self._stitch_and_write(j, [], finish=True)
-                self._drain_final(j)
-                j.done = True
-            return
+        if j.frames_read >= j.chunk_base + j.chunk_len:
+            if not j.exhausted:
+                self._stage_chunk(j)
+            if j.frames_read >= j.chunk_base + j.chunk_len:
+                if j.pending is None:
+                    self._stitch_and_write(j, [], finish=True)
+                    self._drain_final(j)
+                    j.done = True
+                return
         self._dispatch(j)
 
     def _predict_geometry(self, j, lpf):
@@ -315,11 +337,12 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
 
     def _dispatch(self, j):
         with self._stage("dispatch"):
-            F = min(self.frames_per_round, j.total_frames - j.frames_read)
+            chunk_end = j.chunk_base + j.chunk_len
+            F = min(self.frames_per_round, chunk_end - j.frames_read)
             Ls, W = j.Ls, j.W
             lpf = Ls // 2
-            px = jax.lax.slice_in_dim(j.px_dev, j.frames_read,
-                                      j.frames_read + F)
+            lo = j.frames_read - j.chunk_base
+            px = jax.lax.slice_in_dim(j.px_dev, lo, lo + F)
             idx = v2d.prescan_rows(Ls)
             with self._stage("prescan"):
                 if not j.driver.search_needed():
@@ -394,7 +417,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             j.prev_ok8 = oktail
             j.carry_dev = (cn_w, cn_ok)
             j.carry_key = (lpf, rows.geom)
-            j.pending = dict(F=F, start=j.frames_read, prep=prep,
+            j.pending = dict(F=F, start=j.frames_read, px=px, prep=prep,
                              out=out, wflat=wflat, rows=rows,
                              round_id=j.round_id,
                              carry_w=carry_w, carry_ok=carry_ok,
@@ -407,9 +430,13 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             search_next = (d.search_needed()
                            or d._frames_prepared + self.frames_per_round
                            >= d._next_search)
-            if nxt < j.total_frames and search_next:
-                F2 = min(self.frames_per_round, j.total_frames - nxt)
-                px2 = jax.lax.slice_in_dim(j.px_dev, nxt, nxt + F2)
+            # Prefetch stops at the staging chunk's edge — the next
+            # chunk isn't resident yet; its round gathers at dispatch.
+            if nxt < chunk_end and search_next:
+                F2 = min(self.frames_per_round, chunk_end - nxt)
+                px2 = jax.lax.slice_in_dim(
+                    j.px_dev, nxt - j.chunk_base,
+                    nxt - j.chunk_base + F2)
                 s2 = _gather_sample_j(px2, jnp.asarray(idx))
                 s2.copy_to_host_async()
                 j.next_sample = (nxt, s2)
@@ -497,10 +524,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 # words, and run the host finalize path (marker fallback
                 # + dup rebuild) exactly as the streaming driver would.
                 sel = jnp.asarray(np.asarray(fb_frames))
-                px_host = np.asarray(
-                    jnp.take(jax.lax.slice_in_dim(
-                        j.px_dev, p["start"], p["start"] + F), sel,
-                        axis=0))
+                px_host = np.asarray(jnp.take(p["px"], sel, axis=0))
                 w_fb = np.asarray(jnp.take(
                     wflat.reshape(F, Ls, 8), sel, axis=0)) \
                     .astype(np.int64)

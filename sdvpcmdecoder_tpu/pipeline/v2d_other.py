@@ -85,13 +85,24 @@ class PCMFrameDriver:
         (a0, a1), (b0, b1) = self.coord_history[-1], self.coord_history[-2]
         return abs(a0 - b0) <= 1 and abs(a1 - b1) <= 1
 
-    def prepare_frames(self, pixels: np.ndarray, perm=None):
+    @staticmethod
+    def prescan_rows(L, n_chk=COORD_CHECK_LINES):
+        """Prescan sample-row indices for an L-line frame (shared with
+        the chip-resident driver's device-side gather)."""
+        gap = L // COORD_CHECK_PARTS
+        return np.array([(i + 1) * gap for i in range(n_chk)])
+
+    def prepare_frames(self, pixels: np.ndarray, perm=None, sample=None,
+                       shape=None):
         """Batched AGC + per-frame sample-line coordinate search.
 
         pixels [F, L, W] (any strides); perm: field-seq -> row map.
+        With `sample` given ([F*COORD_CHECK_LINES, W] pre-gathered rows,
+        e.g. read back from device-resident pixels), the gather is
+        skipped and `pixels` may be None (`shape` supplies (F, L, W)).
         Returns dict(coords [F,2], refs/blacks/whites [F], usable [F]).
         """
-        F, L, W = pixels.shape
+        F, L, W = pixels.shape if pixels is not None else shape
         coords = np.zeros((F, 2), np.int64)
         refs = np.zeros(F, np.int64)
         blacks = np.zeros(F, np.int64)
@@ -101,11 +112,13 @@ class PCMFrameDriver:
         if L <= COORD_CHECK_PARTS:
             return dict(coords=coords, refs=refs, blacks=blacks,
                         whites=whites, usable=usable)
-        gap = L // COORD_CHECK_PARTS
-        idx = np.array([(i + 1) * gap for i in range(n_chk)])
-        if perm is not None:
-            idx = np.asarray(perm)[idx]
-        sample = np.ascontiguousarray(pixels[:, idx, :])
+        if sample is not None:
+            sample = np.asarray(sample).reshape(F, n_chk, W)
+        else:
+            idx = self.prescan_rows(L)
+            if perm is not None:
+                idx = np.asarray(perm)[idx]
+            sample = np.ascontiguousarray(pixels[:, idx, :])
         blk, wht, ok = agc.find_black_white(
             sample.reshape(F * n_chk, W), self.preset, fmt=self.fmt)
         blk = blk.reshape(F, n_chk)
@@ -206,8 +219,29 @@ class PCMFrameDriver:
         Outputs are in field-sequential line order; `pixels` may be the
         raw-row view with `perm` mapping (decode is row-independent, so
         only the small output arrays reorder)."""
-        F, L, W = pixels.shape
         words, crc, valid, ctrl = self._decode_batch(pixels, prep)
+        if perm is not None:
+            p = np.asarray(perm)
+
+            def px_fetch(f, pixels=pixels, p=p):
+                return np.ascontiguousarray(pixels[f][p])
+
+            words, crc, valid = words[:, p], crc[:, p], valid[:, p]
+            if ctrl is not None:
+                ctrl = ctrl[:, p]
+        else:
+            def px_fetch(f, pixels=pixels):
+                return pixels[f]
+        return self.finalize_decoded(prep, words, crc, valid, ctrl,
+                                     px_fetch, pixels.shape[2])
+
+    def finalize_decoded(self, prep, words, crc, valid, ctrl, px_fetch,
+                         W):
+        """Host post-decode phase: good-params feedback, per-line
+        refinement of failed lines (frame pixels fetched lazily via
+        `px_fetch` — a host row or a device readback), Bit Picker,
+        result assembly.  Arrays arrive field-sequential."""
+        F, L = words.shape[:2]
         use = np.asarray(prep["usable"])
         if use.any():
             # Pre-refine validity gates the good-params skip: drop back
@@ -219,11 +253,6 @@ class PCMFrameDriver:
         # Degraded decodes force the full per-frame sweep until quality
         # recovers — stable-but-wrong history must not keep skipping.
         self._force_search = not self._last_good
-        if perm is not None:
-            p = np.asarray(perm)
-            words, crc, valid = words[:, p], crc[:, p], valid[:, p]
-            if ctrl is not None:
-                ctrl = ctrl[:, p]
         out = []
         for f in range(F):
             if not prep["usable"][f]:
@@ -243,8 +272,7 @@ class PCMFrameDriver:
                 vl = valid[f].copy()         # [L, 3] for refine
                 cb = ctrl[f].copy()
             if self.refine and not np.asarray(valid[f]).all():
-                rows = pixels[f] if perm is None \
-                    else np.ascontiguousarray(pixels[f][np.asarray(perm)])
+                rows = px_fetch(f)
                 fixed = ld.refine_failed_lines(
                     rows, valid[f], cds, ref, black, white, self.fmt,
                     shift_limit=self.shift_limit,

@@ -134,3 +134,39 @@ def test_cli_transcode_graceful_without_ffmpeg(tmp_path, monkeypatch):
     avi.write_bytes(b"RIFFfakeavi")
     rc = main([str(avi), "-o", str(tmp_path / "o.wav")])
     assert rc == 2
+
+
+def test_cli_backend_device(tmp_path):
+    """--backend device routes through the chip-resident drivers and
+    produces the same WAV bytes as --backend native, for STC-007 and
+    PCM-16x0 alike."""
+    from test_batch_driver_formats import _pcm16x0_capture
+    cap = tmp_path / "c.y4m"
+    _stc_capture(cap, n_frames=4)
+    outs = []
+    for be in ("native", "device"):
+        out = tmp_path / f"{be}.wav"
+        rc = main([str(cap), "-o", str(out), "--quality", "fast",
+                   "--backend", be])
+        assert rc == 0
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+    cap16 = tmp_path / "c16.y4m"
+    _pcm16x0_capture(cap16, n_frames=3)
+    outs = []
+    for be in ("native", "device"):
+        out = tmp_path / f"p16_{be}.wav"
+        rc = main([str(cap16), "-o", str(out), "--quality", "fast",
+                   "--format", "pcm16x0", "--backend", be])
+        assert rc == 0
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+
+
+def test_cli_backend_device_rejects_unsupported(tmp_path, capsys):
+    cap = tmp_path / "c.y4m"
+    _stc_capture(cap)
+    rc = main([str(cap), "-o", str(tmp_path / "o.wav"),
+               "--backend", "device", "--cwd"])
+    assert rc == 2
+    assert "--cwd" in capsys.readouterr().err

@@ -177,3 +177,23 @@ def test_device_driver_steady_rounds_never_materialize(tmp_path):
     counts[10] = run_counted(10)
     counts[20] = run_counted(20)
     assert counts[20] == counts[10], counts
+
+
+def test_device_driver_chunked_staging_matches(tmp_path):
+    """STC-007 captures longer than one HBM staging chunk decode
+    byte-identical to native; the steady chain survives every chunk
+    boundary (prev/carry state is device-resident, not pixel-based)."""
+    tmp = str(tmp_path)
+    jobs = [(_write_capture(tmp, "c", 14, PAL, seed=9),
+             os.path.join(tmp, "o.wav"))]
+    ref, _ = _run(batch_driver.BatchDecoder, jobs, tmp, "ref", PAL,
+                  backend="native")
+    dec = device_driver.DeviceBatchDecoder(
+        jobs, lines_per_field=PAL, hyst_limit=2, shift_limit=1,
+        frames_per_round=4, hbm_frames=4)   # 14 frames -> 4 chunks
+    for k, j in enumerate(dec.jobs):
+        j.out_path = os.path.join(tmp, f"dev_{k}.wav")
+    dec.run()
+    assert dec.jobs[0].stage_next == 14
+    dev = [open(j.out_path, "rb").read() for j in dec.jobs]
+    assert ref[0] == dev[0]
