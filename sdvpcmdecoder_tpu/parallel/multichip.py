@@ -32,22 +32,39 @@ class ShardedBatchDecoder:
     via jax.default_device (thread-local, so shards run concurrently).
     """
 
-    def __init__(self, jobs, devices=None, fmt="stc007", **kw):
+    def __init__(self, jobs, devices=None, fmt="stc007",
+                 device_resident=False, **kw):
         self.devices = list(devices if devices is not None
                             else jax.devices())
         self.jobs = list(jobs)
         self.fmt = fmt
+        # device_resident=True shards the CHIP-RESIDENT drivers
+        # (pipeline/device_driver / device_pcm: HBM-staged pixels, one
+        # fused dispatch per round) instead of the streaming backend.
+        self.device_resident = device_resident
         self.kw = dict(kw)
-        self.kw.setdefault("backend", "tpu")
+        if not device_resident:
+            self.kw.setdefault("backend", "tpu")
         self.stats = None
         self.shard_stats = None
 
-    def _run_shard(self, dev, shard_jobs, out, idx):
+    def _make_decoder(self, shard_jobs):
         from ..pipeline import batch_driver
+        if not self.device_resident:
+            return batch_driver.BatchDecoder(shard_jobs, fmt=self.fmt,
+                                             **self.kw)
+        if self.fmt == "stc007":
+            from ..pipeline import device_driver
+            return device_driver.DeviceBatchDecoder(shard_jobs,
+                                                    **self.kw)
+        from ..pipeline import device_pcm
+        return device_pcm.DevicePCMBatchDecoder(shard_jobs,
+                                                fmt=self.fmt, **self.kw)
+
+    def _run_shard(self, dev, shard_jobs, out, idx):
         try:
             with jax.default_device(dev):
-                dec = batch_driver.BatchDecoder(shard_jobs, fmt=self.fmt,
-                                                **self.kw)
+                dec = self._make_decoder(shard_jobs)
                 res = dec.run()
             frames = sum(j.stats.frames_total for j in dec.jobs)
             samples = sum(j.stats.samples_out for j in dec.jobs)

@@ -66,3 +66,53 @@ def test_sharded_wavs_match_single_device(tmp_path):
     wav_single = [open(o, "rb").read() for _, o in single_jobs]
     assert all(len(w) > 44 for w in wav_single)
     assert wav_sharded == wav_single
+
+
+def test_sharded_device_resident_wavs_match(tmp_path):
+    """device_resident=True shards the CHIP-RESIDENT DeviceBatchDecoder
+    (VERDICT r4 item 9): 8-way sharded chip-resident WAVs must be
+    byte-identical to the native single run."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    tmp = str(tmp_path)
+    jobs = _captures(tmp, n_caps=4, n_frames=5)
+    kw = dict(hyst_limit=1, shift_limit=1, frames_per_round=3)
+
+    sharded = ShardedBatchDecoder(
+        [(p, o) for p, o in jobs], devices=devs, device_resident=True,
+        **kw)
+    sharded.run()
+    wav_sharded = [open(o, "rb").read() for _, o in jobs]
+    assert sharded.stats is not None and sharded.stats[0] > 0
+
+    single_jobs = [(p, o + ".one") for p, o in jobs]
+    dec = batch_driver.BatchDecoder(single_jobs, backend="native", **kw)
+    dec.run()
+    wav_single = [open(o, "rb").read() for _, o in single_jobs]
+    assert all(len(w) > 44 for w in wav_single)
+    assert wav_sharded == wav_single
+
+
+def test_sharded_device_resident_pcm(tmp_path):
+    """device_resident sharding covers the PCM chip drivers too."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    from test_batch_driver_formats import _pcm1_capture
+    tmp = str(tmp_path)
+    jobs = []
+    for c in range(2):
+        p = os.path.join(tmp, f"p{c}.y4m")
+        _pcm1_capture(p, n_frames=4, seed=60 + c)
+        jobs.append((p, os.path.join(tmp, f"p{c}.wav")))
+    kw = dict(shift_limit=1, frames_per_round=2)
+    sharded = ShardedBatchDecoder(jobs, devices=devs, fmt="pcm1",
+                                  device_resident=True, **kw)
+    sharded.run()
+    wav_sharded = [open(o, "rb").read() for _, o in jobs]
+    single_jobs = [(p, o + ".one") for p, o in jobs]
+    batch_driver.BatchDecoder(single_jobs, fmt="pcm1",
+                              backend="native", **kw).run()
+    wav_single = [open(o, "rb").read() for _, o in single_jobs]
+    assert wav_sharded == wav_single
