@@ -60,6 +60,11 @@ class CaptureDevice:
     def can_capture(self):
         return bool(self.capabilities & _CAP_VIDEO_CAPTURE)
 
+    @property
+    def can_stream(self):
+        return self.can_capture and bool(self.capabilities
+                                         & _CAP_STREAMING)
+
 
 @dataclass
 class CaptureConfig:
@@ -165,18 +170,21 @@ class CaptureSelector:
             raise ValueError("no capture device selected")
         return self.config
 
-    def open_stream(self):
+    def open_stream(self, io=None):
         """Open the saved selection as a live frame stream feeding the
         decode pipeline (the reference's capture start: capt_sel accept
         -> VIP runFrameDecode capture events, vin_ffmpeg.cpp:817).
 
-        The device node is read as a sequential stream: Y4M when the
-        producer emits Y4M (e.g. a FIFO fed by a capture tool), raw
-        gray8 frames of the preset dimensions otherwise.  Character
-        devices must already be format-configured (UVC read() mode);
-        FIFOs work anywhere and are the tested transport."""
+        A V4L2 device node that advertises mmap streaming gets the real
+        REQBUFS/QBUF/STREAMON transport (V4L2Reader — what actual
+        UVC/capture hardware requires); everything else (FIFOs, Y4M
+        producers, read()-mode chardevs) streams sequentially through
+        ingest.StreamReader."""
         from . import ingest
         cfg = self.save()
+        dev = _probe_v4l2(cfg.device)
+        if dev is not None and dev.can_stream:
+            return V4L2Reader(cfg.device, cfg.width, cfg.height, io=io)
         is_y4m = cfg.device.endswith((".y4m", ".Y4M"))
         # Opening a FIFO for read blocks until the producer connects —
         # that IS live behavior (the reference's VIP waits in LOADING
@@ -184,3 +192,265 @@ class CaptureSelector:
         return ingest.StreamReader(
             cfg.device,
             raw_size=None if is_y4m else (cfg.width, cfg.height))
+
+
+# ---------------------------------------------------------------------------
+# V4L2 mmap streaming (VIDIOC_REQBUFS/QBUF/STREAMON) — the transport
+# virtually all real UVC/capture hardware requires (the reference opens
+# devices through FFmpeg's v4l2 input, ffmpegwrapper.h:48-55; this is
+# the in-process equivalent).  ioctl numbers are the x86-64 values
+# (struct sizes v4l2_format=208, v4l2_buffer=88, v4l2_requestbuffers=20).
+# ---------------------------------------------------------------------------
+_CAP_STREAMING = 0x04000000
+V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
+V4L2_MEMORY_MMAP = 1
+V4L2_PIX_FMT_GREY = 0x59455247   # 'GREY' 8-bit luma
+V4L2_PIX_FMT_YUYV = 0x56595559   # 'YUYV' packed 4:2:2
+
+VIDIOC_S_FMT = 0xC0D05605
+VIDIOC_REQBUFS = 0xC0145608
+VIDIOC_QUERYBUF = 0xC0585609
+VIDIOC_QBUF = 0xC058560F
+VIDIOC_DQBUF = 0xC0585611
+VIDIOC_STREAMON = 0x40045612
+VIDIOC_STREAMOFF = 0x40045613
+
+_u8, _u32 = ctypes.c_uint8, ctypes.c_uint32
+
+
+class _V4L2PixFormat(ctypes.Structure):
+    _fields_ = [("width", _u32), ("height", _u32),
+                ("pixelformat", _u32), ("field", _u32),
+                ("bytesperline", _u32), ("sizeimage", _u32),
+                ("colorspace", _u32), ("priv", _u32), ("flags", _u32),
+                ("ycbcr_enc", _u32), ("quantization", _u32),
+                ("xfer_func", _u32)]
+
+
+class _V4L2FmtUnion(ctypes.Union):
+    _fields_ = [("pix", _V4L2PixFormat), ("raw", _u8 * 200)]
+
+
+class _V4L2Format(ctypes.Structure):
+    _fields_ = [("type", _u32), ("_pad", _u32), ("fmt", _V4L2FmtUnion)]
+
+
+class _V4L2RequestBuffers(ctypes.Structure):
+    _fields_ = [("count", _u32), ("type", _u32), ("memory", _u32),
+                ("capabilities", _u32), ("reserved", _u32)]
+
+
+class _V4L2Timecode(ctypes.Structure):
+    _fields_ = [("type", _u32), ("flags", _u32), ("frames", _u8),
+                ("seconds", _u8), ("minutes", _u8), ("hours", _u8),
+                ("userbits", _u8 * 4)]
+
+
+class _V4L2BufM(ctypes.Union):
+    _fields_ = [("offset", _u32), ("userptr", ctypes.c_ulong),
+                ("fd", ctypes.c_int32)]
+
+
+class _V4L2Buffer(ctypes.Structure):
+    # c_long timestamp members force the same 8-byte alignment the
+    # kernel's struct timeval gives (sizeof == 88 on x86-64).
+    _fields_ = [("index", _u32), ("type", _u32), ("bytesused", _u32),
+                ("flags", _u32), ("field", _u32),
+                ("tv_sec", ctypes.c_long), ("tv_usec", ctypes.c_long),
+                ("timecode", _V4L2Timecode), ("sequence", _u32),
+                ("memory", _u32), ("m", _V4L2BufM), ("length", _u32),
+                ("reserved2", _u32), ("request_fd", _u32)]
+
+
+assert ctypes.sizeof(_V4L2Format) == 208
+assert ctypes.sizeof(_V4L2Buffer) == 88
+assert ctypes.sizeof(_V4L2RequestBuffers) == 20
+
+
+class _RealV4L2IO:
+    """The syscall surface V4L2Reader drives — injectable so the
+    streaming state machine is testable without /dev/video hardware."""
+
+    def open(self, path):
+        return os.open(path, os.O_RDWR)
+
+    def ioctl(self, fd, req, arg):
+        return fcntl.ioctl(fd, req, arg)
+
+    def mmap(self, fd, length, offset):
+        import mmap
+        return mmap.mmap(fd, length, flags=mmap.MAP_SHARED,
+                         prot=mmap.PROT_READ, offset=offset)
+
+    def wait_readable(self, fd, timeout):
+        import select
+        r, _, _ = select.select([fd], [], [], timeout)
+        return bool(r)
+
+    def close(self, fd):
+        os.close(fd)
+
+
+class V4L2Reader:
+    """mmap-streaming V4L2 capture reader (ingest reader contract:
+    `width`/`height`, `n_frames` None, sequential `read_frames`,
+    `dropped_frames`, `close`).
+
+    Negotiates GREY (8-bit luma straight off the wire) and falls back
+    to YUYV (every UVC device; luma = even bytes); REQBUFS `n_buffers`
+    mmap buffers, queues them all, STREAMON, then DQBUF -> copy luma ->
+    re-QBUF per frame.  Driver `sequence` gaps insert black dummy
+    frames so the PCM interleave phase survives capture drops (the
+    reference's insertDummyFrame, vin_ffmpeg.cpp:367)."""
+
+    def __init__(self, path, width, height, n_buffers=4, io=None,
+                 timeout=10.0):
+        import numpy as np
+        self._np = np
+        self._io = io or _RealV4L2IO()
+        self.path = path
+        self.n_frames = None
+        self.dropped_frames = 0
+        self._timeout = timeout
+        self._pos = 0
+        self._eof = False
+        self._last_seq = None
+        self._pending_dups = 0
+        self._held = None
+        self.fd = self._io.open(path)
+        fmt = _V4L2Format()
+        negotiated = None
+        for pf in (V4L2_PIX_FMT_GREY, V4L2_PIX_FMT_YUYV):
+            ctypes.memset(ctypes.byref(fmt), 0, ctypes.sizeof(fmt))
+            fmt.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+            fmt.fmt.pix.width = width
+            fmt.fmt.pix.height = height
+            fmt.fmt.pix.pixelformat = pf
+            try:
+                self._io.ioctl(self.fd, VIDIOC_S_FMT, fmt)
+            except OSError:
+                continue
+            if fmt.fmt.pix.pixelformat == pf:
+                negotiated = pf
+                break
+        if negotiated is None:
+            self._io.close(self.fd)
+            raise OSError(f"{path}: no GREY/YUYV format accepted")
+        self.pixelformat = negotiated
+        # The driver may adjust dimensions; believe what it returns.
+        self.width = int(fmt.fmt.pix.width)
+        self.height = int(fmt.fmt.pix.height)
+        self._bpl = int(fmt.fmt.pix.bytesperline) or (
+            self.width * (1 if negotiated == V4L2_PIX_FMT_GREY else 2))
+        req = _V4L2RequestBuffers()
+        req.count = n_buffers
+        req.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+        req.memory = V4L2_MEMORY_MMAP
+        self._io.ioctl(self.fd, VIDIOC_REQBUFS, req)
+        if req.count < 1:
+            self._io.close(self.fd)
+            raise OSError(f"{path}: REQBUFS granted no buffers")
+        self._maps = []
+        for i in range(int(req.count)):
+            buf = _V4L2Buffer()
+            buf.index = i
+            buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+            buf.memory = V4L2_MEMORY_MMAP
+            self._io.ioctl(self.fd, VIDIOC_QUERYBUF, buf)
+            self._maps.append(self._io.mmap(self.fd, int(buf.length),
+                                            int(buf.m.offset)))
+            self._io.ioctl(self.fd, VIDIOC_QBUF, buf)
+        self._io.ioctl(self.fd, VIDIOC_STREAMON,
+                       ctypes.c_int(V4L2_BUF_TYPE_VIDEO_CAPTURE))
+
+    def _to_luma(self, raw):
+        np = self._np
+        H, W, bpl = self.height, self.width, self._bpl
+        if self.pixelformat == V4L2_PIX_FMT_GREY:
+            rows = np.frombuffer(raw, np.uint8,
+                                 count=bpl * H).reshape(H, bpl)
+            return np.ascontiguousarray(rows[:, :W])
+        rows = np.frombuffer(raw, np.uint8,
+                             count=bpl * H).reshape(H, bpl)
+        return np.ascontiguousarray(rows[:, 0:2 * W:2])
+
+    def _next_frame(self):
+        """One frame of luma, or None at EOF/timeout; black dummies
+        stand in for driver-reported drops (sequence gaps), BEFORE the
+        frame that followed the gap."""
+        np = self._np
+        if self._pending_dups > 0:
+            self._pending_dups -= 1
+            self.dropped_frames += 1
+            return np.zeros((self.height, self.width), np.uint8)
+        if self._held is not None:
+            frame, self._held = self._held, None
+            return frame
+        if self._eof:
+            return None
+        if not self._io.wait_readable(self.fd, self._timeout):
+            self._eof = True
+            return None
+        buf = _V4L2Buffer()
+        buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+        buf.memory = V4L2_MEMORY_MMAP
+        try:
+            self._io.ioctl(self.fd, VIDIOC_DQBUF, buf)
+        except OSError:
+            self._eof = True
+            return None
+        seq = int(buf.sequence)
+        gap = seq - self._last_seq - 1 if self._last_seq is not None \
+            else 0
+        self._last_seq = seq
+        m = self._maps[int(buf.index)]
+        m.seek(0)
+        frame = self._to_luma(m.read(int(buf.bytesused) or len(m)))
+        self._io.ioctl(self.fd, VIDIOC_QBUF, buf)
+        if gap > 0:
+            # The dropped frames precede this one in the timeline.
+            self._pending_dups = gap - 1
+            self._held = frame
+            self.dropped_frames += 1
+            return np.zeros((self.height, self.width), np.uint8)
+        return frame
+
+    def read_frames(self, first, count):
+        np = self._np
+        assert first == self._pos, \
+            f"stream reader is sequential (at {self._pos}, asked {first})"
+        out = []
+        for _ in range(count):
+            f = self._next_frame()
+            if f is None:
+                break
+            out.append(f)
+        self._pos += len(out)
+        if not out:
+            return np.zeros((0, self.height, self.width), np.uint8)
+        return np.stack(out)
+
+    def read_frames_view(self, first, count):
+        return self.read_frames(first, count)
+
+    def close(self):
+        if self.fd is None:
+            return
+        try:
+            self._io.ioctl(self.fd, VIDIOC_STREAMOFF,
+                           ctypes.c_int(V4L2_BUF_TYPE_VIDEO_CAPTURE))
+        except OSError:
+            pass
+        for m in self._maps:
+            try:
+                m.close()
+            except (OSError, ValueError):
+                pass
+        self._io.close(self.fd)
+        self.fd = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
