@@ -172,7 +172,10 @@ def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
         dec = device_driver.DeviceBatchDecoder(
             jobs, lines_per_field=lpf, hyst_limit=hyst,
             shift_limit=shift, frames_per_round=args.batch,
-            mask_mode=mask_mode, use_pallas=args.pallas or None)
+            mask_mode=mask_mode, use_pallas=args.pallas or None,
+            ref_sweep=args.quality == "insane",
+            ref_sweep_fallback=args.quality == "normal",
+            normal_sweep_prescan=args.quality in ("normal", "insane"))
     else:
         from .pipeline import device_pcm
         dec = device_pcm.DevicePCMBatchDecoder(

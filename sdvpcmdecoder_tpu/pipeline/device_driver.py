@@ -516,8 +516,15 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         j.driver.note_feedback(bool((~valid[usable]).any())
                                if usable.any() else True)
         with self._stage("finalize"):
+            # INSANE quality (full ref-level sweep): every usable frame
+            # takes the host finalize path, whose _ref_sweep_merge runs
+            # the sweep grid on the device — --quality insane composes
+            # with the chip-resident driver instead of excluding it
+            # (sweepRefLevel scope, binarizer.cpp:3551).
+            insane = getattr(j.driver, "ref_sweep", False)
             fb_frames = [f for f in range(F)
-                         if usable[f] and 0 < int((~valid[f]).sum()) < Ls]
+                         if usable[f]
+                         and (insane or 0 < int((~valid[f]).sum()) < Ls)]
             fb_res = {}
             if fb_frames:
                 # Some lines failed: fetch those frames' pixels AND
@@ -544,9 +551,14 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 sub_prep = {k: prep[k][np.asarray(fb_frames)]
                             for k in ("coords", "refs", "blacks",
                                       "whites", "usable")}
+                v_fb = valid[fb_frames]
+                forced = np.zeros((len(fb_frames), Ls), bool)
+                if insane:
+                    w_fb, crc_fb, v_fb, forced = j.driver._ref_sweep_merge(
+                        px_host, sub_prep["coords"], sub_prep["blacks"],
+                        sub_prep["whites"], w_fb, crc_fb, v_fb)
                 sub = j.driver.finalize_frames(
-                    px_host, sub_prep, w_fb, crc_fb, valid[fb_frames],
-                    np.zeros((len(fb_frames), Ls), bool))
+                    px_host, sub_prep, w_fb, crc_fb, v_fb, forced)
                 fb_res = dict(zip(fb_frames, sub))
         with self._stage("assemble"):
             fno_before = j.frame_no

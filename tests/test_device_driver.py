@@ -197,3 +197,31 @@ def test_device_driver_chunked_staging_matches(tmp_path):
     assert dec.jobs[0].stage_next == 14
     dev = [open(j.out_path, "rb").read() for j in dec.jobs]
     assert ref[0] == dev[0]
+
+
+@pytest.mark.parametrize("quality,kw", [
+    ("insane", dict(ref_sweep=True, hyst_limit=4, shift_limit=2)),
+    ("normal", dict(ref_sweep_fallback=True, normal_sweep_prescan=True,
+                    hyst_limit=4, shift_limit=2)),
+])
+def test_device_driver_quality_sweeps_match_native(tmp_path, quality,
+                                                   kw):
+    """--quality normal/insane semantics survive on the chip-resident
+    path: the ref-level sweep (full grid at insane, failed-lines-only at
+    normal) produces WAVs byte-identical to the native backend on a
+    noisy synthetic (VERDICT r4 item 6)."""
+    tmp = str(tmp_path)
+    jobs = [(_write_capture(tmp, "c", 6, PAL, seed=21, noise=30.0),
+             os.path.join(tmp, "o.wav"))]
+
+    def run(cls, tag, **extra):
+        dec = cls(jobs, lines_per_field=PAL, frames_per_round=3,
+                  **kw, **extra)
+        for k, j in enumerate(dec.jobs):
+            j.out_path = os.path.join(tmp, f"{tag}_{k}.wav")
+        dec.run()
+        return [open(j.out_path, "rb").read() for j in dec.jobs]
+
+    ref = run(batch_driver.BatchDecoder, "ref", backend="native")
+    dev = run(device_driver.DeviceBatchDecoder, "dev")
+    assert ref[0] == dev[0], f"WAV differs at quality={quality}"
