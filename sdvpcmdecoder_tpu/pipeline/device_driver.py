@@ -401,6 +401,17 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             put("pred_mode", pred_mode)
             unch_lim = sti.max_unch_14 if sti.en_q else sti.max_unch_16
             put("unch_lim", unch_lim)
+            # Frames whose stores the host WILL read words from — the
+            # settle-in pairs' head frames (full stage machine, round 0)
+            # and the capture's finish tail — get their word rows
+            # prefetched asynchronously; a synchronous lazy fetch later
+            # pays a full tunnel RTT per store (~28 ms each), while a
+            # whole-round prefetch saturates the narrow link.
+            chunk_final = (j.frames_read + F >= chunk_end
+                           and (j.exhausted
+                                or j.chunk_len < self.hbm_frames))
+            n_head = min(6, F) if j.round_id == 0 else 0
+            n_tail = min(2, F) if chunk_final else 0
             cd_w, cd_ok = j.carry_dev if j.carry_dev is not None \
                 else self._zero_carry
             (out, wflat, wtail, oktail, cn_w,
@@ -413,13 +424,23 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 hyst_limit=self.hyst_limit, shift_limit=self.shift_limit,
                 use_pallas=self.use_pallas, chained=chained)
             out.copy_to_host_async()
+            prefetch = []
+            if n_head:
+                hw = jax.lax.slice_in_dim(wflat, 0, n_head * Ls)
+                hw.copy_to_host_async()
+                prefetch.append((0, n_head, hw))
+            if n_tail:
+                tw = jax.lax.slice_in_dim(wflat, (F - n_tail) * Ls,
+                                          F * Ls)
+                tw.copy_to_host_async()
+                prefetch.append((F - n_tail, F, tw))
             j.prev_words = wtail
             j.prev_ok8 = oktail
             j.carry_dev = (cn_w, cn_ok)
             j.carry_key = (lpf, rows.geom)
             j.pending = dict(F=F, start=j.frames_read, px=px, prep=prep,
                              out=out, wflat=wflat, rows=rows,
-                             round_id=j.round_id,
+                             round_id=j.round_id, prefetch=prefetch,
                              carry_w=carry_w, carry_ok=carry_ok,
                              n0=-1 if chained else n0,
                              pred_mode=pred_mode)
@@ -444,12 +465,16 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 j.next_sample = None
 
     def _build_stores_device(self, j, F, Ls, usable, fb_res, crc_read,
-                             valid, dup, cb, crcm, wflat, prep):
+                             valid, dup, cb, crcm, wflat, prep,
+                             w_pre=None):
         """_build_stores_stc007 for the packed round: steady frames
         become LAZY stores (from_decoded_spec over the resident words;
         nothing crosses the tunnel unless a fallback materializes),
-        fallback/unusable frames take the eager paths."""
+        fallback/unusable frames take the eager paths.  Frames in
+        `w_pre` ({frame -> prefetched [Ls, 8] host words}) come out
+        eager — the settle-in/finish frames the stage machine reads."""
         stores = []
+        w_pre = w_pre or {}
         nums64 = np.asarray(j.nums, np.int64)
         for f in range(F):
             j.frame_no += 1
@@ -478,6 +503,8 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                     np.full(Ls, j.frame_no), j.nums,
                     ref_level=np.full(Ls, int(prep["refs"][f])),
                     forced_bad=dup[f])
+                if f in w_pre:
+                    store.words = w_pre[f]
                 j.stats.lines_total += Ls
                 j.stats.lines_valid += int(valid[f].sum())
                 j.stats.lines_dup += int(dup[f].sum())
@@ -562,9 +589,15 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                 fb_res = dict(zip(fb_frames, sub))
         with self._stage("assemble"):
             fno_before = j.frame_no
+            w_pre = {}
+            for a, b, arr in p.get("prefetch", ()):
+                # Prefetched at dispatch: this asarray reads local data.
+                host = np.asarray(arr).astype(np.int64)
+                for f in range(a, b):
+                    w_pre[f] = host[(f - a) * Ls:(f - a + 1) * Ls]
             stores = self._build_stores_device(
                 j, F, Ls, usable, fb_res, crc_read, valid, dup, cb,
-                crcm, wflat, prep)
+                crcm, wflat, prep, w_pre=w_pre)
             for k, store in enumerate(stores):
                 if len(store) == Ls and usable[k] and k not in fb_res:
                     store._dev_gid = fno_before + 1 + k
