@@ -822,10 +822,13 @@ void stc007_split_scan(
 // per-pair records; the first non-steady pair stops the run (its
 // record still carries the trim scan so Python's fallback reuses it).
 // ---------------------------------------------------------------------------
+uint16_t stc007_crc_row(const int32_t* w8);  // defined below (C linkage)
+
 namespace {
 // Per-frame pointer-table entries (int64 each, FP_N per frame):
 enum { FP_WORDS, FP_WORD_CRC, FP_FORCED, FP_LN, FP_FN, FP_SVC, FP_CRCV,
-       FP_REF, FP_MARK, FP_LEN, FP_FRNO, FP_N };
+       FP_REF, FP_MARK, FP_LEN, FP_FRNO, FP_SRC, FP_WVALID, FP_COORDV,
+       FP_N };
 // Rolling state vector (int64), in/out:
 enum { ST_F0_ODD_DATA, ST_F0_EVEN_DATA, ST_F0_INNER_PAD, ST_F0_OUTER_PAD,
        ST_F0_INNER_OK, ST_F0_OUTER_OK, ST_F0_ORDER, ST_F0_VID_STD,
@@ -856,32 +859,192 @@ struct FieldBuf {
     std::vector<int32_t> w;
     std::vector<uint8_t> c;
     std::vector<int64_t> ln;
+    // Full per-row store state (filled only when `full` — the CWD
+    // write-back fixpoint needs it; seam/deint evals only need w/c).
+    std::vector<int64_t> src;
+    std::vector<uint8_t> wc9, wv9, fb, cv;
     int64_t n = 0;
     int parity = 0;  // 0 even, 1 odd
     void fill(const int64_t* fp, int64_t first, int64_t step,
-              int64_t count) {
+              int64_t count, bool full = false) {
         n = count;
         if ((int64_t)w.size() < count * 8) {
             w.resize((size_t)count * 8);
             c.resize((size_t)count * 8);
             ln.resize((size_t)count);
         }
+        if (full && (int64_t)src.size() < count) {
+            src.resize((size_t)count);
+            wc9.resize((size_t)count * 9);
+            wv9.resize((size_t)count * 9);
+            fb.resize((size_t)count);
+            cv.resize((size_t)count);
+        }
         const int64_t* words = (const int64_t*)fp[FP_WORDS];
         const uint8_t* wcrc = (const uint8_t*)fp[FP_WORD_CRC];
         const uint8_t* forced = (const uint8_t*)fp[FP_FORCED];
         const int64_t* lna = (const int64_t*)fp[FP_LN];
+        const int64_t* srca = (const int64_t*)fp[FP_SRC];
+        const uint8_t* wva = (const uint8_t*)fp[FP_WVALID];
+        const uint8_t* cva = (const uint8_t*)fp[FP_COORDV];
         for (int64_t k = 0; k < count; ++k) {
             const int64_t r = first + k * step;
-            const uint8_t fb = forced[r];
+            const uint8_t fbk = forced[r];
             for (int i = 0; i < 8; ++i) {
                 w[k * 8 + i] = (int32_t)words[r * 8 + i];
-                c[k * 8 + i] = wcrc[r * 9 + i] && !fb;
+                c[k * 8 + i] = wcrc[r * 9 + i] && !fbk;
             }
             ln[k] = lna[r];
+            if (full) {
+                src[k] = srca[r];
+                for (int i = 0; i < 9; ++i) {
+                    wc9[k * 9 + i] = wcrc[r * 9 + i];
+                    wv9[k * 9 + i] = wva[r * 9 + i];
+                }
+                fb[k] = fbk;
+                cv[k] = cva[r];
+            }
         }
         parity = count ? (int)(ln[0] & 1) : 0;
     }
 };
+
+// performCWD write-back fixpoint over the assembled conv queue
+// (+ the appended head of frame B's leading field), mutating words /
+// word_valid / forced / source CRC / crc_ok in place — the exact
+// transcription of stitcher_stc007.perform_cwd / prescan_frame
+// (reference performCWD stc007datastitcher.cpp:5905, prescanFrame
+// :6401, patchBrokenLines :5459), including the Python port's cache
+// semantics: crc_ok (cc) refreshes only after an iteration that WROTE
+// words, and an iteration that only marks false-positive lines ends
+// the loop (fixes == 0) with cc untouched.
+// crcv[r] (crc_valid_ignore_forced) must arrive recomputed as
+// crc_row(words)==src; it is updated incrementally on writes.
+// Returns the final per-row CWD flags for the deint in cwdline.
+inline void stc007_cwd_fixpoint(
+    int32_t* cw, uint8_t* cc, int64_t* csrc, uint8_t* cwc, uint8_t* cwv,
+    uint8_t* cfb, const uint8_t* ccv, uint8_t* crcv, const int64_t* cfn,
+    int64_t L, int64_t fb_frno, int conv_mode, int en_p, int en_q,
+    int m2, std::vector<uint8_t>& cwdline) {
+    const int64_t B = L - MDD;
+    if (B <= 0) {
+        if ((int64_t)cwdline.size() < (L > 0 ? L : 1))
+            cwdline.resize((size_t)(L > 0 ? L : 1));
+        for (int64_t r = 0; r < L; ++r) cwdline[r] = 0;
+        return;
+    }
+    thread_local std::vector<int64_t> bw;
+    thread_local std::vector<uint8_t> bval, blcrc, bflags;
+    thread_local std::vector<int32_t> bres;
+    thread_local std::vector<int16_t> bsamp;
+    if ((int64_t)bval.size() < B * 8) {
+        bw.resize((size_t)B * 8);
+        bval.resize((size_t)B * 8);
+        blcrc.resize((size_t)B * 8);
+        bflags.resize((size_t)B);
+        bres.resize((size_t)B);
+        bsamp.resize((size_t)B * 6);
+    }
+    if ((int64_t)cwdline.size() < L) cwdline.resize((size_t)L);
+    auto refresh_cwdline = [&]() {
+        for (int64_t r = 0; r < L; ++r) {
+            uint8_t any = 0;
+            for (int i = 0; i < 9 && !any; ++i)
+                any = !cwc[r * 9 + i] && cwv[r * 9 + i];
+            cwdline[r] = (!cfb[r] && crcv[r] && any) ? 1 : 0;
+        }
+    };
+    for (int iter = 0; iter < 16; ++iter) {
+        refresh_cwdline();
+        if (stc007_eval_rows(cw, cc, cwdline.data(), nullptr, 0, B,
+                             conv_mode, en_p, en_q, 1, 1, m2,
+                             bw.data(), bval.data(), blcrc.data(),
+                             nullptr, nullptr, bres.data(),
+                             bflags.data(), bsamp.data()) != 0)
+            break;
+        int64_t fixes = 0;
+        bool wrote = false;
+        for (int64_t b = 0; b < B; ++b) {
+            const uint8_t f = bflags[b];
+            if (!(f & 2) || !(f & (16 | 32))) continue;
+            const bool is16 = bres[b] != 0;
+            const int max_fix = (!en_q || is16) ? 6 : 7;
+            for (int w = 0; w <= max_fix; ++w) {
+                if (blcrc[b * 8 + w]) continue;
+                const int64_t row = b + (int64_t)w * 16;
+                if (!crcv[row] && ccv[row] && !cfb[row]
+                        && cfn[row] != fb_frno) {
+                    int32_t* rw = &cw[row * 8];
+                    if (!is16) {
+                        const int32_t nw = (int32_t)bw[b * 8 + w];
+                        if (rw[w] != nw) rw[w] = nw;
+                        cwv[row * 9 + w] = 1;
+                        uint16_t rc = stc007_crc_row(rw);
+                        if (rc == (uint16_t)(csrc[row] & 0xFFFF)) {
+                            for (int i = 0; i < 9; ++i)
+                                cwv[row * 9 + i] = 1;
+                            ++fixes;
+                        } else {
+                            bool all8 = true;
+                            for (int i = 0; i < 8; ++i)
+                                all8 = all8 && cwv[row * 9 + i];
+                            if (all8) {
+                                // dropout on the CRC word itself
+                                csrc[row] = rc;
+                                cwv[row * 9 + 8] = 1;
+                                ++fixes;
+                            }
+                        }
+                        wrote = true;
+                        crcv[row] = stc007_crc_row(rw)
+                            == (uint16_t)(csrc[row] & 0xFFFF);
+                    } else {
+                        const int64_t full = bw[b * 8 + w];
+                        const int32_t nw = (int32_t)(full >> F1_WORD_OFS);
+                        const int32_t s_bits = (int32_t)(full & F1_S_MASK);
+                        const int ofs = F1_S_OFFSETS[w];
+                        if (rw[w] != nw) {
+                            rw[w] = nw;
+                            cwv[row * 9 + w] = 1;
+                        }
+                        if (stc007_crc_row(rw)
+                                != (uint16_t)(csrc[row] & 0xFFFF)) {
+                            const int32_t old_s = rw[7];
+                            rw[7] = (old_s & ~(F1_S_MASK << ofs))
+                                  | (s_bits << ofs);
+                        }
+                        if (stc007_crc_row(rw)
+                                == (uint16_t)(csrc[row] & 0xFFFF)) {
+                            for (int i = 0; i < 9; ++i)
+                                cwv[row * 9 + i] = 1;
+                            ++fixes;
+                        }
+                        wrote = true;
+                        crcv[row] = stc007_crc_row(rw)
+                            == (uint16_t)(csrc[row] & 0xFFFF);
+                    }
+                } else {
+                    // False-positive valid line feeding a fixed block:
+                    // its word disagrees with the corrected one
+                    // (performCWD :6313-6334).
+                    if (crcv[row] && !cfb[row] && !is16
+                            && cw[row * 8 + w] != (int32_t)bw[b * 8 + w])
+                        cfb[row] = 1;
+                }
+            }
+        }
+        if (wrote) {
+            // invalidate_crc() analog: crc_ok recomputes from the
+            // CURRENT word_crc & !forced on the next access.
+            for (int64_t r = 0; r < L; ++r)
+                for (int i = 0; i < 8; ++i)
+                    cc[r * 8 + i] = cwc[r * 9 + i] && !cfb[r];
+        }
+        if (fixes == 0) break;
+    }
+    // The deint's cwd_line is computed fresh from the final state.
+    refresh_cwdline();
+}
 }  // namespace
 
 // Returns the number of steady pairs completed (records[0..k-1] have
@@ -899,22 +1062,43 @@ int64_t stc007_steady_round(
     int32_t broken_mask_dur, int32_t auto_m2, int32_t m2,
     int32_t fixed_mode,
     int32_t preset_order, int32_t preset_vid, int32_t fa_order_preset,
+    int32_t en_cwd,
+    const int64_t* carry_src_in, const uint8_t* carry_wc9_in,
+    const uint8_t* carry_wv9_in, const uint8_t* carry_fb_in,
+    const uint8_t* carry_cv_in,
+    int32_t* carry_w_out, int64_t* carry_src_out,
+    uint8_t* carry_wc9_out, uint8_t* carry_wv9_out,
+    uint8_t* carry_fb_out, uint8_t* carry_cv_out,
+    int64_t* carry_ln_out, int64_t* carry_fn_out, int64_t* carry_n_out,
     int64_t* state, int64_t* records,
     int16_t* samples, uint8_t* wvalid, uint8_t* wfixed, uint8_t* bvalid) {
     const int64_t n_pairs = n_frames - 1;
     if (n_pairs <= 0 || !g_tables_set) return 0;
 
-    // conv / carry scratch (words+crc for eval, ln/fn for the roll).
+    // conv / carry scratch (words+crc for eval, ln/fn for the roll;
+    // under en_cwd also the full per-row store state the write-back
+    // fixpoint mutates).  Capacity covers the CWD prescan extension
+    // (+MDD rows of frame B's leading field).
     thread_local std::vector<int32_t> cw;
     thread_local std::vector<uint8_t> cc;
     thread_local std::vector<int64_t> cln, cfn;
+    thread_local std::vector<int64_t> csrc;
+    thread_local std::vector<uint8_t> cwc, cwv, cfb, ccv, ccrcv, cwdline;
     thread_local FieldBuf fld_e, fld_o, f2f_buf;
-    const int64_t conv_cap = MDD + 2 * LPF_PAL + 8;
+    const int64_t conv_cap = 2 * MDD + 2 * LPF_PAL + 8;
     if ((int64_t)cw.size() < conv_cap * 8) {
         cw.resize((size_t)conv_cap * 8);
         cc.resize((size_t)conv_cap * 8);
         cln.resize((size_t)conv_cap);
         cfn.resize((size_t)conv_cap);
+    }
+    if (en_cwd && (int64_t)csrc.size() < conv_cap) {
+        csrc.resize((size_t)conv_cap);
+        cwc.resize((size_t)conv_cap * 9);
+        cwv.resize((size_t)conv_cap * 9);
+        cfb.resize((size_t)conv_cap);
+        ccv.resize((size_t)conv_cap);
+        ccrcv.resize((size_t)conv_cap);
     }
     int64_t n0 = n0_in;
     if (n0 > MDD) return 0;  // steady carry is never longer than MDD
@@ -923,7 +1107,31 @@ int64_t stc007_steady_round(
         memcpy(cc.data(), carry_c_in, (size_t)n0 * 8);
         memcpy(cln.data(), carry_ln_in, (size_t)n0 * sizeof(int64_t));
         memcpy(cfn.data(), carry_fn_in, (size_t)n0 * sizeof(int64_t));
+        if (en_cwd) {
+            memcpy(csrc.data(), carry_src_in,
+                   (size_t)n0 * sizeof(int64_t));
+            memcpy(cwc.data(), carry_wc9_in, (size_t)n0 * 9);
+            memcpy(cwv.data(), carry_wv9_in, (size_t)n0 * 9);
+            memcpy(cfb.data(), carry_fb_in, (size_t)n0);
+            memcpy(ccv.data(), carry_cv_in, (size_t)n0);
+        }
     }
+    // empty_lines pad rows: silent words, complement-silent source CRC.
+    const int64_t pad_src = (~(int64_t)stc007_crc_row(silent_w)) & 0xFFFF;
+    // The final carry (post-roll, incl. CWD mutations) exports at every
+    // return so Python rebuilds conv_queue exactly.
+    auto export_carry = [&]() {
+        if (!en_cwd || !carry_w_out) return;
+        *carry_n_out = n0;
+        memcpy(carry_w_out, cw.data(), (size_t)n0 * 8 * sizeof(int32_t));
+        memcpy(carry_src_out, csrc.data(), (size_t)n0 * sizeof(int64_t));
+        memcpy(carry_wc9_out, cwc.data(), (size_t)n0 * 9);
+        memcpy(carry_wv9_out, cwv.data(), (size_t)n0 * 9);
+        memcpy(carry_fb_out, cfb.data(), (size_t)n0);
+        memcpy(carry_cv_out, ccv.data(), (size_t)n0);
+        memcpy(carry_ln_out, cln.data(), (size_t)n0 * sizeof(int64_t));
+        memcpy(carry_fn_out, cfn.data(), (size_t)n0 * sizeof(int64_t));
+    };
     int64_t out_ofs = 0;
     int64_t f1_max_line = -1;  // recomputed on pair 0 from the f1 split
 
@@ -1072,13 +1280,13 @@ int64_t stc007_steady_round(
         const int fa_even_mode = fixed_mode >= 0 ? fixed_mode
             : (res1e == 16 ? M16 : M14);
         // --- materialize frame A fields + frame B leading field ---
-        fld_e.fill(f1p, s1[1], s1[4], s1[3]);
-        fld_o.fill(f1p, s1[7], s1[10], s1[9]);
+        fld_e.fill(f1p, s1[1], s1[4], s1[3], en_cwd != 0);
+        fld_o.fill(f1p, s1[7], s1[10], s1[9], en_cwd != 0);
         FieldBuf* field1 = tff ? &fld_o : &fld_e;
         FieldBuf* field2 = tff ? &fld_e : &fld_o;
         const int p2 = tff ? 1 : 0;  // f2 leading field parity (odd=1)
         f2f_buf.fill(f2p, s2[1 + p2 * 6 + 0], s2[1 + p2 * 6 + 3],
-                     s2[1 + p2 * 6 + 2]);
+                     s2[1 + p2 * 6 + 2], en_cwd != 0);
         // --- fresh-field resolution counts (both f2 fields) ---
         // odd field first into rec[RC_RES], even into rec[RC_RES+2] —
         // matching the per-pair fast path's (f2o, f2e) order.
@@ -1262,6 +1470,16 @@ int64_t stc007_steady_round(
             memcpy(&cln[(size_t)pos], f->ln.data(),
                    (size_t)cnt * sizeof(int64_t));
             for (int64_t k = 0; k < cnt; ++k) cfn[pos + k] = fa_frno;
+            if (en_cwd) {
+                memcpy(&csrc[pos], f->src.data(),
+                       (size_t)cnt * sizeof(int64_t));
+                memcpy(&cwc[(size_t)pos * 9], f->wc9.data(),
+                       (size_t)cnt * 9);
+                memcpy(&cwv[(size_t)pos * 9], f->wv9.data(),
+                       (size_t)cnt * 9);
+                memcpy(&cfb[pos], f->fb.data(), (size_t)cnt);
+                memcpy(&ccv[pos], f->cv.data(), (size_t)cnt);
+            }
             pos += cnt;
         };
         auto put_pad2 = [&](int64_t cnt, int64_t base_ln) {
@@ -1271,7 +1489,17 @@ int64_t stc007_steady_round(
                 cln[pos + k] = base_ln + 2 * k;
                 cfn[pos + k] = fa_frno;
             }
-            if (cnt) memset(&cc[(size_t)pos * 8], 0, (size_t)cnt * 8);
+            if (cnt) {
+                memset(&cc[(size_t)pos * 8], 0, (size_t)cnt * 8);
+                if (en_cwd) {
+                    for (int64_t k = 0; k < cnt; ++k)
+                        csrc[pos + k] = pad_src;
+                    memset(&cwc[(size_t)pos * 9], 0, (size_t)cnt * 9);
+                    memset(&cwv[(size_t)pos * 9], 0, (size_t)cnt * 9);
+                    memset(&cfb[pos], 0, (size_t)cnt);
+                    memset(&ccv[pos], 0, (size_t)cnt);
+                }
+            }
             pos += cnt;
         };
         put_field(field1, c1);
@@ -1297,10 +1525,41 @@ int64_t stc007_steady_round(
         }
         const int conv_mode = fixed_mode >= 0 ? fixed_mode
             : res_mode_combine(cm0, cml);
+        if (en_cwd) {
+            // prescanFrame: extend with frame B's leading-field head,
+            // run the performCWD write-back fixpoint, drop the
+            // extension (rows beyond L simply stay unused).
+            const int64_t ext = std::min<int64_t>(f2f_buf.n, MDD);
+            for (int64_t k = 0; k < ext; ++k) {
+                const int64_t r = L + k;
+                memcpy(&cw[(size_t)r * 8], &f2f_buf.w[(size_t)k * 8],
+                       8 * sizeof(int32_t));
+                memcpy(&cc[(size_t)r * 8], &f2f_buf.c[(size_t)k * 8], 8);
+                cln[r] = f2f_buf.ln[k];
+                cfn[r] = fb_frno;
+                csrc[r] = f2f_buf.src[k];
+                memcpy(&cwc[(size_t)r * 9], &f2f_buf.wc9[(size_t)k * 9],
+                       9);
+                memcpy(&cwv[(size_t)r * 9], &f2f_buf.wv9[(size_t)k * 9],
+                       9);
+                cfb[r] = f2f_buf.fb[k];
+                ccv[r] = f2f_buf.cv[k];
+            }
+            const int64_t Lx = L + ext;
+            for (int64_t r = 0; r < Lx; ++r)
+                ccrcv[r] = stc007_crc_row(&cw[(size_t)r * 8])
+                    == (uint16_t)(csrc[r] & 0xFFFF);
+            stc007_cwd_fixpoint(cw.data(), cc.data(), csrc.data(),
+                                cwc.data(), cwv.data(), cfb.data(),
+                                ccv.data(), ccrcv.data(), cfn.data(),
+                                Lx, fb_frno, conv_mode, en_p, en_q, m2,
+                                cwdline);
+        }
         int64_t cnt6[6];
         const int64_t cd = stc007_deint_finalize(
-            cw.data(), cc.data(), nullptr, 0, B, conv_mode, en_p, en_q,
-            1, 0, m2, nullptr, nullptr, 0, 0, 0, 0, 0,
+            cw.data(), cc.data(), en_cwd ? cwdline.data() : nullptr,
+            0, B, conv_mode, en_p, en_q,
+            1, en_cwd, m2, nullptr, nullptr, 0, 0, 0, 0, 0,
             broken_mask_dur, (int32_t)state[ST_COUNTDOWN], 0, 0,
             samples + out_ofs * 6, wvalid + out_ofs * 6,
             wfixed + out_ofs * 6, bvalid + out_ofs, cnt6);
@@ -1321,6 +1580,16 @@ int64_t stc007_steady_round(
             memmove(cc.data(), &cc[(size_t)from * 8], (size_t)MDD * 8);
             memmove(cln.data(), &cln[from], (size_t)MDD * sizeof(int64_t));
             memmove(cfn.data(), &cfn[from], (size_t)MDD * sizeof(int64_t));
+            if (en_cwd) {
+                memmove(csrc.data(), &csrc[from],
+                        (size_t)MDD * sizeof(int64_t));
+                memmove(cwc.data(), &cwc[(size_t)from * 9],
+                        (size_t)MDD * 9);
+                memmove(cwv.data(), &cwv[(size_t)from * 9],
+                        (size_t)MDD * 9);
+                memmove(cfb.data(), &cfb[from], (size_t)MDD);
+                memmove(ccv.data(), &ccv[from], (size_t)MDD);
+            }
             n0 = MDD;
         }
         // --- state roll (the replay applies the same to the frasms) ---
@@ -1350,6 +1619,7 @@ int64_t stc007_steady_round(
         state[ST_FA_NEW] = tb[8];
         state[ST_FA_END] = tb[9];
     }
+    export_carry();
     return pair;
 }
 

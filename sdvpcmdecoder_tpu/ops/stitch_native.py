@@ -194,6 +194,12 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,                                  # en_cwd
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,                # carry ext in
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # carry out
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
@@ -464,41 +470,58 @@ REC_STATUS, REC_NEW, REC_END, REC_CB, REC_TRIM = 0, 1, 2, 3, 4
 REC_SPLIT, REC_OREF, REC_EREF, REC_RES = 18, 31, 32, 33
 REC_VSTD, REC_TARGET, REC_CNT, REC_CD, REC_NBLK, REC_OFS = (
     37, 38, 39, 45, 46, 47)
-_ROUND_FP_N = 11
+_ROUND_FP_N = 14
+MDD_ROWS = 112
+
+
+def _fill_fp(fp, i, fno, s, keep, lazy_words_null=False):
+    """One per-frame pointer-table row (shared by steady/spec rounds)."""
+    crcv = s.crc_valid_ignore_forced()
+    if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
+        crcv = np.ascontiguousarray(crcv, bool)
+        keep.append(crcv)
+    fp[i, 0] = 0 if (lazy_words_null and not s.words_materialized()) \
+        else s.words.ctypes.data
+    fp[i, 1] = s.word_crc.ctypes.data
+    fp[i, 2] = s.forced_bad.ctypes.data
+    fp[i, 3] = s.line_number.ctypes.data
+    fp[i, 4] = s.frame_number.ctypes.data
+    fp[i, 5] = s.service.ctypes.data
+    fp[i, 6] = crcv.ctypes.data
+    fp[i, 7] = s.ref_level.ctypes.data
+    fp[i, 8] = s.has_markers.ctypes.data
+    fp[i, 9] = len(s)
+    fp[i, 10] = fno
+    fp[i, 11] = s.source_crc.ctypes.data
+    fp[i, 12] = s.word_valid.ctypes.data
+    fp[i, 13] = s.coords_valid.ctypes.data
 
 
 def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
                  silent_w32, en_p, en_q, unch_lim, max_burst_silence,
                  max_burst_broken, broken_mask_dur, auto_m2, m2,
                  fixed_mode, preset_order, preset_vid, fa_order_preset,
-                 state):
+                 state, en_cwd=False, conv_store=None):
     """Run stc007_steady_round over the pending frame stores.
 
     stores: list of (frame_no, LineStore); state: int64[23] rolling
     state vector (mutated in place).  Returns (n_done, records
-    [n_pairs, 48] i64, samples, wvalid, wfixed, bvalid) where the big
-    output arrays are offset-packed per REC_OFS/REC_NBLK."""
+    [n_pairs, 48] i64, samples, wvalid, wfixed, bvalid, carry) where
+    the big output arrays are offset-packed per REC_OFS/REC_NBLK.
+
+    With en_cwd (conv_store = the live conv LineStore), the C side runs
+    the performCWD write-back fixpoint per pair and `carry` returns the
+    post-round conv state as a dict of arrays (words i64 [n,8], src,
+    word_crc/word_valid [n,9], forced, coords, ln, fn) — the caller
+    MUST rebuild conv_queue from it (the segments no longer carry the
+    CWD mutations); None otherwise."""
     L = _load()
     M = len(stores)
     n_pairs = M - 1
     fp = np.empty((M, _ROUND_FP_N), np.int64)
     keep = []  # keepalive for arrays materialized here
     for i, (fno, s) in enumerate(stores):
-        crcv = s.crc_valid_ignore_forced()
-        if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
-            crcv = np.ascontiguousarray(crcv, bool)
-            keep.append(crcv)
-        fp[i, 0] = s.words.ctypes.data
-        fp[i, 1] = s.word_crc.ctypes.data
-        fp[i, 2] = s.forced_bad.ctypes.data
-        fp[i, 3] = s.line_number.ctypes.data
-        fp[i, 4] = s.frame_number.ctypes.data
-        fp[i, 5] = s.service.ctypes.data
-        fp[i, 6] = crcv.ctypes.data
-        fp[i, 7] = s.ref_level.ctypes.data
-        fp[i, 8] = s.has_markers.ctypes.data
-        fp[i, 9] = len(s)
-        fp[i, 10] = fno
+        _fill_fp(fp, i, fno, s, keep)
     cap = n_pairs * 2 * 294 + 8
     records = np.zeros((n_pairs, REC_N), np.int64)
     # Rows the C side never reaches keep the no-trim sentinel, so a
@@ -508,6 +531,33 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
     wvalid = np.empty((cap, 6), bool)
     wfixed = np.empty((cap, 6), bool)
     bvalid = np.empty(cap, bool)
+    if en_cwd:
+        cs = conv_store
+        ci_src = np.ascontiguousarray(cs.source_crc, np.int64)
+        ci_wc = _as_u8(cs.word_crc)
+        ci_wv = _as_u8(cs.word_valid)
+        ci_fb = _as_u8(cs.forced_bad)
+        ci_cv = _as_u8(cs.coords_valid)
+        co_w = np.empty((MDD_ROWS, 8), np.int32)
+        co_src = np.empty(MDD_ROWS, np.int64)
+        co_wc = np.empty((MDD_ROWS, 9), np.uint8)
+        co_wv = np.empty((MDD_ROWS, 9), np.uint8)
+        co_fb = np.empty(MDD_ROWS, np.uint8)
+        co_cv = np.empty(MDD_ROWS, np.uint8)
+        co_ln = np.empty(MDD_ROWS, np.int64)
+        co_fn = np.empty(MDD_ROWS, np.int64)
+        co_n = np.zeros(1, np.int64)
+        ext_in = (ci_src.ctypes.data, ci_wc.ctypes.data,
+                  ci_wv.ctypes.data, ci_fb.ctypes.data,
+                  ci_cv.ctypes.data)
+        ext_out = (co_w.ctypes.data, co_src.ctypes.data,
+                   co_wc.ctypes.data, co_wv.ctypes.data,
+                   co_fb.ctypes.data, co_cv.ctypes.data,
+                   co_ln.ctypes.data, co_fn.ctypes.data,
+                   co_n.ctypes.data)
+    else:
+        ext_in = (0, 0, 0, 0, 0)
+        ext_out = (0, 0, 0, 0, 0, 0, 0, 0, 0)
     n_done = L.stc007_steady_round(
         fp.ctypes.data, M,
         carry_w32.ctypes.data, carry_crc8.ctypes.data,
@@ -518,10 +568,20 @@ def steady_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
         int(broken_mask_dur), int(bool(auto_m2)), int(bool(m2)),
         int(fixed_mode),
         int(preset_order), int(preset_vid), int(bool(fa_order_preset)),
+        int(bool(en_cwd)), *ext_in, *ext_out,
         state.ctypes.data, records.ctypes.data,
         samples.ctypes.data, wvalid.ctypes.data, wfixed.ctypes.data,
         bvalid.ctypes.data)
-    return int(n_done), records, samples, wvalid, wfixed, bvalid
+    carry = None
+    if en_cwd:
+        n = int(co_n[0])
+        carry = dict(words=co_w[:n].astype(np.int64),
+                     src=co_src[:n], word_crc=co_wc[:n].astype(bool),
+                     word_valid=co_wv[:n].astype(bool),
+                     forced=co_fb[:n].astype(bool),
+                     coords=co_cv[:n].astype(bool),
+                     ln=co_ln[:n], fn=co_fn[:n])
+    return int(n_done), records, samples, wvalid, wfixed, bvalid, carry
 
 
 BS_SPEC = 11   # spec_round bail: device-round speculation did not match
@@ -567,25 +627,11 @@ def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,
     n_pairs = M - 1
     fp = np.empty((M, _ROUND_FP_N), np.int64)
     keep = []
+    # stc007_spec_round never reads FP_WORDS (its evals come from the
+    # device's packed buffers) — keep lazy stores lazy instead of
+    # materializing a full device readback for an unused pointer.
     for i, (fno, s) in enumerate(stores):
-        crcv = s.crc_valid_ignore_forced()
-        if crcv.dtype != np.bool_ or not crcv.flags.c_contiguous:
-            crcv = np.ascontiguousarray(crcv, bool)
-            keep.append(crcv)
-        # stc007_spec_round never reads FP_WORDS (its evals come from
-        # the device's packed buffers) — keep lazy stores lazy instead
-        # of materializing a full device readback for an unused pointer.
-        fp[i, 0] = s.words.ctypes.data if s.words_materialized() else 0
-        fp[i, 1] = s.word_crc.ctypes.data
-        fp[i, 2] = s.forced_bad.ctypes.data
-        fp[i, 3] = s.line_number.ctypes.data
-        fp[i, 4] = s.frame_number.ctypes.data
-        fp[i, 5] = s.service.ctypes.data
-        fp[i, 6] = crcv.ctypes.data
-        fp[i, 7] = s.ref_level.ctypes.data
-        fp[i, 8] = s.has_markers.ctypes.data
-        fp[i, 9] = len(s)
-        fp[i, 10] = fno
+        _fill_fp(fp, i, fno, s, keep, lazy_words_null=True)
     cap = n_pairs * 2 * 294 + 8
     records = np.zeros((n_pairs, REC_N), np.int64)
     records[:, REC_CB] = -2

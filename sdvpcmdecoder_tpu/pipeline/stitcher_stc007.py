@@ -2660,7 +2660,10 @@ class STC007Stitcher:
                 return False
         elif self.seam_backend == "tpu":
             return False  # per-pair device replay only
-        if not self._steady_globals_ok():
+        # The native round carries the performCWD write-back fixpoint
+        # in C (stc007_cwd_fixpoint), so en_cwd is admitted there; the
+        # device spec round still bails on it (allow_cwd gating).
+        if not self._steady_globals_ok(allow_cwd=spec_ctx is None):
             return False
         sn = _sn_mod()
         fa, f0 = self.frasm_f1, self.frasm_f0
@@ -2744,7 +2747,7 @@ class STC007Stitcher:
                 spec_ctx["carry_w"], spec_ctx["carry_ok"],
                 eff_n0, state)
         else:
-            n_done, rec, samples, wvalid, wfixed, bvalid = \
+            n_done, rec, samples, wvalid, wfixed, bvalid, cwd_carry = \
                 sn.steady_round(
                     self.pending_frames, conv.words_i32(), conv.crc_ok8(),
                     np.ascontiguousarray(conv.line_number, np.int64),
@@ -2754,7 +2757,8 @@ class STC007Stitcher:
                     self.broken_mask_dur, self.auto_m2, m2,
                     -1 if fixed is None else fixed,
                     order_preset, self.preset_video,
-                    bool(order_preset), state)
+                    bool(order_preset), state,
+                    en_cwd=self.en_cwd, conv_store=conv)
         if n_done < len(rec):
             # cache the bail pair's frame-B trim scan for the fallback
             self._cache_scan_from_rec(rec[n_done],
@@ -2943,6 +2947,27 @@ class STC007Stitcher:
         if chunk_run is not None:
             flush_run()
 
+        if spec_ctx is None and self.en_cwd and cwd_carry is not None:
+            # The C round's conv carry holds the CWD write-back state
+            # (fixed words, freed word_valid flags, false-positive
+            # forced marks) — the frame-store segments do NOT; rebuild
+            # conv_queue from the exported carry verbatim.
+            n_c = len(cwd_carry["ln"])
+            cq = LineStore._blank()
+            cq.words = cwd_carry["words"]
+            cq.source_crc = cwd_carry["src"]
+            cq.word_crc = cwd_carry["word_crc"]
+            cq.word_valid = cwd_carry["word_valid"]
+            cq.forced_bad = cwd_carry["forced"]
+            cq.coords_valid = cwd_carry["coords"]
+            cq.bw_set = cwd_carry["coords"].copy()
+            cq.frame_number = cwd_carry["fn"]
+            cq.line_number = cwd_carry["ln"]
+            cq.ref_level = np.zeros(n_c, np.int64)
+            cq.service = np.zeros(n_c, np.int8)
+            cq.has_markers = np.zeros(n_c, bool)
+            self.conv_queue = cq
+            return True
         # Rebuild the conv carry from the LAST processed pair's frame-A
         # segments (the tail never reaches further back: 2*target rows
         # always exceed MIN_DEINT_DATA).

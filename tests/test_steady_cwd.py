@@ -95,3 +95,102 @@ def test_cwd_recovers_fast_path_after_burst():
         assert dataclasses.asdict(ff) == dataclasses.asdict(fm)
     assert hits2[0] >= 4, \
         f"fast path re-engaged only {hits2[0]}x around the burst"
+
+
+def _run_batched(frames, n_bad, seed, en_cwd, disable_fast=False,
+                 corrupt_words=True):
+    """Whole-round pushes (the batch driver's shape) with REAL dropouts:
+    one word of each hit line garbled so CWD has something to fix."""
+    rng = np.random.default_rng(seed)
+    s = st.STC007Stitcher(en_cwd=en_cwd, preset_video=st.VID_PAL)
+    if disable_fast:
+        s._try_steady_run = lambda: False
+        s._try_steady_pair = lambda: False
+    stores = []
+    for fr in frames:
+        words = np.array(fr["line_words"])
+        v = np.ones(len(fr["crcs"]), bool)
+        if n_bad:
+            bad = rng.integers(0, len(v), n_bad)
+            if corrupt_words:
+                for r in bad:
+                    w = rng.integers(0, 6)
+                    words[r, w] ^= int(rng.integers(1, 1 << 14))
+            v[bad] = False
+        stores.append(st.LineStore.from_decoded(
+            words, fr["crcs"], v,
+            np.full(len(fr["crcs"]), fr["frame_number"]),
+            fr["line_numbers"]))
+    out = []
+    for i in range(0, len(stores), 4):
+        s.push_frames(stores[i:i + 4])
+        out.extend(s.pop_sample_chunks())
+    s.finish()
+    out.extend(s.pop_sample_chunks())
+    return s, st.chunks_to_arrays(out)
+
+
+def _round_pair_spy():
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm(counter):
+        orig = sn.steady_round
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            counter[0] += out[0]
+            return out
+
+        sn.steady_round = spy
+        try:
+            yield
+        finally:
+            sn.steady_round = orig
+    return cm
+
+
+def test_cwd_steady_round_fixes_and_matches_machine():
+    """VERDICT r4 item 5: the C steady round runs the performCWD
+    write-back fixpoint — on a word-corrupted capture the round path
+    keeps consuming pairs, CWD-assisted blocks get counted, MORE
+    samples come back valid than without --cwd, and every output
+    surface equals the machine-only run bit for bit."""
+    import dataclasses
+    frames = _capture(n_frames=12, seed=12)
+    cm = _round_pair_spy()
+    pairs_clean, pairs_bad = [0], [0]
+    with cm(pairs_clean):
+        _run_batched(frames, 0, 7, True)
+    with cm(pairs_bad):
+        s_f, a_f = _run_batched(frames, 25, 7, True)
+    s_r, a_r = _run_batched(frames, 25, 7, True, disable_fast=True)
+    for x, y in zip(a_f[:3], a_r[:3]):
+        np.testing.assert_array_equal(x, y)
+    assert len(s_f.frame_log) == len(s_r.frame_log)
+    for ff, fr_ in zip(s_f.frame_log, s_r.frame_log):
+        assert dataclasses.asdict(ff) == dataclasses.asdict(fr_)
+    assert s_f.broken_countdown == s_r.broken_countdown
+    assert sum(f.blocks_fix_cwd for f in s_f.frame_log) > 0
+    # steady hit-rate within ~2x of clean (the VERDICT done criterion)
+    assert pairs_bad[0] * 2 >= pairs_clean[0], (pairs_bad, pairs_clean)
+    # CWD actually recovers samples vs a no-CWD run
+    _, a_n = _run_batched(frames, 25, 7, False)
+    assert int(a_f[1].sum()) > int(a_n[1].sum())
+
+
+def test_cwd_steady_round_heavy_corruption_matches():
+    frames = _capture(n_frames=8, seed=13)
+    s_f, a_f = _run_batched(frames, 60, 9, True)
+    s_r, a_r = _run_batched(frames, 60, 9, True, disable_fast=True)
+    for x, y in zip(a_f[:3], a_r[:3]):
+        np.testing.assert_array_equal(x, y)
+    assert a_f[3] == a_r[3]
+
+
+def test_cwd_steady_round_16bit_matches():
+    frames = _capture(n_frames=8, resolution=16, seed=14)
+    s_f, a_f = _run_batched(frames, 30, 5, True)
+    s_r, a_r = _run_batched(frames, 30, 5, True, disable_fast=True)
+    for x, y in zip(a_f[:3], a_r[:3]):
+        np.testing.assert_array_equal(x, y)

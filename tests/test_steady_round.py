@@ -127,11 +127,15 @@ def test_round_16bit_and_ntsc():
         _assert_equal(r, s, str(kw))
 
 
-def test_round_excluded_configs_never_engage():
+def test_round_cwd_engages_and_matches():
+    """en_cwd used to exclude the round path; the C-side performCWD
+    write-back fixpoint (stc007_cwd_fixpoint) now carries it — the
+    round must ENGAGE and stay bit-identical to the machine
+    (tests/test_steady_cwd.py covers the write-back semantics)."""
     frames = _capture(n_frames=6, seed=10)
     for kw in (dict(en_cwd=True),):
         r = _run(frames, "round", **kw)
-        assert r[5] == 0, kw
+        assert r[5] >= 1, kw
         s = _run(frames, "slow", **kw)
         _assert_equal(r, s, str(kw))
 
