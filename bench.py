@@ -162,15 +162,17 @@ def device_e2e_fps():
                     wav_identical=bool(ident))
 
 
-def device_pcm_fps(fmt, make, n_caps=4, n_frames=24):
+def device_pcm_fps(fmt, make, n_caps=4, n_frames=48):
     """Chip-resident PCM-1/16x0 e2e (pipeline/device_pcm): fps median
-    over 3 runs + WAV identity vs the native batch driver."""
+    over 3 runs + WAV identity vs the native batch driver.  48 frames /
+    16-frame rounds keep the tunnel RTT amortized (the steady rate this
+    measures), not the per-capture warm-up."""
     from sdvpcmdecoder_tpu.pipeline import batch_driver, device_pcm
     with tempfile.TemporaryDirectory() as tmp:
         jobs = make(tmp, n_caps, n_frames)
 
         def run(tag, cls, **kw):
-            dec = cls(jobs, shift_limit=1, frames_per_round=8,
+            dec = cls(jobs, shift_limit=1, frames_per_round=16,
                       fmt=fmt, **kw)
             for k, j in enumerate(dec.jobs):
                 j.out_path = os.path.join(tmp, f"{fmt}{tag}{k}.wav")
