@@ -225,3 +225,33 @@ def test_device_driver_quality_sweeps_match_native(tmp_path, quality,
     ref = run(batch_driver.BatchDecoder, "ref", backend="native")
     dev = run(device_driver.DeviceBatchDecoder, "dev")
     assert ref[0] == dev[0], f"WAV differs at quality={quality}"
+
+
+def test_device_driver_checkpoint_resume(tmp_path):
+    """Kill the chip-resident driver mid-capture and resume from the
+    checkpoint: the final WAV equals an uninterrupted run byte for byte
+    (SURVEY §5 checkpoint/resume applies to the flagship engine; the
+    resumed first round re-syncs through the verified fallbacks)."""
+    tmp = str(tmp_path)
+    cap = _write_capture(tmp, "c", 12, PAL, seed=17)
+    ref_out = os.path.join(tmp, "ref.wav")
+    dec = device_driver.DeviceBatchDecoder(
+        [(cap, ref_out)], lines_per_field=PAL, hyst_limit=2,
+        shift_limit=1, frames_per_round=3)
+    dec.run()
+    ref = open(ref_out, "rb").read()
+
+    out = os.path.join(tmp, "ck.wav")
+    kw = dict(lines_per_field=PAL, hyst_limit=2, shift_limit=1,
+              frames_per_round=3, checkpoint=True)
+    dec1 = device_driver.DeviceBatchDecoder([(cap, out)], **kw)
+    j = dec1.jobs[0]
+    for _ in range(4):          # a few rounds, then "killed" mid-flight
+        dec1._visit(j)
+    assert 0 < j.frame_no < 12
+    assert os.path.exists(out + ".ckpt.json")
+
+    dec2 = device_driver.DeviceBatchDecoder([(cap, out)], **kw)
+    assert dec2.jobs[0].frames_read > 0   # actually resumed
+    dec2.run()
+    assert open(out, "rb").read() == ref
