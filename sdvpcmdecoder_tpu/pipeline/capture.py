@@ -170,6 +170,25 @@ class CaptureSelector:
             raise ValueError("no capture device selected")
         return self.config
 
+    def preview(self, path, n_frames=1, io=None):
+        """Headless analog of the dialog's live preview pane
+        (capt_sel.h:46): pull `n_frames` frames from the saved selection
+        and write them as PPM snapshots next to `path` (frame 0 at
+        `path`, further frames suffixed).  Returns the written paths."""
+        from . import render
+        import numpy as np
+        rd = self.open_stream(io=io)
+        try:
+            frames = rd.read_frames(0, n_frames)
+        finally:
+            rd.close()
+        out = []
+        for k, f in enumerate(frames):
+            p = path if k == 0 else f"{path}.{k}"
+            render.write_ppm(p, np.repeat(f[:, :, None], 3, axis=2))
+            out.append(p)
+        return out
+
     def open_stream(self, io=None):
         """Open the saved selection as a live frame stream feeding the
         decode pipeline (the reference's capture start: capt_sel accept

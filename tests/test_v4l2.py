@@ -225,3 +225,28 @@ def test_v4l2_fed_decode_equals_file_decode(tmp_path):
                                   backend="native").run()
         outs.append(open(o, "rb").read())
     assert outs[0] == outs[1]
+
+
+def test_capture_preview_snapshots(monkeypatch, tmp_path):
+    """CaptureSelector.preview: the dialog's live-preview analog writes
+    PPM snapshots of the selected device's frames."""
+    from sdvpcmdecoder_tpu.pipeline import render
+    frames = _frames(2, seed=9)
+    fake_io = FakeV4L2IO(list(frames))
+
+    def fake_probe(path):
+        return cap.CaptureDevice(
+            path=path, card="loopback", driver="fake",
+            capabilities=cap._CAP_VIDEO_CAPTURE | cap._CAP_STREAMING)
+
+    monkeypatch.setattr(cap, "_probe_v4l2", fake_probe)
+    sel = cap.CaptureSelector(
+        enumerate_fn=lambda: [fake_probe("/dev/video7")])
+    sel.refresh()
+    sel.select("/dev/video7")
+    sel.config.width, sel.config.height = 48, 32
+    p = str(tmp_path / "prev.ppm")
+    paths = sel.preview(p, n_frames=2, io=fake_io)
+    assert paths == [p, p + ".1"]
+    img = render.read_ppm(p)
+    np.testing.assert_array_equal(img[:, :, 0], frames[0])
