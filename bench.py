@@ -172,8 +172,11 @@ def device_pcm_fps(fmt, make, n_caps=4, n_frames=48):
         jobs = make(tmp, n_caps, n_frames)
 
         def run(tag, cls, **kw):
-            dec = cls(jobs, shift_limit=1, frames_per_round=16,
-                      fmt=fmt, **kw)
+            # hyst_limit pinned for BOTH engines: the class defaults
+            # differ (DevicePCMBatchDecoder 0 vs BatchDecoder 2), and a
+            # mismatch would invalidate the WAV-identity check below.
+            dec = cls(jobs, hyst_limit=2, shift_limit=1,
+                      frames_per_round=16, fmt=fmt, **kw)
             for k, j in enumerate(dec.jobs):
                 j.out_path = os.path.join(tmp, f"{fmt}{tag}{k}.wav")
             t0 = time.perf_counter()

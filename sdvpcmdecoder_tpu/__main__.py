@@ -166,11 +166,12 @@ def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
     t0 = time.perf_counter()
     jobs = [(args.input, out_path)]
     if args.format in ("stc007", "m2"):
-        from .pipeline import device_driver, ingest
-        with ingest.open_capture(args.input) as rd:
-            lpf = rd.height // 2
+        from .pipeline import device_driver
+        # lines_per_field=None: derived from the driver's own reader —
+        # opening the input here just to read the height would consume
+        # a FIFO/stream input's header before the decoder reopens it.
         dec = device_driver.DeviceBatchDecoder(
-            jobs, lines_per_field=lpf, hyst_limit=hyst,
+            jobs, lines_per_field=None, hyst_limit=hyst,
             shift_limit=shift, frames_per_round=args.batch,
             mask_mode=mask_mode, use_pallas=args.pallas or None,
             ref_sweep=args.quality == "insane",
@@ -180,7 +181,8 @@ def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
         from .pipeline import device_pcm
         dec = device_pcm.DevicePCMBatchDecoder(
             jobs, fmt=args.format, hyst_limit=hyst, shift_limit=shift,
-            frames_per_round=args.batch, mask_mode=mask_mode)
+            frames_per_round=args.batch, mask_mode=mask_mode,
+            refine=args.quality in ("normal", "insane"))
     stats = dec.run()
     s = list(stats.values())[0]
     dt = max(time.perf_counter() - t0, 1e-9)

@@ -85,7 +85,8 @@ class BatchDecoder:
                  frames_per_round=4, workers=None, ref_sweep=False,
                  ref_sweep_fallback=False, checkpoint=False,
                  backend="auto", per_line_agc=False, fmt="stc007",
-                 normal_sweep_prescan=False, seam_backend="auto"):
+                 normal_sweep_prescan=False, seam_backend="auto",
+                 refine=True):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
@@ -115,11 +116,18 @@ class BatchDecoder:
             backend = "native"  # round loop; the driver splits internally
         self.backend = backend
         self.stage_t = defaultdict(float)
-        preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
-            else st.VID_NTSC
         for j in self.jobs:
             j.reader = ingest.open_capture(j.path)
             j.stats.frames_dropped = getattr(j.reader, "dropped_frames", 0)
+        if lines_per_field is None:
+            # Derive from the already-open readers: a second transient
+            # open_capture just to read the height would consume a
+            # FIFO/stream input's header (or block on a second opener).
+            lines_per_field = (self.jobs[0].reader.height // 2
+                               if self.jobs else st.LINES_PF_PAL)
+        preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
+            else st.VID_NTSC
+        for j in self.jobs:
             if fmt == "stc007":
                 j.driver = v2d.V2DDriver(
                     hyst_limit=hyst_limit, shift_limit=shift_limit,
@@ -135,14 +143,16 @@ class BatchDecoder:
                 from . import v2d_other
                 j.driver = v2d_other.PCMFrameDriver(
                     "pcm1", shift_limit=shift_limit,
-                    hyst_limit=hyst_limit, backend=line_backend)
+                    hyst_limit=hyst_limit, backend=line_backend,
+                    refine=refine)
                 j.stitcher = sp1.PCM1Stitcher()
             elif fmt in ("pcm16x0", "pcm1630"):
                 from . import stitcher_pcm16x0 as sp16
                 from . import v2d_other
                 j.driver = v2d_other.PCMFrameDriver(
                     "pcm16x0", shift_limit=shift_limit,
-                    hyst_limit=hyst_limit, backend=line_backend)
+                    hyst_limit=hyst_limit, backend=line_backend,
+                    refine=refine)
                 j.stitcher = sp16.PCM16X0Stitcher(
                     fmt=sp16.FORMAT_EI if fmt == "pcm1630"
                     else sp16.FORMAT_SI,

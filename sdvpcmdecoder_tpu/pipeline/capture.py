@@ -35,8 +35,18 @@ NTSC_PRESET = dict(width=720, height=480, fps=30)
 # carry cleaner data in one RGB channel.
 COLORS_ALL, COLOR_R, COLOR_G, COLOR_B = range(4)
 
-_VIDIOC_QUERYCAP = 0x80685600  # _IOR('V', 0, struct v4l2_capability)
 _CAP_VIDEO_CAPTURE = 0x00000001
+
+# Linux _IOC encoding (include/uapi/asm-generic/ioctl.h): computing the
+# numbers from the live ctypes struct sizes keeps them correct on any
+# ABI (32-bit hosts have 4-byte c_long, shrinking v4l2_buffer) instead
+# of hard-coding the x86-64 values.
+_IOC_WRITE, _IOC_READ = 1, 2
+
+
+def _ioc(direction, nr, arg_type):
+    return ((direction << 30) | (ctypes.sizeof(arg_type) << 16)
+            | (ord("V") << 8) | nr)
 
 
 class _V4L2Capability(ctypes.Structure):
@@ -47,6 +57,9 @@ class _V4L2Capability(ctypes.Structure):
                 ("capabilities", ctypes.c_uint32),
                 ("device_caps", ctypes.c_uint32),
                 ("reserved", ctypes.c_uint32 * 3)]
+
+
+_VIDIOC_QUERYCAP = _ioc(_IOC_READ, 0, _V4L2Capability)
 
 
 @dataclass
@@ -77,6 +90,18 @@ class CaptureConfig:
     color: int = COLORS_ALL
     drop_detect: bool = True
     offset: tuple = (0, 0)
+
+
+def _is_chardev_or_unknown(path):
+    """True when `path` is a character device (the only thing V4L2
+    nodes ever are) or cannot be stat'ed; False for FIFOs/regular
+    files, which must never be transiently opened by a probe."""
+    import stat
+    try:
+        st = os.stat(path)
+    except OSError:
+        return True
+    return stat.S_ISCHR(st.st_mode)
 
 
 def _probe_v4l2(path):
@@ -201,7 +226,14 @@ class CaptureSelector:
         ingest.StreamReader."""
         from . import ingest
         cfg = self.save()
-        dev = _probe_v4l2(cfg.device)
+        # Probe only character devices: a QUERYCAP probe transiently
+        # opens/closes the path, and on a FIFO that wakes the producer
+        # blocked in open(O_WRONLY) into a zero-reader window (its next
+        # write would SIGPIPE).  Missing/unstatable paths stay
+        # probe-eligible for injected test probes.
+        dev = None
+        if _is_chardev_or_unknown(cfg.device):
+            dev = _probe_v4l2(cfg.device)
         if dev is not None and dev.can_stream:
             return V4L2Reader(cfg.device, cfg.width, cfg.height, io=io)
         is_y4m = cfg.device.endswith((".y4m", ".Y4M"))
@@ -217,22 +249,15 @@ class CaptureSelector:
 # V4L2 mmap streaming (VIDIOC_REQBUFS/QBUF/STREAMON) — the transport
 # virtually all real UVC/capture hardware requires (the reference opens
 # devices through FFmpeg's v4l2 input, ffmpegwrapper.h:48-55; this is
-# the in-process equivalent).  ioctl numbers are the x86-64 values
-# (struct sizes v4l2_format=208, v4l2_buffer=88, v4l2_requestbuffers=20).
+# the in-process equivalent).  ioctl numbers are computed from the live
+# struct sizes via _ioc (x86-64: v4l2_format=208, v4l2_buffer=88,
+# v4l2_requestbuffers=20).
 # ---------------------------------------------------------------------------
 _CAP_STREAMING = 0x04000000
 V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
 V4L2_MEMORY_MMAP = 1
 V4L2_PIX_FMT_GREY = 0x59455247   # 'GREY' 8-bit luma
 V4L2_PIX_FMT_YUYV = 0x56595559   # 'YUYV' packed 4:2:2
-
-VIDIOC_S_FMT = 0xC0D05605
-VIDIOC_REQBUFS = 0xC0145608
-VIDIOC_QUERYBUF = 0xC0585609
-VIDIOC_QBUF = 0xC058560F
-VIDIOC_DQBUF = 0xC0585611
-VIDIOC_STREAMON = 0x40045612
-VIDIOC_STREAMOFF = 0x40045613
 
 _u8, _u32 = ctypes.c_uint8, ctypes.c_uint32
 
@@ -281,9 +306,13 @@ class _V4L2Buffer(ctypes.Structure):
                 ("reserved2", _u32), ("request_fd", _u32)]
 
 
-assert ctypes.sizeof(_V4L2Format) == 208
-assert ctypes.sizeof(_V4L2Buffer) == 88
-assert ctypes.sizeof(_V4L2RequestBuffers) == 20
+VIDIOC_S_FMT = _ioc(_IOC_READ | _IOC_WRITE, 5, _V4L2Format)
+VIDIOC_REQBUFS = _ioc(_IOC_READ | _IOC_WRITE, 8, _V4L2RequestBuffers)
+VIDIOC_QUERYBUF = _ioc(_IOC_READ | _IOC_WRITE, 9, _V4L2Buffer)
+VIDIOC_QBUF = _ioc(_IOC_READ | _IOC_WRITE, 15, _V4L2Buffer)
+VIDIOC_DQBUF = _ioc(_IOC_READ | _IOC_WRITE, 17, _V4L2Buffer)
+VIDIOC_STREAMON = _ioc(_IOC_WRITE, 18, ctypes.c_int)
+VIDIOC_STREAMOFF = _ioc(_IOC_WRITE, 19, ctypes.c_int)
 
 
 class _RealV4L2IO:
@@ -337,6 +366,25 @@ class V4L2Reader:
         self._pending_dups = 0
         self._held = None
         self.fd = self._io.open(path)
+        self._maps = []
+        # Any failure past the open must release the fd and partial
+        # mmaps — __init__ raising leaves no object for close() to run
+        # on, and repeated open retries would otherwise pile up held
+        # /dev/video fds (e.g. EBUSY from REQBUFS while another process
+        # streams).
+        try:
+            self._negotiate_and_stream(path, width, height, n_buffers)
+        except BaseException:
+            for m in self._maps:
+                try:
+                    m.close()
+                except (OSError, ValueError):
+                    pass
+            self._io.close(self.fd)
+            self.fd = None
+            raise
+
+    def _negotiate_and_stream(self, path, width, height, n_buffers):
         fmt = _V4L2Format()
         negotiated = None
         for pf in (V4L2_PIX_FMT_GREY, V4L2_PIX_FMT_YUYV):
@@ -353,7 +401,6 @@ class V4L2Reader:
                 negotiated = pf
                 break
         if negotiated is None:
-            self._io.close(self.fd)
             raise OSError(f"{path}: no GREY/YUYV format accepted")
         self.pixelformat = negotiated
         # The driver may adjust dimensions; believe what it returns.
@@ -367,9 +414,7 @@ class V4L2Reader:
         req.memory = V4L2_MEMORY_MMAP
         self._io.ioctl(self.fd, VIDIOC_REQBUFS, req)
         if req.count < 1:
-            self._io.close(self.fd)
             raise OSError(f"{path}: REQBUFS granted no buffers")
-        self._maps = []
         for i in range(int(req.count)):
             buf = _V4L2Buffer()
             buf.index = i

@@ -47,6 +47,82 @@ def _gather_sample(px, idx):
 _gather_sample_j = jax.jit(_gather_sample)
 
 
+class StagedDeviceDecoder(batch_driver.BatchDecoder):
+    """Shared skeleton of the chip-resident drivers (STC-007 and PCM):
+    bounded-chunk HBM staging, the capture round-robin visit loop
+    (complete pending round → restage at the chunk edge → dispatch the
+    next round), and the rounds-never-straddle-a-chunk rounding of
+    `hbm_frames`.  Subclasses provide _dispatch/_complete."""
+
+    def _round_hbm_frames(self, frames_per_round, hbm_frames):
+        self.hbm_frames = max(frames_per_round,
+                              -(-hbm_frames // frames_per_round)
+                              * frames_per_round)
+
+    def _init_job_staging(self, j):
+        j.chunk_base = 0
+        j.chunk_len = 0
+        j.stage_next = 0
+        j.exhausted = False
+        j.px_dev = None
+        j.nums = None
+        j.Ls = j.W = 0
+        self._stage_chunk(j, block=False)
+
+    def _await_staging(self):
+        """Staging is part of setup, not decode: wait for the uploads so
+        the first round's reads don't absorb the staging transfers
+        (bench reports staging seconds separately)."""
+        for j in self.jobs:
+            if j.px_dev is not None:
+                jax.block_until_ready(j.px_dev)
+
+    def _stage_chunk(self, j, block=True):
+        """Stage the next bounded chunk of frames into HBM.  Returns
+        False at EOF (j.exhausted set)."""
+        with self._stage("stage_hbm"):
+            batch = j.reader.read_frames(j.stage_next, self.hbm_frames)
+            if batch.shape[0] == 0:
+                j.exhausted = True
+                return False
+            lines_b, nums = ingest.split_fields_batch(batch)
+            j.px_dev = jax.device_put(lines_b)
+            j.chunk_base = j.stage_next
+            j.chunk_len = lines_b.shape[0]
+            j.stage_next += j.chunk_len
+            j.nums = nums
+            j.Ls = lines_b.shape[1]
+            j.W = lines_b.shape[2]
+            if block:
+                jax.block_until_ready(j.px_dev)
+        return True
+
+    def run(self):
+        while True:
+            live = [j for j in self.jobs if not j.done]
+            if not live:
+                break
+            for j in live:
+                self._visit(j)
+        return {j.path: j.stats for j in self.jobs}
+
+    def _visit(self, j):
+        if j.pending is not None:
+            self._complete(j)
+        if j.done:
+            return
+        if j.frames_read >= j.chunk_base + j.chunk_len:
+            if not j.exhausted:
+                self._stage_chunk(j)
+            if j.frames_read >= j.chunk_base + j.chunk_len:
+                if j.pending is None:
+                    self._stitch_and_write(j, [], finish=True)
+                    self._drain_final(j)
+                    j.done = True
+                return
+        self._dispatch(j)
+
+
 class _RoundRows:
     """Row maps for one round geometry, uploaded to the device once.
 
@@ -163,7 +239,7 @@ class _RoundRows:
         self.B2 = int(self.g2.shape[0])
 
 
-class DeviceBatchDecoder(batch_driver.BatchDecoder):
+class DeviceBatchDecoder(StagedDeviceDecoder):
     """BatchDecoder with the decode chain resident on the device.
 
     STC-007 only.  Pixels are staged into HBM in bounded chunks of
@@ -191,10 +267,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                          else "tpu", **kw)
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
-        # Rounds never straddle a staging chunk.
-        self.hbm_frames = max(frames_per_round,
-                              -(-hbm_frames // frames_per_round)
-                              * frames_per_round)
+        self._round_hbm_frames(frames_per_round, hbm_frames)
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
@@ -203,14 +276,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
         self._zero_carry = (jnp.zeros((MDD, 8), jnp.int32),
                             jnp.zeros((MDD, 8), bool))
         for j in self.jobs:
-            j.chunk_base = 0
-            j.chunk_len = 0
-            j.stage_next = 0
-            j.exhausted = False
-            j.px_dev = None
-            j.nums = None
-            j.Ls = j.W = 0
-            self._stage_chunk(j, block=False)
+            self._init_job_staging(j)
             Ls = j.Ls
             j.prev_words = jnp.zeros((Ls, 8), jnp.int32)
             j.prev_ok8 = jnp.zeros((Ls, 8), bool)
@@ -230,32 +296,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                     jnp.asarray(idx))
                 s0.copy_to_host_async()
                 j.next_sample = (0, s0)
-        # Staging is part of setup, not decode: wait for the uploads so
-        # the first round's reads don't absorb the staging transfers
-        # (bench reports staging seconds separately).
-        for j in self.jobs:
-            if j.px_dev is not None:
-                jax.block_until_ready(j.px_dev)
-
-    def _stage_chunk(self, j, block=True):
-        """Stage the next bounded chunk of frames into HBM.  Returns
-        False at EOF (j.exhausted set)."""
-        with self._stage("stage_hbm"):
-            batch = j.reader.read_frames(j.stage_next, self.hbm_frames)
-            if batch.shape[0] == 0:
-                j.exhausted = True
-                return False
-            lines_b, nums = ingest.split_fields_batch(batch)
-            j.px_dev = jax.device_put(lines_b)
-            j.chunk_base = j.stage_next
-            j.chunk_len = lines_b.shape[0]
-            j.stage_next += j.chunk_len
-            j.nums = nums
-            j.Ls = lines_b.shape[1]
-            j.W = lines_b.shape[2]
-            if block:
-                jax.block_until_ready(j.px_dev)
-        return True
+        self._await_staging()
 
     def _silent_dev(self, m2):
         if self._sil is None or self._sil[0] != m2:
@@ -271,32 +312,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
                                                    padO, target, tff)
         return r
 
-    # -- round pipeline ----------------------------------------------------
-    def run(self):
-        while True:
-            live = [j for j in self.jobs if not j.done]
-            if not live:
-                break
-            for j in live:
-                self._visit(j)
-        return {j.path: j.stats for j in self.jobs}
-
-    def _visit(self, j):
-        if j.pending is not None:
-            self._complete(j)
-        if j.done:
-            return
-        if j.frames_read >= j.chunk_base + j.chunk_len:
-            if not j.exhausted:
-                self._stage_chunk(j)
-            if j.frames_read >= j.chunk_base + j.chunk_len:
-                if j.pending is None:
-                    self._stitch_and_write(j, [], finish=True)
-                    self._drain_final(j)
-                    j.done = True
-                return
-        self._dispatch(j)
-
+    # -- round pipeline (run/_visit inherited from StagedDeviceDecoder) -----
     def _predict_geometry(self, j, lpf):
         sti = j.stitcher
         f0 = sti.frasm_f0
@@ -438,7 +454,7 @@ class DeviceBatchDecoder(batch_driver.BatchDecoder):
             j.prev_ok8 = oktail
             j.carry_dev = (cn_w, cn_ok)
             j.carry_key = (lpf, rows.geom)
-            j.pending = dict(F=F, start=j.frames_read, px=px, prep=prep,
+            j.pending = dict(F=F, px=px, prep=prep,
                              out=out, wflat=wflat, rows=rows,
                              round_id=j.round_id, prefetch=prefetch,
                              carry_w=carry_w, carry_ok=carry_ok,

@@ -28,11 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import device_pcm as dp
-from . import batch_driver, ingest
-from .device_driver import _gather_sample_j
+from .device_driver import StagedDeviceDecoder, _gather_sample_j
 
 
-class DevicePCMBatchDecoder(batch_driver.BatchDecoder):
+class DevicePCMBatchDecoder(StagedDeviceDecoder):
     """BatchDecoder with the PCM-1/16x0 binarize resident on device.
 
     fmt in ("pcm1", "pcm16x0", "pcm1630"); pixels are staged into HBM
@@ -51,45 +50,14 @@ class DevicePCMBatchDecoder(batch_driver.BatchDecoder):
         self.dec_fmt = "pcm1" if fmt == "pcm1" else "pcm16x0"
         self.hyst_limit = hyst_limit
         self.shift_limit = shift_limit
-        self.hbm_frames = max(frames_per_round,
-                              -(-hbm_frames // frames_per_round)
-                              * frames_per_round)
+        self._round_hbm_frames(frames_per_round, hbm_frames)
         for j in self.jobs:
-            j.chunk_base = 0
-            j.chunk_len = 0
-            j.stage_next = 0
-            j.exhausted = False
-            j.px_dev = None
-            j.nums = None
-            j.Ls = j.W = 0
-            self._stage_chunk(j, block=False)
+            self._init_job_staging(j)
             j.pending = None
             j.next_sample = None
             if j.chunk_len:
                 self._prefetch_sample(j, 0)
-        for j in self.jobs:
-            if j.px_dev is not None:
-                jax.block_until_ready(j.px_dev)
-
-    def _stage_chunk(self, j, block=True):
-        """Stage the next bounded chunk of frames into HBM.  Returns
-        False at EOF (j.exhausted set)."""
-        with self._stage("stage_hbm"):
-            batch = j.reader.read_frames(j.stage_next, self.hbm_frames)
-            if batch.shape[0] == 0:
-                j.exhausted = True
-                return False
-            lines_b, nums = ingest.split_fields_batch(batch)
-            j.px_dev = jax.device_put(lines_b)
-            j.chunk_base = j.stage_next
-            j.chunk_len = lines_b.shape[0]
-            j.stage_next += j.chunk_len
-            j.nums = nums
-            j.Ls = lines_b.shape[1]
-            j.W = lines_b.shape[2]
-            if block:
-                jax.block_until_ready(j.px_dev)
-        return True
+        self._await_staging()
 
     def _prefetch_sample(self, j, start):
         """Request the prescan rows of the round starting at `start`;
@@ -107,31 +75,7 @@ class DevicePCMBatchDecoder(batch_driver.BatchDecoder):
         s.copy_to_host_async()
         j.next_sample = (start, s)
 
-    def run(self):
-        while True:
-            live = [j for j in self.jobs if not j.done]
-            if not live:
-                break
-            for j in live:
-                self._visit(j)
-        return {j.path: j.stats for j in self.jobs}
-
-    def _visit(self, j):
-        if j.pending is not None:
-            self._complete(j)
-        if j.done:
-            return
-        if j.frames_read >= j.chunk_base + j.chunk_len:
-            if not j.exhausted:
-                self._stage_chunk(j)
-            if j.frames_read >= j.chunk_base + j.chunk_len:
-                if j.pending is None:
-                    self._stitch_and_write(j, [], finish=True)
-                    self._drain_final(j)
-                    j.done = True
-                return
-        self._dispatch(j)
-
+    # run/_visit/_stage_chunk inherited from StagedDeviceDecoder.
     def _dispatch(self, j):
         with self._stage("dispatch"):
             F = min(self.frames_per_round,

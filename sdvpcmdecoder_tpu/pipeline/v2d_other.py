@@ -88,9 +88,10 @@ class PCMFrameDriver:
     @staticmethod
     def prescan_rows(L, n_chk=COORD_CHECK_LINES):
         """Prescan sample-row indices for an L-line frame (shared with
-        the chip-resident driver's device-side gather)."""
-        gap = L // COORD_CHECK_PARTS
-        return np.array([(i + 1) * gap for i in range(n_chk)])
+        the chip-resident driver's device-side gather; delegates to the
+        single COORD_CHECK-spread implementation in v2d)."""
+        from . import v2d
+        return v2d.prescan_rows(L, n_chk)
 
     def prepare_frames(self, pixels: np.ndarray, perm=None, sample=None,
                        shape=None):
