@@ -47,6 +47,7 @@ _UYVY_FOURCC = {b"UYVY", b"HDYC", b"UYNV"}
 _I420_FOURCC = {b"I420", b"IYUV", b"YV12"}
 _MJPG_FOURCC = {b"MJPG", b"mjpg", b"dmb1"}
 _HFYU_FOURCC = {b"HFYU", b"hfyu"}
+_LAGS_FOURCC = {b"LAGS", b"lags"}
 
 
 class AVIError(ValueError):
@@ -286,6 +287,10 @@ class AVIReader:
                     "-pix_fmt gray out.y4m`")
             self._hfyu = hf
             self._decode = self._dec_hfyu
+        elif comp in _LAGS_FOURCC:
+            from . import lagarith as lg
+            self._lags = lg
+            self._decode = self._dec_lags
         elif comp in _MJPG_FOURCC:
             try:
                 from PIL import Image  # noqa: F401
@@ -342,6 +347,16 @@ class AVIReader:
         W, H = self.width, self.height
         return self._chunk(k)[:W * H].reshape(H, W)
 
+    def _dec_lags(self, k):
+        off, size = self._entries[k]
+        try:
+            return self._lags.decode_frame_gray(
+                self._mm[off:off + size], self.width, self.height)
+        except self._lags.LagarithError as e:
+            raise AVIError(
+                f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                "-pix_fmt gray out.y4m`")
+
     def _dec_mjpg(self, k):
         import io
         off, size = self._entries[k]
@@ -387,22 +402,27 @@ class AVIReader:
 
 
 def write_avi(path, frames, codec="Y800", fps=25, drops=None,
-              quality=85):
+              quality=85, payloads=None):
     """Test/debug AVI writer.
 
     frames: uint8 [F, H, W] luma.  codec: Y800 | YUY2 | UYVY | DIB
     (24-bit bottom-up BI_RGB) | MJPG (needs Pillow) | HFYU (HuffYUV,
-    adaptive tables in strf extradata).  drops: optional
-    sorted timeline slot indices recorded as zero-length idx1 entries
-    (the VirtualDub dropped-frame convention)."""
+    adaptive tables in strf extradata) | LAGS (Lagarith).  drops:
+    optional sorted timeline slot indices recorded as zero-length idx1
+    entries (the VirtualDub dropped-frame convention).  payloads:
+    optional pre-encoded per-frame chunk bytes (overrides the built-in
+    encoder; `frames` still sets dimensions/count)."""
     frames = np.asarray(frames, np.uint8)
     F, H, W = frames.shape
     drops = sorted(set(drops or []))
     extradata = b""
-    hfyu_payloads = None
-    if codec == "HFYU":
+    hfyu_payloads = payloads
+    if payloads is None and codec == "HFYU":
         from . import huffyuv as hf
         extradata, hfyu_payloads = hf.encode(frames)
+    elif payloads is None and codec == "LAGS":
+        from . import lagarith as lg
+        hfyu_payloads = lg.encode(frames)
 
     def enc(f):
         if codec == "Y800":
@@ -431,9 +451,9 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
 
     fourcc = {"Y800": b"Y800", "YUY2": b"YUY2", "UYVY": b"UYVY",
               "DIB": b"\x00\x00\x00\x00", "MJPG": b"MJPG",
-              "HFYU": b"HFYU"}[codec]
+              "HFYU": b"HFYU", "LAGS": b"LAGS"}[codec]
     bitcount = {"Y800": 8, "YUY2": 16, "UYVY": 16, "DIB": 24,
-                "MJPG": 24, "HFYU": 16}[codec]
+                "MJPG": 24, "HFYU": 16, "LAGS": 12}[codec]
     payloads = hfyu_payloads if hfyu_payloads is not None \
         else [enc(frames[i]) for i in range(F)]
 

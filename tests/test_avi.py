@@ -87,10 +87,10 @@ def test_unsupported_codec_raises(tmp_path):
     raw = bytearray(p.read_bytes())
     i = raw.find(b"Y800")          # strh fccHandler
     j = raw.find(b"Y800", i + 1)   # strf biCompression
-    raw[i:i + 4] = b"LAGS"         # Lagarith: genuinely unsupported
-    raw[j:j + 4] = b"LAGS"
+    raw[i:i + 4] = b"CVID"         # Cinepak: genuinely unsupported
+    raw[j:j + 4] = b"CVID"
     p.write_bytes(bytes(raw))
-    with pytest.raises(avi.AVIError, match="LAGS"):
+    with pytest.raises(avi.AVIError, match="CVID"):
         avi.AVIReader(p)
 
 
