@@ -2235,6 +2235,277 @@ int hfyu_decode_yuy2(const uint8_t* data, int64_t n_bytes,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Lagarith (LAGS) plane decode — native twin of pipeline/lagarith.py
+// decode_plane (the Python module is the spec; this is the ingest
+// production path — the reference decodes LAGS through libav,
+// ffmpegwrapper.cpp:543).  Covers rac (esc 1..3), raw-residual (4)
+// and solid (0xff) plane modes with the softfloat probability rescale.
+// Returns 0 ok; -1 malformed; -2 bitstream overrun/overread;
+// -3 zero-run-line coding (esc 5..7, unsupported by design);
+// -4 invalid escape code.
+// ---------------------------------------------------------------------------
+namespace lagsns {
+
+constexpr uint64_t RAC_TOP = 0x800000;
+constexpr int SERIES[7] = {1, 2, 3, 5, 8, 13, 21};
+
+struct BitR {
+    const uint8_t* d;
+    int64_t n;       // total bytes
+    int64_t pos;     // bit position
+    bool err;
+    int bit() {
+        const int64_t p = pos;
+        if ((p >> 3) >= n) { err = true; return 0; }
+        pos = p + 1;
+        return (d[p >> 3] >> (7 - (p & 7))) & 1;
+    }
+    int64_t bits(int k) {
+        int64_t v = 0;
+        for (int i = 0; i < k; ++i) v = (v << 1) | bit();
+        return v;
+    }
+    int64_t align_byte() {
+        pos = (pos + 7) & ~int64_t(7);
+        return pos >> 3;
+    }
+};
+
+// _read_prob_vlc: Zeckendorf prefix -> bit count, then literal bits.
+static int64_t read_prob_vlc(BitR& br) {
+    int bitv = 0, prevbit = 0;
+    int64_t nbits = 0;
+    for (int i = 0; i < 7; ++i) {
+        if (prevbit && bitv) break;
+        prevbit = bitv;
+        bitv = br.bit();
+        if (bitv && !prevbit) nbits += SERIES[i];
+    }
+    nbits -= 1;
+    if (br.err || nbits < 0 || nbits > 31) { br.err = true; return -1; }
+    if (nbits == 0) return 0;
+    const int64_t val = br.bits((int)nbits) | (int64_t(1) << nbits);
+    return val - 1;
+}
+
+// scale_prob_table: raw probs[256] -> cum[257] + scale (softfloat
+// rescale when the sum is not a power of two).
+static int scale_prob_table(int64_t* probs, uint64_t* cum, int* scale_out) {
+    int64_t cumul = 0;
+    for (int i = 0; i < 256; ++i) cumul += probs[i];
+    if (cumul <= 0) return -1;
+    int scale = 63 - __builtin_clzll((uint64_t)cumul);
+    if (cumul & (cumul - 1)) {
+        scale += 1;
+        if (scale >= 32) return -1;
+        const uint64_t target = uint64_t(1) << scale;
+        uint64_t ssum = 0;
+        for (int i = 0; i < 256; ++i) {
+            probs[i] = (int64_t)(((unsigned __int128)(uint64_t)probs[i]
+                                  * target) / (uint64_t)cumul);
+            ssum += (uint64_t)probs[i];
+        }
+        if (ssum > target) return -1;
+        int64_t deficit = (int64_t)(target - ssum);
+        int cycle[256];
+        int nc = 0;
+        for (int i = 0; i < 128; ++i) if (probs[i]) cycle[nc++] = i;
+        if (!nc)
+            for (int i = 0; i < 256; ++i) if (probs[i]) cycle[nc++] = i;
+        if (!nc) return -1;
+        for (int64_t k = 0; deficit > 0; ++k, --deficit)
+            probs[cycle[k % nc]] += 1;
+    }
+    cum[0] = 0;
+    for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + (uint64_t)probs[i];
+    *scale_out = scale;
+    return 0;
+}
+
+struct Rac {
+    const uint8_t* d;
+    int64_t n;
+    int64_t pos, end;
+    const uint64_t* cum;
+    int scale;
+    uint64_t range, low;
+    int overread;
+    bool err;
+    void init(const uint8_t* data, int64_t nbytes, int64_t start,
+              int64_t end_, const uint64_t* c, int sc) {
+        d = data; n = nbytes; pos = start; end = end_;
+        cum = c; scale = sc;
+        range = 0x80;
+        low = start < n ? (uint64_t)(d[start] >> 1) : 0;
+        overread = 0;
+        err = false;
+    }
+    void refill() {
+        while (range <= RAC_TOP) {
+            low = (low << 8) & 0xFFFFFFFFFFull;
+            range <<= 8;
+            const uint32_t b0 = pos < n ? d[pos] : 0;
+            const uint32_t b1 = pos + 1 < n ? d[pos + 1] : 0;
+            low |= 0xFF & (((b0 << 8) | b1) >> 1);
+            if (pos < end) {
+                ++pos;
+            } else if (++overread > 16) {
+                err = true;
+                return;
+            }
+        }
+    }
+    int get() {
+        refill();
+        if (err) return 0;
+        const uint64_t rs = range >> scale;
+        int val;
+        if (low < rs * cum[255]) {
+            const uint64_t ls = low / rs;
+            int lo = 0, hi = 255;
+            while (lo < hi) {
+                const int mid = (lo + hi + 1) >> 1;
+                if (cum[mid] <= ls) lo = mid; else hi = mid - 1;
+            }
+            val = lo;
+        } else {
+            val = 255;
+        }
+        low -= rs * cum[val];
+        if (val != 255) range = rs * (cum[val + 1] - cum[val]);
+        else range -= rs * cum[255];
+        return val;
+    }
+};
+
+// lag_calc_zero_run: zigzag byte -> run length.
+static inline int calc_zero_run(int x) {
+    x &= 0xFF;
+    if (x & 0x80) x -= 256;
+    return ((x * 2) ^ (x >> 7)) & 0xFF;
+}
+
+static inline uint8_t mid_pred(int a, int b, int c) {
+    if (a > b) { const int t = a; a = b; b = t; }
+    const int v = c < a ? a : (c > b ? b : c);
+    return (uint8_t)v;
+}
+
+// _apply_pred: residuals -> pixels (median predictor, planar path).
+static void apply_pred(uint8_t* p, int64_t W, int64_t H) {
+    // row 0: left prediction
+    uint8_t acc = p[0];
+    for (int64_t i = 1; i < W; ++i) {
+        acc = (uint8_t)(acc + p[i]);
+        p[i] = acc;
+    }
+    for (int64_t r = 1; r < H; ++r) {
+        uint8_t* row = p + r * W;
+        const uint8_t* top = row - W;
+        int L = top[W - 1];
+        int TL = r == 1 ? top[0] : (int)top[-1];  // prev2[W-1] == top[-1]
+        for (int64_t i = 0; i < W; ++i) {
+            const int T = top[i];
+            const int pred = mid_pred(L, T, L + T - TL);
+            L = (row[i] + pred) & 0xFF;
+            row[i] = (uint8_t)L;
+            TL = T;
+        }
+    }
+}
+
+}  // namespace lagsns
+
+int lags_decode_plane(const uint8_t* src, int64_t n, int64_t spos,
+                      int64_t W, int64_t H, uint8_t* out) {
+    using namespace lagsns;
+    if (W <= 0 || H <= 0 || spos < 0 || n - spos < 2) return -1;
+    const int esc = src[spos];
+    const int64_t npx = W * H;
+    if (esc == 0) return -1;
+    if (esc < 4) {
+        int64_t length = npx;
+        int64_t offset = spos + 1;
+        if (n - offset >= 4) {
+            const int64_t hdr_len = (int64_t)src[offset]
+                | ((int64_t)src[offset + 1] << 8)
+                | ((int64_t)src[offset + 2] << 16)
+                | ((int64_t)src[offset + 3] << 24);
+            if (hdr_len < length) {
+                length = hdr_len;
+                offset += 4;
+            }
+        }
+        BitR br{src, n, offset * 8, false};
+        int64_t probs[256] = {0};
+        for (int i = 0; i < 256;) {
+            const int64_t p = read_prob_vlc(br);
+            if (br.err) return -1;
+            probs[i] = p;
+            if (p == 0) {
+                int64_t run = read_prob_vlc(br);
+                if (br.err) return -1;
+                if (run > 255 - i) run = 255 - i;
+                i += (int)run;
+            }
+            ++i;
+        }
+        uint64_t cum[257];
+        int scale;
+        if (scale_prob_table(probs, cum, &scale) != 0) return -1;
+        const int64_t rac_start = br.align_byte();
+        int64_t rac_end = rac_start + length;
+        if (rac_end > n) rac_end = n;
+        Rac rac;
+        rac.init(src, n, rac_start, rac_end, cum, scale);
+        // _decode_rac_line over all rows (zeros/zeros_rem persist)
+        int zeros = 0;
+        int64_t zeros_rem = 0;
+        for (int64_t r = 0; r < H; ++r) {
+            uint8_t* dst = out + r * W;
+            int64_t i = 0;
+            for (;;) {
+                if (zeros_rem) {
+                    int64_t count = zeros_rem < W - i ? zeros_rem : W - i;
+                    memset(dst + i, 0, (size_t)count);
+                    i += count;
+                    zeros_rem -= count;
+                }
+                bool esc_hit = false;
+                while (i < W) {
+                    const int v = rac.get();
+                    if (rac.err) return -2;
+                    dst[i++] = (uint8_t)v;
+                    zeros = v ? 0 : zeros + 1;
+                    if (zeros == esc) {
+                        const int idx = rac.get();
+                        if (rac.err) return -2;
+                        zeros = 0;
+                        zeros_rem = calc_zero_run(idx);
+                        esc_hit = true;
+                        break;
+                    }
+                }
+                if (!esc_hit) break;
+                if (i >= W && !zeros_rem) break;
+            }
+        }
+        apply_pred(out, W, H);
+    } else if (esc == 4) {
+        if (n - (spos + 1) < npx) return -1;
+        memcpy(out, src + spos + 1, (size_t)npx);
+        apply_pred(out, W, H);
+    } else if (esc < 8) {
+        return -3;
+    } else if (esc == 0xFF) {
+        memset(out, spos + 1 < n ? src[spos + 1] : 0, (size_t)npx);
+    } else {
+        return -4;
+    }
+    return 0;
+}
+
 // Accumulated per-line region histograms (ops/agc.py
 // region_histograms twin): line i accumulates pixels[i, lo:hi) over
 // ns spans -> out [N,256].  Overlapping spans count once, exactly as

@@ -227,6 +227,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        L.lags_decode_plane.restype = ctypes.c_int
+        L.lags_decode_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         L.stc007_steady_tail.restype = ctypes.c_int64
         L.stc007_steady_tail.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -605,6 +609,23 @@ def hfyu_decode_yuy2(data, W, H, lens_y, lens_u, lens_v):
     if rc != 0:
         raise ValueError(f"HFYU: malformed frame bitstream (rc={rc})")
     return out
+
+
+def lags_decode_plane(src, spos, W, H):
+    """Lagarith plane (rac/raw/solid) -> (rc, luma [H, W] u8), or None
+    when the native core is unavailable (pipeline/lagarith.py falls
+    back to its Python twin).  rc: 0 ok, -1 malformed, -2 bitstream
+    overrun, -3 zero-run-line coding (unsupported), -4 bad escape —
+    the caller maps codes to its own error messages."""
+    L = _load()
+    if L is None:
+        return None
+    src = np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray) \
+        else np.ascontiguousarray(src, np.uint8)
+    out = np.empty((int(H), int(W)), np.uint8)
+    rc = L.lags_decode_plane(src.ctypes.data, src.size, int(spos),
+                             int(W), int(H), out.ctypes.data)
+    return int(rc), out
 
 
 def spec_round(stores, carry_w32, carry_crc8, carry_ln, carry_fn,

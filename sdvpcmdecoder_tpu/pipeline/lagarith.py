@@ -399,11 +399,35 @@ def _mid_pred(a, b, c):
     return min(b, max(a, c))
 
 
-def decode_plane(src, spos, width, height, out=None):
+_RC_MSG = {
+    -1: "LAGS: malformed plane",
+    -2: "LAGS: range coder overread",
+    -3: "LAGS: zero-run-line plane coding is unsupported; "
+        "pre-transcode with ffmpeg",
+    -4: "LAGS: invalid escape code",
+}
+
+
+def decode_plane(src, spos, width, height, out=None, native=True):
     """One Lagarith plane starting at src[spos] -> uint8 [height, width].
 
     src is the whole frame buffer (planes may legally over-read into
-    trailing bytes, as libavcodec allows)."""
+    trailing bytes, as libavcodec allows).  Decode runs in the native
+    core (lags_decode_plane in native/stitchcore.cpp) when available;
+    the Python body below is the spec and the fallback
+    (tests/test_lagarith.py asserts bit-identity between the two)."""
+    if native:
+        from ..ops import stitch_native as sn
+        got = sn.lags_decode_plane(src, spos, width, height) \
+            if sn.available() else None
+        if got is not None:
+            rc, arr = got
+            if rc != 0:
+                raise LagarithError(_RC_MSG.get(rc, f"LAGS: error {rc}"))
+            if out is None:
+                return arr
+            out[:] = arr
+            return out
     if out is None:
         out = np.empty((height, width), np.uint8)
     if len(src) - spos < 2:
@@ -476,7 +500,7 @@ def _read_probs(br):
 
 # -- frame-level API ----------------------------------------------------------
 
-def decode_frame_gray(data, W, H):
+def decode_frame_gray(data, W, H, native=True):
     """One LAGS frame -> luma [H, W] (chroma planes are skipped — each
     plane is independently offset, the gray capture path never needs
     them; the reference's GRAY8 swscale does the same reduction)."""
@@ -491,7 +515,7 @@ def decode_frame_gray(data, W, H):
         # [type][u32 chroma2 offset][u32 chroma3 offset], luma at byte 9
         if len(data) < 11:
             raise LagarithError("LAGS: truncated YV12 header")
-        return decode_plane(data, 9, W, H)
+        return decode_plane(data, 9, W, H, native=native)
     raise LagarithError(
         f"LAGS: unsupported frame type {t} (only YV12/solid-gray "
         "captures decode in-process; pre-transcode with ffmpeg)")

@@ -112,6 +112,73 @@ def test_frame_planes_round_trip():
     np.testing.assert_array_equal(u2, u)
 
 
+# -- native core bit-identity ----------------------------------------------------
+
+def _native_available():
+    from sdvpcmdecoder_tpu.ops import stitch_native as sn
+    return sn.available()
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native core unavailable")
+def test_native_plane_decode_bit_identical():
+    """lags_decode_plane (C) vs the Python spec over all plane modes,
+    escape counts, and a non-power-of-two (softfloat) table."""
+    rng = np.random.default_rng(9)
+    planes = [
+        _pcm_raster(rng, H=48, W=96),                      # rac
+        rng.integers(0, 256, (24, 24), np.uint8),          # raw fallback
+        np.full((16, 16), 9, np.uint8),                    # solid
+        np.zeros((32, 48), np.uint8),                      # long zero runs
+    ]
+    planes[3][3, 5] = 77
+    for p in planes:
+        for esc in (1, 2, 3):
+            enc = lg.encode_plane(p, esc_num=esc) + b"\x00\x00"
+            H, W = p.shape
+            a = lg.decode_plane(enc, 0, W, H, native=True)
+            b = lg.decode_plane(enc, 0, W, H, native=False)
+            np.testing.assert_array_equal(a, p)
+            np.testing.assert_array_equal(b, p)
+    # softfloat: non-pow2 table stream (built by hand, as in the
+    # external anchor test)
+    y = _pcm_raster(rng, H=24, W=64)
+    res = lg._residual_plane(y)
+    syms = lg._symbolize(res, 2)
+    probs = lg._norm_probs(syms, 15)
+    probs[int(np.argmax(probs))] -= 1
+    cum, scale = lg.scale_prob_table(probs)
+    enc = lg._RacEncoder(cum, scale)
+    for s in syms:
+        enc.put(s)
+    rac_bytes, nbytes = enc.finish()
+    bw = lg._BitWriter()
+    lg._write_probs(bw, probs)
+    plane = (bytes([2])
+             + struct.pack("<I", max(nbytes + 2, len(syms)))
+             + bw.align_byte() + rac_bytes + b"\x00\x00")
+    a = lg.decode_plane(plane, 0, 64, 24, native=True)
+    b = lg.decode_plane(plane, 0, 64, 24, native=False)
+    np.testing.assert_array_equal(a, y)
+    np.testing.assert_array_equal(b, y)
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native core unavailable")
+def test_native_plane_error_codes_match_python():
+    cases = [
+        bytes([5, 0, 0, 0, 0]),          # zero-run-line -> unsupported
+        bytes([0, 0, 0, 0, 0]),          # invalid zero rle code
+        bytes([9, 0, 0, 0, 0]),          # invalid escape
+        bytes([4, 1, 2]),                # truncated raw plane
+    ]
+    for src in cases:
+        with pytest.raises(lg.LagarithError):
+            lg.decode_plane(src, 0, 8, 8, native=True)
+        with pytest.raises(lg.LagarithError):
+            lg.decode_plane(src, 0, 8, 8, native=False)
+
+
 # -- error paths ----------------------------------------------------------------
 
 def test_zero_run_line_coding_rejected():
