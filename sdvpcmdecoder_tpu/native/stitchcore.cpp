@@ -2506,6 +2506,302 @@ int lags_decode_plane(const uint8_t* src, int64_t n, int64_t spos,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Ut Video (ULY0/ULY2) plane decode — native twin of pipeline/utvideo.py
+// decode_plane (the Python module is the spec; this is the ingest
+// production path — the reference decodes Ut Video through libav,
+// ffmpegwrapper.cpp:543).  Returns 0 ok; -1 truncated; -2 invalid
+// code; -3 bad slice offsets; -4 empty code-length table.
+// ---------------------------------------------------------------------------
+namespace ulyns {
+
+struct UlyVlc {
+    uint32_t lo[33];
+    int16_t cnt[33];
+    uint8_t syms[33][256];  // symbols by (code - lo) per length
+    int fsym;               // >= 0: single-symbol plane
+    int max_len;
+    int build(const uint8_t* lens) {
+        fsym = -1;
+        max_len = 0;
+        for (int l = 0; l <= 32; ++l) cnt[l] = 0;
+        // first sorted (len, sym) entry: smallest used length, then
+        // smallest symbol — length 0 there means an fsym plane.
+        int min_len = 256, min_sym = -1;
+        for (int s = 0; s < 256; ++s) {
+            const int l = lens[s];
+            if (l == 255) continue;
+            if (l < min_len) { min_len = l; min_sym = s; }
+        }
+        if (min_sym < 0) return -4;
+        if (min_len == 0) { fsym = min_sym; return 0; }
+        // assign codes from the last sorted entry upward (descending
+        // length, descending symbol) with wrapping uint32 arithmetic
+        uint32_t code = 1;
+        for (int l = 32; l >= 1; --l) {
+            for (int s = 255; s >= 0; --s) {
+                if (lens[s] != l) continue;
+                const uint32_t c = code >> (32 - l);
+                if (!cnt[l]) lo[l] = c;
+                syms[l][cnt[l]++] = (uint8_t)s;
+                code += (uint32_t)1 << (32 - l);
+                if (l > max_len) max_len = l;
+            }
+        }
+        return 0;
+    }
+};
+
+inline uint8_t uly_mid_pred(int a, int b, int c) {
+    if (a > b) { const int t = a; a = b; b = t; }
+    const int v = c < a ? a : (c > b ? b : c);
+    return (uint8_t)v;
+}
+
+// slice row ranges: [H*s/slices, H*(s+1)/slices) with the end rounded
+// down to even for the 4:2:0 luma plane.
+inline void uly_slice_rows(int64_t H, int slices, int even_mask,
+                           int64_t* starts, int64_t* ends) {
+    const int64_t mask = even_mask ? ~(int64_t)1 : ~(int64_t)0;
+    int64_t send = 0;
+    for (int s = 0; s < slices; ++s) {
+        starts[s] = send;
+        send = (H * (s + 1) / slices) & mask;
+        ends[s] = send;
+    }
+}
+
+void uly_restore_gradient(uint8_t* p, int64_t W, int64_t sstart,
+                          int64_t send) {
+    if (send <= sstart) return;
+    uint8_t* row = p + sstart * W;
+    uint8_t acc = (uint8_t)(row[0] + 0x80);
+    row[0] = acc;
+    for (int64_t i = 1; i < W; ++i) {
+        acc = (uint8_t)(acc + row[i]);
+        row[i] = acc;
+    }
+    for (int64_t r = sstart + 1; r < send; ++r) {
+        row = p + r * W;
+        const uint8_t* top = row - W;
+        row[0] = (uint8_t)(row[0] + top[0]);
+        for (int64_t i = 1; i < W; ++i)
+            row[i] = (uint8_t)(top[i] - top[i - 1] + row[i - 1] + row[i]);
+    }
+}
+
+void uly_restore_median(uint8_t* p, int64_t W, int64_t sstart,
+                        int64_t send) {
+    if (send <= sstart) return;
+    uint8_t* row = p + sstart * W;
+    uint8_t acc = (uint8_t)(row[0] + 0x80);
+    row[0] = acc;
+    for (int64_t i = 1; i < W; ++i) {
+        acc = (uint8_t)(acc + row[i]);
+        row[i] = acc;
+    }
+    if (send - sstart <= 1) return;
+    row = p + (sstart + 1) * W;
+    const uint8_t* top = row - W;
+    int c = top[0];
+    int a = (row[0] + c) & 0xFF;
+    row[0] = (uint8_t)a;
+    for (int64_t i = 1; i < W; ++i) {
+        const int b = top[i];
+        a = (row[i] + uly_mid_pred(a, b, (a + b - c) & 0xFF)) & 0xFF;
+        row[i] = (uint8_t)a;
+        c = b;
+    }
+    int lt = top[W - 1];
+    for (int64_t r = sstart + 2; r < send; ++r) {
+        row = p + r * W;
+        top = row - W;
+        for (int64_t i = 0; i < W; ++i) {
+            const int t = top[i];
+            a = (row[i] + uly_mid_pred(a, t, (a + t - lt) & 0xFF)) & 0xFF;
+            row[i] = (uint8_t)a;
+            lt = t;
+        }
+    }
+}
+
+}  // namespace ulyns
+
+int uly_decode_plane(const uint8_t* data, int64_t n, int64_t pos,
+                     int64_t W, int64_t H, int32_t slices, int32_t pred,
+                     int32_t even_mask, uint8_t* out) {
+    using namespace ulyns;
+    enum { P_NONE = 0, P_LEFT = 1, P_GRADIENT = 2, P_MEDIAN = 3 };
+    if (W <= 0 || H <= 0 || slices <= 0 || slices > 256 || pos < 0 ||
+        n - pos < 256 + 4 * (int64_t)slices)
+        return -1;
+    thread_local UlyVlc vlc;
+    const int brc = vlc.build(data + pos);
+    if (brc) return brc;
+    const uint8_t* ends_p = data + pos + 256;
+    const int64_t dstart = pos + 256 + 4 * (int64_t)slices;
+    int64_t sstarts[256], sends[256];
+    uly_slice_rows(H, slices, even_mask, sstarts, sends);
+    if (vlc.fsym >= 0) {
+        if (pred == P_LEFT) {
+            for (int s = 0; s < slices; ++s) {
+                int prev = 0x80;
+                for (int64_t r = sstarts[s]; r < sends[s]; ++r) {
+                    uint8_t* row = out + r * W;
+                    for (int64_t i = 0; i < W; ++i) {
+                        prev = (prev + vlc.fsym) & 0xFF;
+                        row[i] = (uint8_t)prev;
+                    }
+                }
+            }
+        } else {
+            for (int s = 0; s < slices; ++s)
+                if (sends[s] > sstarts[s])
+                    memset(out + sstarts[s] * W, vlc.fsym,
+                           (size_t)((sends[s] - sstarts[s]) * W));
+            if (pred == P_GRADIENT)
+                for (int s = 0; s < slices; ++s)
+                    uly_restore_gradient(out, W, sstarts[s], sends[s]);
+            else if (pred == P_MEDIAN)
+                for (int s = 0; s < slices; ++s)
+                    uly_restore_median(out, W, sstarts[s], sends[s]);
+        }
+        return 0;
+    }
+    int64_t start = 0;
+    for (int s = 0; s < slices; ++s) {
+        const int64_t end = (int64_t)ends_p[s * 4]
+            | ((int64_t)ends_p[s * 4 + 1] << 8)
+            | ((int64_t)ends_p[s * 4 + 2] << 16)
+            | ((int64_t)ends_p[s * 4 + 3] << 24);
+        if (end < start || dstart + end > n) return -3;
+        if (sends[s] > sstarts[s] && end == start) return -3;
+        const uint8_t* sd = data + dstart + start;
+        const int64_t size = end - start;
+        const int64_t n_bits = ((size + 3) / 4) * 32;
+        // libavcodec zero-pads the slice buffer past its own bytes
+        const int64_t avail = size < n - (dstart + start)
+            ? size : n - (dstart + start);
+        int64_t bitpos = 0;
+        int prev = 0x80;
+        const int use_left = pred == P_LEFT;
+        for (int64_t r = sstarts[s]; r < sends[s]; ++r) {
+            uint8_t* row = out + r * W;
+            for (int64_t i = 0; i < W; ++i) {
+                uint32_t v = 0;
+                int sym = -1;
+                for (int l = 1; l <= vlc.max_len; ++l) {
+                    if (bitpos >= n_bits) return -2;
+                    const int64_t wi = bitpos >> 5;
+                    const int64_t b0 = wi * 4;
+                    const uint32_t word =
+                        (b0 < avail ? (uint32_t)sd[b0] : 0)
+                        | (b0 + 1 < avail ? (uint32_t)sd[b0 + 1] << 8 : 0)
+                        | (b0 + 2 < avail ? (uint32_t)sd[b0 + 2] << 16 : 0)
+                        | (b0 + 3 < avail ? (uint32_t)sd[b0 + 3] << 24 : 0);
+                    v = (v << 1) | ((word >> (31 - (bitpos & 31))) & 1);
+                    ++bitpos;
+                    if (vlc.cnt[l]) {
+                        const int64_t rel = (int64_t)v - (int64_t)vlc.lo[l];
+                        if (rel >= 0 && rel < vlc.cnt[l]) {
+                            sym = vlc.syms[l][rel];
+                            break;
+                        }
+                    }
+                }
+                if (sym < 0) return -2;
+                if (use_left) {
+                    prev = (prev + sym) & 0xFF;
+                    row[i] = (uint8_t)prev;
+                } else {
+                    row[i] = (uint8_t)sym;
+                }
+            }
+        }
+        start = end;
+    }
+    if (pred == P_GRADIENT)
+        for (int s = 0; s < slices; ++s)
+            uly_restore_gradient(out, W, sstarts[s], sends[s]);
+    else if (pred == P_MEDIAN)
+        for (int s = 0; s < slices; ++s)
+            uly_restore_median(out, W, sstarts[s], sends[s]);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Frame-parallel batch ingest decode: AVI frames are independent, so
+// batch reads fan the per-frame codec decoders across cores (the
+// reference decodes serially on libav's own thread,
+// ffmpegwrapper.cpp:818; batch captures have no such ordering need).
+// Each frame's rc lands in rcs[f]; the caller re-raises per-frame.
+// ---------------------------------------------------------------------------
+void uly_decode_frames_gray(const uint8_t* data, const int64_t* offs,
+                            const int64_t* sizes, int64_t F, int64_t W,
+                            int64_t H, int32_t slices, int32_t even_mask,
+                            uint8_t* out, int32_t* rcs) {
+    #pragma omp parallel for schedule(dynamic)
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t sz = sizes[f];
+        if (offs[f] < 0) {           // dropped slot: stays black
+            rcs[f] = 0;
+            memset(out + f * W * H, 0, (size_t)(W * H));
+            continue;
+        }
+        if (sz < 4) { rcs[f] = -1; continue; }
+        const uint8_t* d = data + offs[f];
+        const int32_t pred =
+            (int32_t)((d[sz - 4] | ((uint32_t)d[sz - 3] << 8)
+                       | ((uint32_t)d[sz - 2] << 16)
+                       | ((uint32_t)d[sz - 1] << 24)) >> 8) & 3;
+        rcs[f] = uly_decode_plane(d, sz, 0, W, H, slices, pred,
+                                  even_mask, out + f * W * H);
+    }
+}
+
+void lags_decode_frames_gray(const uint8_t* data, const int64_t* offs,
+                             const int64_t* sizes, int64_t F, int64_t W,
+                             int64_t H, uint8_t* out, int32_t* rcs) {
+    #pragma omp parallel for schedule(dynamic)
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t sz = sizes[f];
+        uint8_t* dst = out + f * W * H;
+        if (offs[f] < 0) {           // dropped slot: stays black
+            rcs[f] = 0;
+            memset(dst, 0, (size_t)(W * H));
+            continue;
+        }
+        if (sz < 1) { rcs[f] = -1; continue; }
+        const uint8_t* d = data + offs[f];
+        if (d[0] == 5) {             // FRAME_SOLID_GRAY
+            memset(dst, sz > 1 ? d[1] : 0, (size_t)(W * H));
+            rcs[f] = 0;
+        } else if (d[0] == 10) {     // FRAME_ARITH_YV12, luma at byte 9
+            rcs[f] = sz < 11 ? -1
+                : lags_decode_plane(d, sz, 9, W, H, dst);
+        } else {
+            rcs[f] = -5;             // unsupported frame type
+        }
+    }
+}
+
+void hfyu_decode_frames(const uint8_t* data, const int64_t* offs,
+                        const int64_t* sizes, int64_t F,
+                        const uint8_t* len_y, const uint8_t* len_u,
+                        const uint8_t* len_v, int64_t W, int64_t H,
+                        uint8_t* out, int32_t* rcs) {
+    #pragma omp parallel for schedule(dynamic)
+    for (int64_t f = 0; f < F; ++f) {
+        if (offs[f] < 0) {           // dropped slot: stays black
+            rcs[f] = 0;
+            memset(out + f * W * H, 0, (size_t)(W * H));
+            continue;
+        }
+        rcs[f] = hfyu_decode_yuy2(data + offs[f], sizes[f], len_y,
+                                  len_u, len_v, W, H, out + f * W * H);
+    }
+}
+
 // Accumulated per-line region histograms (ops/agc.py
 // region_histograms twin): line i accumulates pixels[i, lo:hi) over
 // ns spans -> out [N,256].  Overlapping spans count once, exactly as

@@ -227,10 +227,9 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
-        L.lags_decode_plane.restype = ctypes.c_int
-        L.lags_decode_plane.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        # Newer codec symbols (lags/uly/batch decode) bind lazily in
+        # their wrappers: a stale shipped .so must keep every OTHER
+        # native path alive, not fail the whole load.
         L.stc007_steady_tail.restype = ctypes.c_int64
         L.stc007_steady_tail.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -611,6 +610,111 @@ def hfyu_decode_yuy2(data, W, H, lens_y, lens_u, lens_v):
     return out
 
 
+def uly_decode_plane(data, pos, W, H, slices, pred, even_mask):
+    """Ut Video plane -> (rc, [H, W] u8), or None when the native core
+    is unavailable (pipeline/utvideo.py falls back to its Python twin).
+    rc: 0 ok, -1 truncated, -2 invalid code, -3 bad slice offsets,
+    -4 empty code-length table."""
+    L = _load()
+    if L is None or not hasattr(L, "uly_decode_plane"):
+        return None
+    if L.uly_decode_plane.argtypes is None:
+        L.uly_decode_plane.restype = ctypes.c_int
+        L.uly_decode_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+    data = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data, np.uint8)
+    out = np.empty((int(H), int(W)), np.uint8)
+    rc = L.uly_decode_plane(data.ctypes.data, data.size, int(pos),
+                            int(W), int(H), int(slices), int(pred),
+                            int(bool(even_mask)), out.ctypes.data)
+    return int(rc), out
+
+
+def _batch_args(data, entries):
+    data = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data, np.uint8)
+    offs = np.array([e[0] for e in entries], np.int64)
+    sizes = np.array([e[1] for e in entries], np.int64)
+    return data, offs, sizes
+
+
+def _batch_fn(name, argtypes):
+    """Batch-decoder symbol, or None when the native core (or the
+    symbol, for a stale shipped .so) is unavailable."""
+    L = _load()
+    if L is None or not hasattr(L, name):
+        return None
+    fn = getattr(L, name)
+    if fn.argtypes is None:
+        fn.restype = None
+        fn.argtypes = argtypes
+    return fn
+
+
+def uly_decode_frames_gray(data, entries, W, H, slices, even_mask):
+    """Frame-parallel Ut Video batch decode (OMP across frames).
+    entries: [(offset, size)]; offset < 0 = dropped slot (black).
+    -> (rcs [F] i32, out [F, H, W] u8) or None."""
+    fn = _batch_fn("uly_decode_frames_gray", [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p])
+    if fn is None:
+        return None
+    data, offs, sizes = _batch_args(data, entries)
+    F = len(entries)
+    out = np.empty((F, int(H), int(W)), np.uint8)
+    rcs = np.empty(F, np.int32)
+    fn(data.ctypes.data, offs.ctypes.data, sizes.ctypes.data, F,
+       int(W), int(H), int(slices), int(bool(even_mask)),
+       out.ctypes.data, rcs.ctypes.data)
+    return rcs, out
+
+
+def lags_decode_frames_gray(data, entries, W, H):
+    """Frame-parallel Lagarith batch decode.  -> (rcs, out) or None;
+    rc -5 = unsupported frame type (caller falls back per-frame)."""
+    fn = _batch_fn("lags_decode_frames_gray", [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p])
+    if fn is None:
+        return None
+    data, offs, sizes = _batch_args(data, entries)
+    F = len(entries)
+    out = np.empty((F, int(H), int(W)), np.uint8)
+    rcs = np.empty(F, np.int32)
+    fn(data.ctypes.data, offs.ctypes.data, sizes.ctypes.data, F,
+       int(W), int(H), out.ctypes.data, rcs.ctypes.data)
+    return rcs, out
+
+
+def hfyu_decode_frames(data, entries, W, H, lens_y, lens_u, lens_v):
+    """Frame-parallel HuffYUV batch decode.  -> (rcs, out) or None."""
+    fn = _batch_fn("hfyu_decode_frames", [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p])
+    if fn is None:
+        return None
+    ly = _as_u8(np.ascontiguousarray(lens_y, np.uint8))
+    lu = _as_u8(np.ascontiguousarray(lens_u, np.uint8))
+    lv = _as_u8(np.ascontiguousarray(lens_v, np.uint8))
+    data, offs, sizes = _batch_args(data, entries)
+    F = len(entries)
+    out = np.empty((F, int(H), int(W)), np.uint8)
+    rcs = np.empty(F, np.int32)
+    fn(data.ctypes.data, offs.ctypes.data, sizes.ctypes.data, F,
+       ly.ctypes.data, lu.ctypes.data, lv.ctypes.data,
+       int(W), int(H), out.ctypes.data, rcs.ctypes.data)
+    return rcs, out
+
+
 def lags_decode_plane(src, spos, W, H):
     """Lagarith plane (rac/raw/solid) -> (rc, luma [H, W] u8), or None
     when the native core is unavailable (pipeline/lagarith.py falls
@@ -618,8 +722,13 @@ def lags_decode_plane(src, spos, W, H):
     overrun, -3 zero-run-line coding (unsupported), -4 bad escape —
     the caller maps codes to its own error messages."""
     L = _load()
-    if L is None:
+    if L is None or not hasattr(L, "lags_decode_plane"):
         return None
+    if L.lags_decode_plane.argtypes is None:
+        L.lags_decode_plane.restype = ctypes.c_int
+        L.lags_decode_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
     src = np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray) \
         else np.ascontiguousarray(src, np.uint8)
     out = np.empty((int(H), int(W)), np.uint8)

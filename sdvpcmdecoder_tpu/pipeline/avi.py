@@ -18,10 +18,11 @@ codecs that appear in practice without any external binary:
   * HFYU               (HuffYUV YUY2 left-predictor with extradata
                         tables — the VirtualDub lossless default; see
                         pipeline/huffyuv.py for the exact scope)
+  * LAGS               (Lagarith YV12/solid-gray; pipeline/lagarith.py)
+  * ULY0/ULH0/ULY2/ULH2 (Ut Video planar YUV; pipeline/utvideo.py)
 
-Compressed codecs outside this set (Lagarith, x264, exotic HuffYUV
-variants...) raise a clear error pointing at the FFmpeg transcode
-path.
+Compressed codecs outside this set (x264, exotic HuffYUV variants...)
+raise a clear error pointing at the FFmpeg transcode path.
 
 `AVIReader` mirrors `ingest.VideoReader`'s interface (width/height/
 n_frames/read_frames/read_frames_view/close) with the same timeline
@@ -48,6 +49,7 @@ _I420_FOURCC = {b"I420", b"IYUV", b"YV12"}
 _MJPG_FOURCC = {b"MJPG", b"mjpg", b"dmb1"}
 _HFYU_FOURCC = {b"HFYU", b"hfyu"}
 _LAGS_FOURCC = {b"LAGS", b"lags"}
+_ULY_FOURCC = {b"ULY0", b"ULH0", b"ULY2", b"ULH2"}
 
 
 class AVIError(ValueError):
@@ -287,10 +289,33 @@ class AVIReader:
                     "-pix_fmt gray out.y4m`")
             self._hfyu = hf
             self._decode = self._dec_hfyu
+            from ..ops import stitch_native as _sn
+            ly, lu, lv = self._hfyu_lens
+            self._batch = lambda entries: _sn.hfyu_decode_frames(
+                self._mm, entries, self.width, self.height, ly, lu, lv)
         elif comp in _LAGS_FOURCC:
             from . import lagarith as lg
             self._lags = lg
             self._decode = self._dec_lags
+            from ..ops import stitch_native as _sn
+            self._batch = lambda entries: _sn.lags_decode_frames_gray(
+                self._mm, entries, self.width, self.height)
+        elif comp in _ULY_FOURCC:
+            from . import utvideo as utv
+            try:
+                self._uly_info = utv.StreamInfo(
+                    comp, getattr(self, "_extradata", b""))
+            except utv.UtVideoError as e:
+                raise AVIError(
+                    f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                    "-pix_fmt gray out.y4m`")
+            self._utv = utv
+            self._decode = self._dec_uly
+            from ..ops import stitch_native as _sn
+            info = self._uly_info
+            self._batch = lambda entries: _sn.uly_decode_frames_gray(
+                self._mm, entries, self.width, self.height,
+                info.slices, info.subsampled_h)
         elif comp in _MJPG_FOURCC:
             try:
                 from PIL import Image  # noqa: F401
@@ -357,6 +382,17 @@ class AVIReader:
                 f"{e}; pre-transcode with `ffmpeg -i cap.avi "
                 "-pix_fmt gray out.y4m`")
 
+    def _dec_uly(self, k):
+        off, size = self._entries[k]
+        try:
+            return self._utv.decode_frame_gray(
+                self._mm[off:off + size], self.width, self.height,
+                self._uly_info)
+        except self._utv.UtVideoError as e:
+            raise AVIError(
+                f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                "-pix_fmt gray out.y4m`")
+
     def _dec_mjpg(self, k):
         import io
         off, size = self._entries[k]
@@ -370,16 +406,38 @@ class AVIReader:
                                        self._hfyu_lens)
 
     # -- VideoReader interface --------------------------------------------
+    def _slot_entry(self, slot):
+        """timeline slot -> stored index (or -1 for a dropped slot)."""
+        if self._timeline_map is not None:
+            return int(self._timeline_map[slot])
+        return slot
+
     def read_frames(self, first, count):
         """-> uint8 [count, H, W]; dropped slots read all-black."""
         count = max(0, min(count, self.n_frames - first))
+        batch = getattr(self, "_batch", None)
+        if batch is not None and count > 1:
+            entries = []
+            for i in range(count):
+                k = self._slot_entry(first + i)
+                entries.append(self._entries[k] if k >= 0 else (-1, 0))
+            got = batch(entries)
+            if got is not None:
+                rcs, out = got
+                # any failing frame re-decodes per-frame so the exact
+                # codec error message (with transcode hint) surfaces
+                for i in np.nonzero(rcs != 0)[0]:
+                    f = self._decode(self._slot_entry(first + int(i)))
+                    h = min(f.shape[0], self.height)
+                    w = min(f.shape[1], self.width)
+                    out[int(i)] = 0
+                    out[int(i), :h, :w] = f[:h, :w]
+                return out
         out = np.zeros((count, self.height, self.width), np.uint8)
         for i in range(count):
-            k = first + i
-            if self._timeline_map is not None:
-                k = int(self._timeline_map[k])
-                if k < 0:
-                    continue
+            k = self._slot_entry(first + i)
+            if k < 0:
+                continue
             f = self._decode(k)
             h, w = min(f.shape[0], self.height), min(f.shape[1], self.width)
             out[i, :h, :w] = f[:h, :w]
@@ -402,7 +460,7 @@ class AVIReader:
 
 
 def write_avi(path, frames, codec="Y800", fps=25, drops=None,
-              quality=85, payloads=None):
+              quality=85, payloads=None, extradata=None):
     """Test/debug AVI writer.
 
     frames: uint8 [F, H, W] luma.  codec: Y800 | YUY2 | UYVY | DIB
@@ -415,7 +473,6 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     frames = np.asarray(frames, np.uint8)
     F, H, W = frames.shape
     drops = sorted(set(drops or []))
-    extradata = b""
     hfyu_payloads = payloads
     if payloads is None and codec == "HFYU":
         from . import huffyuv as hf
@@ -423,6 +480,14 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     elif payloads is None and codec == "LAGS":
         from . import lagarith as lg
         hfyu_payloads = lg.encode(frames)
+    elif payloads is None and codec in ("ULY0", "ULY2"):
+        from . import utvideo as utv
+        extradata, hfyu_payloads = utv.encode(frames, codec)
+    elif payloads is not None and extradata is None \
+            and codec in ("ULY0", "ULY2"):
+        from . import utvideo as utv
+        extradata = utv.build_extradata(codec)
+    extradata = extradata or b""
 
     def enc(f):
         if codec == "Y800":
@@ -451,9 +516,11 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
 
     fourcc = {"Y800": b"Y800", "YUY2": b"YUY2", "UYVY": b"UYVY",
               "DIB": b"\x00\x00\x00\x00", "MJPG": b"MJPG",
-              "HFYU": b"HFYU", "LAGS": b"LAGS"}[codec]
+              "HFYU": b"HFYU", "LAGS": b"LAGS", "ULY0": b"ULY0",
+              "ULY2": b"ULY2"}[codec]
     bitcount = {"Y800": 8, "YUY2": 16, "UYVY": 16, "DIB": 24,
-                "MJPG": 24, "HFYU": 16, "LAGS": 12}[codec]
+                "MJPG": 24, "HFYU": 16, "LAGS": 12, "ULY0": 12,
+                "ULY2": 16}[codec]
     payloads = hfyu_payloads if hfyu_payloads is not None \
         else [enc(frames[i]) for i in range(F)]
 
