@@ -2802,6 +2802,390 @@ void hfyu_decode_frames(const uint8_t* data, const int64_t* offs,
     }
 }
 
+// ---------------------------------------------------------------------------
+// FFV1 v3 frame decode — native twin of pipeline/ffv1.py Decoder (the
+// Python module is the spec; this is the ingest production path — the
+// reference decodes FFV1 through libav, ffmpegwrapper.cpp:543).
+// Gray/luma-only, 8-bit, both content coders (Golomb-Rice and the
+// binary adaptive range coder).  Adaptive per-slice contexts are
+// Python-owned arrays passed in and updated in place, so non-keyframe
+// carry-over works across calls.  Slices decode OMP-parallel (they
+// are independent).  Returns 0 ok; -1 truncated; -2 corrupt stream;
+// -3 CRC mismatch; -5 bad slice header.
+// ---------------------------------------------------------------------------
+namespace ffv1ns {
+
+struct Rac {
+    const uint8_t* d;
+    int64_t n, pos;
+    uint32_t low, range;
+    int overread;
+    bool err;
+    const uint8_t* one;   // [256]
+    const uint8_t* zero;  // [256]
+    void init(const uint8_t* data, int64_t nbytes,
+              const uint8_t* one_t, const uint8_t* zero_t) {
+        d = data; n = nbytes;
+        low = nbytes >= 2 ? ((uint32_t)data[0] << 8 | data[1]) : 0;
+        pos = 2;
+        range = 0xFF00;
+        overread = 0;
+        err = false;
+        one = one_t; zero = zero_t;
+    }
+    int get_rac(uint8_t* state) {
+        const uint32_t s = *state;
+        const uint32_t r1 = (range * s) >> 8;
+        range -= r1;
+        int bit;
+        if (low < range) {
+            *state = zero[s];
+            bit = 0;
+        } else {
+            low -= range;
+            range = r1;
+            *state = one[s];
+            bit = 1;
+        }
+        if (range < 0x100) {
+            range <<= 8;
+            low <<= 8;
+            if (pos < n) {
+                low += d[pos];
+                ++pos;
+            } else if (++overread > 64) {
+                err = true;
+            }
+        }
+        return bit;
+    }
+    int64_t get_symbol(uint8_t* state, int is_signed) {
+        if (get_rac(state + 0)) return 0;
+        int e = 0;
+        while (get_rac(state + 1 + (e < 9 ? e : 9))) {
+            if (++e > 31) { err = true; return 0; }
+        }
+        int64_t a = 1;
+        for (int i = e - 1; i >= 0; --i)
+            a += a + get_rac(state + 22 + (i < 9 ? i : 9));
+        if (is_signed && get_rac(state + 11 + (e < 10 ? e : 10)))
+            return -a;
+        return a;
+    }
+};
+
+struct Bits {
+    const uint8_t* d;
+    int64_t pos, n;
+    bool err;
+    int get1() {
+        if (pos >= n) { err = true; return 0; }
+        const int64_t p = pos++;
+        return (d[p >> 3] >> (7 - (p & 7))) & 1;
+    }
+    int64_t get(int k) {
+        int64_t v = 0;
+        for (int i = 0; i < k; ++i) v = (v << 1) | get1();
+        return v;
+    }
+};
+
+constexpr uint8_t LOG2_RUN[41] = {
+    0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 17, 18, 19, 20, 21, 22, 23, 24};
+
+inline int64_t ur_golomb(Bits& gb, int k, int limit, int esc_len) {
+    int lz = 0;
+    while (!gb.get1()) {
+        if (gb.err) return 0;
+        if (++lz == limit)
+            return gb.get(esc_len) + limit - 1;
+    }
+    return ((int64_t)lz << k) | gb.get(k);
+}
+
+inline int64_t sr_golomb(Bits& gb, int k, int limit, int esc_len) {
+    const int64_t v = ur_golomb(gb, k, limit, esc_len);
+    return (v >> 1) ^ -(v & 1);
+}
+
+inline int fold8(int64_t diff) {
+    diff &= 0xFF;
+    if (diff >= 128) diff -= 256;
+    return (int)diff;
+}
+
+// vlc state layout: [cc][4] = drift, error_sum, bias, count
+inline int get_vlc_symbol(Bits& gb, int32_t* st) {
+    int64_t drift = st[0], error_sum = st[1], bias = st[2],
+        count = st[3];
+    int64_t i = count;
+    int k = 0;
+    while (i < error_sum) { ++k; i += i; }
+    int64_t v = sr_golomb(gb, k, 12, 8);
+    if (2 * drift + count < 0) v = ~v;
+    const int ret = fold8(v + bias);
+    error_sum += v < 0 ? -v : v;
+    drift += v;
+    if (count == 128) {
+        count >>= 1;
+        drift >>= 1;
+        error_sum >>= 1;
+    }
+    ++count;
+    if (drift <= -count) {
+        bias = bias - 1 > -128 ? bias - 1 : -128;
+        drift = drift + count > -count + 1 ? drift + count : -count + 1;
+    } else if (drift > 0) {
+        bias = bias + 1 < 127 ? bias + 1 : 127;
+        drift = drift - count < 0 ? drift - count : 0;
+    }
+    st[0] = (int32_t)drift;
+    st[1] = (int32_t)error_sum;
+    st[2] = (int32_t)bias;
+    st[3] = (int32_t)count;
+    return ret;
+}
+
+inline int ffv1_mid_pred(int a, int b, int c) {
+    if (a > b) { const int t = a; a = b; b = t; }
+    return c < a ? a : (c > b ? b : c);
+}
+
+// CRC-32 MSB-first, poly 0x04C11DB7, init 0 (AV_CRC_32_IEEE layout)
+inline uint32_t ffv1_crc32(const uint8_t* d, int64_t n) {
+    static uint32_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; ++i) {
+            uint32_t c = (uint32_t)i << 24;
+            for (int j = 0; j < 8; ++j)
+                c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : c << 1;
+            tab[i] = c;
+        }
+        init = true;
+    }
+    uint32_t crc = 0;
+    for (int64_t i = 0; i < n; ++i)
+        crc = (crc << 8) ^ tab[((crc >> 24) ^ d[i]) & 0xFF];
+    return crc;
+}
+
+struct SliceJob {
+    int64_t start, end;
+    int rc;
+};
+
+}  // namespace ffv1ns
+
+// Persistent state layout (Python-owned, one per stream):
+//   slice_qidx  [ns] i32      plane-0 quant index, -1 = uninitialized
+//   vlc_states  [ns*max_cc*4] i32
+//   rac_states  [ns*max_cc*32] u8
+int ffv1_decode_frame_gray(
+    const uint8_t* data, int64_t n, int64_t W, int64_t H,
+    int32_t ac, int32_t ec, int32_t version,
+    int32_t num_h, int32_t num_v,
+    const int16_t* quant_tables,   // [qt_count][5][256]
+    const int32_t* context_counts, // [qt_count]
+    int32_t qt_count, int32_t max_cc,
+    const uint8_t* one_state,      // [256]
+    int32_t seen_keyframe,
+    int32_t* slice_qidx, int32_t* vlc_states, uint8_t* rac_states,
+    int32_t* keyframe_out, uint8_t* out) {
+    using namespace ffv1ns;
+    if (n < 4 || version < 2) return -1;
+    uint8_t zero_state[256] = {0};
+    for (int i = 1; i < 255; ++i)
+        zero_state[i] = (uint8_t)(256 - one_state[256 - i]);
+    const int ns = num_h * num_v;
+    if (ns <= 0 || ns > 256) return -5;
+    // keyframe bit
+    Rac main_c;
+    main_c.init(data, n, one_state, zero_state);
+    uint8_t keystate = 128;
+    const int keyframe = main_c.get_rac(&keystate);
+    *keyframe_out = keyframe;
+    if (!keyframe && !seen_keyframe) return -2;
+    // walk slice trailers from the end
+    const int trailer = version > 2 ? 3 + 5 * (ec ? 1 : 0) : 0;
+    SliceJob jobs[256];
+    {
+        int64_t pos_end = n;
+        for (int i = ns - 1; i >= 0; --i) {
+            int64_t v;
+            if (version > 2) {
+                if (pos_end - trailer < 0) return -1;
+                const uint8_t* t = data + pos_end - trailer;
+                v = ((int64_t)t[0] << 16 | (int64_t)t[1] << 8 | t[2])
+                    + trailer;
+            } else {
+                v = pos_end;
+            }
+            const int64_t start = pos_end - v;
+            if (start < 0) return -1;
+            if (ec && ffv1_crc32(data + start, pos_end - start) != 0)
+                return -3;
+            jobs[i].start = start;
+            jobs[i].end = pos_end;
+            jobs[i].rc = 0;
+            pos_end = start;
+        }
+    }
+    #pragma omp parallel for schedule(dynamic)
+    for (int i = 0; i < ns; ++i) {
+        SliceJob& j = jobs[i];
+        Rac c;
+        if (i == 0) {
+            c = main_c;
+            c.n = j.end;      // slice 0 continues after the key bit
+        } else {
+            c.init(data + j.start, j.end - j.start, one_state,
+                   zero_state);
+        }
+        uint8_t state[32];
+        memset(state, 128, sizeof(state));
+        const int64_t sx = c.get_symbol(state, 0);
+        const int64_t sy = c.get_symbol(state, 0);
+        const int64_t sw = c.get_symbol(state, 0) + 1;
+        const int64_t sh = c.get_symbol(state, 0) + 1;
+        if (c.err || sx < 0 || sy < 0 || sx + sw > num_h ||
+            sy + sh > num_v) {
+            j.rc = -5;
+            continue;
+        }
+        const int64_t x0 = sx * W / num_h;
+        const int64_t y0 = sy * H / num_v;
+        const int64_t w = (sx + sw) * W / num_h - x0;
+        const int64_t h = (sy + sh) * H / num_v - y0;
+        int32_t qidx0 = -1;
+        for (int p = 0; p < 2; ++p) {   // plane_count = 2 for gray v3
+            const int64_t idx = c.get_symbol(state, 0);
+            if (idx < 0 || idx >= qt_count) { j.rc = -5; break; }
+            if (p == 0) qidx0 = (int32_t)idx;
+        }
+        if (j.rc) continue;
+        c.get_symbol(state, 0);   // picture structure
+        c.get_symbol(state, 0);   // sar num
+        c.get_symbol(state, 0);   // sar den
+        if (c.err) { j.rc = -2; continue; }
+        const int64_t si = sy * num_h + sx;
+        int32_t* vst = vlc_states + si * (int64_t)max_cc * 4;
+        uint8_t* rst = rac_states + si * (int64_t)max_cc * 32;
+        const int32_t cc = context_counts[qidx0];
+        if (keyframe || slice_qidx[si] != qidx0) {
+            slice_qidx[si] = qidx0;
+            for (int64_t k = 0; k < cc; ++k) {
+                vst[k * 4 + 0] = 0;
+                vst[k * 4 + 1] = 4;
+                vst[k * 4 + 2] = 0;
+                vst[k * 4 + 3] = 1;
+            }
+            memset(rst, 128, (size_t)cc * 32);
+        }
+        const int16_t* qt = quant_tables + (int64_t)qidx0 * 5 * 256;
+        const int16_t* q0 = qt;
+        const int16_t* q1 = qt + 256;
+        const int16_t* q2 = qt + 512;
+        const int16_t* q3 = qt + 768;
+        const int16_t* q4 = qt + 1024;
+        const bool five = q3[127] || q4[127];
+        std::vector<int32_t> bufa(w + 6, 0), bufb(w + 6, 0);
+        int32_t* above = bufa.data() + 3;
+        int32_t* cur = bufb.data() + 3;
+        Bits gb{nullptr, 0, 0, false};
+        if (!ac) {
+            // v3 header rac terminator bit, then golomb content
+            // (c.pos counts from j.start for i>0, and from the packet
+            // start — where j.start == 0 — for slice 0)
+            if (version > 2) {
+                uint8_t s129 = 129;
+                c.get_rac(&s129);
+            }
+            // c.pos counts from j.start either way (slice 0 has
+            // j.start == 0 and its rac spans the whole packet)
+            const int64_t gstart = (i == 0 ? 0 : j.start) + c.pos - 1;
+            gb.d = data + gstart;
+            gb.n = (j.end - gstart) * 8;
+            gb.pos = 0;
+        }
+        int64_t run_index = 0;
+        for (int64_t y = 0; y < h && !j.rc; ++y) {
+            int32_t* t = above; above = cur; cur = t;
+            cur[-1] = above[0];
+            above[w] = above[w - 1];
+            int run_mode = 0;
+            int64_t run_count = 0;
+            for (int64_t x = 0; x < w; ++x) {
+                const int L = cur[x - 1];
+                const int LT = above[x - 1];
+                const int T = above[x];
+                const int RT = above[x + 1];
+                int64_t context;
+                if (five) {
+                    const int LL = cur[x - 2];
+                    const int TT = cur[x];   // two rows up (buffer reuse)
+                    context = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                        + q2[(T - RT) & 0xFF] + q3[(LL - L) & 0xFF]
+                        + q4[(TT - T) & 0xFF];
+                } else {
+                    context = q0[(L - LT) & 0xFF] + q1[(LT - T) & 0xFF]
+                        + q2[(T - RT) & 0xFF];
+                }
+                int sign = 0;
+                if (context < 0) { context = -context; sign = 1; }
+                int64_t diff;
+                if (ac) {
+                    diff = c.get_symbol(rst + context * 32, 1);
+                    if (c.err) { j.rc = -2; break; }
+                } else {
+                    if (context == 0 && run_mode == 0) run_mode = 1;
+                    if (run_mode) {
+                        if (run_count == 0 && run_mode == 1) {
+                            if (gb.get1()) {
+                                run_count =
+                                    (int64_t)1 << LOG2_RUN[run_index];
+                                if (x + run_count <= w) ++run_index;
+                            } else {
+                                if (LOG2_RUN[run_index])
+                                    run_count =
+                                        gb.get(LOG2_RUN[run_index]);
+                                else
+                                    run_count = 0;
+                                if (run_index) --run_index;
+                                run_mode = 2;
+                            }
+                        }
+                        --run_count;
+                        if (run_count < 0) {
+                            run_mode = 0;
+                            run_count = 0;
+                            diff = get_vlc_symbol(
+                                gb, vst + context * 4);
+                            if (diff >= 0) ++diff;
+                        } else {
+                            diff = 0;
+                        }
+                    } else {
+                        diff = get_vlc_symbol(gb, vst + context * 4);
+                    }
+                    if (gb.err) { j.rc = -2; break; }
+                }
+                if (sign) diff = -diff;
+                const int pred = ffv1_mid_pred(L, T, L + T - LT);
+                cur[x] = (int32_t)((pred + diff) & 0xFF);
+            }
+            if (j.rc) break;
+            uint8_t* orow = out + (y0 + y) * W + x0;
+            for (int64_t x = 0; x < w; ++x) orow[x] = (uint8_t)cur[x];
+        }
+    }
+    for (int i = 0; i < ns; ++i)
+        if (jobs[i].rc) return jobs[i].rc;
+    return 0;
+}
+
 // Accumulated per-line region histograms (ops/agc.py
 // region_histograms twin): line i accumulates pixels[i, lo:hi) over
 // ns spans -> out [N,256].  Overlapping spans count once, exactly as

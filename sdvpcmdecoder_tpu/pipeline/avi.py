@@ -20,6 +20,8 @@ codecs that appear in practice without any external binary:
                         pipeline/huffyuv.py for the exact scope)
   * LAGS               (Lagarith YV12/solid-gray; pipeline/lagarith.py)
   * ULY0/ULH0/ULY2/ULH2 (Ut Video planar YUV; pipeline/utvideo.py)
+  * FFV1                (version 3, golomb + range coders;
+                        pipeline/ffv1.py — the archival standard)
 
 Compressed codecs outside this set (x264, exotic HuffYUV variants...)
 raise a clear error pointing at the FFmpeg transcode path.
@@ -50,6 +52,7 @@ _MJPG_FOURCC = {b"MJPG", b"mjpg", b"dmb1"}
 _HFYU_FOURCC = {b"HFYU", b"hfyu"}
 _LAGS_FOURCC = {b"LAGS", b"lags"}
 _ULY_FOURCC = {b"ULY0", b"ULH0", b"ULY2", b"ULH2"}
+_FFV1_FOURCC = {b"FFV1"}
 
 
 class AVIError(ValueError):
@@ -316,6 +319,18 @@ class AVIReader:
             self._batch = lambda entries: _sn.uly_decode_frames_gray(
                 self._mm, entries, self.width, self.height,
                 info.slices, info.subsampled_h)
+        elif comp in _FFV1_FOURCC:
+            from . import ffv1 as fv
+            try:
+                self._ffv1 = fv.Decoder(getattr(self, "_extradata", b""),
+                                        self.width, self.height)
+            except fv.FFV1Error as e:
+                raise AVIError(
+                    f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                    "-pix_fmt gray out.y4m`")
+            self._fv = fv
+            self._ffv1_next = 0     # contexts carry: decode in order
+            self._decode = self._dec_ffv1
         elif comp in _MJPG_FOURCC:
             try:
                 from PIL import Image  # noqa: F401
@@ -392,6 +407,29 @@ class AVIReader:
             raise AVIError(
                 f"{e}; pre-transcode with `ffmpeg -i cap.avi "
                 "-pix_fmt gray out.y4m`")
+
+    def _dec_ffv1(self, k):
+        # FFV1 carries adaptive contexts across non-keyframes, so the
+        # stream decodes strictly in stored order; out-of-order reads
+        # rewind to the start and roll forward (reads are sequential in
+        # practice — the batch driver walks the capture front to back).
+        if k < self._ffv1_next:
+            self._ffv1.reset()
+            self._ffv1_next = 0
+        try:
+            while self._ffv1_next < k:
+                off, size = self._entries[self._ffv1_next]
+                self._ffv1.decode_frame_gray(self._mm[off:off + size])
+                self._ffv1_next += 1
+            off, size = self._entries[k]
+            out, _ = self._ffv1.decode_frame_gray(
+                self._mm[off:off + size])
+        except self._fv.FFV1Error as e:
+            raise AVIError(
+                f"{e}; pre-transcode with `ffmpeg -i cap.avi "
+                "-pix_fmt gray out.y4m`")
+        self._ffv1_next = k + 1
+        return out
 
     def _dec_mjpg(self, k):
         import io
@@ -483,10 +521,16 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     elif payloads is None and codec in ("ULY0", "ULY2"):
         from . import utvideo as utv
         extradata, hfyu_payloads = utv.encode(frames, codec)
+    elif payloads is None and codec == "FFV1":
+        from . import ffv1 as fv
+        extradata, hfyu_payloads = fv.encode(frames)
     elif payloads is not None and extradata is None \
             and codec in ("ULY0", "ULY2"):
         from . import utvideo as utv
         extradata = utv.build_extradata(codec)
+    elif payloads is not None and extradata is None and codec == "FFV1":
+        from . import ffv1 as fv
+        extradata = fv.build_extradata()
     extradata = extradata or b""
 
     def enc(f):
@@ -517,10 +561,10 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     fourcc = {"Y800": b"Y800", "YUY2": b"YUY2", "UYVY": b"UYVY",
               "DIB": b"\x00\x00\x00\x00", "MJPG": b"MJPG",
               "HFYU": b"HFYU", "LAGS": b"LAGS", "ULY0": b"ULY0",
-              "ULY2": b"ULY2"}[codec]
+              "ULY2": b"ULY2", "FFV1": b"FFV1"}[codec]
     bitcount = {"Y800": 8, "YUY2": 16, "UYVY": 16, "DIB": 24,
                 "MJPG": 24, "HFYU": 16, "LAGS": 12, "ULY0": 12,
-                "ULY2": 16}[codec]
+                "ULY2": 16, "FFV1": 8}[codec]
     payloads = hfyu_payloads if hfyu_payloads is not None \
         else [enc(frames[i]) for i in range(F)]
 
