@@ -106,20 +106,20 @@ def _ensure_decodable_input(args):
     from .pipeline import ingest
     if ingest._is_stream(src):
         return src  # live FIFO/device: StreamReader pulls it directly
-    if src.lower().endswith(".avi"):
-        # AVI decodes in-process (pipeline/avi.py) unless the codec is
-        # outside the built-in set, in which case fall through to the
-        # FFmpeg transcode path.
+    if src.lower().endswith((".avi", ".mkv", ".mka", ".webm")):
+        # AVI and Matroska decode in-process (pipeline/avi.py,
+        # pipeline/mkv.py) unless the codec is outside the built-in
+        # set, in which case fall through to the FFmpeg transcode path.
         from .pipeline import avi
         try:
-            with avi.AVIReader(src) as rd:
+            with ingest.open_capture(src) as rd:
                 if rd.dropped_frames:
-                    print(f"AVI capture: {rd.dropped_frames} dropped "
-                          "frames re-inserted from idx1")
+                    print(f"capture: {rd.dropped_frames} dropped "
+                          "frames re-inserted from the container index")
             return src
         except avi.AVIError as e:
-            print(f"in-process AVI decode unavailable ({e}); trying "
-                  "FFmpeg transcode", file=sys.stderr)
+            print(f"in-process container decode unavailable ({e}); "
+                  "trying FFmpeg transcode", file=sys.stderr)
     import os
     import tempfile
     from .pipeline import ingest

@@ -145,7 +145,9 @@ def read_len_table(data: bytes, pos: int):
 
 
 def build_extradata(lens_y, lens_u, lens_v) -> bytes:
-    return bytes([METHOD_LEFT, 8, 0, 0]) \
+    # byte 1 = bitstream bpp: 16 for YUY2 (libavcodec validates this
+    # when the container carries no separate bit count, e.g. MKV)
+    return bytes([METHOD_LEFT, 16, 0, 0]) \
         + write_len_table(lens_y) + write_len_table(lens_u) \
         + write_len_table(lens_v)
 
@@ -153,13 +155,18 @@ def build_extradata(lens_y, lens_u, lens_v) -> bytes:
 def parse_extradata(extra: bytes):
     if len(extra) < 4:
         raise ValueError("HFYU: missing extradata tables")
-    method = extra[0]
+    # byte 0: predictor in the low 6 bits (0 = left); bit 6 is the RGB
+    # decorrelate flag, meaningless for YUY2 streams
+    method = extra[0] & 63
     if method != METHOD_LEFT:
         raise ValueError(f"HFYU: unsupported predictor method {method} "
                          "(only left prediction is supported in-process;"
                          " pre-transcode with ffmpeg)")
-    if extra[1] not in (0, 8):
-        raise ValueError(f"HFYU: unsupported bit depth {extra[1]}")
+    # byte 1: bitstream bpp — 16 = YUY2 (what libavcodec writes), 8 is
+    # this module's legacy value for the same streams, 0 = unset
+    if extra[1] not in (0, 8, 16):
+        raise ValueError(f"HFYU: unsupported bit depth {extra[1]} "
+                         "(only YUY2 streams decode in-process)")
     pos = 4
     lens_y, pos = read_len_table(extra, pos)
     lens_u, pos = read_len_table(extra, pos)

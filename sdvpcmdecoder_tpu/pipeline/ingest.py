@@ -383,14 +383,18 @@ def _is_stream(p):
 
 
 def open_capture(path, raw_size=None, **kw):
-    """Reader factory: AVI containers decode in-process (pipeline/avi.py,
-    no FFmpeg needed); FIFOs / character devices / "-" stream through
-    StreamReader (live ingest); everything else goes through VideoReader
-    (Y4M / raw gray8 + `.pts` sidecar)."""
+    """Reader factory: AVI and Matroska containers decode in-process
+    (pipeline/avi.py, pipeline/mkv.py — no FFmpeg needed); FIFOs /
+    character devices / "-" stream through StreamReader (live ingest);
+    everything else goes through VideoReader (Y4M / raw gray8 + `.pts`
+    sidecar)."""
     p = str(path)
     if p.lower().endswith(".avi"):
         from .avi import AVIReader
         return AVIReader(p, raw_size=raw_size, **kw)
+    if p.lower().endswith((".mkv", ".mka", ".webm")):
+        from .mkv import MKVReader
+        return MKVReader(p, raw_size=raw_size, **kw)
     if _is_stream(p):
         import sys
         src = sys.stdin.buffer if p in ("-", "pipe:", "pipe:0") else p
