@@ -2983,9 +2983,12 @@ struct SliceJob {
 //   slice_qidx  [ns] i32      plane-0 quant index, -1 = uninitialized
 //   vlc_states  [ns*max_cc*4] i32
 //   rac_states  [ns*max_cc*32] u8
-int ffv1_decode_frame_gray(
+// symbol suffixed _v2 when the micro_version arg was added:
+// a stale shipped .so must miss the lookup (clean Python
+// fallback), not get called with a mismatched ABI.
+int ffv1_decode_frame_gray_v2(
     const uint8_t* data, int64_t n, int64_t W, int64_t H,
-    int32_t ac, int32_t ec, int32_t version,
+    int32_t ac, int32_t ec, int32_t version, int32_t micro,
     int32_t num_h, int32_t num_v,
     const int16_t* quant_tables,   // [qt_count][5][256]
     const int32_t* context_counts, // [qt_count]
@@ -3096,10 +3099,12 @@ int ffv1_decode_frame_gray(
         int32_t* cur = bufb.data() + 3;
         Bits gb{nullptr, 0, 0, false};
         if (!ac) {
-            // v3 header rac terminator bit, then golomb content
-            // (c.pos counts from j.start for i>0, and from the packet
-            // start — where j.start == 0 — for slice 0)
-            if (version > 2) {
+            // v3.2+ header rac terminator bit, then golomb content
+            // (libavcodec gate: (version == 3 && micro > 1) ||
+            // version > 3; c.pos counts from j.start for i>0, and
+            // from the packet start — where j.start == 0 — for
+            // slice 0)
+            if ((version == 3 && micro > 1) || version > 3) {
                 uint8_t s129 = 129;
                 c.get_rac(&s129);
             }

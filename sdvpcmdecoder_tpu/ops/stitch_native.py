@@ -717,14 +717,14 @@ def hfyu_decode_frames(data, entries, W, H, lens_y, lens_u, lens_v):
 
 def ffv1_decode_frame_gray(data, W, H, cfg_args, state_arrays):
     """FFV1 v3 gray frame decode with Python-owned persistent slice
-    contexts.  cfg_args: (ac, ec, version, num_h, num_v, quant_tables
-    [qt,5,256] i16, context_counts [qt] i32, max_cc, one_state [256]
-    u8).  state_arrays: (slice_qidx i32 [ns], vlc_states i32
+    contexts.  cfg_args: (ac, ec, version, micro_version, num_h, num_v,
+    quant_tables [qt,5,256] i16, context_counts [qt] i32, max_cc,
+    one_state [256] u8).  state_arrays: (slice_qidx i32 [ns], vlc_states i32
     [ns*max_cc*4], rac_states u8 [ns*max_cc*32], seen_keyframe bool).
     -> (rc, keyframe, out [H, W]) or None when unavailable."""
-    fn = _batch_fn("ffv1_decode_frame_gray", [
+    fn = _batch_fn("ffv1_decode_frame_gray_v2", [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32,
@@ -734,7 +734,7 @@ def ffv1_decode_frame_gray(data, W, H, cfg_args, state_arrays):
     if fn is None:
         return None
     fn.restype = ctypes.c_int
-    (ac, ec, version, num_h, num_v, qts, ccounts, max_cc,
+    (ac, ec, version, micro, num_h, num_v, qts, ccounts, max_cc,
      one_state) = cfg_args
     slice_qidx, vlc_states, rac_states, seen_keyframe = state_arrays
     data = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
@@ -742,7 +742,8 @@ def ffv1_decode_frame_gray(data, W, H, cfg_args, state_arrays):
     out = np.empty((int(H), int(W)), np.uint8)
     key = np.zeros(1, np.int32)
     rc = fn(data.ctypes.data, data.size, int(W), int(H),
-            int(ac), int(ec), int(version), int(num_h), int(num_v),
+            int(ac), int(ec), int(version), int(micro),
+            int(num_h), int(num_v),
             qts.ctypes.data, ccounts.ctypes.data,
             int(len(ccounts)), int(max_cc),
             one_state.ctypes.data, int(bool(seen_keyframe)),

@@ -497,6 +497,36 @@ class AVIReader:
         self.close()
 
 
+def resolve_payloads(frames, codec, payloads=None, extradata=None):
+    """Per-frame chunk bytes + codec extradata for the compressed
+    codecs, shared by write_avi and mkv.write_mkv.  Explicit payloads
+    pass through; missing extradata is built so the file stays
+    self-describing either way."""
+    if payloads is None:
+        if codec == "HFYU":
+            from . import huffyuv as hf
+            extradata, payloads = hf.encode(frames)
+        elif codec == "LAGS":
+            from . import lagarith as lg
+            payloads = lg.encode(frames)
+        elif codec in ("ULY0", "ULY2"):
+            from . import utvideo as utv
+            extradata, payloads = utv.encode(frames, codec)
+        elif codec == "FFV1":
+            from . import ffv1 as fv
+            extradata, payloads = fv.encode(frames)
+        else:
+            raise ValueError(f"unsupported codec {codec}")
+    elif extradata is None:
+        if codec in ("ULY0", "ULY2"):
+            from . import utvideo as utv
+            extradata = utv.build_extradata(codec)
+        elif codec == "FFV1":
+            from . import ffv1 as fv
+            extradata = fv.build_extradata()
+    return payloads, extradata
+
+
 def write_avi(path, frames, codec="Y800", fps=25, drops=None,
               quality=85, payloads=None, extradata=None):
     """Test/debug AVI writer.
@@ -511,26 +541,11 @@ def write_avi(path, frames, codec="Y800", fps=25, drops=None,
     frames = np.asarray(frames, np.uint8)
     F, H, W = frames.shape
     drops = sorted(set(drops or []))
-    hfyu_payloads = payloads
-    if payloads is None and codec == "HFYU":
-        from . import huffyuv as hf
-        extradata, hfyu_payloads = hf.encode(frames)
-    elif payloads is None and codec == "LAGS":
-        from . import lagarith as lg
-        hfyu_payloads = lg.encode(frames)
-    elif payloads is None and codec in ("ULY0", "ULY2"):
-        from . import utvideo as utv
-        extradata, hfyu_payloads = utv.encode(frames, codec)
-    elif payloads is None and codec == "FFV1":
-        from . import ffv1 as fv
-        extradata, hfyu_payloads = fv.encode(frames)
-    elif payloads is not None and extradata is None \
-            and codec in ("ULY0", "ULY2"):
-        from . import utvideo as utv
-        extradata = utv.build_extradata(codec)
-    elif payloads is not None and extradata is None and codec == "FFV1":
-        from . import ffv1 as fv
-        extradata = fv.build_extradata()
+    if codec in ("HFYU", "LAGS", "ULY0", "ULY2", "FFV1"):
+        hfyu_payloads, extradata = resolve_payloads(frames, codec,
+                                                    payloads, extradata)
+    else:
+        hfyu_payloads = payloads
     extradata = extradata or b""
 
     def enc(f):

@@ -358,17 +358,17 @@ class StreamConfig:
         extra = bytes(extra)
         if len(extra) < 4:
             raise FFV1Error("FFV1: missing extradata")
-        if crc32_ieee(extra) != 0:
-            raise FFV1Error("FFV1: extradata CRC mismatch")
         c = RangeDecoder(extra)
         state = [128] * CONTEXT_SIZE
         self.version = c.get_symbol(state, 0)
-        if self.version < 2 or self.version > 3:
+        if self.version != 3:
             raise FFV1Error(
-                f"FFV1: unsupported version {self.version} (only v2/v3 "
-                "decode in-process; pre-transcode with ffmpeg)")
-        self.micro_version = c.get_symbol(state, 0) if self.version > 2 \
-            else 0
+                f"FFV1: unsupported version {self.version} (only v3 "
+                "decodes in-process; pre-transcode with ffmpeg)")
+        # the CRC footer exists for version > 2 only
+        if crc32_ieee(extra) != 0:
+            raise FFV1Error("FFV1: extradata CRC mismatch")
+        self.micro_version = c.get_symbol(state, 0)
         self.ac = c.get_symbol(state, 0)
         self.state_transition = None
         if self.ac == 2:           # custom rac transition table
@@ -405,13 +405,17 @@ class StreamConfig:
         self.initial_states = [None] * self.quant_table_count
         for t in range(self.quant_table_count):
             if c.get_rac(state, 0):
-                st2 = [128] * CONTEXT_SIZE
+                # one SEPARATE 32-byte rac state array per context byte
+                # k (libavcodec state2[k]), not a shared one
+                st2 = [[128] * CONTEXT_SIZE
+                       for _ in range(CONTEXT_SIZE)]
                 cc = self.context_counts[t]
                 ini = np.empty((cc, CONTEXT_SIZE), np.uint8)
                 pred = [128] * CONTEXT_SIZE
                 for j in range(cc):
                     for k in range(CONTEXT_SIZE):
-                        pred[k] = (pred[k] + c.get_symbol(st2, 1)) & 0xFF
+                        pred[k] = (pred[k]
+                                   + c.get_symbol(st2[k], 1)) & 0xFF
                         ini[j, k] = pred[k]
                 self.initial_states[t] = ini
         if self.version > 2:
@@ -503,8 +507,8 @@ class Decoder:
             ns = cfg.num_h_slices * cfg.num_v_slices
             max_cc = max(cfg.context_counts)
             self._native_cfg = (
-                cfg.ac, cfg.ec, cfg.version, cfg.num_h_slices,
-                cfg.num_v_slices,
+                cfg.ac, cfg.ec, cfg.version, cfg.micro_version,
+                cfg.num_h_slices, cfg.num_v_slices,
                 np.ascontiguousarray(np.stack(cfg.quant_tables),
                                      np.int16),
                 np.asarray(cfg.context_counts, np.int32), max_cc,
@@ -574,10 +578,9 @@ class Decoder:
         for i, (start, end) in enumerate(starts):
             if i == 0:
                 sc = c            # continues after the keyframe bit
-                sc_end = end
+                sc.buf = data[:end]   # refills stop at the slice end
             else:
                 sc = RangeDecoder(data[start:end], cfg.state_transition)
-                sc_end = end - start
             self._decode_slice(sc, data, start, end, i == 0, keyframe,
                                out)
         return out, bool(keyframe)
@@ -617,25 +620,21 @@ class Decoder:
                 else:
                     sl.rac_states.append(
                         np.full((cc, CONTEXT_SIZE), 128, np.uint8))
+        # Luma is the FIRST plane of every slice, so the gray decode
+        # path never needs to parse the chroma planes that may follow
+        # it in the bitstream — it simply stops after plane 0 (the
+        # reference's GRAY8 swscale does the same reduction).
         if cfg.ac:
             self._decode_plane_rac(c, sl, 0, out, x0, y0, w, h)
-            if cfg.chroma_planes:
-                raise FFV1Error("FFV1: chroma decode not reached for "
-                                "gray captures; pre-transcode")
-            if cfg.version > 2:
-                c.get_rac([129], 0)    # slice rac terminator bit
         else:
-            # v3 terminates the header rac with one flush bit (state
-            # 129, ff_rac_terminate(c, 1)); the golomb content starts
-            # right after the rac's consumed bytes
-            if cfg.version > 2:
+            # v3.2+ terminates the header rac with one flush bit
+            # (state 129, ff_rac_terminate(c, 1)); the golomb content
+            # starts right after the rac's consumed bytes
+            if cfg.micro_version > 1:
                 c.get_rac([129], 0)
             off = start + (c.pos - 1)
             gb = BitReader(data[off:end])
             self._decode_plane_golomb(gb, sl, 0, out, x0, y0, w, h)
-            if cfg.chroma_planes:
-                raise FFV1Error("FFV1: chroma decode not reached for "
-                                "gray captures; pre-transcode")
 
     # -- plane decode (golomb) --------------------------------------------
     def _decode_plane_golomb(self, gb, sl, plane, out, x0, y0, w, h):
@@ -777,10 +776,10 @@ def _write_quant_table(enc, levels):
 _ENC_LEVELS = [0] + [1, 2] + [3] * 4 + [4] * 8 + [5] * 113
 
 
-def build_extradata():
-    """v3 extradata for the encoder's fixed configuration: gray 8-bit,
-    range coder, one slice, one 3-gradient quant table, ec=1, intra=1.
-    """
+def build_extradata(chroma_planes=False):
+    """v3 extradata for the encoder's fixed configuration: 8-bit
+    YCbCr (gray by default; chroma_planes adds 4:2:0 Cb/Cr), range
+    coder, one slice, one 3-gradient quant table, ec=1, intra=1."""
     enc = RangeEncoder()
     state = [128] * CONTEXT_SIZE
     enc.put_symbol(state, 3, 0)       # version
@@ -788,9 +787,9 @@ def build_extradata():
     enc.put_symbol(state, 1, 0)       # coder: range, default table
     enc.put_symbol(state, 0, 0)       # colorspace
     enc.put_symbol(state, 8, 0)       # bits
-    enc.put_rac(state, 0, 0)          # chroma_planes = 0
-    enc.put_symbol(state, 0, 0)       # chroma h shift
-    enc.put_symbol(state, 0, 0)       # chroma v shift
+    enc.put_rac(state, 0, int(bool(chroma_planes)))
+    enc.put_symbol(state, 1 if chroma_planes else 0, 0)  # h shift
+    enc.put_symbol(state, 1 if chroma_planes else 0, 0)  # v shift
     enc.put_rac(state, 0, 0)          # transparency = 0
     enc.put_symbol(state, 0, 0)       # num_h_slices - 1
     enc.put_symbol(state, 0, 0)       # num_v_slices - 1
@@ -822,31 +821,18 @@ def _enc_quant_table():
 
 
 class Encoder:
-    """FFV1 v3 intra-only gray encoder (range coder, single slice)."""
+    """FFV1 v3 intra-only encoder (range coder, single slice; gray by
+    default, chroma_planes adds 4:2:0 Cb/Cr — both chroma planes share
+    the plane-1 context states, as the format requires)."""
 
-    def __init__(self, W, H):
+    def __init__(self, W, H, chroma_planes=False):
         self.W, self.H = W, H
-        self.extradata = build_extradata()
+        self.chroma_planes = bool(chroma_planes)
+        self.extradata = build_extradata(self.chroma_planes)
         self.qt, self.context_count = _enc_quant_table()
 
-    def encode_frame(self, luma):
-        luma = np.asarray(luma, np.uint8)
-        H, W = luma.shape
-        if (H, W) != (self.H, self.W):
-            raise FFV1Error("FFV1: frame dims mismatch")
-        enc = RangeEncoder()
-        keystate = [128]
-        enc.put_rac(keystate, 0, 1)        # keyframe (intra-only)
-        state = [128] * CONTEXT_SIZE
-        for _ in range(4):                 # sx, sy, sw-1, sh-1
-            enc.put_symbol(state, 0, 0)
-        enc.put_symbol(state, 0, 0)        # plane 0 quant idx
-        enc.put_symbol(state, 0, 0)        # plane 1 quant idx
-        enc.put_symbol(state, 0, 0)        # picture structure
-        enc.put_symbol(state, 0, 0)        # sar num
-        enc.put_symbol(state, 0, 0)        # sar den
-        states = np.full((self.context_count, CONTEXT_SIZE), 128,
-                         np.uint8)
+    def _encode_plane(self, enc, states, plane):
+        H, W = plane.shape
         qt = self.qt
         q0, q1, q2 = qt[0], qt[1], qt[2]
         above = np.zeros(W + 6, np.int32)
@@ -855,7 +841,7 @@ class Encoder:
             above, cur = cur, above
             cur[2] = above[3]
             above[W + 3] = above[W + 2]
-            row = luma[y]
+            row = plane[y]
             for x in range(W):
                 L = int(cur[x + 2])
                 LT = int(above[x + 2])
@@ -876,6 +862,36 @@ class Encoder:
                 diff = _fold(diff, 8)
                 enc.put_symbol(states[context], diff, 1)
                 cur[x + 3] = pix
+
+    def encode_frame(self, luma, chroma=None):
+        luma = np.asarray(luma, np.uint8)
+        H, W = luma.shape
+        if (H, W) != (self.H, self.W):
+            raise FFV1Error("FFV1: frame dims mismatch")
+        enc = RangeEncoder()
+        keystate = [128]
+        enc.put_rac(keystate, 0, 1)        # keyframe (intra-only)
+        state = [128] * CONTEXT_SIZE
+        for _ in range(4):                 # sx, sy, sw-1, sh-1
+            enc.put_symbol(state, 0, 0)
+        enc.put_symbol(state, 0, 0)        # plane 0 quant idx
+        enc.put_symbol(state, 0, 0)        # plane 1 quant idx
+        enc.put_symbol(state, 0, 0)        # picture structure
+        enc.put_symbol(state, 0, 0)        # sar num
+        enc.put_symbol(state, 0, 0)        # sar den
+        states = np.full((self.context_count, CONTEXT_SIZE), 128,
+                         np.uint8)
+        self._encode_plane(enc, states, luma)
+        if self.chroma_planes:
+            cw, ch = (W + 1) // 2, (H + 1) // 2
+            if chroma is None:
+                cb = cr = np.full((ch, cw), 128, np.uint8)
+            else:
+                cb, cr = (np.asarray(c, np.uint8) for c in chroma)
+            cstates = np.full((self.context_count, CONTEXT_SIZE), 128,
+                              np.uint8)
+            self._encode_plane(enc, cstates, cb)
+            self._encode_plane(enc, cstates, cr)
         body = enc.finish(version=1)
         size = len(body)
         trailer = struct.pack(">I", size)[1:]  # 24-bit BE size

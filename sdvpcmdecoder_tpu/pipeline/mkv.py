@@ -55,9 +55,6 @@ _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
-_VOID = 0xEC
-_CRC32 = 0xBF
-
 _LEVEL1 = {_INFO, _TRACKS, _CLUSTER, 0x114D9B74, 0x1C53BB6B, 0x1941A469,
            0x1043A770, 0x1254C367}   # SeekHead, Cues, Attachments, ...
 
@@ -137,26 +134,15 @@ def write_mkv(path, frames, codec="FFV1", fps=25, drops=None,
     codecs wrapped as V_MS/VFW/FOURCC.  drops: timeline slot indices
     that get NO block (a timestamp gap — the MKV expression of a
     dropped frame)."""
+    from .avi import resolve_payloads
     frames = np.asarray(frames, np.uint8)
     F, H, W = frames.shape
     drops = sorted(set(drops or []))
-    if payloads is None:
-        if codec == "FFV1":
-            from . import ffv1 as fv
-            extradata, payloads = fv.encode(frames)
-        elif codec == "HFYU":
-            from . import huffyuv as hf
-            extradata, payloads = hf.encode(frames)
-        elif codec in ("ULY0", "ULY2"):
-            from . import utvideo as utv
-            extradata, payloads = utv.encode(frames, codec)
-        elif codec == "LAGS":
-            from . import lagarith as lg
-            payloads = lg.encode(frames)
-        elif codec == "Y800":
-            payloads = [f.tobytes() for f in frames]
-        else:
-            raise MKVError(f"write_mkv: unsupported codec {codec}")
+    if payloads is None and codec == "Y800":
+        payloads = [f.tobytes() for f in frames]
+    elif codec != "Y800":
+        payloads, extradata = resolve_payloads(frames, codec, payloads,
+                                               extradata)
     extradata = extradata or b""
     if codec == "FFV1":
         codec_id = b"V_FFV1"
@@ -402,7 +388,7 @@ class MKVReader(AVIReader):
                         self._on_block(gbody, gsize, cluster_ts)
                     o = gbody + gsize
             off = body + size
-        return end if not stop_level1 else end
+        return end
 
     def _on_block(self, body, size, cluster_ts):
         mm = self._mm
@@ -425,6 +411,8 @@ class MKVReader(AVIReader):
             raise MKVError("MKV: laced video blocks are unsupported; "
                            "remux with ffmpeg")
         data = p + 3
+        if end > len(mm) or data > end:
+            raise MKVError(f"{self.path!r}: truncated MKV block")
         self._entries.append((data, end - data))
         self._block_ts.append(cluster_ts + rel_ts)
 

@@ -108,7 +108,7 @@ def test_solid_round_trip():
 
 def test_extradata_crc_rejected():
     extra = bytearray(fv.build_extradata())
-    extra[0] ^= 0xFF
+    extra[len(extra) // 2] ^= 0xFF     # version still parses as 3
     with pytest.raises(fv.FFV1Error, match="CRC"):
         fv.StreamConfig(bytes(extra))
 
@@ -131,6 +131,81 @@ def test_missing_keyframe_rejected():
     with pytest.raises(fv.FFV1Error):
         bad = bytes([chunks[0][0] ^ 0x80]) + chunks[0][1:]
         dec.decode_frame_gray(bad)
+
+
+def test_initial_states_parse():
+    """Transmitted initial states use one SEPARATE rac state array per
+    context byte k (libavcodec state2[k]); fields after them (ec,
+    intra) must still parse correctly."""
+    enc = fv.RangeEncoder()
+    state = [128] * fv.CONTEXT_SIZE
+    enc.put_symbol(state, 3, 0)       # version
+    enc.put_symbol(state, 4, 0)       # micro_version
+    enc.put_symbol(state, 1, 0)       # coder: range
+    enc.put_symbol(state, 0, 0)       # colorspace
+    enc.put_symbol(state, 8, 0)       # bits
+    enc.put_rac(state, 0, 0)          # chroma_planes
+    enc.put_symbol(state, 0, 0)
+    enc.put_symbol(state, 0, 0)
+    enc.put_rac(state, 0, 0)          # transparency
+    enc.put_symbol(state, 0, 0)       # h slices - 1
+    enc.put_symbol(state, 0, 0)       # v slices - 1
+    enc.put_symbol(state, 1, 0)       # quant_table_count
+    for _ in range(3):
+        fv._write_quant_table(enc, fv._ENC_LEVELS)
+    for _ in range(2):
+        fv._write_quant_table(enc, [0] * 128)
+    enc.put_rac(state, 0, 1)          # HAS initial states
+    cc = fv._enc_quant_table()[1]
+    rng = np.random.default_rng(0)
+    ini = rng.integers(0, 256, (cc, fv.CONTEXT_SIZE)).astype(np.int64)
+    st2 = [[128] * fv.CONTEXT_SIZE for _ in range(fv.CONTEXT_SIZE)]
+    pred = [128] * fv.CONTEXT_SIZE
+    for j in range(cc):
+        for k in range(fv.CONTEXT_SIZE):
+            delta = int(ini[j, k]) - pred[k]
+            if delta > 127:
+                delta -= 256
+            elif delta < -128:
+                delta += 256
+            enc.put_symbol(st2[k], delta, 1)
+            pred[k] = int(ini[j, k])
+    enc.put_symbol(state, 1, 0)       # ec
+    enc.put_symbol(state, 1, 0)       # intra
+    body = enc.finish()
+    extra = body + struct.pack(">I", fv.crc32_ieee(body))
+    cfg = fv.StreamConfig(extra)
+    assert cfg.ec == 1 and cfg.intra == 1
+    got = cfg.initial_states[0]
+    assert got is not None
+    np.testing.assert_array_equal(got, (ini & 0xFF).astype(np.uint8))
+
+
+def test_chroma_stream_luma_decodes(tmp_path):
+    """FFV1 yuv420p streams (chroma_planes=1, the common archival
+    pixel format) decode their luma in-process — chroma follows luma
+    in the bitstream and is simply never parsed.  Both decoder twins
+    agree, and (below, when cv2 is present) libavcodec accepts the
+    same stream, proving the chroma planes are well-formed."""
+    rng = np.random.default_rng(11)
+    H, W = 48, 64
+    frames = _mixed_frames(rng, F=2, H=H, W=W)
+    enc = fv.Encoder(W, H, chroma_planes=True)
+    cb = rng.integers(100, 160, (H // 2, W // 2), np.uint8)
+    cr = rng.integers(100, 160, (H // 2, W // 2), np.uint8)
+    chunks = [enc.encode_frame(f, chroma=(cb, cr)) for f in frames]
+    assert fv.StreamConfig(enc.extradata).chroma_planes == 1
+    for native in (True, False):
+        dec = fv.Decoder(enc.extradata, W, H, native=native)
+        for c, f in zip(chunks, frames):
+            y, _ = dec.decode_frame_gray(c)
+            np.testing.assert_array_equal(y, f)
+    if HAVE_CV2:
+        p = tmp_path / "c.avi"
+        avi.write_avi(p, frames, codec="FFV1", payloads=chunks,
+                      extradata=enc.extradata)
+        np.testing.assert_array_equal(_cv2_luma_frames(p, 2, H, W),
+                                      frames)
 
 
 # -- AVI integration ----------------------------------------------------------------

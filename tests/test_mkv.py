@@ -73,6 +73,33 @@ def test_unsupported_codec_raises(tmp_path):
         mkv.MKVReader(p)
 
 
+def test_truncated_mkv_raises_at_open(tmp_path):
+    """A truncated tail must fail at MKVReader() open (AVIError) so
+    the CLI's decodable-input probe can fall back — not explode with
+    a bare ValueError mid-decode."""
+    frames = _frames(np.random.default_rng(8))
+    p = tmp_path / "t.mkv"
+    mkv.write_mkv(p, frames, codec="FFV1")
+    raw = p.read_bytes()
+    for cut in (1, 37, 200):
+        q = tmp_path / f"cut{cut}.mkv"
+        q.write_bytes(raw[:-cut])
+        with pytest.raises(avi.AVIError):
+            mkv.MKVReader(q)
+
+
+def test_write_mkv_payloads_build_extradata(tmp_path):
+    """Explicit payloads still get self-describing extradata (shared
+    resolve_payloads contract with write_avi)."""
+    from sdvpcmdecoder_tpu.pipeline import ffv1 as fv
+    frames = _frames(np.random.default_rng(9))
+    _, chunks = fv.encode(frames)
+    p = tmp_path / "p.mkv"
+    mkv.write_mkv(p, frames, codec="FFV1", payloads=chunks)
+    with mkv.MKVReader(p) as rd:
+        np.testing.assert_array_equal(rd.read_frames(0, 3), frames)
+
+
 def test_not_mkv_raises(tmp_path):
     p = tmp_path / "n.mkv"
     p.write_bytes(b"RIFF\x00\x00\x00\x00AVI LIST")
