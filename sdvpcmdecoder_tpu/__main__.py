@@ -156,6 +156,15 @@ def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
         ("--checkpoint", bool(args.checkpoint)),
         ("--dump-lines", bool(args.dump_lines)),
         ("--stats", args.stats)) if on]
+    if args.format not in ("stc007", "m2"):
+        # the PCM device drivers run their own fixed stage machines;
+        # reject rather than silently ignore these
+        unsupported += [flag for flag, on in (
+            ("--standard", args.standard != "auto"),
+            ("--field-order", args.field_order != "auto"),
+            ("--resolution", args.resolution != "auto"),
+            ("--sample-rate", bool(args.sample_rate)),
+            ("--per-line-agc", args.per_line_agc)) if on]
     if args.format == "arvid" or unsupported:
         why = "arvid format" if args.format == "arvid" else \
             " ".join(unsupported)
@@ -167,16 +176,27 @@ def _decode_device(args, raw_size, mask_map, hyst, shift, out_path):
     jobs = [(args.input, out_path)]
     if args.format in ("stc007", "m2"):
         from .pipeline import device_driver
+        from .pipeline import stitcher_stc007 as st
         # lines_per_field=None: derived from the driver's own reader —
         # opening the input here just to read the height would consume
         # a FIFO/stream input's header before the decoder reopens it.
+        preset_video = {"auto": None, "pal": st.VID_PAL,
+                        "ntsc": st.VID_NTSC}[args.standard]
         dec = device_driver.DeviceBatchDecoder(
             jobs, lines_per_field=None, hyst_limit=hyst,
             shift_limit=shift, frames_per_round=args.batch,
             mask_mode=mask_mode, use_pallas=args.pallas or None,
             ref_sweep=args.quality == "insane",
             ref_sweep_fallback=args.quality == "normal",
-            normal_sweep_prescan=args.quality in ("normal", "insane"))
+            normal_sweep_prescan=args.quality in ("normal", "insane"),
+            per_line_agc=args.per_line_agc,
+            mode_m2=args.format == "m2",
+            preset_video=preset_video,
+            preset_order={"auto": None, "tff": st.ORDER_TFF,
+                          "bff": st.ORDER_BFF}[args.field_order],
+            preset_resolution={"auto": None, "14bit": 1, "16bit": 2}[
+                args.resolution],
+            preset_sample_rate=args.sample_rate)
     else:
         from .pipeline import device_pcm
         dec = device_pcm.DevicePCMBatchDecoder(

@@ -86,7 +86,9 @@ class BatchDecoder:
                  ref_sweep_fallback=False, checkpoint=False,
                  backend="auto", per_line_agc=False, fmt="stc007",
                  normal_sweep_prescan=False, seam_backend="auto",
-                 refine=True):
+                 refine=True, mode_m2=False, preset_video=None,
+                 preset_order=None, preset_resolution=None,
+                 preset_sample_rate=None):
         self.jobs = [CaptureJob(path=p, out_path=o) for p, o in jobs]
         self.frames_per_round = frames_per_round
         self.checkpoint = checkpoint
@@ -125,8 +127,12 @@ class BatchDecoder:
             # FIFO/stream input's header (or block on a second opener).
             lines_per_field = (self.jobs[0].reader.height // 2
                                if self.jobs else st.LINES_PF_PAL)
-        preset_video = st.VID_PAL if lines_per_field == st.LINES_PF_PAL \
-            else st.VID_NTSC
+        if preset_video is None:
+            # detectVideoStandard's field-height rule (>260 lines =
+            # PAL), NOT an exact-294 match: 576-line captures are PAL
+            # too (stc007datastitcher.cpp:2773)
+            preset_video = st.VID_PAL if lines_per_field > 260 \
+                else st.VID_NTSC
         for j in self.jobs:
             if fmt == "stc007":
                 j.driver = v2d.V2DDriver(
@@ -134,10 +140,15 @@ class BatchDecoder:
                     ref_sweep=ref_sweep,
                     ref_sweep_fallback=ref_sweep_fallback,
                     normal_sweep_prescan=normal_sweep_prescan,
-                    per_line_agc=per_line_agc)
-                j.stitcher = st.STC007Stitcher(preset_video=preset_video,
-                                               auto_m2=True,
-                                               seam_backend=seam_backend)
+                    per_line_agc=per_line_agc, m2=mode_m2)
+                j.stitcher = st.STC007Stitcher(
+                    preset_video=preset_video,
+                    mode_m2=mode_m2, auto_m2=not mode_m2,
+                    preset_order=(st.ORDER_UNK if preset_order is None
+                                  else preset_order),
+                    preset_resolution=preset_resolution,
+                    preset_sample_rate=preset_sample_rate or 0,
+                    seam_backend=seam_backend)
             elif fmt == "pcm1":
                 from . import stitcher_pcm1 as sp1
                 from . import v2d_other

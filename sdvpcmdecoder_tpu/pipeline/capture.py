@@ -275,8 +275,17 @@ class _V4L2FmtUnion(ctypes.Union):
     _fields_ = [("pix", _V4L2PixFormat), ("raw", _u8 * 200)]
 
 
-class _V4L2Format(ctypes.Structure):
-    _fields_ = [("type", _u32), ("_pad", _u32), ("fmt", _V4L2FmtUnion)]
+# The kernel's v4l2_format union contains pointers (v4l2_window), so
+# its offset is pointer-aligned: 8 on 64-bit (one u32 pad after
+# `type`), 4 on 32-bit (no pad) — sizeof then matches the kernel's and
+# the computed VIDIOC_S_FMT ioctl number is right on both ABIs.
+if ctypes.sizeof(ctypes.c_void_p) == 8:
+    class _V4L2Format(ctypes.Structure):
+        _fields_ = [("type", _u32), ("_pad", _u32),
+                    ("fmt", _V4L2FmtUnion)]
+else:
+    class _V4L2Format(ctypes.Structure):
+        _fields_ = [("type", _u32), ("fmt", _V4L2FmtUnion)]
 
 
 class _V4L2RequestBuffers(ctypes.Structure):

@@ -60,9 +60,13 @@ class StagedDeviceDecoder(batch_driver.BatchDecoder):
                               * frames_per_round)
 
     def _init_job_staging(self, j):
-        j.chunk_base = 0
+        # A checkpoint resume (batch_driver._try_resume, applied before
+        # this runs) sets frames_read past 0: stage from there, not
+        # from the capture start — otherwise a resume past the first
+        # HBM chunk would hit the EOF branch and truncate the WAV.
+        j.chunk_base = int(getattr(j, "frames_read", 0) or 0)
         j.chunk_len = 0
-        j.stage_next = 0
+        j.stage_next = j.chunk_base
         j.exhausted = False
         j.px_dev = None
         j.nums = None
@@ -111,15 +115,15 @@ class StagedDeviceDecoder(batch_driver.BatchDecoder):
             self._complete(j)
         if j.done:
             return
+        while j.frames_read >= j.chunk_base + j.chunk_len \
+                and not j.exhausted:
+            self._stage_chunk(j)
         if j.frames_read >= j.chunk_base + j.chunk_len:
-            if not j.exhausted:
-                self._stage_chunk(j)
-            if j.frames_read >= j.chunk_base + j.chunk_len:
-                if j.pending is None:
-                    self._stitch_and_write(j, [], finish=True)
-                    self._drain_final(j)
-                    j.done = True
-                return
+            if j.pending is None:
+                self._stitch_and_write(j, [], finish=True)
+                self._drain_final(j)
+                j.done = True
+            return
         self._dispatch(j)
 
 
@@ -423,9 +427,15 @@ class DeviceBatchDecoder(StagedDeviceDecoder):
             # prefetched asynchronously; a synchronous lazy fetch later
             # pays a full tunnel RTT per store (~28 ms each), while a
             # whole-round prefetch saturates the narrow link.
+            n_total = getattr(j.reader, "n_frames", None)
             chunk_final = (j.frames_read + F >= chunk_end
                            and (j.exhausted
-                                or j.chunk_len < self.hbm_frames))
+                                or j.chunk_len < self.hbm_frames
+                                # exact-multiple captures: EOF hasn't
+                                # been read yet but the frame count
+                                # says this chunk is the last one
+                                or (n_total is not None
+                                    and j.stage_next >= n_total)))
             n_head = min(6, F) if j.round_id == 0 else 0
             n_tail = min(2, F) if chunk_final else 0
             cd_w, cd_ok = j.carry_dev if j.carry_dev is not None \

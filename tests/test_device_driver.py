@@ -255,3 +255,72 @@ def test_device_driver_checkpoint_resume(tmp_path):
     assert dec2.jobs[0].frames_read > 0   # actually resumed
     dec2.run()
     assert open(out, "rb").read() == ref
+
+
+def test_device_driver_resume_past_chunk_boundary(tmp_path):
+    """Resume from a checkpoint BEYOND the first HBM staging chunk:
+    staging must restart at the resume frame (not frame 0) and keep
+    decoding — a regression here silently truncated the WAV."""
+    tmp = str(tmp_path)
+    cap = _write_capture(tmp, "c", 14, PAL, seed=23)
+    ref_out = os.path.join(tmp, "ref.wav")
+    device_driver.DeviceBatchDecoder(
+        [(cap, ref_out)], lines_per_field=PAL, hyst_limit=2,
+        shift_limit=1, frames_per_round=2, hbm_frames=4).run()
+    ref = open(ref_out, "rb").read()
+
+    out = os.path.join(tmp, "ck.wav")
+    kw = dict(lines_per_field=PAL, hyst_limit=2, shift_limit=1,
+              frames_per_round=2, hbm_frames=4, checkpoint=True)
+    dec1 = device_driver.DeviceBatchDecoder([(cap, out)], **kw)
+    j = dec1.jobs[0]
+    while j.frame_no <= 6:      # run past the first 4-frame chunk
+        dec1._visit(j)
+    assert 4 < j.frame_no < 14
+
+    dec2 = device_driver.DeviceBatchDecoder([(cap, out)], **kw)
+    j2 = dec2.jobs[0]
+    assert j2.frames_read > 4               # resumed past chunk 0
+    assert j2.chunk_base == j2.frames_read  # staged from the resume point
+    dec2.run()
+    assert j2.frames_read == 14             # decoded to the end
+    assert open(out, "rb").read() == ref
+
+
+def test_pal_576_line_capture_presets_pal():
+    """576-line captures (288 lines/field) are PAL: the preset rule is
+    the detectVideoStandard field-height threshold, not an exact-294
+    match (stc007datastitcher.cpp:2773)."""
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    dec = batch_driver.BatchDecoder.__new__(batch_driver.BatchDecoder)
+    # exercise just the preset rule via a stub constructor run
+    for lpf, expect in ((294, st.VID_PAL), (288, st.VID_PAL),
+                        (245, st.VID_NTSC), (240, st.VID_NTSC)):
+        preset = st.VID_PAL if lpf > 260 else st.VID_NTSC
+        assert preset == expect
+    # and the real constructor derives it from the reader height
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        cap = _write_capture(tmp, "p576", 2, 288, seed=3)
+        d = batch_driver.BatchDecoder([(cap, os.path.join(tmp, "o.wav"))],
+                                      lines_per_field=None,
+                                      backend="native")
+        assert d.jobs[0].stitcher.preset_video == st.VID_PAL
+
+
+def test_batch_decoder_preset_wiring(tmp_path):
+    """mode_m2 and the user presets reach the stitcher/V2D (the device
+    CLI passes them through; they used to be silently dropped, so
+    --format m2 --backend device decoded in STC-007 auto mode)."""
+    from sdvpcmdecoder_tpu.pipeline import stitcher_stc007 as st
+    cap = _write_capture(str(tmp_path), "m", 2, PAL, seed=5)
+    d = batch_driver.BatchDecoder(
+        [(cap, str(tmp_path / "o.wav"))], backend="native",
+        mode_m2=True, preset_order=st.ORDER_BFF, preset_resolution=2,
+        preset_sample_rate=44100)
+    j = d.jobs[0]
+    assert j.stitcher.mode_m2 and not j.stitcher.auto_m2
+    assert j.stitcher.preset_order == st.ORDER_BFF
+    assert j.stitcher.preset_resolution == 2
+    assert j.stitcher.preset_sample_rate == 44100
+    assert j.driver.m2
